@@ -1,0 +1,19 @@
+"""Ray-Data-native CDC / incremental-ingest engine.
+
+A from-scratch re-expression of the capabilities of
+``eva-tech/vlm-eden-dataset-etl`` (reference at ``/root/reference``, studied for
+semantics only): where the reference polls a source Postgres on a timestamp
+watermark and applies batched ``ON CONFLICT DO UPDATE`` upserts through Celery
+workers (reference ``sync/sync_base.py``, ``queries/*.py``), this engine replays
+a WAL-style changelog of insert/update/delete events — totally ordered by
+``lsn``, keyed by ``doc_id`` — into a partitioned Parquet lake via
+``ray.data.Dataset`` pipelines: zero-copy Arrow ``map_batches``, one hash
+shuffle per epoch, last-writer-wins merge-on-read, a two-phase-commit manifest
+for exactly-once sinks, and a schema-registry actor for online schema
+evolution.
+"""
+
+from vlm_eden_dataset_etl_ray.spec import TableSpec, TOKENS_SPEC
+
+__all__ = ["TableSpec", "TOKENS_SPEC"]
+__version__ = "0.1.0"

@@ -1,0 +1,300 @@
+"""Epoch apply: changelog files → partitioned LWW delta + manifest commit.
+
+The engine's flagship pipeline (the reference's 10-minute incremental sync,
+``/root/reference/tasks.py:16-47`` + ``sync/studies.py:18-45``), re-expressed
+Ray-Data-first:
+
+    read_parquet(changelog shards, pruned)
+      → map_batches(PrepareBatch, pyarrow, actor pool)    # unify schema,
+            per-batch LWW pre-reduce, assign pid = hash(doc_id) % P
+      → groupby("pid")                                    # the ONE hash
+            .map_groups(write partition delta)            # shuffle per epoch
+      → tiny metadata rows → driver commits the manifest (2PC).
+
+Scale notes (100 TB / 256 nodes):
+- exactly one all-to-all exchange per epoch, keyed on a fixed partition id,
+  so partition files are stable across epochs and resumable;
+- hot keys (Zipf doc_ids) are absorbed by the per-batch pre-reduce: a key
+  occurring k times in a batch leaves the batch once, so the shuffle carries
+  ≤ (#batches) rows per key regardless of skew — a salted two-stage reduce
+  with the batch as the implicit salt (valid because max-LSN LWW is
+  associative + commutative);
+- tasks write staging files with stable names, so Ray's lineage retries are
+  idempotent; the manifest publish is the only commit point.
+"""
+
+from __future__ import annotations
+
+import functools
+import hashlib
+import os
+import uuid
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+import ray
+import ray.data as rd
+
+from vlm_eden_dataset_etl_ray import manifest as mf
+from vlm_eden_dataset_etl_ray import schema as sch
+from vlm_eden_dataset_etl_ray.functions.hashing import partition_ids
+from vlm_eden_dataset_etl_ray.spec import TableSpec, TOKENS_SPEC
+from vlm_eden_dataset_etl_ray.stages import lww
+
+
+def union_schemas(schemas: list[pa.Schema]) -> pa.Schema:
+    """Widest schema covering all inputs: union of fields, widest type per
+    name. Raises on incompatible (non-widenable) type conflicts."""
+    fields: dict[str, pa.Field] = {}
+    order: list[str] = []
+    for s in schemas:
+        for f in s:
+            if f.name not in fields:
+                fields[f.name] = f
+                order.append(f.name)
+            else:
+                cur = fields[f.name]
+                if cur.type.equals(f.type):
+                    continue
+                if sch._is_safe_widen(cur.type, f.type):
+                    fields[f.name] = pa.field(f.name, f.type)
+                elif sch._is_safe_widen(f.type, cur.type):
+                    continue
+                else:
+                    raise ValueError(
+                        f"incompatible schemas for column {f.name!r}: {cur.type} vs {f.type}"
+                    )
+    return pa.schema([fields[n] for n in order])
+
+
+class PrepareBatch:
+    """Stateful actor-pool stage (reference analog: ``DatabaseBridge`` opened
+    once per worker, ``sync/database_breach.py:8-30``): holds the target
+    schema, consults the schema-registry actor when a batch carries a newer
+    ``schema_ver``, unifies each Arrow batch up to the target, pre-reduces it
+    (per-batch LWW) and assigns the hash partition id."""
+
+    def __init__(self, target_schema: pa.Schema, spec: TableSpec, registry=None):
+        self.target = target_schema
+        self.spec = spec
+        self.registry = registry
+        self._known_ver = None
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        spec = self.spec
+        if self.registry is not None and "schema_ver" in batch.column_names:
+            maxv = pc.max(batch.column("schema_ver")).as_py()
+            if maxv is not None and (self._known_ver is None or maxv > self._known_ver):
+                payload = ray.get(self.registry.ensure_known.remote(int(maxv)))
+                self.target = union_schemas([self.target, payload])
+                self._known_ver = int(maxv)
+        t = sch.unify_table(batch, self.target)
+        t = lww.keep_last_writer(t, spec.key, spec.order)  # stage-1 (salted) reduce
+        pid = partition_ids(t.column(spec.key), spec.num_partitions)
+        return t.append_column("pid", pa.array(pid))
+
+
+_META_SCHEMA = pa.schema(
+    [
+        ("pid", pa.int64()),
+        ("path", pa.string()),
+        ("rows", pa.int64()),
+        ("bytes", pa.int64()),
+        ("min_lsn", pa.int64()),
+        ("max_lsn", pa.int64()),
+        ("tombstones", pa.int64()),
+    ]
+)
+
+
+def _write_partition_delta(group: pa.Table, spec: TableSpec, staging_dir: str) -> pa.Table:
+    """Final (stage-2) LWW reduce for one partition + idempotent delta write.
+    Tombstones are KEPT in the delta so merge-on-read can mask older base
+    rows (dropped only at compaction). Returns one metadata row."""
+    pid = group.column("pid")[0].as_py()
+    t = lww.lww_merge(group.drop_columns(["pid"]), spec)
+    path = os.path.join(staging_dir, f"part-{int(pid):05d}.parquet")
+    tmp = f"{path}.tmp-{uuid.uuid4().hex}"
+    pq.write_table(t, tmp)
+    os.replace(tmp, path)  # stable name → a retried task overwrites itself
+    lsns = t.column(spec.order)
+    tomb = pc.sum(
+        pc.cast(pc.equal(t.column(spec.op_col), pa.scalar(spec.delete_op)), pa.int64())
+    ).as_py() or 0
+    return pa.table(
+        {
+            "pid": [int(pid)],
+            "path": [path],
+            "rows": [t.num_rows],
+            "bytes": [os.path.getsize(path)],
+            "min_lsn": [pc.min(lsns).as_py()],
+            "max_lsn": [pc.max(lsns).as_py()],
+            "tombstones": [int(tomb)],
+        },
+        schema=_META_SCHEMA,
+    )
+
+
+def _epoch_id_of(files: list[str]) -> str:
+    h = hashlib.sha256()
+    for f in sorted(files):
+        h.update(f.encode())
+    return h.hexdigest()[:16]
+
+
+def _already_applied(lake_dir: str, epoch_id: str) -> mf.Manifest | None:
+    for e in mf.list_epochs(lake_dir):
+        m = mf.load(lake_dir, e)
+        if epoch_id in m.applied_epoch_ids:
+            return mf.latest(lake_dir)
+    return None
+
+
+def changelog_dataset(
+    files: list[str],
+    spec: TableSpec,
+    registry=None,
+    *,
+    target_schema: pa.Schema | None = None,
+    batch_size: int = 65536,
+    prepare_concurrency=None,
+    watermark_lsn: int | None = None,
+) -> tuple[rd.Dataset, pa.Schema]:
+    """Build the prepared (unified, pre-reduced, pid-tagged) Dataset from a
+    set of changelog parquet files that may carry DIFFERENT physical schemas
+    (older files predate add-column/widen migrations). Files are grouped by
+    physical schema and each group is read + unified, then unioned."""
+    if prepare_concurrency is None:
+        # autoscaling actor pool sized to the session: leave CPUs for the
+        # read tasks and the shuffle so no stage starves the others.
+        ncpu = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+        prepare_concurrency = (1, max(2, ncpu - 2))
+    groups: dict[tuple, tuple[pa.Schema, list[str]]] = {}
+    for f in files:
+        s = pq.read_schema(f)
+        key = tuple(sorted((fl.name, str(fl.type)) for fl in s))
+        groups.setdefault(key, (s, []))[1].append(f)
+    target = target_schema or union_schemas([g[0] for g in groups.values()])
+    pieces = []
+    for s, fs in groups.values():
+        ds = rd.read_parquet(fs)
+        if watermark_lsn is not None and watermark_lsn >= 0:
+            wm = watermark_lsn
+            order = spec.order
+            ds = ds.map_batches(
+                lambda t, wm=wm, order=order: t.filter(pc.greater(t.column(order), wm)),
+                batch_format="pyarrow",
+            )
+        ds = ds.map_batches(
+            PrepareBatch,
+            fn_constructor_args=(target, spec, registry),
+            batch_format="pyarrow",
+            batch_size=batch_size,
+            zero_copy_batch=True,
+            concurrency=prepare_concurrency,
+        )
+        pieces.append(ds)
+    out = pieces[0]
+    for p in pieces[1:]:
+        out = out.union(p)
+    return out, target
+
+
+def apply_epoch(
+    lake_dir: str,
+    changelog_files: list[str],
+    *,
+    spec: TableSpec = TOKENS_SPEC,
+    registry=None,
+    epoch: int | None = None,
+    batch_size: int = 65536,
+    prepare_concurrency=None,
+) -> mf.Manifest:
+    """Apply one epoch of changelog files to the lake. Exactly-once: an
+    input set already recorded in a committed manifest is skipped; a crashed
+    run (staging files but no manifest) is safely redone."""
+    os.makedirs(lake_dir, exist_ok=True)
+    if not changelog_files:
+        # empty epoch: nothing to apply, state unchanged
+        prev = mf.latest(lake_dir)
+        if prev is not None:
+            return prev
+        m = mf.Manifest(epoch=epoch or 1, num_partitions=spec.num_partitions,
+                        schema_version=1, kind="delta", partitions={})
+        mf.commit(lake_dir, m)
+        return m
+    epoch_id = _epoch_id_of(changelog_files)
+    done = _already_applied(lake_dir, epoch_id)
+    if done is not None:
+        return done
+
+    prev = mf.latest(lake_dir)
+    if epoch is None:
+        epoch = (prev.epoch + 1) if prev else 1
+    if mf.is_committed(lake_dir, epoch):
+        raise FileExistsError(f"epoch {epoch} committed with different inputs")
+
+    ds, target = changelog_dataset(
+        changelog_files, spec, registry,
+        batch_size=batch_size, prepare_concurrency=prepare_concurrency,
+    )
+
+    # Register/validate the target schema BEFORE running the pipeline so a
+    # lossy/incompatible input fails fast with nothing staged (the registry
+    # actor serializes this, mirroring the reference's locked migrations,
+    # cron_tasks.py:54-56).
+    payload_names = [
+        n for n in target.names
+        if n not in (spec.order, spec.op_col) and n not in spec.envelope
+    ]
+    payload = pa.schema([target.field(n) for n in payload_names])
+    if registry is not None:
+        schema_version = ray.get(registry.find_or_register.remote(payload))
+    else:
+        schema_version = prev.schema_version if prev else 1
+
+    staging_dir = os.path.join(lake_dir, "staging", f"epoch={epoch}")
+    os.makedirs(staging_dir, exist_ok=True)
+    meta_rows = (
+        ds.groupby("pid")
+        .map_groups(
+            _write_partition_delta,
+            fn_kwargs={"spec": spec, "staging_dir": staging_dir},
+            batch_format="pyarrow",
+        )
+        .take_all()  # ≤ num_partitions tiny rows
+    )
+
+    parts: dict[int, mf.PartitionState] = {}
+    if prev:
+        for pid, st in prev.partitions.items():
+            parts[pid] = mf.PartitionState.from_json(st.to_json())
+    events = 0
+    delta_rows = 0
+    delta_bytes = 0
+    for r in meta_rows:
+        pid = int(r["pid"])
+        st = parts.setdefault(pid, mf.PartitionState(pid=pid))
+        st.deltas.append(r["path"])
+        st.rows += int(r["rows"])
+        st.bytes += int(r["bytes"])
+        st.watermark_lsn = max(st.watermark_lsn, int(r["max_lsn"]))
+        st.applied_lsn_ranges = mf.merge_ranges(
+            st.applied_lsn_ranges, int(r["min_lsn"]), int(r["max_lsn"])
+        )
+        delta_rows += int(r["rows"])
+        delta_bytes += int(r["bytes"])
+
+    m = mf.Manifest(
+        epoch=epoch,
+        num_partitions=spec.num_partitions,
+        schema_version=schema_version,
+        kind="delta",
+        partitions=parts,
+        applied_epoch_ids=[epoch_id],
+    )
+    mf.commit(lake_dir, m)
+    return m

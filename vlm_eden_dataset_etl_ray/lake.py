@@ -1,0 +1,197 @@
+"""Merge-on-read scans and compaction for the partitioned Parquet lake.
+
+The lake is the engine's replacement for the reference's per-tenant
+Postgres star schema: state = base files ∪ epoch delta files per hash
+partition, and a read reconstructs current rows by the same LWW reduce used
+at write time (tombstones mask older versions, then drop — the reference's
+``not fs.deleted`` view filter, ``migrations/20230426_01_BozYM.sql:5-11``).
+
+Because files are already partitioned by ``pid``, merge-on-read needs NO
+shuffle: one task per partition reads exactly its own base+delta files
+(driven off the committed manifest) — the layout that keeps a 100 TB lake
+readable without an all-to-all exchange.
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+import ray.data as rd
+
+from vlm_eden_dataset_etl_ray import manifest as mf
+from vlm_eden_dataset_etl_ray import schema as sch
+from vlm_eden_dataset_etl_ray.apply import union_schemas
+from vlm_eden_dataset_etl_ray.spec import TableSpec, TOKENS_SPEC
+from vlm_eden_dataset_etl_ray.stages import lww
+
+
+def merge_partition_files(
+    files: list[str],
+    spec: TableSpec,
+    *,
+    columns: list[str] | None = None,
+    live_only: bool = True,
+) -> pa.Table:
+    """Read one partition's files (any mix of schema versions), unify to the
+    widest schema, LWW-reduce, and (optionally) drop tombstones."""
+    tables = [pq.read_table(f) for f in files]
+    target = union_schemas([t.schema for t in tables])
+    tables = [sch.unify_table(t, target) for t in tables]
+    t = pa.concat_tables(tables) if len(tables) > 1 else tables[0]
+    t = lww.lww_merge(t, spec)
+    if live_only:
+        t = lww.drop_tombstones(t, spec)
+    if columns:
+        t = t.select(columns)
+    return t
+
+
+def _merge_read(batch: pa.Table, spec: TableSpec, columns, live_only: bool, schema: pa.Schema):
+    """One stateless task per partition: manifest-driven read of base+deltas."""
+    for row in batch.to_pylist():
+        files = list(row["files"])
+        if not files:
+            continue
+        t = merge_partition_files(files, spec, columns=columns, live_only=live_only)
+        yield sch.unify_table(t, schema)
+
+
+def _output_schema(m: mf.Manifest, spec: TableSpec, columns, live_only, registry=None) -> pa.Schema:
+    """Unified schema of a scan — derived from one non-empty partition's
+    file footers (cheap driver-side metadata read)."""
+    schemas = []
+    for pid in sorted(m.partitions):
+        for f in m.files(pid):
+            schemas.append(pq.read_schema(f))
+        if schemas:
+            break
+    if not schemas:
+        return pa.schema([])
+    target = union_schemas(schemas)
+    if columns:
+        target = pa.schema([target.field(c) for c in columns])
+    return target
+
+
+def scan(
+    lake_dir: str,
+    *,
+    spec: TableSpec = TOKENS_SPEC,
+    columns: list[str] | None = None,
+    live_only: bool = True,
+    manifest: mf.Manifest | None = None,
+) -> rd.Dataset:
+    """Streaming merge-on-read scan of the latest committed snapshot.
+
+    Returns a Dataset with one block per partition; downstream transforms
+    stream with backpressure as usual.
+    """
+    m = manifest or mf.latest(lake_dir)
+    if m is None:
+        return rd.from_items([])
+    out_schema = _output_schema(m, spec, columns, live_only)
+    items = [
+        {"pid": pid, "files": m.files(pid)}
+        for pid in sorted(m.partitions)
+        if m.files(pid)
+    ]
+    if not items:
+        return rd.from_items([])
+    ds = rd.from_items(items)
+    if len(items) > 1:
+        ds = ds.repartition(len(items))
+    return ds.map_batches(
+        _merge_read,
+        fn_kwargs={
+            "spec": spec,
+            "columns": columns,
+            "live_only": live_only,
+            "schema": out_schema,
+        },
+        batch_size=1,
+        batch_format="pyarrow",
+    )
+
+
+def snapshot(lake_dir: str, **kwargs) -> pa.Table:
+    """Driver-side materialized snapshot (tests / small lakes only)."""
+    ds = scan(lake_dir, **kwargs)
+    batches = list(ds.iter_batches(batch_format="pyarrow", batch_size=None))
+    if not batches:
+        return pa.table({})
+    target = union_schemas([b.schema for b in batches])
+    batches = [sch.unify_table(b, target) for b in batches]
+    spec = kwargs.get("spec", TOKENS_SPEC)
+    t = pa.concat_tables(batches)
+    return t.sort_by(spec.key) if spec.key in t.column_names else t
+
+
+def compact(lake_dir: str, *, spec: TableSpec = TOKENS_SPEC) -> mf.Manifest:
+    """Fold each partition's base+deltas into a single new base file and
+    commit a ``compaction`` manifest. Tombstones are dropped (nothing older
+    remains to mask). Shuffle-free: one task per partition."""
+    m = mf.latest(lake_dir)
+    if m is None:
+        raise FileNotFoundError(f"no committed manifest under {lake_dir}")
+    epoch = m.epoch + 1
+    base_dir = os.path.join(lake_dir, "base", f"epoch={epoch}")
+    os.makedirs(base_dir, exist_ok=True)
+
+    def _compact_one(batch: pa.Table, spec=spec, base_dir=base_dir) -> pa.Table:
+        rows = []
+        for row in batch.to_pylist():
+            pid, files = int(row["pid"]), list(row["files"])
+            t = merge_partition_files(files, spec, live_only=True)
+            path = os.path.join(base_dir, f"part-{pid:05d}.parquet")
+            tmp = f"{path}.tmp-{uuid.uuid4().hex}"
+            pq.write_table(t, tmp)
+            os.replace(tmp, path)
+            wm = pc.max(t.column(spec.order)).as_py() if t.num_rows else -1
+            rows.append(
+                {
+                    "pid": pid,
+                    "path": path,
+                    "rows": t.num_rows,
+                    "bytes": os.path.getsize(path),
+                    "watermark_lsn": -1 if wm is None else int(wm),
+                }
+            )
+        return pa.Table.from_pylist(rows)
+
+    items = [
+        {"pid": pid, "files": m.files(pid)}
+        for pid in sorted(m.partitions)
+        if m.files(pid)
+    ]
+    ds = rd.from_items(items)
+    if len(items) > 1:
+        ds = ds.repartition(len(items))
+    meta = ds.map_batches(_compact_one, batch_size=1, batch_format="pyarrow").take_all()
+
+    parts: dict[int, mf.PartitionState] = {}
+    for r in meta:
+        old = m.partitions[int(r["pid"])]
+        parts[int(r["pid"])] = mf.PartitionState(
+            pid=int(r["pid"]),
+            base=[r["path"]],
+            deltas=[],
+            rows=int(r["rows"]),
+            bytes=int(r["bytes"]),
+            watermark_lsn=max(old.watermark_lsn, int(r["watermark_lsn"])),
+            applied_lsn_ranges=[list(x) for x in old.applied_lsn_ranges],
+        )
+    out = mf.Manifest(
+        epoch=epoch,
+        num_partitions=m.num_partitions,
+        schema_version=m.schema_version,
+        kind="compaction",
+        partitions=parts,
+        applied_epoch_ids=[],
+    )
+    mf.commit(lake_dir, out)
+    return out

@@ -1,0 +1,163 @@
+"""Two-phase-commit manifests: the engine's exactly-once ledger.
+
+Replaces the reference's ``sync_records`` watermark table
+(``/root/reference/migrations/20230104_01_r9HiK.sql:4-11``, written at
+``sync/sync_base.py:32-45``) and its fuzzy 5-second overlap re-read
+(``sync/sync_base.py:55-56``) with exact lineage: each committed epoch's
+manifest records, per partition, the delta/base files, applied-LSN ranges,
+row/byte counts and the high-watermark LSN. Commit protocol with only
+filesystem primitives:
+
+1. tasks write staging files with STABLE names ``staging/epoch=K/part-P.parquet``
+   (a retried task overwrites its own file — idempotent);
+2. the driver writes ``_manifests/epoch=K.json.tmp`` then ``os.replace`` →
+   atomic publish;
+3. re-running a committed epoch is a no-op (`is_committed`); a crash before
+   (2) leaves orphan staging files that the rerun simply overwrites.
+
+Layout of a lake directory::
+
+    lake/
+      _manifests/epoch=0000000001.json
+      staging/epoch=1/part-00007.parquet     (promoted into the manifest)
+      base/epoch=3/part-00007.parquet        (compaction output)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass, field
+from typing import Any
+
+MANIFEST_DIR = "_manifests"
+
+
+@dataclass
+class PartitionState:
+    pid: int
+    base: list[str] = field(default_factory=list)      # compacted base files
+    deltas: list[str] = field(default_factory=list)    # epoch delta files, commit order
+    rows: int = 0                                       # rows in files (incl. tombstones)
+    bytes: int = 0
+    watermark_lsn: int = -1                             # max applied lsn
+    applied_lsn_ranges: list[list[int]] = field(default_factory=list)
+
+    def to_json(self) -> dict[str, Any]:
+        return {
+            "pid": self.pid,
+            "base": self.base,
+            "deltas": self.deltas,
+            "rows": self.rows,
+            "bytes": self.bytes,
+            "watermark_lsn": self.watermark_lsn,
+            "applied_lsn_ranges": self.applied_lsn_ranges,
+        }
+
+    @staticmethod
+    def from_json(d: dict[str, Any]) -> "PartitionState":
+        return PartitionState(
+            pid=d["pid"], base=list(d["base"]), deltas=list(d["deltas"]),
+            rows=d["rows"], bytes=d["bytes"], watermark_lsn=d["watermark_lsn"],
+            applied_lsn_ranges=[list(r) for r in d["applied_lsn_ranges"]],
+        )
+
+
+@dataclass
+class Manifest:
+    epoch: int
+    num_partitions: int
+    schema_version: int
+    kind: str  # "delta" | "compaction"
+    partitions: dict[int, PartitionState]
+    applied_epoch_ids: list[str] = field(default_factory=list)  # input batch ids applied
+
+    def files(self, pid: int) -> list[str]:
+        st = self.partitions.get(pid)
+        if st is None:
+            return []
+        return list(st.base) + list(st.deltas)
+
+    def total_rows(self) -> int:
+        return sum(s.rows for s in self.partitions.values())
+
+    def to_json(self) -> dict[str, Any]:
+        return {
+            "epoch": self.epoch,
+            "num_partitions": self.num_partitions,
+            "schema_version": self.schema_version,
+            "kind": self.kind,
+            "applied_epoch_ids": self.applied_epoch_ids,
+            "partitions": [self.partitions[k].to_json() for k in sorted(self.partitions)],
+        }
+
+    @staticmethod
+    def from_json(d: dict[str, Any]) -> "Manifest":
+        return Manifest(
+            epoch=d["epoch"], num_partitions=d["num_partitions"],
+            schema_version=d["schema_version"], kind=d["kind"],
+            applied_epoch_ids=list(d.get("applied_epoch_ids", [])),
+            partitions={p["pid"]: PartitionState.from_json(p) for p in d["partitions"]},
+        )
+
+
+def _manifest_path(lake_dir: str, epoch: int) -> str:
+    return os.path.join(lake_dir, MANIFEST_DIR, f"epoch={epoch:010d}.json")
+
+
+def list_epochs(lake_dir: str) -> list[int]:
+    d = os.path.join(lake_dir, MANIFEST_DIR)
+    if not os.path.isdir(d):
+        return []
+    out = []
+    for f in os.listdir(d):
+        if f.startswith("epoch=") and f.endswith(".json"):
+            out.append(int(f[len("epoch="):-len(".json")]))
+    return sorted(out)
+
+
+def latest(lake_dir: str) -> Manifest | None:
+    epochs = list_epochs(lake_dir)
+    if not epochs:
+        return None
+    return load(lake_dir, epochs[-1])
+
+
+def load(lake_dir: str, epoch: int) -> Manifest:
+    with open(_manifest_path(lake_dir, epoch)) as fh:
+        return Manifest.from_json(json.load(fh))
+
+
+def is_committed(lake_dir: str, epoch: int) -> bool:
+    return os.path.exists(_manifest_path(lake_dir, epoch))
+
+
+def commit(lake_dir: str, m: Manifest) -> str:
+    """Atomically publish ``m``. Deterministic bytes (sorted keys, no
+    timestamps) so exactly-once tests can compare manifests bytewise."""
+    os.makedirs(os.path.join(lake_dir, MANIFEST_DIR), exist_ok=True)
+    path = _manifest_path(lake_dir, m.epoch)
+    if os.path.exists(path):
+        raise FileExistsError(f"epoch {m.epoch} already committed: {path}")
+    tmp = path + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(m.to_json(), fh, sort_keys=True, indent=1)
+        fh.flush()
+        os.fsync(fh.fileno())
+    os.replace(tmp, path)
+    return path
+
+
+def merge_ranges(ranges: list[list[int]], lo: int, hi: int) -> list[list[int]]:
+    """Insert [lo, hi] into a sorted list of closed LSN ranges, coalescing
+    adjacent/overlapping ranges — the per-partition lineage record."""
+    if lo > hi:
+        return ranges
+    out: list[list[int]] = []
+    placed = False
+    for a, b in sorted(ranges + [[lo, hi]]):
+        if out and a <= out[-1][1] + 1:
+            out[-1][1] = max(out[-1][1], b)
+        else:
+            out.append([a, b])
+    return out

@@ -1,0 +1,53 @@
+"""Table specifications: the engine's generalization of the reference's
+per-table sync classes.
+
+The reference hard-codes one Python class + one SQL module per destination
+table (``/root/reference/sync/sync_base.py:20-59`` subclassed by
+``sync/facilities.py``, ``sync/studies.py``, …; each with a matching
+``queries/<table>.py`` holding the ``ON CONFLICT (key) DO UPDATE`` upsert).
+Here a table is described declaratively: key column, total-order column
+(the LSN that replaces the reference's ``created_at``/``updated_at``
+watermark pair), op column with a tombstone value (the reference's
+``deleted boolean``, ``queries/fact_studies.py:23,73``), and the set of
+insert-only columns (the reference's conflict clause deliberately does NOT
+update ``created_at`` / ``patient_full_name`` — ``queries/fact_studies.py:63-83``
+— i.e. first-writer-wins for those columns while the rest are
+last-writer-wins).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+@dataclass(frozen=True)
+class TableSpec:
+    """Declarative description of one lake table's CDC semantics."""
+
+    name: str = "sequences"
+    key: str = "doc_id"
+    order: str = "lsn"  # total-order column; max wins (LWW)
+    op_col: str = "op"  # insert / update / delete
+    delete_op: str = "delete"
+    #: columns resolved first-writer-wins (kept from the OLDEST version of the
+    #: row) instead of last-writer-wins; reference: insert-only columns in the
+    #: fact_studies conflict clause (queries/fact_studies.py:63-83).
+    insert_only: tuple[str, ...] = ()
+    #: number of hash partitions of the lake; fixed per lake and recorded in
+    #: every manifest so partition files stay stable across epochs.
+    num_partitions: int = 32
+    #: extra envelope columns dropped from the stored lake rows (the lake
+    #: keeps `order` and `op_col` for merge-on-read).
+    envelope: tuple[str, ...] = ("schema_ver",)
+    salt_modulus: int = 0  # >0 enables explicit salted pre-reduce for hot keys
+
+    def partition_of(self, _key: str) -> int:  # pragma: no cover - debug aid
+        from vlm_eden_dataset_etl_ray.functions.hashing import hash_strings
+        import numpy as np
+
+        return int(hash_strings(np.array([_key], dtype=object))[0] % self.num_partitions)
+
+
+#: The engine's primary table (per BASELINE.json input_hint): pre-tokenized
+#: training sequences.
+TOKENS_SPEC = TableSpec(name="sequences", key="doc_id", order="lsn", num_partitions=32)
