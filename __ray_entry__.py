@@ -1,44 +1,668 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+One entry per implemented operator family from SURVEY.md §2 (plus the
+training-data operators: dedup, similarity search, text analysis,
+multimodal plumbing). Each ``queries()`` callable takes an ``sf_dir`` and
+returns a Dataset / pyarrow Table; ``oracle_sql()`` holds the equivalent
+DuckDB SQL where the op is SQL-expressible (non-SQL ops — LSH/SimHash/IVF
+approximations, language-ID, synthetic-token replay — are rows-only).
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported: nothing
+here calls ``ray.init()`` / ``ray.shutdown()``.
+
+Float-matching policy (the driver hashes values): per-row derived floats
+are computed with the IDENTICAL double expression on both sides and left
+unrounded (bit-equal); order-dependent aggregate sums are rounded on both
+sides (2 decimals where the true sum is 2-decimal-grid-aligned, 4 where
+4-aligned); cosine similarities are rounded to 4 (different but
+numerically-equal formulas on each side).
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 from typing import Any
 
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+# Make the package importable when this module is loaded by file path.
+# NOTE: Ray WORKERS resolve `vlm_eden_dataset_etl_ray` via the driver's cwd
+# (or PYTHONPATH) captured at ray.init — the driver must init from the repo
+# root (it does) or export PYTHONPATH=/root/repo.
+_REPO = os.path.dirname(os.path.abspath(__file__))
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+
+WM_TS = "2024-01-25 00:00:00"
+STOPWORDS = ("a", "the", "and", "of", "to")
+JACCARD_T = 0.97
+COSINE_T = 0.4
+SESSION_GAP_H = 6
+
+
+def _events(sf_dir, columns=None, filter=None):
+    from vlm_eden_dataset_etl_ray.sources.parquet import read_table
+
+    return read_table(sf_dir, "events", columns=columns, filter=filter)
+
+
+def _collect(ds) -> pa.Table:
+    batches = list(ds.iter_batches(batch_format="pyarrow", batch_size=None))
+    return pa.concat_tables(batches) if batches else pa.table({})
+
+
+def _round_col(t: pa.Table, col: str, ndigits: int) -> pa.Table:
+    # np.round bit-matches DuckDB's round(double, n) (verified empirically);
+    # Arrow's pc.round does not (different scaling), so don't use it here.
+    v = np.round(t.column(col).to_numpy(zero_copy_only=False), ndigits)
+    return t.set_column(t.column_names.index(col), col, pa.array(v, pa.float64()))
+
+
+# ---------------------------------------------------------------------------
+# flagship
+# ---------------------------------------------------------------------------
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: CDC replay of a changelog derived from sf0.001 ``events``
+    (with list<int32> token payloads) through apply_epoch → 2PC manifest →
+    merge-on-read scan."""
+    from vlm_eden_dataset_etl_ray.pipelines.cdc import replay_events
+
+    return replay_events(
+        "/root/testdata/sf0.001",
+        with_tokens=True,
+        columns=["doc_id", "lsn", "n_tok", "source", "tokens"],
+    )
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+
+def q_cdc_replay_events(sf_dir):
+    from vlm_eden_dataset_etl_ray.pipelines.cdc import replay_events
+
+    return replay_events(sf_dir)
+
+
+def q_pricing_summary(sf_dir):
+    from vlm_eden_dataset_etl_ray.functions.relational import grouped_agg
+    from vlm_eden_dataset_etl_ray.sources.parquet import read_table
+
+    ds = read_table(
+        sf_dir, "lineitem",
+        columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"],
+    )
+
+    def _extend(t: pa.Table) -> pa.Table:
+        dp = pc.multiply(t.column("l_extendedprice"),
+                         pc.subtract(pa.scalar(1.0), t.column("l_discount")))
+        return t.append_column("disc_price", dp)
+
+    ds = ds.map_batches(_extend, batch_format="pyarrow", zero_copy_batch=True)
+    out = grouped_agg(
+        ds, ["l_returnflag", "l_linestatus"],
+        sums={"l_quantity": "sum_qty", "l_extendedprice": "sum_base_price",
+              "disc_price": "sum_disc_price"},
+        counts="count_order",
+    )
+
+    def _final(t: pa.Table) -> pa.Table:
+        t = _round_col(t, "sum_base_price", 2)
+        t = _round_col(t, "sum_disc_price", 4)
+        n = t.column("count_order").to_numpy(zero_copy_only=False).astype(np.float64)
+        sq = t.column("sum_qty").to_numpy(zero_copy_only=False)
+        sbp = t.column("sum_base_price").to_numpy(zero_copy_only=False)
+        t = t.append_column("avg_qty", pa.array(np.round(sq / n, 4), pa.float64()))
+        t = t.append_column("avg_price", pa.array(np.round(sbp / n, 4), pa.float64()))
+        return t
+
+    return out.map_batches(_final, batch_format="pyarrow")
+
+
+def q_latest_event_per_user(sf_dir):
+    from vlm_eden_dataset_etl_ray.functions.relational import top1_per_key
+
+    ds = _events(sf_dir, columns=["event_id", "ts", "user_id", "event_type", "value"])
+    out = top1_per_key(ds, "user_id", [("ts", "descending"), ("event_id", "descending")])
+    return out.select_columns(["user_id", "event_id", "ts", "event_type", "value"])
+
+
+def q_watermark_filter_events(sf_dir):
+    import datetime
+
+    wm = datetime.datetime(2024, 1, 25)
+    return _events(
+        sf_dir,
+        columns=["event_id", "ts", "user_id", "event_type", "value"],
+        filter=(pc.field("ts") > wm),
+    )
+
+
+def q_watermark_max(sf_dir):
+    ds = _events(sf_dir, columns=["ts"])
+    parts = ds.map_batches(
+        lambda t: pa.table({"ts": [pc.max(t.column("ts")).as_py()]}),
+        batch_format="pyarrow",
+    )
+    t = _collect(parts)
+    return pa.table({"last_sync": [pc.max(t.column("ts")).as_py()]})
+
+
+def q_latest_event_with_customer(sf_dir):
+    from vlm_eden_dataset_etl_ray.functions.relational import (
+        broadcast_left_join, top1_per_key)
+    from vlm_eden_dataset_etl_ray.sources.parquet import read_table
+
+    ds = _events(sf_dir, columns=["event_id", "ts", "user_id"])
+    latest = top1_per_key(ds, "user_id", [("ts", "descending"), ("event_id", "descending")])
+    cust = _collect(read_table(sf_dir, "customer", columns=["c_custkey", "c_name"]))
+    out = broadcast_left_join(latest, cust, "user_id", "c_custkey", ["c_name"])
+    return out.select_columns(["user_id", "event_id", "ts", "c_name"])
+
+
+def q_event_types_per_user(sf_dir):
+    from vlm_eden_dataset_etl_ray.functions.relational import string_agg_distinct
+
+    ds = _events(sf_dir, columns=["user_id", "event_type"])
+    return string_agg_distinct(ds, "user_id", "event_type", "event_types")
+
+
+def q_customers_without_recent_orders(sf_dir):
+    """The validator's windowed anti-join (S11/D4): keys present on one side
+    of a recent window but absent on the other
+    (/root/reference/queries/fact_studies.py:120-126)."""
+    import datetime
+
+    from vlm_eden_dataset_etl_ray.functions.relational import (
+        broadcast_membership_filter, distinct_values)
+    from vlm_eden_dataset_etl_ray.sources.parquet import read_table
+
+    okeys = distinct_values(
+        read_table(sf_dir, "orders", columns=["o_custkey", "o_orderdate"],
+                   filter=(pc.field("o_orderdate") >= datetime.datetime(2001, 6, 1))),
+        "o_custkey",
+    )
+    cust = read_table(sf_dir, "customer", columns=["c_custkey", "c_name", "c_acctbal"])
+    return broadcast_membership_filter(cust, "c_custkey", okeys, negate=True)
+
+
+def q_orders_building_segment(sf_dir):
+    from vlm_eden_dataset_etl_ray.functions.relational import (
+        broadcast_membership_filter, distinct_values)
+    from vlm_eden_dataset_etl_ray.sources.parquet import read_table
+
+    keys = distinct_values(
+        read_table(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"],
+                   filter=(pc.field("c_mktsegment") == "BUILDING")),
+        "c_custkey",
+    )
+    orders = read_table(
+        sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"]
+    )
+    return broadcast_membership_filter(orders, "o_custkey", keys)
+
+
+def q_brand_revenue(sf_dir):
+    from vlm_eden_dataset_etl_ray.functions.relational import (
+        broadcast_left_join, grouped_agg)
+    from vlm_eden_dataset_etl_ray.sources.parquet import read_table
+
+    li = read_table(sf_dir, "lineitem", columns=["l_partkey", "l_extendedprice", "l_discount"])
+    part = _collect(read_table(sf_dir, "part", columns=["p_partkey", "p_brand"]))
+    ds = broadcast_left_join(li, part, "l_partkey", "p_partkey", ["p_brand"])
+
+    def _extend(t: pa.Table) -> pa.Table:
+        dp = pc.multiply(t.column("l_extendedprice"),
+                         pc.subtract(pa.scalar(1.0), t.column("l_discount")))
+        return t.append_column("disc_price", dp)
+
+    ds = ds.map_batches(_extend, batch_format="pyarrow")
+    out = grouped_agg(ds, ["p_brand"], sums={"disc_price": "revenue"}, counts="n_items")
+    return out.map_batches(lambda t: _round_col(t, "revenue", 4), batch_format="pyarrow")
+
+
+def q_daily_event_counts(sf_dir):
+    from vlm_eden_dataset_etl_ray.functions.relational import grouped_count
+
+    ds = _events(sf_dir, columns=["ts", "event_type"],
+                 filter=(pc.field("event_type") != "error"))
+
+    def _date(t: pa.Table) -> pa.Table:
+        return t.append_column("event_date", t.column("ts").cast(pa.date32())).drop_columns(["ts"])
+
+    ds = ds.map_batches(_date, batch_format="pyarrow", zero_copy_batch=True)
+    return grouped_count(ds, ["event_date", "event_type"], "n_events")
+
+
+def q_daily_event_counts_with_deleted(sf_dir):
+    from vlm_eden_dataset_etl_ray.functions.relational import grouped_count
+
+    ds = _events(sf_dir, columns=["ts", "event_type"])
+
+    def _date(t: pa.Table) -> pa.Table:
+        return t.append_column("event_date", t.column("ts").cast(pa.date32())).drop_columns(["ts"])
+
+    ds = ds.map_batches(_date, batch_format="pyarrow", zero_copy_batch=True)
+    return grouped_count(ds, ["event_date", "event_type"], "n_events")
+
+
+def q_monthly_order_priority_counts(sf_dir):
+    from vlm_eden_dataset_etl_ray.functions.relational import grouped_count
+    from vlm_eden_dataset_etl_ray.sources.parquet import read_table
+
+    ds = read_table(sf_dir, "orders", columns=["o_orderdate", "o_orderpriority"])
+
+    def _month(t: pa.Table) -> pa.Table:
+        m = pc.floor_temporal(t.column("o_orderdate"), unit="month").cast(pa.date32())
+        return t.append_column("order_month", m).drop_columns(["o_orderdate"])
+
+    ds = ds.map_batches(_month, batch_format="pyarrow", zero_copy_batch=True)
+    return grouped_count(ds, ["order_month", "o_orderpriority"], "n_orders")
+
+
+def q_normalized_documents(sf_dir):
+    from vlm_eden_dataset_etl_ray.functions.text import normalize_terms
+    from vlm_eden_dataset_etl_ray.sources.parquet import read_table
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return normalize_terms(ds).select_columns(["doc_id", "norm_text"])
+
+
+def q_cleaned_documents(sf_dir):
+    from vlm_eden_dataset_etl_ray.functions.text import coalesce_clean
+    from vlm_eden_dataset_etl_ray.sources.parquet import read_table
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "lang", "source"])
+    ds = coalesce_clean(ds, "lang", "und", "lang_clean")
+
+    def _upper(t: pa.Table) -> pa.Table:
+        return t.append_column("source_norm", pc.utf8_upper(t.column("source")))
+
+    ds = ds.map_batches(_upper, batch_format="pyarrow")
+    return ds.select_columns(["doc_id", "lang_clean", "source_norm"])
+
+
+def q_calendar_dim(sf_dir):
+    from vlm_eden_dataset_etl_ray.functions.relational import calendar_dim
+
+    return calendar_dim()
+
+
+def q_dedup_exact_documents(sf_dir):
+    from vlm_eden_dataset_etl_ray.functions.dedup import exact_dedup
+    from vlm_eden_dataset_etl_ray.sources.parquet import read_table
+
+    cols = ["doc_id", "text", "lang", "source", "n_chars"]
+    docs = read_table(sf_dir, "documents", columns=cols)
+
+    def _shift(t: pa.Table) -> pa.Table:
+        return t.set_column(0, "doc_id", pc.add(t.column("doc_id"), pa.scalar(100000)))
+
+    dup = read_table(sf_dir, "documents", columns=cols).map_batches(
+        _shift, batch_format="pyarrow"
+    )
+    return exact_dedup(docs.union(dup), on=["text"], keep_by="doc_id").select_columns(cols)
+
+
+def q_ngram_jaccard_dupes(sf_dir):
+    from vlm_eden_dataset_etl_ray.functions.dedup import ngram_jaccard_pairs
+    from vlm_eden_dataset_etl_ray.sources.parquet import read_table
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return ngram_jaccard_pairs(docs, "doc_id", "text", JACCARD_T)
+
+
+def q_knn_cosine_topk(sf_dir):
+    from vlm_eden_dataset_etl_ray.functions.knn import knn_brute_force
+    from vlm_eden_dataset_etl_ray.sources.parquet import read_table
+
+    emb = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    queries = _collect(
+        read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"],
+                   filter=(pc.field("vec_id") < 8))
+    )
+    out = knn_brute_force(emb, queries, k=5)
+    return out.map_batches(lambda t: _round_col(t, "cosine", 4), batch_format="pyarrow")
+
+
+def q_embedding_near_dup_pairs(sf_dir):
+    from vlm_eden_dataset_etl_ray.functions.dedup import embedding_near_dup
+    from vlm_eden_dataset_etl_ray.sources.parquet import read_table
+
+    emb = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return embedding_near_dup(emb, "vec_id", "embedding", COSINE_T)
+
+
+def q_token_stats_docs(sf_dir):
+    from vlm_eden_dataset_etl_ray.functions.text import token_stats
+    from vlm_eden_dataset_etl_ray.sources.parquet import read_table
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return token_stats(ds).select_columns(["doc_id", "n_words", "n_distinct"])
+
+
+def q_quality_scores_docs(sf_dir):
+    from vlm_eden_dataset_etl_ray.functions.text import quality_scores
+    from vlm_eden_dataset_etl_ray.sources.parquet import read_table
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return quality_scores(ds).select_columns(["doc_id", "avg_word_len", "stopword_ratio"])
+
+
+def q_multimodal_decode_meta(sf_dir):
+    from vlm_eden_dataset_etl_ray.functions.multimodal import decode_stage, text_as_payload
+    from vlm_eden_dataset_etl_ray.sources.parquet import read_table
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    ds = decode_stage(text_as_payload(ds), batch_size=256)
+    return ds.select_columns(["doc_id", "payload_bytes", "fake_width", "fake_height", "checksum"])
+
+
+def q_user_sessions(sf_dir):
+    from vlm_eden_dataset_etl_ray.functions.relational import session_counts
+
+    ds = _events(sf_dir, columns=["user_id", "ts"])
+    return session_counts(ds, "user_id", "ts", SESSION_GAP_H * 3600)
+
+
+def q_distinct_lang_source(sf_dir):
+    from vlm_eden_dataset_etl_ray.functions.relational import grouped_count
+    from vlm_eden_dataset_etl_ray.sources.parquet import read_table
+
+    ds = read_table(sf_dir, "documents", columns=["lang", "source"])
+    return grouped_count(ds, ["lang", "source"], "n").select_columns(["lang", "source"])
+
+
+def q_top10_orders(sf_dir):
+    from vlm_eden_dataset_etl_ray.sources.parquet import read_table
+
+    ds = read_table(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
+    return ds.sort("o_totalprice", descending=True).limit(10)
+
+
+# ---- non-SQL-expressible (rows-only driver check) -------------------------
+
+
+def q_minhash_near_dupes(sf_dir):
+    from vlm_eden_dataset_etl_ray.functions.dedup import minhash_lsh_pairs
+    from vlm_eden_dataset_etl_ray.sources.parquet import read_table
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return minhash_lsh_pairs(docs, "doc_id", "text", threshold=JACCARD_T)
+
+
+def q_minhash_dedup_docs(sf_dir):
+    """Near-dup CLUSTERING (star edges + union-find) — the scale path: edge
+    count is bounded by bands×docs regardless of clique sizes."""
+    from vlm_eden_dataset_etl_ray.functions.dedup import minhash_dedup
+    from vlm_eden_dataset_etl_ray.sources.parquet import read_table
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return minhash_dedup(docs, "doc_id", "text", threshold=JACCARD_T)
+
+
+def q_simhash_near_dupes(sf_dir):
+    from vlm_eden_dataset_etl_ray.functions.dedup import simhash_pairs
+    from vlm_eden_dataset_etl_ray.sources.parquet import read_table
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return simhash_pairs(docs, "doc_id", "text", max_hamming=3)
+
+
+def q_lang_id_docs(sf_dir):
+    from vlm_eden_dataset_etl_ray.functions.text import lang_id
+    from vlm_eden_dataset_etl_ray.sources.parquet import read_table
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+    return lang_id(ds).select_columns(["doc_id", "lang", "lang_pred"])
+
+
+def q_knn_ivf_topk(sf_dir):
+    from vlm_eden_dataset_etl_ray.functions.knn import knn_ivf
+    from vlm_eden_dataset_etl_ray.sources.parquet import read_table
+
+    emb = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    queries = _collect(
+        read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"],
+                   filter=(pc.field("vec_id") < 8))
+    )
+    out = knn_ivf(emb, queries, k=5)
+    return out.map_batches(lambda t: _round_col(t, "cosine", 4), batch_format="pyarrow")
+
+
+def q_tokens_replay_synthetic(sf_dir):
+    """Synthetic tokenized changelog (FIXTURES F2) through the full engine:
+    out-of-order + duplicates + tombstones + mid-stream schema change."""
+    import shutil
+    import tempfile
+
+    from vlm_eden_dataset_etl_ray import apply, changelog as cl, lake
+
+    p = cl.ChangelogParams(n_docs=500, n_events=5000, schema_change_at=3000, n_shards=8)
+    work = tempfile.mkdtemp(prefix="tokens_replay_", dir="/tmp")
+    files = cl.write_changelog(os.path.join(work, "chg"), p)
+    lake_dir = os.path.join(work, "lake")
+    apply.apply_epoch(lake_dir, files)
+    return lake.snapshot(lake_dir).select(["doc_id", "lsn", "n_tok", "source"])
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
-
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "cdc_replay_events": q_cdc_replay_events,
+        "pricing_summary": q_pricing_summary,
+        "latest_event_per_user": q_latest_event_per_user,
+        "watermark_filter_events": q_watermark_filter_events,
+        "watermark_max": q_watermark_max,
+        "latest_event_with_customer": q_latest_event_with_customer,
+        "event_types_per_user": q_event_types_per_user,
+        "customers_without_recent_orders": q_customers_without_recent_orders,
+        "orders_building_segment": q_orders_building_segment,
+        "brand_revenue": q_brand_revenue,
+        "daily_event_counts": q_daily_event_counts,
+        "daily_event_counts_with_deleted": q_daily_event_counts_with_deleted,
+        "monthly_order_priority_counts": q_monthly_order_priority_counts,
+        "normalized_documents": q_normalized_documents,
+        "cleaned_documents": q_cleaned_documents,
+        "calendar_dim": q_calendar_dim,
+        "dedup_exact_documents": q_dedup_exact_documents,
+        "ngram_jaccard_dupes": q_ngram_jaccard_dupes,
+        "knn_cosine_topk": q_knn_cosine_topk,
+        "embedding_near_dup_pairs": q_embedding_near_dup_pairs,
+        "token_stats_docs": q_token_stats_docs,
+        "quality_scores_docs": q_quality_scores_docs,
+        "multimodal_decode_meta": q_multimodal_decode_meta,
+        "user_sessions": q_user_sessions,
+        "distinct_lang_source": q_distinct_lang_source,
+        "top10_orders": q_top10_orders,
+        "minhash_near_dupes": q_minhash_near_dupes,
+        "minhash_dedup_docs": q_minhash_dedup_docs,
+        "simhash_near_dupes": q_simhash_near_dupes,
+        "lang_id_docs": q_lang_id_docs,
+        "knn_ivf_topk": q_knn_ivf_topk,
+        "tokens_replay_synthetic": q_tokens_replay_synthetic,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "cdc_replay_events": f"""
+            with chg as (
+                select event_id as lsn,
+                       case when event_type = 'error' then 'delete' else 'upsert' end as op,
+                       'doc' || cast(user_id as varchar) as doc_id,
+                       cast(floor(value * 100) as bigint) as n_tok,
+                       event_type as source
+                from events),
+            latest as (
+                select * from chg
+                qualify row_number() over (partition by doc_id order by lsn desc) = 1)
+            select doc_id, lsn, n_tok, source from latest where op <> 'delete'
+        """,
+        "pricing_summary": """
+            select l_returnflag, l_linestatus,
+                   sum(l_quantity) as sum_qty,
+                   round(sum(l_extendedprice), 2) as sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 4) as sum_disc_price,
+                   count(*) as count_order,
+                   round(sum(l_quantity) / count(*), 4) as avg_qty,
+                   round(round(sum(l_extendedprice), 2) / count(*), 4) as avg_price
+            from lineitem group by l_returnflag, l_linestatus
+        """,
+        "latest_event_per_user": """
+            select user_id, event_id, ts, event_type, value from events
+            qualify row_number() over (partition by user_id order by ts desc, event_id desc) = 1
+        """,
+        "watermark_filter_events": f"""
+            select event_id, ts, user_id, event_type, value from events
+            where ts > TIMESTAMP '{WM_TS}'
+        """,
+        "watermark_max": "select max(ts) as last_sync from events",
+        "latest_event_with_customer": """
+            with latest as (
+                select user_id, event_id, ts from events
+                qualify row_number() over (partition by user_id order by ts desc, event_id desc) = 1)
+            select l.user_id, l.event_id, l.ts, c.c_name
+            from latest l left join customer c on l.user_id = c.c_custkey
+        """,
+        "event_types_per_user": """
+            select user_id,
+                   array_to_string(list_sort(list(distinct event_type)), ',') as event_types
+            from events group by user_id
+        """,
+        "customers_without_recent_orders": """
+            select c_custkey, c_name, c_acctbal from customer
+            where c_custkey not in (
+                select o_custkey from orders where o_orderdate >= TIMESTAMP '2001-06-01 00:00:00')
+        """,
+        "orders_building_segment": """
+            select o_orderkey, o_custkey, o_totalprice, o_orderdate from orders
+            where o_custkey in (select c_custkey from customer where c_mktsegment = 'BUILDING')
+        """,
+        "brand_revenue": """
+            select p_brand,
+                   round(sum(l_extendedprice * (1 - l_discount)), 4) as revenue,
+                   count(*) as n_items
+            from lineitem join part on l_partkey = p_partkey
+            group by p_brand
+        """,
+        "daily_event_counts": """
+            select cast(ts as date) as event_date, event_type, count(*) as n_events
+            from events where event_type <> 'error' group by 1, 2
+        """,
+        "daily_event_counts_with_deleted": """
+            select cast(ts as date) as event_date, event_type, count(*) as n_events
+            from events group by 1, 2
+        """,
+        "monthly_order_priority_counts": """
+            select date_trunc('month', o_orderdate) as order_month, o_orderpriority,
+                   count(*) as n_orders
+            from orders group by 1, 2
+        """,
+        "normalized_documents": """
+            select doc_id,
+                   array_to_string(list_sort(list_distinct(string_split(text, ' '))), ',') as norm_text
+            from documents
+        """,
+        "cleaned_documents": """
+            select doc_id,
+                   coalesce(nullif(trim(lang), ''), 'und') as lang_clean,
+                   upper(source) as source_norm
+            from documents
+        """,
+        "calendar_dim": """
+            select cast(d as date) as date_actual,
+                   cast(epoch(cast(d as date)) as bigint) as epoch,
+                   cast(isodow(d) as bigint) as day_of_week,
+                   cast(dayofmonth(d) as bigint) as day_of_month,
+                   cast(dayofyear(d) as bigint) as day_of_year,
+                   cast(week(d) as bigint) as week_of_year,
+                   cast(month(d) as bigint) as month_actual,
+                   cast(quarter(d) as bigint) as quarter_actual,
+                   cast(year(d) as bigint) as year_actual,
+                   cast(date_trunc('month', d) as date) as first_day_of_month,
+                   last_day(d) as last_day_of_month,
+                   isodow(d) >= 6 as weekend_indr
+            from (select unnest(generate_series(DATE '1999-01-01',
+                                               DATE '1999-01-01' + INTERVAL 29219 DAY,
+                                               INTERVAL 1 DAY)) as d)
+        """,
+        "dedup_exact_documents": """
+            with all_docs as (
+                select doc_id, text, lang, source, n_chars from documents
+                union all
+                select doc_id + 100000 as doc_id, text, lang, source, n_chars from documents)
+            select doc_id, text, lang, source, n_chars from all_docs
+            qualify row_number() over (partition by text order by doc_id) = 1
+        """,
+        "ngram_jaccard_dupes": f"""
+            with t as (select doc_id, list_distinct(string_split(text, ' ')) w from documents)
+            select * from (
+                select a.doc_id as doc_a, b.doc_id as doc_b,
+                       cast(len(list_intersect(a.w, b.w)) as double)
+                           / len(list_distinct(list_concat(a.w, b.w))) as jaccard
+                from t a join t b on a.doc_id < b.doc_id)
+            where jaccard >= {JACCARD_T}
+        """,
+        "knn_cosine_topk": """
+            with q as (select vec_id as qid, cast(embedding as double[]) as qv
+                       from embeddings where vec_id < 8),
+            s as (select q.qid as query_id, e.vec_id as neighbor_id,
+                         list_cosine_similarity(q.qv, cast(e.embedding as double[])) as c
+                  from q cross join embeddings e where e.vec_id <> q.qid)
+            select query_id, neighbor_id, round(c, 4) as cosine from s
+            qualify row_number() over (partition by query_id order by c desc, neighbor_id) <= 5
+        """,
+        "embedding_near_dup_pairs": f"""
+            with s as (select a.vec_id as vec_a, b.vec_id as vec_b,
+                              list_cosine_similarity(cast(a.embedding as double[]),
+                                                     cast(b.embedding as double[])) as c
+                       from embeddings a join embeddings b on a.vec_id < b.vec_id)
+            select vec_a, vec_b, round(c, 4) as cosine from s where c >= {COSINE_T}
+        """,
+        "token_stats_docs": """
+            select doc_id,
+                   cast(len(string_split(text, ' ')) as bigint) as n_words,
+                   cast(len(list_distinct(string_split(text, ' '))) as bigint) as n_distinct
+            from documents
+        """,
+        "quality_scores_docs": f"""
+            select doc_id,
+                   cast(len(replace(text, ' ', '')) as double)
+                       / len(string_split(text, ' ')) as avg_word_len,
+                   cast(len(list_filter(string_split(text, ' '),
+                                        x -> x in {STOPWORDS!r})) as double)
+                       / len(string_split(text, ' ')) as stopword_ratio
+            from documents
+        """,
+        "multimodal_decode_meta": """
+            with t as (select doc_id, octet_length(encode(text)) as n from documents)
+            select doc_id,
+                   cast(n as bigint) as payload_bytes,
+                   cast(n % 640 as int) as fake_width,
+                   cast(n % 480 as int) as fake_height,
+                   cast((n * 2654435761) % 2147483647 as bigint) as checksum
+            from t
+        """,
+        "user_sessions": f"""
+            with e as (select user_id, ts,
+                              lag(ts) over (partition by user_id order by ts, event_id) as prev
+                       from events)
+            select user_id,
+                   cast(count(case when prev is not null
+                                   and ts - prev > interval {SESSION_GAP_H} hour
+                              then 1 end) + 1 as bigint) as n_sessions
+            from e group by user_id
+        """,
+        "distinct_lang_source": "select distinct lang, source from documents",
+        "top10_orders": """
+            select o_orderkey, o_totalprice from orders
+            order by o_totalprice desc limit 10
+        """,
+    }

@@ -51,9 +51,12 @@ def _replay(tmp_path, p, spec=None, n_epochs=1):
     return lake_dir
 
 
-def test_converges_single_epoch(tmp_path):
+@pytest.mark.parametrize("shuffle", ["file", "sort"])
+def test_converges_single_epoch(tmp_path, shuffle):
     p = cl.ChangelogParams(n_docs=250, n_events=2500, n_shards=5)
-    lake_dir = _replay(tmp_path, p)
+    files = cl.write_changelog(str(tmp_path / "chg"), p)
+    lake_dir = str(tmp_path / "lake")
+    apply.apply_epoch(lake_dir, files, shuffle=shuffle)
     _assert_matches_oracle(lake_dir, p)
 
 

@@ -1,0 +1,105 @@
+"""Driver-contract regression tests: a representative subset of
+``__ray_entry__.queries()`` checked against their DuckDB oracles at
+sf0.001 (the full sweep runs via tools/check_contract.py at sf0.01)."""
+
+import os
+import sys
+
+import duckdb
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+sys.path.insert(0, os.path.join(REPO, "tools"))
+
+import __ray_entry__ as entry_mod
+from check_contract import TABLES, compare, to_table
+
+SF_DIR = "/root/testdata/sf0.001"
+
+SUBSET = [
+    "cdc_replay_events",
+    "pricing_summary",
+    "latest_event_per_user",
+    "latest_event_with_customer",
+    "event_types_per_user",
+    "customers_without_recent_orders",
+    "brand_revenue",
+    "daily_event_counts",
+    "monthly_order_priority_counts",
+    "normalized_documents",
+    "calendar_dim",
+    "dedup_exact_documents",
+    "ngram_jaccard_dupes",
+    "knn_cosine_topk",
+    "token_stats_docs",
+    "quality_scores_docs",
+    "multimodal_decode_meta",
+    "user_sessions",
+    "top10_orders",
+]
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"create view {t} as select * from '{SF_DIR}/{t}.parquet'")
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", SUBSET)
+def test_query_matches_oracle(name, duck):
+    ray_t = to_table(entry_mod.queries()[name](SF_DIR))
+    ora_t = duck.sql(entry_mod.oracle_sql()[name]).arrow()
+    problems = compare(name, ray_t, ora_t)
+    assert not problems, problems
+
+
+def test_entry_smoke():
+    ds = entry_mod.entry()
+    t = to_table(ds)
+    assert t.num_rows > 0
+    assert set(t.column_names) == {"doc_id", "lsn", "n_tok", "source", "tokens"}
+
+
+def test_rows_only_queries_run():
+    for name in ["minhash_near_dupes", "minhash_dedup_docs", "simhash_near_dupes",
+                 "lang_id_docs", "knn_ivf_topk", "tokens_replay_synthetic"]:
+        t = to_table(entry_mod.queries()[name](SF_DIR))
+        assert t.num_rows >= 0
+
+
+def test_every_oracle_has_a_query():
+    qs = entry_mod.queries()
+    for name in entry_mod.oracle_sql():
+        assert name in qs, f"oracle {name} has no query"
+
+
+def test_minhash_recall_vs_exact():
+    """LSH with 128 perms / 32 bands at t=0.97 should recover ~all exact
+    pairs on this corpus (sanity of the scale path vs the oracle baseline)."""
+    exact = to_table(entry_mod.queries()["ngram_jaccard_dupes"](SF_DIR))
+    lsh = to_table(entry_mod.queries()["minhash_near_dupes"](SF_DIR))
+    exact_pairs = set(zip(exact.column("doc_a").to_pylist(), exact.column("doc_b").to_pylist()))
+    lsh_pairs = set(zip(lsh.column("doc_a").to_pylist(), lsh.column("doc_b").to_pylist()))
+    assert lsh_pairs <= exact_pairs  # verification step guarantees precision
+    recall = len(lsh_pairs & exact_pairs) / max(1, len(exact_pairs))
+    assert recall >= 0.9, recall
+
+
+def test_minhash_dedup_clusters_cover_exact_pairs():
+    """Cluster version: every exact near-dup pair must land in one cluster,
+    and cluster reps are the minimum member (keep-first policy)."""
+    exact = to_table(entry_mod.queries()["ngram_jaccard_dupes"](SF_DIR))
+    clusters = to_table(entry_mod.queries()["minhash_dedup_docs"](SF_DIR))
+    rep = dict(zip(clusters.column("doc_id").to_pylist(),
+                   clusters.column("cluster_rep").to_pylist()))
+    pairs = list(zip(exact.column("doc_a").to_pylist(), exact.column("doc_b").to_pylist()))
+    same = sum(1 for a, b in pairs if rep[a] == rep[b])
+    assert same / max(1, len(pairs)) >= 0.9
+    kept = clusters.filter(clusters.column("is_kept")).column("doc_id").to_pylist()
+    assert len(kept) < clusters.num_rows  # some dups were actually collapsed
+    for d, r in rep.items():
+        assert r <= d

@@ -13,6 +13,31 @@ for exactly-once sinks, and a schema-registry actor for online schema
 evolution.
 """
 
+import os as _os
+
+# Polars/Arrow kernels run INSIDE Ray workers: without a cap, every worker
+# spawns a num-CPUs-wide thread pool and 32 workers × 32 threads thrash the
+# node (measured 3× slowdown on the LWW sort stage). Must be set before the
+# first polars import in the process; harmless on the driver.
+_os.environ.setdefault("POLARS_MAX_THREADS", "2")
+
+
+def _limit_worker_threads() -> None:
+    """Cap Arrow's intra-op pool inside Ray worker processes only."""
+    try:
+        import ray
+        from ray._private import worker as _rw
+
+        if getattr(_rw.global_worker, "mode", None) == _rw.WORKER_MODE:
+            import pyarrow as _pa
+
+            _pa.set_cpu_count(2)
+    except Exception:
+        pass
+
+
+_limit_worker_threads()
+
 from vlm_eden_dataset_etl_ray.spec import TableSpec, TOKENS_SPEC
 
 __all__ = ["TableSpec", "TOKENS_SPEC"]

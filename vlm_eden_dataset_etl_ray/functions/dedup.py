@@ -1,0 +1,482 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash+LSH, SimHash,
+embedding-cosine near-dup.
+
+The reference's dedup is tiny (DISTINCT scans, per-batch natural-key skip —
+/root/reference/queries/dim_facitities.py:4, sync/modalities.py:94-97); a
+100 TB training-corpus pipeline needs the full family. Scale design:
+
+- exact: content-hash per batch (vectorized) → two-stage keep-first reduce —
+  one shuffle on the 8-byte hash, never on the payload;
+- MinHash+LSH: signatures per batch (vectorized affine perms) → explode to
+  (band, band_hash, doc) rows → groupby band buckets → candidate pairs →
+  exact-Jaccard verify. The bucket groupby is the only shuffle and carries
+  ~bands×docs tiny rows;
+- all-pairs n-gram Jaccard / cosine are the *oracle baselines* for tests —
+  quadratic, driver-broadcast — not the scale path.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data as rd
+
+try:
+    import polars as pl
+except ImportError:  # pragma: no cover
+    pl = None
+
+from vlm_eden_dataset_etl_ray.functions.hashing import hash_strings
+from vlm_eden_dataset_etl_ray.functions.relational import top1_per_key
+
+_MERSENNE = (1 << 61) - 1
+_POPCNT8 = np.array([bin(i).count("1") for i in range(256)], dtype=np.int64)
+
+
+def exact_dedup(ds: rd.Dataset, on: list[str], keep_by: str) -> rd.Dataset:
+    """Exact dedup: keep the min-``keep_by`` row per distinct ``on`` content.
+    Hash the content columns per batch, then a two-stage keep-first reduce
+    keyed on the hash (skew-safe, payload never shuffled twice)."""
+
+    def _hash(t: pa.Table) -> pa.Table:
+        from vlm_eden_dataset_etl_ray.functions.hashing import content_hash
+
+        h = content_hash(t, on)
+        return t.append_column("__h", pa.array(h.astype(np.int64)))
+
+    hashed = ds.map_batches(_hash, batch_format="pyarrow", zero_copy_batch=True)
+    out = top1_per_key(hashed, "__h", [(keep_by, "ascending")])
+    return out.map_batches(
+        lambda t: t.drop_columns(["__h"]), batch_format="pyarrow"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Shingling + exact Jaccard (oracle baseline, quadratic)
+# ---------------------------------------------------------------------------
+
+
+def _term_hash_sets(ds: rd.Dataset, id_col: str, text_col: str, ngram: int = 1):
+    """Per-doc sorted unique term-hash arrays (ngram=1 → word shingles)."""
+
+    def _prep(t: pa.Table) -> pa.Table:
+        s = pl.from_arrow(t.column(text_col).combine_chunks())
+        words = s.str.split(" ")
+        if ngram > 1:
+            # character-insensitive word n-grams via windowed join
+            words = (
+                s.str.split(" ")
+                .list.eval(
+                    pl.concat_str(
+                        [pl.element().shift(-i) for i in range(ngram)], separator=" "
+                    )
+                )
+                .list.head(-1 * (ngram - 1))
+            )
+        hashes = words.list.eval(pl.element().hash(seed=3)).list.unique().list.sort()
+        return pa.table(
+            {id_col: t.column(id_col), "__terms": hashes.to_arrow()}
+        )
+
+    return ds.map_batches(_prep, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _jaccard_sorted(a: np.ndarray, b: np.ndarray) -> float:
+    inter = np.intersect1d(a, b, assume_unique=True).size
+    union = a.size + b.size - inter
+    return inter / union if union else 0.0
+
+
+def ngram_jaccard_pairs(
+    ds: rd.Dataset, id_col: str, text_col: str, threshold: float, ngram: int = 1
+) -> pa.Table:
+    """ALL-PAIRS exact Jaccard ≥ threshold (the quadratic oracle baseline —
+    use :func:`minhash_lsh_pairs` at scale). Pairs are computed in
+    distributed row-blocks against a broadcast copy of the term sets."""
+    prepped = _term_hash_sets(ds, id_col, text_col, ngram)
+    rows = pa.concat_tables(
+        prepped.iter_batches(batch_format="pyarrow", batch_size=None)
+    ).sort_by(id_col)
+    ids = rows.column(id_col).to_pylist()
+    terms = [np.asarray(x, dtype=np.uint64) for x in rows.column("__terms").to_pylist()]
+    terms_ref = ray.put((ids, terms))
+
+    n = len(ids)
+    block = max(32, n // 64)
+    items = [{"lo": lo, "hi": min(lo + block, n)} for lo in range(0, n, block)]
+
+    def _pairs(batch: pa.Table) -> pa.Table:
+        ids_, terms_ = ray.get(terms_ref)
+        out_a, out_b, out_j = [], [], []
+        for row in batch.to_pylist():
+            for i in range(row["lo"], row["hi"]):
+                ti = terms_[i]
+                for j in range(i + 1, len(ids_)):
+                    jac = _jaccard_sorted(ti, terms_[j])
+                    if jac >= threshold:
+                        out_a.append(ids_[i])
+                        out_b.append(ids_[j])
+                        out_j.append(jac)  # exact int/int division: bit-equal to SQL
+        return pa.table(
+            {
+                "doc_a": pa.array(out_a, pa.int64()),
+                "doc_b": pa.array(out_b, pa.int64()),
+                "jaccard": pa.array(out_j, pa.float64()),
+            }
+        )
+
+    res = rd.from_items(items).repartition(len(items)).map_batches(
+        _pairs, batch_size=1, batch_format="pyarrow"
+    )
+    return pa.concat_tables(res.iter_batches(batch_format="pyarrow", batch_size=None))
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH (the scale path)
+# ---------------------------------------------------------------------------
+
+
+def _perm_coeffs(num_perm: int, seed: int = 11) -> tuple[np.ndarray, np.ndarray]:
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, _MERSENNE, num_perm, dtype=np.int64).astype(np.uint64)
+    b = rng.integers(0, _MERSENNE, num_perm, dtype=np.int64).astype(np.uint64)
+    return a, b
+
+
+class MinHashSignatures:
+    """Actor-pool stage: per-doc MinHash signatures (affine permutations of
+    term hashes, vectorized). Coefficients built once per actor."""
+
+    def __init__(self, id_col: str, text_col: str, num_perm: int, bands: int):
+        self.id_col, self.text_col = id_col, text_col
+        self.num_perm, self.bands = num_perm, bands
+        self.rows_per_band = num_perm // bands
+        self.a, self.b = _perm_coeffs(num_perm)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        s = pl.from_arrow(batch.column(self.text_col).combine_chunks())
+        hashed = s.str.split(" ").list.eval(pl.element().hash(seed=3)).list.unique()
+        offsets = np.asarray(hashed.list.len().cum_sum().to_numpy(), dtype=np.int64)
+        flat = hashed.explode().to_numpy().astype(np.uint64)
+        starts = np.concatenate([[0], offsets[:-1]])
+        ids = batch.column(self.id_col).to_pylist()
+        band_ids, band_hashes, doc_ids = [], [], []
+        for i, (lo, hi) in enumerate(zip(starts, offsets)):
+            terms = flat[lo:hi]
+            if terms.size == 0:
+                continue
+            # sig[p] = min over terms of (a[p]*x + b[p]) mod M  (vectorized outer)
+            sig = ((terms[None, :] * self.a[:, None] + self.b[:, None])
+                   % np.uint64(_MERSENNE)).min(axis=1)
+            bh = sig.reshape(self.bands, self.rows_per_band)
+            # combine rows of each band into one bucket hash
+            bucket = (bh * np.uint64(1099511628211)).sum(axis=1, dtype=np.uint64)
+            band_ids.extend(range(self.bands))
+            band_hashes.extend(bucket.astype(np.int64))
+            doc_ids.extend([ids[i]] * self.bands)
+        return pa.table(
+            {
+                "band": pa.array(band_ids, pa.int32()),
+                "bucket": pa.array(band_hashes, pa.int64()),
+                self.id_col: pa.array(doc_ids),
+            }
+        )
+
+
+def minhash_lsh_pairs(
+    ds: rd.Dataset,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.8,
+    num_perm: int = 128,
+    bands: int = 32,
+    concurrency=(1, 4),
+) -> pa.Table:
+    """Near-dup candidate pairs via MinHash banding, verified by exact
+    Jaccard ≥ threshold. One shuffle (bucket groupby) over tiny
+    (band, bucket, doc) rows; verification uses broadcast term sets."""
+    sigs = ds.map_batches(
+        MinHashSignatures,
+        fn_constructor_args=(id_col, text_col, num_perm, bands),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=concurrency,
+    )
+
+    def _bucket_pairs(g: pa.Table) -> pa.Table:
+        ids = np.sort(np.asarray(g.column(id_col).to_pylist(), dtype=np.int64))
+        i, j = np.triu_indices(len(ids), k=1)  # vectorized pair enumeration
+        return pa.table({"doc_a": pa.array(ids[i]), "doc_b": pa.array(ids[j])})
+
+    cand = sigs.groupby(["band", "bucket"]).map_groups(
+        _bucket_pairs, batch_format="pyarrow"
+    )
+    cand_t = pa.concat_tables(
+        cand.iter_batches(batch_format="pyarrow", batch_size=None)
+    )
+    if cand_t.num_rows == 0:
+        return pa.table(
+            {"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64()),
+             "jaccard": pa.array([], pa.float64())}
+        )
+    cand_t = cand_t.group_by(["doc_a", "doc_b"]).aggregate([])  # dedup pairs
+
+    prepped = _term_hash_sets(ds, id_col, text_col)
+    rows = pa.concat_tables(
+        prepped.iter_batches(batch_format="pyarrow", batch_size=None)
+    )
+    lookup = dict(
+        zip(
+            rows.column(id_col).to_pylist(),
+            [np.asarray(x, dtype=np.uint64) for x in rows.column("__terms").to_pylist()],
+        )
+    )
+    lookup_ref = ray.put(lookup)  # broadcast term sets; verify distributed
+
+    def _verify(batch: pa.Table) -> pa.Table:
+        lk = ray.get(lookup_ref)
+        a = batch.column("doc_a").to_numpy(zero_copy_only=False)
+        b = batch.column("doc_b").to_numpy(zero_copy_only=False)
+        out_a, out_b, out_j = [], [], []
+        for ra, rb in zip(a, b):
+            jac = _jaccard_sorted(lk[ra], lk[rb])
+            if jac >= threshold:
+                out_a.append(int(ra))
+                out_b.append(int(rb))
+                out_j.append(jac)
+        return pa.table(
+            {"doc_a": pa.array(out_a, pa.int64()), "doc_b": pa.array(out_b, pa.int64()),
+             "jaccard": pa.array(out_j, pa.float64())}
+        )
+
+    verified = rd.from_arrow(cand_t).map_batches(
+        _verify, batch_size=8192, batch_format="pyarrow"
+    )
+    out = pa.concat_tables(verified.iter_batches(batch_format="pyarrow", batch_size=None))
+    return out.sort_by([("doc_a", "ascending"), ("doc_b", "ascending")])
+
+
+# ---------------------------------------------------------------------------
+# MinHash near-dup CLUSTERING (the true scale path for dedup)
+# ---------------------------------------------------------------------------
+
+
+def minhash_dedup(
+    ds: rd.Dataset,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.8,
+    num_perm: int = 128,
+    bands: int = 32,
+    concurrency=(1, 4),
+) -> pa.Table:
+    """Near-dup clustering: (doc_id, cluster_rep, is_kept).
+
+    Where :func:`minhash_lsh_pairs` emits ALL qualifying pairs (quadratic in
+    clique size — a boilerplate-heavy corpus produces 10^7+ pairs from 10^3
+    docs), this emits per-bucket STAR edges (doc → min-doc of bucket),
+    ≤ bands × docs edges total, verifies them by exact Jaccard
+    (distributed, broadcast term sets), and unions verified edges into
+    clusters. The union-find runs on the driver over a provably small edge
+    set (≤ bands × n_docs after dedup, independent of clique sizes). Keep
+    policy: the minimum doc id of each cluster survives.
+    """
+    sigs = ds.map_batches(
+        MinHashSignatures,
+        fn_constructor_args=(id_col, text_col, num_perm, bands),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=concurrency,
+    )
+
+    def _star_edges(g: pa.Table) -> pa.Table:
+        ids = np.sort(np.asarray(g.column(id_col).to_pylist(), dtype=np.int64))
+        if len(ids) < 2:
+            return pa.table({"doc_a": pa.array([], pa.int64()),
+                             "doc_b": pa.array([], pa.int64())})
+        rep = np.full(len(ids) - 1, ids[0], dtype=np.int64)
+        return pa.table({"doc_a": pa.array(rep), "doc_b": pa.array(ids[1:])})
+
+    edges = sigs.groupby(["band", "bucket"]).map_groups(_star_edges, batch_format="pyarrow")
+    edges_t = pa.concat_tables(edges.iter_batches(batch_format="pyarrow", batch_size=None))
+    all_ids_t = pa.concat_tables(
+        ds.select_columns([id_col]).iter_batches(batch_format="pyarrow", batch_size=None)
+    )
+    all_ids = np.unique(np.asarray(all_ids_t.column(id_col).to_pylist(), dtype=np.int64))
+
+    if edges_t.num_rows:
+        edges_t = edges_t.group_by(["doc_a", "doc_b"]).aggregate([])
+        prepped = _term_hash_sets(ds, id_col, text_col)
+        rows = pa.concat_tables(
+            prepped.iter_batches(batch_format="pyarrow", batch_size=None)
+        )
+        lookup = dict(
+            zip(
+                rows.column(id_col).to_pylist(),
+                [np.asarray(x, dtype=np.uint64) for x in rows.column("__terms").to_pylist()],
+            )
+        )
+        lookup_ref = ray.put(lookup)
+
+        def _verify_edges(batch: pa.Table) -> pa.Table:
+            lk = ray.get(lookup_ref)
+            a = batch.column("doc_a").to_numpy(zero_copy_only=False)
+            b = batch.column("doc_b").to_numpy(zero_copy_only=False)
+            keep = np.fromiter(
+                (_jaccard_sorted(lk[x], lk[y]) >= threshold for x, y in zip(a, b)),
+                dtype=bool, count=len(a),
+            )
+            return batch.filter(pa.array(keep))
+
+        verified = rd.from_arrow(edges_t).map_batches(
+            _verify_edges, batch_size=8192, batch_format="pyarrow"
+        )
+        ver_t = pa.concat_tables(verified.iter_batches(batch_format="pyarrow", batch_size=None))
+    else:
+        ver_t = edges_t
+
+    # driver union-find over ≤ bands×n verified edges (small by construction)
+    parent = {int(i): int(i) for i in all_ids}
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in zip(ver_t.column("doc_a").to_pylist(), ver_t.column("doc_b").to_pylist()):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            if ra < rb:
+                parent[rb] = ra
+            else:
+                parent[ra] = rb
+
+    reps = np.array([find(int(i)) for i in all_ids], dtype=np.int64)
+    return pa.table(
+        {
+            id_col: pa.array(all_ids),
+            "cluster_rep": pa.array(reps),
+            "is_kept": pa.array(all_ids == reps),
+        }
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def simhash_fingerprints(ds: rd.Dataset, id_col: str, text_col: str) -> rd.Dataset:
+    """64-bit SimHash per document (sign-sum of word-hash bit vectors)."""
+
+    def _sim(t: pa.Table) -> pa.Table:
+        s = pl.from_arrow(t.column(text_col).combine_chunks())
+        hashed = s.str.split(" ").list.eval(pl.element().hash(seed=3))
+        offs = np.asarray(hashed.list.len().cum_sum().to_numpy(), dtype=np.int64)
+        flat = hashed.explode().to_numpy().astype(np.uint64)
+        starts = np.concatenate([[0], offs[:-1]])
+        bits = ((flat[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(np.int32)
+        bits = bits * 2 - 1  # ±1
+        sums = np.add.reduceat(bits, starts, axis=0) if len(flat) else np.zeros((len(starts), 64), np.int32)
+        fp = (sums > 0).astype(np.uint64) @ (np.uint64(1) << np.arange(64, dtype=np.uint64))
+        return pa.table({id_col: t.column(id_col), "simhash": pa.array(fp)})
+
+    return ds.map_batches(_sim, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def simhash_pairs(ds: rd.Dataset, id_col: str, text_col: str, max_hamming: int = 3) -> pa.Table:
+    """Near-dup pairs with Hamming(simhash) ≤ max_hamming, found by the
+    pigeonhole banding trick: split 64 bits into (max_hamming+1) bands —
+    a qualifying pair must match exactly on ≥1 band → groupby band value."""
+    nbands = max_hamming + 1
+    width = 64 // nbands
+
+    def _explode(t: pa.Table) -> pa.Table:
+        fp = t.column("simhash").to_numpy(zero_copy_only=False).astype(np.uint64)
+        ids = t.column(id_col)
+        bands, vals, out_ids, fps = [], [], [], []
+        for b in range(nbands):
+            shift = np.uint64(b * width)
+            mask = np.uint64((1 << width) - 1)
+            v = ((fp >> shift) & mask).astype(np.int64)
+            bands.extend([b] * len(v))
+            vals.extend(v)
+            out_ids.extend(ids.to_pylist())
+            fps.extend(fp.astype(np.int64))
+        return pa.table(
+            {"band": pa.array(bands, pa.int32()), "val": pa.array(vals, pa.int64()),
+             id_col: pa.array(out_ids), "fp": pa.array(fps, pa.int64())}
+        )
+
+    sigs = simhash_fingerprints(ds, id_col, text_col)
+    exploded = sigs.map_batches(_explode, batch_format="pyarrow")
+
+    def _bucket(g: pa.Table) -> pa.Table:
+        ids = np.asarray(g.column(id_col).to_pylist(), dtype=np.int64)
+        fps = np.asarray(g.column("fp").to_pylist(), dtype=np.int64).astype(np.uint64)
+        order = np.argsort(ids)
+        ids, fps = ids[order], fps[order]
+        i, j = np.triu_indices(len(ids), k=1)
+        x = fps[i] ^ fps[j]
+        ham = np.zeros(len(x), dtype=np.int64)  # vectorized popcount, 8 bits at a time
+        for s in range(8):
+            ham += _POPCNT8[((x >> np.uint64(8 * s)) & np.uint64(0xFF)).astype(np.int64)]
+        keep = ham <= max_hamming
+        return pa.table({"doc_a": pa.array(ids[i][keep]), "doc_b": pa.array(ids[j][keep]),
+                         "hamming": pa.array(ham[keep])})
+
+    pairs = exploded.groupby(["band", "val"]).map_groups(_bucket, batch_format="pyarrow")
+    t = pa.concat_tables(pairs.iter_batches(batch_format="pyarrow", batch_size=None))
+    if t.num_rows == 0:
+        return t
+    return t.group_by(["doc_a", "doc_b"]).aggregate([("hamming", "min")]).rename_columns(
+        ["doc_a", "doc_b", "hamming"]
+    ).sort_by([("doc_a", "ascending"), ("doc_b", "ascending")])
+
+
+# ---------------------------------------------------------------------------
+# Embedding cosine near-dup
+# ---------------------------------------------------------------------------
+
+
+def embedding_near_dup(
+    ds: rd.Dataset, id_col: str, vec_col: str, threshold: float = 0.95
+) -> pa.Table:
+    """Pairs with cosine ≥ threshold. Distributed row-blocks × broadcast
+    normalized matrix (brute force — at 10^9 vectors swap in the IVF path
+    from functions.knn)."""
+    rows = pa.concat_tables(
+        ds.select_columns([id_col, vec_col]).iter_batches(batch_format="pyarrow", batch_size=None)
+    ).sort_by(id_col)
+    ids = np.asarray(rows.column(id_col).to_pylist())
+    mat = np.asarray(rows.column(vec_col).to_pylist(), dtype=np.float64)
+    mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+    ref = ray.put((ids, mat))
+
+    n = len(ids)
+    block = max(64, n // 64)
+    items = [{"lo": lo, "hi": min(lo + block, n)} for lo in range(0, n, block)]
+
+    def _block(batch: pa.Table) -> pa.Table:
+        ids_, m = ray.get(ref)
+        a_, b_, c_ = [], [], []
+        for row in batch.to_pylist():
+            lo, hi = row["lo"], row["hi"]
+            sims = m[lo:hi] @ m.T  # (block, n)
+            for k in range(hi - lo):
+                i = lo + k
+                js = np.nonzero(sims[k, i + 1:] >= threshold)[0] + i + 1
+                for j in js:
+                    a_.append(int(ids_[i])); b_.append(int(ids_[j]))
+                    c_.append(round(float(sims[k, j]), 4))
+        return pa.table({"vec_a": pa.array(a_, pa.int64()), "vec_b": pa.array(b_, pa.int64()),
+                         "cosine": pa.array(c_, pa.float64())})
+
+    res = rd.from_items(items).repartition(len(items)).map_batches(
+        _block, batch_size=1, batch_format="pyarrow"
+    )
+    return pa.concat_tables(res.iter_batches(batch_format="pyarrow", batch_size=None))

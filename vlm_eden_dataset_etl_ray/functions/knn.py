@@ -1,0 +1,175 @@
+"""Similarity search over embedding columns (``list<float>``).
+
+Baseline: brute-force cosine top-k — numpy matmul per batch against a
+broadcast, normalized query matrix, per-batch partial top-k, one tiny final
+reduce per query. Scale path: IVF (coarse k-means on a sample; probe the
+nearest clusters only), cutting the scanned fraction by ~n_clusters/n_probe.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+import ray.data as rd
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    return m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+
+
+def _as_matrix(col) -> np.ndarray:
+    return np.asarray(col.to_pylist(), dtype=np.float64)
+
+
+class _BatchTopK:
+    """Actor-pool stage: cosine of each batch vector against the broadcast
+    query matrix, emitting the per-batch top-k rows per query (partial)."""
+
+    def __init__(self, queries_ref, id_col: str, vec_col: str, k: int,
+                 exclude_self: bool):
+        self.qids, self.qmat = ray.get(queries_ref)  # fetched once per actor
+        self.id_col, self.vec_col, self.k = id_col, vec_col, k
+        self.exclude_self = exclude_self
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch.column(self.id_col).to_pylist())
+        m = _normalize(_as_matrix(batch.column(self.vec_col)))
+        sims = self.qmat @ m.T  # (n_queries, batch)
+        q_out, n_out, c_out = [], [], []
+        for qi, qid in enumerate(self.qids):
+            row = sims[qi]
+            mask = ids != qid if self.exclude_self else slice(None)
+            cand_ids = ids[mask]
+            cand = row[mask]
+            if cand.size == 0:
+                continue
+            k = min(self.k, cand.size)
+            top = np.argpartition(-cand, k - 1)[:k]
+            q_out.extend([int(qid)] * k)
+            n_out.extend(cand_ids[top].astype(np.int64))
+            c_out.extend(cand[top])
+        return pa.table(
+            {
+                "query_id": pa.array(q_out, pa.int64()),
+                "neighbor_id": pa.array(n_out, pa.int64()),
+                "cosine": pa.array(c_out, pa.float64()),
+            }
+        )
+
+
+def _final_topk(g: pa.Table, k: int) -> pa.Table:
+    g = g.sort_by([("cosine", "descending"), ("neighbor_id", "ascending")])
+    return g.slice(0, k)
+
+
+def knn_brute_force(
+    ds: rd.Dataset,
+    queries: pa.Table,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    exclude_self: bool = True,
+    concurrency=(1, 4),
+) -> rd.Dataset:
+    """Top-k cosine neighbors for each query row. Result columns:
+    query_id, neighbor_id, cosine (float64, UNrounded — round at the edge)."""
+    qids = np.asarray(queries.column(id_col).to_pylist(), dtype=np.int64)
+    qmat = _normalize(_as_matrix(queries.column(vec_col)))
+    qref = ray.put((qids, qmat))
+    partial = ds.map_batches(
+        _BatchTopK,
+        fn_constructor_args=(qref, id_col, vec_col, k, exclude_self),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=concurrency,
+    )
+    return partial.groupby("query_id").map_groups(
+        _final_topk, fn_kwargs={"k": k}, batch_format="pyarrow"
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVF: coarse quantization → probe a few clusters
+# ---------------------------------------------------------------------------
+
+
+def kmeans_lite(sample: np.ndarray, n_clusters: int, iters: int = 8, seed: int = 5) -> np.ndarray:
+    """Tiny deterministic k-means (driver-side, on a sample) for the coarse
+    IVF codebook."""
+    rng = np.random.default_rng(seed)
+    cent = sample[rng.choice(len(sample), n_clusters, replace=False)].copy()
+    for _ in range(iters):
+        assign = np.argmax(_normalize(sample) @ _normalize(cent).T, axis=1)
+        for c in range(n_clusters):
+            pts = sample[assign == c]
+            if len(pts):
+                cent[c] = pts.mean(axis=0)
+    return _normalize(cent)
+
+
+def knn_ivf(
+    ds: rd.Dataset,
+    queries: pa.Table,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_clusters: int = 16,
+    n_probe: int = 4,
+    sample_frac: float = 0.25,
+    concurrency=(1, 4),
+) -> rd.Dataset:
+    """ANN top-k: assign vectors to coarse clusters, scan only the
+    ``n_probe`` clusters nearest each query. Approximate — recall < 1.0 by
+    construction; the scale path for 10^9-vector corpora."""
+    sample = _as_matrix(
+        pa.concat_tables(
+            ds.random_sample(sample_frac, seed=5)
+            .select_columns([vec_col])
+            .iter_batches(batch_format="pyarrow", batch_size=None)
+        ).column(vec_col)
+    )
+    cent = kmeans_lite(sample, n_clusters)
+    qids = np.asarray(queries.column(id_col).to_pylist(), dtype=np.int64)
+    qmat = _normalize(_as_matrix(queries.column(vec_col)))
+    # clusters each query probes
+    probes = np.argsort(-(qmat @ cent.T), axis=1)[:, :n_probe]
+    ref = ray.put((qids, qmat, cent, probes))
+
+    class _IVFTopK:
+        def __init__(self):
+            self.qids, self.qmat, self.cent, self.probes = ray.get(ref)
+            self.k = k
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ids = np.asarray(batch.column(id_col).to_pylist())
+            m = _normalize(_as_matrix(batch.column(vec_col)))
+            assign = np.argmax(m @ self.cent.T, axis=1)
+            sims = self.qmat @ m.T
+            q_out, n_out, c_out = [], [], []
+            for qi, qid in enumerate(self.qids):
+                in_probe = np.isin(assign, self.probes[qi]) & (ids != qid)
+                cand = sims[qi][in_probe]
+                cand_ids = ids[in_probe]
+                if cand.size == 0:
+                    continue
+                kk = min(self.k, cand.size)
+                top = np.argpartition(-cand, kk - 1)[:kk]
+                q_out.extend([int(qid)] * kk)
+                n_out.extend(cand_ids[top].astype(np.int64))
+                c_out.extend(cand[top])
+            return pa.table(
+                {
+                    "query_id": pa.array(q_out, pa.int64()),
+                    "neighbor_id": pa.array(n_out, pa.int64()),
+                    "cosine": pa.array(c_out, pa.float64()),
+                }
+            )
+
+    partial = ds.map_batches(
+        _IVFTopK, batch_format="pyarrow", zero_copy_batch=True, concurrency=concurrency
+    )
+    return partial.groupby("query_id").map_groups(
+        _final_topk, fn_kwargs={"k": k}, batch_format="pyarrow"
+    )

@@ -1,0 +1,86 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+Images/audio/video are carried as opaque ``binary`` columns with metadata
+columns beside them; decode / feature-extract stages are actor-pool
+``map_batches`` stages sized for large rows (small batch_size). The actual
+codec libraries are NOT in this container, so the decode kernel is STUBBED:
+``DecodeStub`` produces a deterministic fake (documented below) and
+``decode_image`` raises ``NotImplementedError`` unless the stub is allowed —
+the Ray-side plumbing (schema, batch sizing, actor signature, output layout)
+is real and tested.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray.data as rd
+
+
+def decode_image(_payload: bytes):  # pragma: no cover - documented stub
+    """Real image decode would go here (PIL/ffmpeg not available in this
+    environment)."""
+    raise NotImplementedError(
+        "image/audio codecs are not available in this container; "
+        "use DecodeStub (deterministic fake) for plumbing tests"
+    )
+
+
+class DecodeStub:
+    """Actor-pool decode stage with a deterministic fake kernel.
+
+    Fake semantics (stable, oracle-expressible): for a payload of N bytes,
+    ``payload_bytes = N``, ``fake_width = N % 640``, ``fake_height =
+    N % 480``, ``checksum = (N * 2654435761) % (2^31 - 1)``. A real
+    deployment replaces ``_decode_one`` with the codec call; everything else
+    (actor pool, small batches for big rows, metadata layout) stays.
+    """
+
+    def __init__(self, payload_col: str = "payload"):
+        self.payload_col = payload_col
+
+    @staticmethod
+    def _decode_one(buf: bytes) -> tuple[int, int, int, int]:
+        n = len(buf)
+        return n, n % 640, n % 480, (n * 2654435761) % (2**31 - 1)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        meta = [self._decode_one(b) for b in batch.column(self.payload_col).to_pylist()]
+        cols = list(zip(*meta)) if meta else ([], [], [], [])
+        batch = batch.append_column("payload_bytes", pa.array(cols[0], pa.int64()))
+        batch = batch.append_column("fake_width", pa.array(cols[1], pa.int32()))
+        batch = batch.append_column("fake_height", pa.array(cols[2], pa.int32()))
+        batch = batch.append_column("checksum", pa.array(cols[3], pa.int64()))
+        return batch
+
+
+def decode_stage(
+    ds: rd.Dataset,
+    payload_col: str = "payload",
+    batch_size: int = 64,  # small: binary rows are big
+    concurrency=(1, 4),
+) -> rd.Dataset:
+    """Attach decode metadata via an actor pool. ``batch_size`` is
+    deliberately small so batch × concurrency of multi-MB payloads fits the
+    worker heap; the object store handles spill."""
+    return ds.map_batches(
+        DecodeStub,
+        fn_constructor_args=(payload_col,),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        zero_copy_batch=True,
+        concurrency=concurrency,
+    )
+
+
+def text_as_payload(ds: rd.Dataset, text_col: str = "text") -> rd.Dataset:
+    """Adapter used by tests/benchmarks: treat a utf-8 text column as the
+    opaque binary payload column."""
+
+    def _conv(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "payload", t.column(text_col).cast(pa.binary())
+        )
+
+    return ds.map_batches(_conv, batch_format="pyarrow", zero_copy_batch=True)

@@ -1,0 +1,156 @@
+"""Text analysis operators for large-scale training-data pipelines.
+
+The reference's only string processing is CSV-modality canonicalization —
+split, sort, re-join (`array_to_string(ARRAY(SELECT unnest(string_to_array(
+modalities,',')) ORDER BY 1), ',')`, /root/reference/queries/fact_studies.py:15;
+Python twin sync/modalities.py:32-34) and coalesce backfills
+(sync/modalities.py:120-125). Those generalize here to the text operators a
+100 TB tokenized-corpus pipeline needs: canonicalization, token counting,
+quality scoring, language ID, and document fingerprinting. All stages are
+vectorized (polars string kernels / numpy) inside ``map_batches``; stateful
+pieces (compiled patterns, stopword tables) live in actor ``__init__``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data as rd
+
+try:
+    import polars as pl
+except ImportError:  # pragma: no cover
+    pl = None
+
+STOPWORDS_EN = ("a", "the", "and", "of", "to")
+
+#: tiny per-language stopword profiles for the n-gram/stopword language-ID
+#: heuristic (deterministic, no external models — langid at lake scale).
+LANG_PROFILES: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "a", "in", "is", "that"),
+    "es": ("el", "la", "de", "que", "y", "en", "los", "se"),
+    "de": ("der", "die", "und", "das", "von", "zu", "mit", "ist"),
+    "fr": ("le", "la", "de", "et", "les", "des", "un", "est"),
+    "zh": ("de5", "shi4", "le5", "zai4", "he2", "you3", "wo3", "ta1"),
+}
+
+
+def normalize_terms(ds: rd.Dataset, text_col: str = "text", sep: str = " ",
+                    out_col: str = "norm_text", out_sep: str = ",") -> rd.Dataset:
+    """T8: split → distinct → sort → re-join canonical form (vectorized)."""
+
+    def _norm(t: pa.Table) -> pa.Table:
+        s = pl.from_arrow(t.column(text_col).combine_chunks())
+        norm = s.str.split(sep).list.unique().list.sort().list.join(out_sep)
+        return t.append_column(out_col, norm.to_arrow().cast(pa.string()))
+
+    return ds.map_batches(_norm, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def token_stats(ds: rd.Dataset, text_col: str = "text", sep: str = " ") -> rd.Dataset:
+    """Whitespace token counting: total + distinct terms per document."""
+
+    def _stats(t: pa.Table) -> pa.Table:
+        s = pl.from_arrow(t.column(text_col).combine_chunks())
+        words = s.str.split(sep)
+        t = t.append_column("n_words", words.list.len().cast(pl.Int64).to_arrow())
+        t = t.append_column(
+            "n_distinct", words.list.unique().list.len().cast(pl.Int64).to_arrow()
+        )
+        return t
+
+    return ds.map_batches(_stats, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def quality_scores(ds: rd.Dataset, text_col: str = "text",
+                   stopwords: tuple[str, ...] = STOPWORDS_EN) -> rd.Dataset:
+    """Quality scoring: average word length + stopword ratio per document.
+
+    Deliberately UNrounded: both ratios are a single IEEE-double division of
+    exact integers, so they are bit-identical to the SQL oracle's result —
+    rounding would only introduce half-way-tie divergence."""
+
+    def _score(t: pa.Table) -> pa.Table:
+        s = pl.from_arrow(t.column(text_col).combine_chunks())
+        words = s.str.split(" ")
+        n = words.list.len().cast(pl.Float64)
+        chars = s.str.replace_all(" ", "", literal=True).str.len_chars().cast(pl.Float64)
+        avg_len = chars / n
+        stops = words.list.eval(
+            pl.element().is_in(list(stopwords))
+        ).list.sum().cast(pl.Float64)
+        ratio = stops / n
+        t = t.append_column("avg_word_len", avg_len.to_arrow())
+        t = t.append_column("stopword_ratio", ratio.to_arrow())
+        return t
+
+    return ds.map_batches(_score, batch_format="pyarrow", zero_copy_batch=True)
+
+
+class LangId:
+    """Actor-pool language-ID stage: stopword-profile scoring, argmax over
+    languages (ties → lexicographically first). Profiles are prepared once
+    per actor in ``__init__``."""
+
+    def __init__(self, profiles: dict[str, tuple[str, ...]] | None = None):
+        profiles = profiles or LANG_PROFILES
+        self.langs = sorted(profiles)
+        self.word_to_lang: dict[str, int] = {}
+        for i, lang in enumerate(self.langs):
+            for w in profiles[lang]:
+                self.word_to_lang.setdefault(w, i)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        preds = []
+        for txt in texts:
+            scores = [0] * len(self.langs)
+            for w in txt.split(" "):
+                i = self.word_to_lang.get(w)
+                if i is not None:
+                    scores[i] += 1
+            preds.append(self.langs[int(np.argmax(scores))])
+        return batch.append_column("lang_pred", pa.array(preds))
+
+
+def lang_id(ds: rd.Dataset, concurrency=(1, 4)) -> rd.Dataset:
+    return ds.map_batches(
+        LangId, batch_format="pyarrow", zero_copy_batch=True, concurrency=concurrency
+    )
+
+
+def fingerprint(ds: rd.Dataset, text_col: str = "text") -> rd.Dataset:
+    """Document fingerprinting: deterministic 64-bit content hash (whole
+    text) + rolling polynomial hash over words (order-sensitive) — the
+    cheap identity used for exact dedup and change detection."""
+
+    def _fp(t: pa.Table) -> pa.Table:
+        from vlm_eden_dataset_etl_ray.functions.hashing import hash_strings
+
+        h = hash_strings(t.column(text_col))
+        texts = pl.from_arrow(t.column(text_col).combine_chunks())
+        words = texts.str.split(" ")
+        rolled = words.list.eval(pl.element().hash(seed=7)).list.eval(
+            pl.element().cum_sum()  # prefix-combined word hashes
+        ).list.last()
+        t = t.append_column("content_hash", pa.array(h.astype(np.uint64)))
+        t = t.append_column("rolling_hash", rolled.to_arrow())
+        return t
+
+    return ds.map_batches(_fp, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def coalesce_clean(ds: rd.Dataset, col: str, default: str, out_col: str) -> rd.Dataset:
+    """T3/T9: trim + nullif('') + coalesce(default) — the reference's name
+    backfill (sync/modalities.py:120-125) and technician-name cleaning
+    (queries/dim_technicians.py:6,9), vectorized."""
+
+    def _clean(t: pa.Table) -> pa.Table:
+        v = pc.utf8_trim_whitespace(t.column(col))
+        v = pc.if_else(pc.equal(v, ""), pa.nulls(len(v), pa.string()), v)
+        v = pc.coalesce(v, pa.scalar(default))
+        return t.append_column(out_col, v)
+
+    return ds.map_batches(_clean, batch_format="pyarrow", zero_copy_batch=True)

@@ -1,0 +1,95 @@
+"""End-to-end CDC pipelines over the driver's testdata tables.
+
+``replay_events`` is the testdata-shaped twin of the flagship tokenized
+changelog replay: the ``events`` table is deterministically mapped to a
+changelog (lsn=event_id, delete on 'error' events — the reference's
+``deleted`` tombstone flag), applied through the real engine
+(apply_epoch → manifest → merge-on-read scan), and the converged state is
+returned. Its DuckDB oracle is the LWW window query in
+``__ray_entry__.oracle_sql`` (reference semantics:
+DISTINCT ON + ON CONFLICT DO UPDATE, /root/reference/queries/fact_studies.py).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+import numpy as np
+import pyarrow as pa
+
+import ray.data as rd
+
+from vlm_eden_dataset_etl_ray import apply as apply_mod
+from vlm_eden_dataset_etl_ray import lake as lake_mod
+from vlm_eden_dataset_etl_ray.sources.parquet import read_table
+from vlm_eden_dataset_etl_ray.spec import TableSpec
+
+EVENTS_REPLAY_SPEC = TableSpec(
+    name="events_replay", key="doc_id", order="lsn", num_partitions=16, envelope=()
+)
+
+
+def _derive_batch(t: pa.Table, with_tokens: bool) -> pa.Table:
+    ev = t.column("event_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    uid = t.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    et = np.asarray(t.column("event_type").to_pylist())
+    val = t.column("value").to_numpy(zero_copy_only=False)
+    cols: dict[str, pa.Array] = {
+        "lsn": pa.array(ev),
+        "op": pa.array(np.where(et == "error", "delete", "upsert")),
+        "doc_id": pa.array(np.char.add("doc", uid.astype("U8"))),
+        "n_tok": pa.array(np.floor(val * 100).astype(np.int64)),
+        "source": pa.array(et),
+    }
+    if with_tokens:
+        # deterministic token payload from the lsn (list<int32> plumbing)
+        lengths = (ev % 32 + 1).astype(np.int64)
+        offsets = np.zeros(len(ev) + 1, dtype=np.int64)
+        np.cumsum(lengths, out=offsets[1:])
+        j = np.arange(offsets[-1], dtype=np.int64) - np.repeat(offsets[:-1], lengths)
+        flat = (np.repeat(ev * 2654435761 % 50257, lengths) + j * 40503) % 50257
+        cols["tokens"] = pa.ListArray.from_arrays(
+            pa.array(offsets).cast(pa.int32()), pa.array(flat.astype(np.int32))
+        )
+    return pa.table(cols)
+
+
+def derive_changelog(sf_dir: str, out_dir: str, with_tokens: bool = False) -> list[str]:
+    ds = read_table(
+        sf_dir, "events", columns=["event_id", "user_id", "event_type", "value"]
+    )
+    ds = ds.map_batches(
+        _derive_batch,
+        fn_kwargs={"with_tokens": with_tokens},
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    os.makedirs(out_dir, exist_ok=True)
+    ds.write_parquet(out_dir)
+    return sorted(
+        os.path.join(out_dir, f) for f in os.listdir(out_dir) if f.endswith(".parquet")
+    )
+
+
+def replay_events(
+    sf_dir: str,
+    workdir: str | None = None,
+    with_tokens: bool = False,
+    columns: list[str] | None = None,
+) -> rd.Dataset:
+    """Derive the changelog from ``events``, replay it through the engine
+    into a fresh lake under /tmp, and return the merge-on-read scan of the
+    converged state."""
+    workdir = workdir or tempfile.mkdtemp(prefix="events_replay_", dir="/tmp")
+    chg_dir = os.path.join(workdir, "chg")
+    lake_dir = os.path.join(workdir, "lake")
+    shutil.rmtree(lake_dir, ignore_errors=True)
+    files = derive_changelog(sf_dir, chg_dir, with_tokens=with_tokens)
+    apply_mod.apply_epoch(lake_dir, files, spec=EVENTS_REPLAY_SPEC)
+    return lake_mod.scan(
+        lake_dir,
+        spec=EVENTS_REPLAY_SPEC,
+        columns=columns or ["doc_id", "lsn", "n_tok", "source"],
+    )

@@ -1,0 +1,24 @@
+"""Pruned parquet readers.
+
+All reads go through here so every pipeline prunes at the read: pass
+``columns`` (projection pushdown) and ``filter`` (pyarrow dataset expression
+→ row-group pushdown). Reference analog: the incremental extract queries
+that select only needed columns under a watermark predicate
+(/root/reference/queries/fact_studies.py:3-35).
+"""
+
+from __future__ import annotations
+
+import os
+
+import ray.data as rd
+
+
+def read_table(sf_dir: str, name: str, columns=None, filter=None, **kwargs) -> rd.Dataset:
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    opts = dict(kwargs)
+    if columns is not None:
+        opts["columns"] = list(columns)
+    if filter is not None:
+        opts["filter"] = filter
+    return rd.read_parquet(path, **opts)
