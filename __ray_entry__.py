@@ -390,6 +390,16 @@ def q_top10_orders(sf_dir):
 # ---- non-SQL-expressible (rows-only driver check) -------------------------
 
 
+def q_etl_star_fact(sf_dir):
+    """Full multi-table ETL: dim snapshot-upsert → broadcast-enriched fact
+    changelog → exactly-once epoch apply → merge-on-read (reference
+    run_etl, tasks.py:31-45)."""
+    from vlm_eden_dataset_etl_ray.pipelines.etl import fact_snapshot, run_etl
+
+    lakes = run_etl(sf_dir)
+    return fact_snapshot(lakes)
+
+
 def q_minhash_near_dupes(sf_dir):
     from vlm_eden_dataset_etl_ray.functions.dedup import minhash_lsh_pairs
     from vlm_eden_dataset_etl_ray.sources.parquet import read_table
@@ -481,6 +491,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_sessions": q_user_sessions,
         "distinct_lang_source": q_distinct_lang_source,
         "top10_orders": q_top10_orders,
+        "etl_star_fact": q_etl_star_fact,
         "minhash_near_dupes": q_minhash_near_dupes,
         "minhash_dedup_docs": q_minhash_dedup_docs,
         "simhash_near_dupes": q_simhash_near_dupes,
@@ -661,6 +672,22 @@ def oracle_sql() -> dict[str, str]:
             from e group by user_id
         """,
         "distinct_lang_source": "select distinct lang, source from documents",
+        "etl_star_fact": """
+            with chg as (
+                select event_id as lsn,
+                       case when event_type = 'error' then 'delete' else 'upsert' end as op,
+                       'doc' || cast(user_id as varchar) as doc_id,
+                       user_id,
+                       cast(floor(value * 100) as bigint) as n_tok,
+                       event_type as source
+                from events),
+            latest as (
+                select * from chg
+                qualify row_number() over (partition by doc_id order by lsn desc) = 1)
+            select l.doc_id, l.lsn, l.user_id, l.n_tok, l.source, c.c_name
+            from latest l left join customer c on l.user_id = c.c_custkey
+            where l.op <> 'delete'
+        """,
         "top10_orders": """
             select o_orderkey, o_totalprice from orders
             order by o_totalprice desc limit 10

@@ -1,0 +1,103 @@
+"""Property-based tests (hypothesis) for the engine core — no Ray needed:
+the LWW reduce against a sequential dict oracle, range-lineage coalescing,
+and schema unification round-trips."""
+
+import numpy as np
+import pyarrow as pa
+from hypothesis import given, settings, strategies as st
+
+from vlm_eden_dataset_etl_ray import manifest as mf
+from vlm_eden_dataset_etl_ray import schema as sch
+from vlm_eden_dataset_etl_ray.spec import TableSpec
+from vlm_eden_dataset_etl_ray.stages import lww
+
+SPEC = TableSpec(key="k", order="lsn")
+
+ops = st.lists(
+    st.tuples(
+        st.integers(0, 9),            # key
+        st.sampled_from(["insert", "update", "delete"]),
+        st.integers(0, 1000),         # value payload
+    ),
+    min_size=0, max_size=60,
+)
+
+
+@given(ops, st.randoms())
+@settings(max_examples=200, deadline=None)
+def test_lww_matches_sequential_oracle(seq, rnd):
+    """Applying the events in ANY delivery order through the one-shot LWW
+    reduce equals a sequential in-order apply: last write (max lsn) wins,
+    deletes tombstone, duplicates collapse."""
+    rows = [
+        {"k": f"k{k}", "lsn": i, "op": op, "v": v}
+        for i, (k, op, v) in enumerate(seq)
+    ]
+    # duplicate a few deliveries verbatim and shuffle the delivery order
+    rows = rows + [dict(r) for r in rows[:: max(1, len(rows) // 7)]]
+    rnd.shuffle(rows)
+    if not rows:
+        return
+    t = pa.Table.from_pylist(rows)
+
+    merged = lww.drop_tombstones(lww.lww_merge(t, SPEC), SPEC)
+
+    state = {}
+    for i, (k, op, v) in enumerate(seq):  # sequential oracle, lsn order
+        if op == "delete":
+            state.pop(f"k{k}", None)
+        else:
+            state[f"k{k}"] = (i, v)
+    got = {r["k"]: (r["lsn"], r["v"]) for r in merged.to_pylist()}
+    assert got == state
+
+
+@given(ops)
+@settings(max_examples=100, deadline=None)
+def test_lww_is_associative(seq):
+    """Reducing in two halves then reducing the concatenation equals one
+    global reduce — the property that makes per-batch pre-reduce + final
+    reduce (and merge-on-read over deltas) correct."""
+    rows = [
+        {"k": f"k{k}", "lsn": i, "op": op, "v": v}
+        for i, (k, op, v) in enumerate(seq)
+    ]
+    if not rows:
+        return
+    t = pa.Table.from_pylist(rows)
+    whole = lww.lww_merge(t, SPEC)
+    mid = len(rows) // 2
+    a = lww.lww_merge(pa.Table.from_pylist(rows[:mid]), SPEC) if mid else None
+    b = lww.lww_merge(pa.Table.from_pylist(rows[mid:]), SPEC)
+    parts = pa.concat_tables([x for x in (a, b) if x is not None])
+    again = lww.lww_merge(parts, SPEC)
+    assert again.sort_by("k").equals(whole.sort_by("k"))
+
+
+@given(st.lists(st.tuples(st.integers(0, 100), st.integers(0, 30)), max_size=20))
+@settings(max_examples=100, deadline=None)
+def test_merge_ranges_invariants(spans):
+    ranges: list[list[int]] = []
+    covered = set()
+    for lo, width in spans:
+        ranges = mf.merge_ranges(ranges, lo, lo + width)
+        covered.update(range(lo, lo + width + 1))
+    flat = set()
+    prev_hi = None
+    for lo, hi in ranges:
+        assert lo <= hi
+        if prev_hi is not None:
+            assert lo > prev_hi + 1  # coalesced: no adjacent/overlapping ranges
+        prev_hi = hi
+        flat.update(range(lo, hi + 1))
+    assert flat == covered
+
+
+@given(st.lists(st.integers(-2**31, 2**31 - 1), min_size=1, max_size=20))
+@settings(max_examples=100, deadline=None)
+def test_unify_widen_roundtrip(vals):
+    t = pa.table({"x": pa.array(vals, pa.int32())})
+    target = pa.schema([("x", pa.int64()), ("y", pa.float64())])
+    u = sch.unify_table(t, target)
+    assert u.column("x").to_pylist() == vals  # widen is lossless
+    assert u.column("y").null_count == len(vals)

@@ -38,8 +38,21 @@ def merge_partition_files(
     live_only: bool = True,
 ) -> pa.Table:
     """Read one partition's files (any mix of schema versions), unify to the
-    widest schema, LWW-reduce, and (optionally) drop tombstones."""
-    tables = [pq.read_table(f) for f in files]
+    widest schema, LWW-reduce, and (optionally) drop tombstones.
+
+    Column pruning is pushed into the parquet read: only ``columns`` plus the
+    merge-required envelope (key, order, op) leave storage."""
+    read_cols = None
+    if columns:
+        need = {spec.key, spec.order, spec.op_col}
+        read_cols = list(dict.fromkeys(list(columns) + [c for c in need if c not in columns]))
+    tables = []
+    for f in files:
+        if read_cols is None:
+            tables.append(pq.read_table(f))
+        else:
+            avail = set(pq.read_schema(f).names)
+            tables.append(pq.read_table(f, columns=[c for c in read_cols if c in avail]))
     target = union_schemas([t.schema for t in tables])
     tables = [sch.unify_table(t, target) for t in tables]
     t = pa.concat_tables(tables) if len(tables) > 1 else tables[0]
