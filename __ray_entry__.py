@@ -340,6 +340,14 @@ def q_embedding_near_dup_pairs(sf_dir):
     return embedding_near_dup(emb, "vec_id", "embedding", COSINE_T)
 
 
+def q_embedding_centroids(sf_dir):
+    from vlm_eden_dataset_etl_ray.functions.knn import label_centroids
+    from vlm_eden_dataset_etl_ray.sources.parquet import read_table
+
+    emb = read_table(sf_dir, "embeddings", columns=["label", "embedding"])
+    return label_centroids(emb)
+
+
 def q_token_stats_docs(sf_dir):
     from vlm_eden_dataset_etl_ray.functions.text import token_stats
     from vlm_eden_dataset_etl_ray.sources.parquet import read_table
@@ -485,6 +493,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_jaccard_dupes": q_ngram_jaccard_dupes,
         "knn_cosine_topk": q_knn_cosine_topk,
         "embedding_near_dup_pairs": q_embedding_near_dup_pairs,
+        "embedding_centroids": q_embedding_centroids,
         "token_stats_docs": q_token_stats_docs,
         "quality_scores_docs": q_quality_scores_docs,
         "multimodal_decode_meta": q_multimodal_decode_meta,
@@ -636,6 +645,19 @@ def oracle_sql() -> dict[str, str]:
                                                      cast(b.embedding as double[])) as c
                        from embeddings a join embeddings b on a.vec_id < b.vec_id)
             select vec_a, vec_b, round(c, 4) as cosine from s where c >= {COSINE_T}
+        """,
+        "embedding_centroids": """
+            with flat as (
+                select label,
+                       unnest(range(len(embedding))) as pos,
+                       unnest(cast(embedding as double[])) as e
+                from embeddings),
+            agg as (select label, pos, avg(e) as m from flat group by label, pos),
+            cent as (select label, list(round(m, 6) order by pos) as centroid
+                     from agg group by label),
+            cnt as (select label, count(*) as n_vectors from embeddings group by label)
+            select cent.label, cent.centroid, cnt.n_vectors
+            from cent join cnt on cent.label = cnt.label
         """,
         "token_stats_docs": """
             select doc_id,

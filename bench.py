@@ -140,6 +140,9 @@ def run_bench() -> dict:
         )
     )
     assert rows > 0
+    t0 = time.time()
+    lake.compact(lake_dir, spec=spec)
+    compact_sec = round(time.time() - t0, 3)
     shutil.rmtree(lake_dir, ignore_errors=True)  # tmpfs hygiene
 
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
@@ -165,6 +168,7 @@ def run_bench() -> dict:
         "events": n_delivered,
         "events_per_sec": round(n_delivered / headline, 1),
         "trials_sec": [round(t, 3) for t in trials],
+        "compact_sec": compact_sec,
         "lake_rows": rows,
     }
 

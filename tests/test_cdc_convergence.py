@@ -136,3 +136,18 @@ def test_final_delete_removes_row(tmp_path):
     apply.apply_epoch(lake_dir, [f], spec=spec)
     snap = lake.snapshot(lake_dir, spec=spec)
     assert snap.num_rows == 0
+
+
+def test_scan_with_predicate(tmp_path):
+    import pyarrow.compute as pc
+
+    p = cl.ChangelogParams(n_docs=100, n_events=1000, n_shards=3)
+    files = cl.write_changelog(str(tmp_path / "chg"), p)
+    lake_dir = str(tmp_path / "lake")
+    apply.apply_epoch(lake_dir, files)
+    exp = oracle.final_state(p)
+    want = exp.filter(pc.equal(exp.column("source"), "web")).num_rows
+    ds = lake.scan(lake_dir, columns=["doc_id", "source"],
+                   predicate=lambda t: pc.equal(t.column("source"), "web"))
+    got = sum(b.num_rows for b in ds.iter_batches(batch_format="pyarrow", batch_size=None))
+    assert got == want

@@ -111,11 +111,13 @@ class PrepareAndSpill(PrepareBatch):
     """
 
     def __init__(self, target_schema, spec, registry, shuffle_dir: str):
-        super().__init__(target_schema, spec, registry)
+        # explicit base calls (not zero-arg super()): lets tests/users ship
+        # subclasses by value through cloudpickle without __class__-cell issues
+        PrepareBatch.__init__(self, target_schema, spec, registry)
         self.shuffle_dir = shuffle_dir
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        t = super().__call__(batch)  # unified, pre-reduced, pid-tagged
+        t = PrepareBatch.__call__(self, batch)  # unified, pre-reduced, pid-tagged
         t = t.sort_by("pid")
         pids = t.column("pid").to_numpy(zero_copy_only=False)
         bounds = np.flatnonzero(np.diff(pids)) + 1
@@ -258,6 +260,8 @@ def changelog_dataset(
                 batch_format="pyarrow",
                 batch_size=batch_size,
                 zero_copy_batch=True,
+                max_retries=3,
+                retry_exceptions=True,
             )
         else:
             ds = ds.map_batches(
@@ -267,6 +271,7 @@ def changelog_dataset(
                 batch_size=batch_size,
                 zero_copy_batch=True,
                 concurrency=prepare_concurrency,
+                max_task_retries=3,  # actor tasks: system-failure retries
             )
         pieces.append(ds)
     out = pieces[0]
@@ -396,6 +401,8 @@ def apply_epoch(
                 fn_kwargs={"spec": spec, "staging_dir": staging_dir},
                 batch_size=1,
                 batch_format="pyarrow",
+                max_retries=3,
+                retry_exceptions=True,
             ).take_all()
         else:
             meta_rows = []

@@ -90,6 +90,48 @@ def knn_brute_force(
     )
 
 
+def label_centroids(
+    ds: rd.Dataset, label_col: str = "label", vec_col: str = "embedding"
+) -> rd.Dataset:
+    """Mean embedding per label — the canonical mergeable-partial pattern:
+    each batch emits one (label, sum-vector, count) row, the tiny final
+    groupby merges partials. Rounded to 6 decimals to reconcile summation
+    order with the SQL oracle."""
+
+    def _partial(t: pa.Table) -> pa.Table:
+        labels = np.asarray(t.column(label_col).to_pylist())
+        m = _as_matrix(t.column(vec_col))
+        uniq = np.unique(labels)
+        sums, counts = [], []
+        for u in uniq:
+            mask = labels == u
+            sums.append(m[mask].sum(axis=0))
+            counts.append(int(mask.sum()))
+        return pa.table(
+            {
+                label_col: pa.array(uniq).cast(t.column(label_col).type),
+                "__sum": pa.array([s.tolist() for s in sums], pa.list_(pa.float64())),
+                "__n": pa.array(counts, pa.int64()),
+            }
+        )
+
+    def _final(g: pa.Table) -> pa.Table:
+        sums = np.asarray(g.column("__sum").to_pylist(), dtype=np.float64)
+        n = int(np.sum(g.column("__n").to_numpy(zero_copy_only=False)))
+        centroid = np.round(sums.sum(axis=0) / n, 6)
+        return pa.table(
+            {
+                label_col: pa.array([g.column(label_col)[0].as_py()],
+                                    g.column(label_col).type),
+                "centroid": pa.array([centroid.tolist()], pa.list_(pa.float64())),
+                "n_vectors": pa.array([n], pa.int64()),
+            }
+        )
+
+    partial = ds.map_batches(_partial, batch_format="pyarrow", zero_copy_batch=True)
+    return partial.groupby(label_col).map_groups(_final, batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------------------
 # IVF: coarse quantization → probe a few clusters
 # ---------------------------------------------------------------------------

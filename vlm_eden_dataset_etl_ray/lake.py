@@ -64,14 +64,18 @@ def merge_partition_files(
     return t
 
 
-def _merge_read(batch: pa.Table, spec: TableSpec, columns, live_only: bool, schema: pa.Schema):
+def _merge_read(batch: pa.Table, spec: TableSpec, columns, live_only: bool,
+                schema: pa.Schema, predicate=None):
     """One stateless task per partition: manifest-driven read of base+deltas."""
     for row in batch.to_pylist():
         files = list(row["files"])
         if not files:
             continue
         t = merge_partition_files(files, spec, columns=columns, live_only=live_only)
-        yield sch.unify_table(t, schema)
+        t = sch.unify_table(t, schema)
+        if predicate is not None:
+            t = t.filter(predicate(t))
+        yield t
 
 
 def _output_schema(m: mf.Manifest, spec: TableSpec, columns, live_only, registry=None) -> pa.Schema:
@@ -98,12 +102,14 @@ def scan(
     columns: list[str] | None = None,
     live_only: bool = True,
     manifest: mf.Manifest | None = None,
+    predicate=None,
 ) -> rd.Dataset:
     """Streaming merge-on-read scan of the latest committed snapshot.
 
     Returns a Dataset with one block per partition; downstream transforms
-    stream with backpressure as usual.
-    """
+    stream with backpressure as usual. ``predicate`` is a function
+    ``pa.Table -> pa.BooleanArray`` applied AFTER the LWW merge (filtering
+    before the merge would resurrect older row versions)."""
     m = manifest or mf.latest(lake_dir)
     if m is None:
         return rd.from_items([])
@@ -125,6 +131,7 @@ def scan(
             "columns": columns,
             "live_only": live_only,
             "schema": out_schema,
+            "predicate": predicate,
         },
         batch_size=1,
         batch_format="pyarrow",

@@ -39,7 +39,14 @@ class TableSpec:
     #: extra envelope columns dropped from the stored lake rows (the lake
     #: keeps `order` and `op_col` for merge-on-read).
     envelope: tuple[str, ...] = ("schema_ver",)
-    salt_modulus: int = 0  # >0 enables explicit salted pre-reduce for hot keys
+    #: RESERVED. Hot-key skew is already absorbed by the per-batch LWW
+    #: pre-reduce (each batch is an implicit salt bucket: a key occurring k
+    #: times in a batch leaves it exactly once, so the exchange carries
+    #: ≤ #batches rows per key regardless of skew — valid because max-LSN
+    #: LWW is associative+commutative). A hot PARTITION (many distinct keys
+    #: hashing together) is addressed by raising ``num_partitions``, which
+    #: subdivides keys exactly like an explicit salt would.
+    salt_modulus: int = 0
 
     def partition_of(self, _key: str) -> int:  # pragma: no cover - debug aid
         from vlm_eden_dataset_etl_ray.functions.hashing import hash_strings
