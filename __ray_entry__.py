@@ -130,7 +130,8 @@ def q_latest_event_per_user(sf_dir):
     from vlm_eden_dataset_etl_ray.functions.relational import top1_per_key
 
     ds = _events(sf_dir, columns=["event_id", "ts", "user_id", "event_type", "value"])
-    out = top1_per_key(ds, "user_id", [("ts", "descending"), ("event_id", "descending")])
+    out = top1_per_key(ds, "user_id", [("ts", "descending"), ("event_id", "descending")],
+                       cardinality="low")
     return out.select_columns(["user_id", "event_id", "ts", "event_type", "value"])
 
 
@@ -158,11 +159,12 @@ def q_watermark_max(sf_dir):
 def q_latest_event_with_customer(sf_dir):
     from vlm_eden_dataset_etl_ray.functions.relational import (
         broadcast_left_join, top1_per_key)
-    from vlm_eden_dataset_etl_ray.sources.parquet import read_table
+    from vlm_eden_dataset_etl_ray.sources.parquet import read_small, read_table
 
     ds = _events(sf_dir, columns=["event_id", "ts", "user_id"])
-    latest = top1_per_key(ds, "user_id", [("ts", "descending"), ("event_id", "descending")])
-    cust = _collect(read_table(sf_dir, "customer", columns=["c_custkey", "c_name"]))
+    latest = top1_per_key(ds, "user_id", [("ts", "descending"), ("event_id", "descending")],
+                          cardinality="low")
+    cust = read_small(sf_dir, "customer", columns=["c_custkey", "c_name"])
     out = broadcast_left_join(latest, cust, "user_id", "c_custkey", ["c_name"])
     return out.select_columns(["user_id", "event_id", "ts", "c_name"])
 
@@ -212,10 +214,10 @@ def q_orders_building_segment(sf_dir):
 def q_brand_revenue(sf_dir):
     from vlm_eden_dataset_etl_ray.functions.relational import (
         broadcast_left_join, grouped_agg)
-    from vlm_eden_dataset_etl_ray.sources.parquet import read_table
+    from vlm_eden_dataset_etl_ray.sources.parquet import read_small, read_table
 
     li = read_table(sf_dir, "lineitem", columns=["l_partkey", "l_extendedprice", "l_discount"])
-    part = _collect(read_table(sf_dir, "part", columns=["p_partkey", "p_brand"]))
+    part = read_small(sf_dir, "part", columns=["p_partkey", "p_brand"])
     ds = broadcast_left_join(li, part, "l_partkey", "p_partkey", ["p_brand"])
 
     def _extend(t: pa.Table) -> pa.Table:
@@ -321,13 +323,11 @@ def q_ngram_jaccard_dupes(sf_dir):
 
 def q_knn_cosine_topk(sf_dir):
     from vlm_eden_dataset_etl_ray.functions.knn import knn_brute_force
-    from vlm_eden_dataset_etl_ray.sources.parquet import read_table
+    from vlm_eden_dataset_etl_ray.sources.parquet import read_small, read_table
 
     emb = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-    queries = _collect(
-        read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"],
-                   filter=(pc.field("vec_id") < 8))
-    )
+    queries = read_small(sf_dir, "embeddings", columns=["vec_id", "embedding"],
+                         filter=(pc.field("vec_id") < 8))
     out = knn_brute_force(emb, queries, k=5)
     return out.map_batches(lambda t: _round_col(t, "cosine", 4), batch_format="pyarrow")
 
@@ -444,13 +444,11 @@ def q_lang_id_docs(sf_dir):
 
 def q_knn_ivf_topk(sf_dir):
     from vlm_eden_dataset_etl_ray.functions.knn import knn_ivf
-    from vlm_eden_dataset_etl_ray.sources.parquet import read_table
+    from vlm_eden_dataset_etl_ray.sources.parquet import read_small, read_table
 
     emb = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-    queries = _collect(
-        read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"],
-                   filter=(pc.field("vec_id") < 8))
-    )
+    queries = read_small(sf_dir, "embeddings", columns=["vec_id", "embedding"],
+                         filter=(pc.field("vec_id") < 8))
     out = knn_ivf(emb, queries, k=5)
     return out.map_batches(lambda t: _round_col(t, "cosine", 4), batch_format="pyarrow")
 

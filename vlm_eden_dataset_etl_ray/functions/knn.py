@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray
 import ray.data as rd
@@ -78,15 +79,22 @@ def knn_brute_force(
     qids = np.asarray(queries.column(id_col).to_pylist(), dtype=np.int64)
     qmat = _normalize(_as_matrix(queries.column(vec_col)))
     qref = ray.put((qids, qmat))
-    partial = ds.map_batches(
-        _BatchTopK,
-        fn_constructor_args=(qref, id_col, vec_col, k, exclude_self),
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-        concurrency=concurrency,
-    )
-    return partial.groupby("query_id").map_groups(
-        _final_topk, fn_kwargs={"k": k}, batch_format="pyarrow"
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        return _BatchTopK(qref, id_col, vec_col, k, exclude_self)(batch)
+
+    partial = ds.map_batches(_partial, batch_format="pyarrow", zero_copy_batch=True)
+
+    # few queries → tree-reduce the per-batch top-k partials in one task
+    def _combine(t: pa.Table) -> pa.Table:
+        pieces = []
+        for qid in np.unique(t.column("query_id").to_numpy(zero_copy_only=False)):
+            g = t.filter(pc.equal(t.column("query_id"), int(qid)))
+            pieces.append(_final_topk(g, k))
+        return pa.concat_tables(pieces) if pieces else t
+
+    return partial.repartition(1).map_batches(
+        _combine, batch_format="pyarrow", batch_size=None
     )
 
 

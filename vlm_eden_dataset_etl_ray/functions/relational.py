@@ -37,14 +37,25 @@ def _top1_reduce(t: pa.Table, key: str, order_by: list[tuple[str, str]]) -> pa.T
     return _first_per_key_sorted(t, key)
 
 
+def _single_block(ds: rd.Dataset) -> rd.Dataset:
+    """Collapse per-batch partials into ONE block for a single final-combine
+    task — a tree reduce. Correct (and far cheaper than a sort shuffle) when
+    the group-key cardinality is reporting-grade; for key-per-document
+    cardinality use the shuffle path instead."""
+    return ds.repartition(1)
+
+
 def top1_per_key(
-    ds: rd.Dataset, key: str, order_by: list[tuple[str, str]]
+    ds: rd.Dataset, key: str, order_by: list[tuple[str, str]],
+    cardinality: str = "high",
 ) -> rd.Dataset:
     """Highest-ranked row per key. ``order_by`` = [(col, "descending"|...)].
 
     Two-stage reduce: a vectorized per-batch pre-reduce (so a hot key leaves
-    each batch once — skew-proof), then one ``groupby(key).map_groups`` final
-    reduce (the single shuffle).
+    each batch once — skew-proof), then a final reduce. ``cardinality="high"``
+    (default, key-per-document scale) shuffles via ``groupby(key)``;
+    ``"low"`` (bounded key space, e.g. per-user/per-dimension) tree-reduces
+    the partials in one task.
     """
     pre = ds.map_batches(
         _top1_reduce,
@@ -52,6 +63,13 @@ def top1_per_key(
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
+    if cardinality == "low":
+        return _single_block(pre).map_batches(
+            _top1_reduce,
+            fn_kwargs={"key": key, "order_by": order_by},
+            batch_format="pyarrow",
+            batch_size=None,
+        )
     return pre.groupby(key).map_groups(
         _top1_reduce,
         fn_kwargs={"key": key, "order_by": order_by},
@@ -156,16 +174,34 @@ def broadcast_left_join(
     right_on: str,
     take_columns: list[str],
     suffix: str = "",
-    concurrency=(1, 4),
+    concurrency=None,
 ) -> rd.Dataset:
+    """LEFT-JOIN against a broadcast dim. Default: stateless tasks — the
+    `ray.get` per task is a zero-copy plasma read of the one `ray.put` copy,
+    so no actor state is needed and parallelism stays elastic. Pass
+    ``concurrency`` to switch to the :class:`BroadcastLookup` actor pool
+    when per-worker index construction is worth amortizing (e.g. building a
+    python dict for non-Arrow lookups)."""
     dim_ref = ray.put(dim)
-    return ds.map_batches(
-        BroadcastLookup,
-        fn_constructor_args=(dim_ref, left_on, right_on, take_columns, suffix),
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-        concurrency=concurrency,
-    )
+    if concurrency is not None:
+        return ds.map_batches(
+            BroadcastLookup,
+            fn_constructor_args=(dim_ref, left_on, right_on, take_columns, suffix),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            concurrency=concurrency,
+        )
+
+    def _join(batch: pa.Table) -> pa.Table:
+        dim_t: pa.Table = ray.get(dim_ref)
+        idx = pc.index_in(batch.column(left_on), value_set=dim_t.column(right_on).combine_chunks())
+        for c in take_columns:
+            batch = batch.append_column(
+                c + suffix, pc.take(dim_t.column(c).combine_chunks(), idx)
+            )
+        return batch
+
+    return ds.map_batches(_join, batch_format="pyarrow", zero_copy_batch=True)
 
 
 # ---------------------------------------------------------------------------
@@ -174,12 +210,27 @@ def broadcast_left_join(
 # ---------------------------------------------------------------------------
 
 
-def grouped_count(ds: rd.Dataset, keys: list[str], alias: str = "n") -> rd.Dataset:
+def grouped_count(ds: rd.Dataset, keys: list[str], alias: str = "n",
+                  cardinality: str = "low") -> rd.Dataset:
+    """Reporting-grade grouped count (reference A2-A5 views): per-batch
+    partial counts, then a single tree-reduce combine task (default — the
+    key space of a reporting view is bounded). Pass ``cardinality="high"``
+    for key-per-document group keys to get the shuffle path."""
+
     def _partial(t: pa.Table) -> pa.Table:
         g = t.select(keys).group_by(keys).aggregate([([], "count_all")])
         return g.rename_columns(keys + ["__partial_n"])
 
     partial = ds.map_batches(_partial, batch_format="pyarrow", zero_copy_batch=True)
+    if cardinality == "low":
+        def _combine(t: pa.Table) -> pa.Table:
+            g = t.group_by(keys).aggregate([("__partial_n", "sum")])
+            g = g.rename_columns(keys + [alias])
+            return g.set_column(g.column_names.index(alias), alias,
+                                g.column(alias).cast(pa.int64()))
+
+        return _single_block(partial).map_batches(
+            _combine, batch_format="pyarrow", batch_size=None)
     out = partial.groupby(keys).aggregate(Sum("__partial_n", alias_name=alias))
     return out.map_batches(
         lambda t, a=alias: t.set_column(
@@ -194,9 +245,12 @@ def grouped_agg(
     keys: list[str],
     sums: dict[str, str] | None = None,
     counts: str | None = None,
+    cardinality: str = "low",
 ) -> rd.Dataset:
-    """Partial per-batch sum/count, then one small groupby-sum. ``sums``
-    maps source column → output alias; ``counts`` names a count(*) alias."""
+    """Partial per-batch sum/count, then a final combine. ``sums`` maps
+    source column → output alias; ``counts`` names a count(*) alias.
+    Default final is a single tree-reduce task (reporting-grade key spaces);
+    ``cardinality="high"`` switches to the groupby shuffle."""
     sums = sums or {}
     src_cols = list(sums)
 
@@ -207,6 +261,25 @@ def grouped_agg(
         return g.rename_columns(names)
 
     partial = ds.map_batches(_partial, batch_format="pyarrow", zero_copy_batch=True)
+
+    if cardinality == "low":
+        aliases = list(sums.values())
+
+        def _combine(t: pa.Table) -> pa.Table:
+            aggs = [(f"__s_{c}", "sum") for c in src_cols]
+            if counts:
+                aggs.append(("__n", "sum"))
+            g = t.group_by(keys).aggregate(aggs)
+            names = keys + aliases + ([counts] if counts else [])
+            g = g.rename_columns(names)
+            if counts:
+                g = g.set_column(g.column_names.index(counts), counts,
+                                 g.column(counts).cast(pa.int64()))
+            return g
+
+        return _single_block(partial).map_batches(
+            _combine, batch_format="pyarrow", batch_size=None)
+
     aggs = [Sum(f"__s_{c}", alias_name=a) for c, a in sums.items()]
     if counts:
         aggs.append(Sum("__n", alias_name=counts))
@@ -228,11 +301,26 @@ def grouped_agg(
 
 
 def string_agg_distinct(
-    ds: rd.Dataset, key: str, value: str, alias: str, sep: str = ","
+    ds: rd.Dataset, key: str, value: str, alias: str, sep: str = ",",
+    cardinality: str = "low",
 ) -> rd.Dataset:
     def _partial(t: pa.Table) -> pa.Table:
         g = t.select([key, value]).group_by([key]).aggregate([(value, "distinct")])
         return g.rename_columns([key, "__vals"])
+
+    partial = ds.map_batches(_partial, batch_format="pyarrow", zero_copy_batch=True)
+
+    if cardinality == "low":
+        def _combine(t: pa.Table) -> pa.Table:
+            acc: dict = {}
+            for k, chunk in zip(t.column(key).to_pylist(), t.column("__vals").to_pylist()):
+                acc.setdefault(k, set()).update(v for v in chunk if v is not None)
+            ks = sorted(acc)
+            return pa.table({key: pa.array(ks, t.column(key).type),
+                             alias: [sep.join(sorted(acc[k])) for k in ks]})
+
+        return _single_block(partial).map_batches(
+            _combine, batch_format="pyarrow", batch_size=None)
 
     def _final(g: pa.Table) -> pa.Table:
         vals: set[str] = set()
@@ -240,7 +328,6 @@ def string_agg_distinct(
             vals.update(v for v in chunk if v is not None)
         return pa.table({key: [g.column(key)[0].as_py()], alias: [sep.join(sorted(vals))]})
 
-    partial = ds.map_batches(_partial, batch_format="pyarrow", zero_copy_batch=True)
     return partial.groupby(key).map_groups(_final, batch_format="pyarrow")
 
 

@@ -22,3 +22,15 @@ def read_table(sf_dir: str, name: str, columns=None, filter=None, **kwargs) -> r
     if filter is not None:
         opts["filter"] = filter
     return rd.read_parquet(path, **opts)
+
+
+def read_small(sf_dir: str, name: str, columns=None, filter=None):
+    """Driver-side pyarrow read for SMALL broadcast sides (dimension
+    tables, query vectors): no Ray pipeline spin-up for a table that is
+    about to be `ray.put` anyway. Projection + row-group predicate still
+    pushed down."""
+    import pyarrow.dataset as pads
+
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    dset = pads.dataset(path)
+    return dset.to_table(columns=list(columns) if columns else None, filter=filter)
