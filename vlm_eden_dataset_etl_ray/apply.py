@@ -444,6 +444,7 @@ def apply_epoch(
         kind="delta",
         partitions=parts,
         applied_epoch_ids=[epoch_id],
+        applied_inputs=sorted(changelog_files),
     )
     mf.commit(lake_dir, m)
     # shuffle slices are transient: safe to drop once the epoch is committed

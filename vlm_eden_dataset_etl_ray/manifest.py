@@ -71,6 +71,7 @@ class Manifest:
     kind: str  # "delta" | "compaction"
     partitions: dict[int, PartitionState]
     applied_epoch_ids: list[str] = field(default_factory=list)  # input batch ids applied
+    applied_inputs: list[str] = field(default_factory=list)  # input FILES of this epoch
 
     def files(self, pid: int) -> list[str]:
         st = self.partitions.get(pid)
@@ -88,6 +89,7 @@ class Manifest:
             "schema_version": self.schema_version,
             "kind": self.kind,
             "applied_epoch_ids": self.applied_epoch_ids,
+            "applied_inputs": self.applied_inputs,
             "partitions": [self.partitions[k].to_json() for k in sorted(self.partitions)],
         }
 
@@ -97,6 +99,7 @@ class Manifest:
             epoch=d["epoch"], num_partitions=d["num_partitions"],
             schema_version=d["schema_version"], kind=d["kind"],
             applied_epoch_ids=list(d.get("applied_epoch_ids", [])),
+            applied_inputs=list(d.get("applied_inputs", [])),
             partitions={p["pid"]: PartitionState.from_json(p) for p in d["partitions"]},
         )
 

@@ -73,6 +73,46 @@ def derive_changelog(sf_dir: str, out_dir: str, with_tokens: bool = False) -> li
     )
 
 
+def run_incremental(
+    lake_dir: str,
+    changelog_dir: str,
+    *,
+    spec=None,
+    registry=None,
+    batch_size: int = 65536,
+):
+    """Tail the changelog directory: apply every shard file not yet recorded
+    in a committed manifest, as one new epoch.
+
+    This is the reference's 10-minute polling loop
+    (/root/reference/celery_config.py:24 + sync/sync_base.py:47-59) with the
+    fuzzy timestamp watermark replaced by exact file-set lineage: a shard is
+    either in a committed manifest's ``applied_epoch_ids`` input set or it
+    is pending. Returns the latest manifest (unchanged when nothing is
+    pending).
+    """
+    from vlm_eden_dataset_etl_ray import manifest as mf
+    from vlm_eden_dataset_etl_ray.spec import TOKENS_SPEC
+
+    spec = spec or TOKENS_SPEC
+    all_files = sorted(
+        os.path.join(changelog_dir, f)
+        for f in os.listdir(changelog_dir)
+        if f.endswith(".parquet")
+    )
+    applied: set[str] = set()
+    for e in mf.list_epochs(lake_dir):
+        applied.update(mf.load(lake_dir, e).applied_inputs)
+    pending = [f for f in all_files if f not in applied]
+    if not pending:
+        m = mf.latest(lake_dir)
+        if m is not None:
+            return m
+    return apply_mod.apply_epoch(
+        lake_dir, pending, spec=spec, registry=registry, batch_size=batch_size
+    )
+
+
 def replay_events(
     sf_dir: str,
     workdir: str | None = None,
