@@ -40,6 +40,8 @@ BENCH_QUERIES = [
     "minhash_dedup_docs",
     "knn_cosine_topk",
     "user_sessions",
+    "asof_latest_order",
+    "etl_star_fact",
 ]
 
 
@@ -130,7 +132,9 @@ def run_bench() -> dict:
     for _ in range(3):
         shutil.rmtree(lake_dir, ignore_errors=True)
         t0 = time.time()
-        apply.apply_epoch(lake_dir, files, spec=spec)
+        # 128k-row batches measured best at this payload size (~60MB/batch):
+        # fewer task overheads, still far under the 128MiB block target
+        apply.apply_epoch(lake_dir, files, spec=spec, batch_size=131072)
         trials.append(time.time() - t0)
     headline = min(trials)
     rows = sum(

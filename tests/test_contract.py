@@ -37,6 +37,8 @@ SUBSET = [
     "multimodal_decode_meta",
     "user_sessions",
     "top10_orders",
+    "asof_latest_order",
+    "embedding_centroids",
 ]
 
 

@@ -366,6 +366,58 @@ def calendar_dim(start: str = "1999-01-01", days: int = 29220) -> rd.Dataset:
 
 
 # ---------------------------------------------------------------------------
+# As-of join — an operator Ray Data lacks natively. Small right side →
+# broadcast + pd.merge_asof per batch (no shuffle). Both-sides-large →
+# bucket both sides by hash(key), sort within buckets, merge_asof per
+# bucket inside map_groups (partitioning assumption: one bucket's rows fit
+# one task — same contract as every other per-partition op here).
+# ---------------------------------------------------------------------------
+
+
+def asof_join_broadcast(
+    ds: rd.Dataset,
+    right: pa.Table,
+    by_left: str,
+    by_right: str,
+    on_left: str,
+    on_right: str,
+    take_columns: list[str],
+) -> rd.Dataset:
+    """For each left row: the latest right row with ``on_right <= on_left``
+    for the same key (backward as-of, LEFT join). The right side must be
+    tie-free per (key, ts) — dedup it first (e.g. max natural key)."""
+    right_df = right.to_pandas().sort_values(on_right, kind="mergesort")
+    ref = ray.put(right_df)
+
+    def _asof(t: pa.Table) -> pa.Table:
+        import pandas as pd  # noqa: F811 - worker-side
+
+        rdf = ray.get(ref)
+        ldf = t.to_pandas()
+        order = np.argsort(ldf[on_left].values, kind="stable")
+        merged = pd.merge_asof(
+            ldf.iloc[order],
+            rdf[[by_right, on_right] + [c for c in take_columns if c != on_right]],
+            left_on=on_left, right_on=on_right,
+            left_by=by_left, right_by=by_right,
+        )
+        merged = merged.iloc[np.argsort(order, kind="stable")]
+        out = t
+        for c in take_columns:
+            col = merged[c]
+            if pd.api.types.is_float_dtype(col) and c in right.column_names and \
+                    pa.types.is_integer(right.schema.field(c).type):
+                arr = pa.array(col.astype("Int64"), type=right.schema.field(c).type)
+            else:
+                arr = pa.Array.from_pandas(col, type=right.schema.field(c).type
+                                           if c in right.column_names else None)
+            out = out.append_column(c, arr)
+        return out
+
+    return ds.map_batches(_asof, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# ---------------------------------------------------------------------------
 # Windowed/session analysis (streaming-shaped; Ray Data has no event-time
 # windows, so windows = per-key map_groups over ts-sorted groups).
 # ---------------------------------------------------------------------------
