@@ -492,7 +492,9 @@ def q_tokens_replay_synthetic(sf_dir):
     from vlm_eden_dataset_etl_ray import apply, changelog as cl, lake
 
     p = cl.ChangelogParams(n_docs=500, n_events=5000, schema_change_at=3000, n_shards=8)
-    work = tempfile.mkdtemp(prefix="tokens_replay_", dir="/tmp")
+    from vlm_eden_dataset_etl_ray.pipelines.cdc import scratch_dir
+
+    work = scratch_dir("tokens_replay_")
     files = cl.write_changelog(os.path.join(work, "chg"), p)
     lake_dir = os.path.join(work, "lake")
     apply.apply_epoch(lake_dir, files)

@@ -151,3 +151,20 @@ def test_scan_with_predicate(tmp_path):
                    predicate=lambda t: pc.equal(t.column("source"), "web"))
     got = sum(b.num_rows for b in ds.iter_batches(batch_format="pyarrow", batch_size=None))
     assert got == want
+
+
+def test_striped_merge_hot_partition(tmp_path):
+    """With a tiny stripe threshold every partition splits into multiple
+    stripe deltas; merge-on-read LWW across stripes still converges."""
+    p = cl.ChangelogParams(n_docs=80, n_events=2000, zipf_s=1.05, n_shards=6)
+    files = cl.write_changelog(str(tmp_path / "chg"), p)
+    lake_dir = str(tmp_path / "lake")
+    # small batches → many slices per pid; stripe_bytes=1 → force striping
+    m = apply.apply_epoch(lake_dir, files, stripe_bytes=1, batch_size=128)
+    striped = [pid for pid, st in m.partitions.items() if len(st.deltas) > 1]
+    assert striped, "expected at least one partition with multiple stripe deltas"
+    _assert_matches_oracle(lake_dir, p)
+    # compaction folds the stripes back to one base file per partition
+    m2 = lake.compact(lake_dir)
+    assert all(len(st.base) == 1 and not st.deltas for st in m2.partitions.values())
+    _assert_matches_oracle(lake_dir, p)

@@ -26,6 +26,16 @@ from vlm_eden_dataset_etl_ray import lake as lake_mod
 from vlm_eden_dataset_etl_ray.sources.parquet import read_table
 from vlm_eden_dataset_etl_ray.spec import TableSpec
 
+
+def scratch_dir(prefix: str) -> str:
+    """Scratch space for derived/intermediate parquet: tmpfs when present
+    (the sandbox's virtio disk writes at ~139 MB/s; intermediates are
+    transient and re-derivable), else /tmp. Override with $VLM_EDEN_SCRATCH."""
+    root = os.environ.get("VLM_EDEN_SCRATCH") or (
+        "/dev/shm" if os.path.isdir("/dev/shm") else "/tmp"
+    )
+    return tempfile.mkdtemp(prefix=prefix, dir=root)
+
 EVENTS_REPLAY_SPEC = TableSpec(
     name="events_replay", key="doc_id", order="lsn", num_partitions=16, envelope=()
 )
@@ -122,7 +132,7 @@ def replay_events(
     """Derive the changelog from ``events``, replay it through the engine
     into a fresh lake under /tmp, and return the merge-on-read scan of the
     converged state."""
-    workdir = workdir or tempfile.mkdtemp(prefix="events_replay_", dir="/tmp")
+    workdir = workdir or scratch_dir("events_replay_")
     chg_dir = os.path.join(workdir, "chg")
     lake_dir = os.path.join(workdir, "lake")
     shutil.rmtree(lake_dir, ignore_errors=True)

@@ -67,7 +67,9 @@ def snapshot_upsert(
 
 def run_etl(sf_dir: str, warehouse: str | None = None) -> dict[str, str]:
     """Dims first, then the enriched fact. Returns {table: lake_dir}."""
-    warehouse = warehouse or tempfile.mkdtemp(prefix="etl_star_", dir="/tmp")
+    from vlm_eden_dataset_etl_ray.pipelines.cdc import scratch_dir
+
+    warehouse = warehouse or scratch_dir("etl_star_")
     lakes = {}
 
     # 1. dimensions (the reference syncs facilities/modalities/practitioners
