@@ -147,6 +147,17 @@ def run_bench() -> dict:
     t0 = time.time()
     lake.compact(lake_dir, spec=spec)
     compact_sec = round(time.time() - t0, 3)
+    shutil.rmtree(lake_dir, ignore_errors=True)
+
+    # sustained variant: the SAME stream split into 4 sequential epochs onto
+    # one lake (deltas accumulate, merge-on-read spans epochs) + compaction
+    t0 = time.time()
+    quarter = max(1, len(files) // 4)
+    for i in range(0, len(files), quarter):
+        apply.apply_epoch(lake_dir, files[i:i + quarter], spec=spec,
+                          batch_size=131072)
+    lake.compact(lake_dir, spec=spec)
+    sustained_sec = round(time.time() - t0, 3)
     shutil.rmtree(lake_dir, ignore_errors=True)  # tmpfs hygiene
 
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
@@ -173,6 +184,7 @@ def run_bench() -> dict:
         "events_per_sec": round(n_delivered / headline, 1),
         "trials_sec": [round(t, 3) for t in trials],
         "compact_sec": compact_sec,
+        "multi_epoch_sec": sustained_sec,
         "lake_rows": rows,
     }
 

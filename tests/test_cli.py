@@ -1,0 +1,45 @@
+"""CLI smoke: gen → tail → status → compact → scan as real subprocesses
+(the engine's operational entry points, reference analog run_worker.py)."""
+
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _run(*args) -> dict:
+    env = dict(os.environ, RAY_DATA_DISABLE_PROGRESS_BARS="1",
+               PYTHONPATH=REPO)
+    out = subprocess.run(
+        [sys.executable, "-m", "vlm_eden_dataset_etl_ray", *args],
+        capture_output=True, text=True, check=True, cwd=REPO, env=env,
+    ).stdout
+    return json.loads(out.strip().splitlines()[-1])
+
+
+def test_cli_roundtrip(tmp_path):
+    chg = str(tmp_path / "chg")
+    lake = str(tmp_path / "lake")
+    out = str(tmp_path / "export")
+
+    g = _run("gen", "--out", chg, "--events", "2000", "--schema-change-at", "1200")
+    assert g["files"] > 0
+
+    t1 = _run("tail", "--lake", lake, "--changelog", chg)
+    assert t1["epoch"] == 1 and t1["rows"] > 0
+
+    # second tick with nothing new: no new epoch
+    t2 = _run("tail", "--lake", lake, "--changelog", chg)
+    assert t2["epoch"] == 1
+
+    st = _run("status", "--lake", lake)
+    assert st["latest_epoch"] == 1 and st["schema_version"] == 2
+    assert st["watermark_lsn"] == 1999
+
+    c = _run("compact", "--lake", lake)
+    assert c["kind"] == "compaction"
+
+    sc = _run("scan", "--lake", lake, "--out", out, "--columns", "doc_id,n_tok")
+    assert sc["files"] > 0

@@ -1,0 +1,162 @@
+"""Operational CLI — the engine's analog of the reference's entry points
+(``run_worker.py`` / Celery beat schedules, /root/reference/celery_config.py):
+
+    python -m vlm_eden_dataset_etl_ray apply   --lake L --changelog DIR_OR_FILES...
+    python -m vlm_eden_dataset_etl_ray tail    --lake L --changelog DIR   # one tick
+    python -m vlm_eden_dataset_etl_ray compact --lake L
+    python -m vlm_eden_dataset_etl_ray status  --lake L
+    python -m vlm_eden_dataset_etl_ray scan    --lake L --out DIR [--columns a,b]
+    python -m vlm_eden_dataset_etl_ray gen     --out DIR --events N [--docs N] ...
+
+Cron scheduling stays external (systemd timer / cron / `ray job submit`
+per epoch): an epoch == one ``apply``/``tail`` invocation, and exactly-once
+manifests make overlapping or repeated invocations safe.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+
+def _ray_session():
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            include_dashboard=False,
+            ignore_reinit_error=True,
+            logging_level="ERROR",
+        )
+    import logging
+
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    logging.getLogger("ray.data").setLevel(logging.ERROR)
+
+
+def _changelog_files(args) -> list[str]:
+    files: list[str] = []
+    for c in args.changelog:
+        if os.path.isdir(c):
+            files += sorted(
+                os.path.join(c, f) for f in os.listdir(c) if f.endswith(".parquet")
+            )
+        else:
+            files.append(c)
+    return files
+
+
+def cmd_apply(args) -> dict:
+    from vlm_eden_dataset_etl_ray import apply
+
+    _ray_session()
+    m = apply.apply_epoch(args.lake, _changelog_files(args))
+    return {"epoch": m.epoch, "rows": m.total_rows(), "schema_version": m.schema_version}
+
+
+def cmd_tail(args) -> dict:
+    from vlm_eden_dataset_etl_ray.pipelines.cdc import run_incremental
+
+    _ray_session()
+    m = run_incremental(args.lake, args.changelog[0])
+    return {"epoch": m.epoch, "rows": m.total_rows(),
+            "applied_inputs": len(m.applied_inputs)}
+
+
+def cmd_compact(args) -> dict:
+    from vlm_eden_dataset_etl_ray import lake
+
+    _ray_session()
+    m = lake.compact(args.lake)
+    return {"epoch": m.epoch, "kind": m.kind, "rows": m.total_rows()}
+
+
+def cmd_status(args) -> dict:
+    from vlm_eden_dataset_etl_ray import manifest as mf
+
+    m = mf.latest(args.lake)
+    if m is None:
+        return {"epochs": 0}
+    return {
+        "epochs": len(mf.list_epochs(args.lake)),
+        "latest_epoch": m.epoch,
+        "kind": m.kind,
+        "schema_version": m.schema_version,
+        "num_partitions": m.num_partitions,
+        "rows": m.total_rows(),
+        "watermark_lsn": max(
+            (s.watermark_lsn for s in m.partitions.values()), default=-1
+        ),
+    }
+
+
+def cmd_scan(args) -> dict:
+    from vlm_eden_dataset_etl_ray import lake
+
+    _ray_session()
+    cols = args.columns.split(",") if args.columns else None
+    ds = lake.scan(args.lake, columns=cols)
+    ds.write_parquet(args.out)
+    n = sum(1 for _ in os.listdir(args.out))
+    return {"out": args.out, "files": n}
+
+
+def cmd_gen(args) -> dict:
+    from vlm_eden_dataset_etl_ray import changelog as cl
+
+    p = cl.ChangelogParams(
+        seed=args.seed, n_docs=args.docs or max(100, args.events // 10),
+        n_events=args.events, n_shards=args.shards,
+        schema_change_at=args.schema_change_at,
+    )
+    files = cl.write_changelog(args.out, p)
+    return {"out": args.out, "files": len(files), "events": p.n_events}
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(prog="vlm_eden_dataset_etl_ray")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    def add(name, fn, **flags):
+        p = sub.add_parser(name)
+        for f, kw in flags.items():
+            p.add_argument(f, **kw)
+        p.set_defaults(fn=fn)
+        return p
+
+    add("apply", cmd_apply, **{"--lake": {"required": True},
+                               "--changelog": {"required": True, "nargs": "+"}})
+    add("tail", cmd_tail, **{"--lake": {"required": True},
+                             "--changelog": {"required": True, "nargs": 1}})
+    add("compact", cmd_compact, **{"--lake": {"required": True}})
+    add("status", cmd_status, **{"--lake": {"required": True}})
+    add("scan", cmd_scan, **{"--lake": {"required": True}, "--out": {"required": True},
+                             "--columns": {"default": None}})
+    add("gen", cmd_gen, **{"--out": {"required": True},
+                           "--events": {"type": int, "default": 10000},
+                           "--docs": {"type": int, "default": None},
+                           "--shards": {"type": int, "default": 8},
+                           "--seed": {"type": int, "default": 42},
+                           "--schema-change-at": {"type": int, "default": None,
+                                                  "dest": "schema_change_at"}})
+
+    args = ap.parse_args(argv)
+    out = args.fn(args)
+    print(json.dumps(out))
+    try:
+        import ray
+
+        if ray.is_initialized():
+            ray.shutdown()
+    except ImportError:  # pragma: no cover
+        pass
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -389,6 +389,10 @@ def apply_epoch(
         schema_version = ray.get(registry.find_or_register.remote(payload))
     else:
         schema_version = prev.schema_version if prev else 1
+        for v, known in sch.SCHEMA_VERSIONS.items():
+            if known.equals(payload):
+                schema_version = max(schema_version, v)
+                break
 
     if shuffle == "file":
         # phase A: spill per-pid slices (tiny metadata rows come back)
