@@ -383,6 +383,63 @@ def q_multimodal_decode_meta(sf_dir):
     return ds.select_columns(["doc_id", "payload_bytes", "fake_width", "fake_height", "checksum"])
 
 
+def q_user_value_stats(sf_dir):
+    """Grouped min/max/count-distinct per user (reference A-family breadth):
+    per-batch partials, tree-reduce final."""
+    from vlm_eden_dataset_etl_ray.sources.parquet import read_table
+
+    ds = _events(sf_dir, columns=["user_id", "value", "event_type"])
+
+    def _partial(t: pa.Table) -> pa.Table:
+        g = t.group_by(["user_id"]).aggregate(
+            [("value", "min"), ("value", "max"), ("event_type", "distinct"),
+             ([], "count_all")]
+        )
+        return g.rename_columns(["user_id", "__min", "__max", "__types", "__n"])
+
+    partial = ds.map_batches(_partial, batch_format="pyarrow", zero_copy_batch=True)
+
+    def _combine(t: pa.Table) -> pa.Table:
+        g = t.group_by(["user_id"]).aggregate(
+            [("__min", "min"), ("__max", "max"), ("__n", "sum")]
+        )
+        types: dict[int, set] = {}
+        for u, chunk in zip(t.column("user_id").to_pylist(), t.column("__types").to_pylist()):
+            types.setdefault(u, set()).update(chunk)
+        g = g.rename_columns(["user_id", "min_value", "max_value", "n_events"])
+        g = g.set_column(g.column_names.index("n_events"), "n_events",
+                         g.column("n_events").cast(pa.int64()))
+        nd = pa.array([len(types[u]) for u in g.column("user_id").to_pylist()], pa.int64())
+        return g.append_column("n_event_types", nd)
+
+    return partial.repartition(1).map_batches(
+        _combine, batch_format="pyarrow", batch_size=None
+    )
+
+
+def q_median_value_per_user(sf_dir):
+    """Exact grouped median (interpolated) — per-key map_groups over the
+    full group; medians are not mergeable so this is the honest shuffle."""
+    import pandas as pd
+
+    ds = _events(sf_dir, columns=["user_id", "value"])
+
+    def _med(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"user_id": [g["user_id"].iloc[0]],
+                             "median_value": [g["value"].median()]})
+
+    return ds.groupby("user_id").map_groups(_med, batch_format="pandas")
+
+
+def q_approx_distinct_users(sf_dir):
+    """HLL sketch: approximate distinct users per event_type (rows-only —
+    approximate by design; accuracy asserted vs exact in pytest)."""
+    from vlm_eden_dataset_etl_ray.functions.sketches import approx_distinct
+
+    ds = _events(sf_dir, columns=["user_id", "event_type"])
+    return approx_distinct(ds, "user_id", group_by="event_type")
+
+
 def q_user_sessions(sf_dir):
     from vlm_eden_dataset_etl_ray.functions.relational import session_counts
 
@@ -528,6 +585,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_scores_docs": q_quality_scores_docs,
         "multimodal_decode_meta": q_multimodal_decode_meta,
         "user_sessions": q_user_sessions,
+        "user_value_stats": q_user_value_stats,
+        "median_value_per_user": q_median_value_per_user,
+        "approx_distinct_users": q_approx_distinct_users,
         "distinct_lang_source": q_distinct_lang_source,
         "top10_orders": q_top10_orders,
         "etl_star_fact": q_etl_star_fact,
@@ -713,6 +773,15 @@ def oracle_sql() -> dict[str, str]:
                    cast(n % 480 as int) as fake_height,
                    cast((n * 2654435761) % 2147483647 as bigint) as checksum
             from t
+        """,
+        "user_value_stats": """
+            select user_id, min(value) as min_value, max(value) as max_value,
+                   count(*) as n_events,
+                   cast(count(distinct event_type) as bigint) as n_event_types
+            from events group by user_id
+        """,
+        "median_value_per_user": """
+            select user_id, median(value) as median_value from events group by user_id
         """,
         "user_sessions": f"""
             with e as (select user_id, ts,

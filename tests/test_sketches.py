@@ -1,0 +1,42 @@
+"""HLL sketch accuracy: approximate distinct counts within the standard
+error bound of exact, both globally and per group, including merges."""
+
+import numpy as np
+import pyarrow as pa
+
+import ray.data as rd
+
+from vlm_eden_dataset_etl_ray.functions.sketches import HyperLogLog, approx_distinct
+from vlm_eden_dataset_etl_ray.functions.hashing import hash_strings
+
+
+def test_hll_core_accuracy_and_merge():
+    rng = np.random.default_rng(7)
+    for true_n in (100, 5_000, 100_000):
+        vals = np.array([f"v{i}" for i in rng.choice(true_n * 3, true_n, replace=False)],
+                        dtype=object)
+        h = hash_strings(vals)
+        # split into 8 partials and merge — must equal the single-shot sketch
+        whole = HyperLogLog().add_hashes(h)
+        merged = HyperLogLog()
+        for part in np.array_split(h, 8):
+            merged.merge(HyperLogLog().add_hashes(part))
+        assert np.array_equal(whole.registers, merged.registers)
+        est = merged.estimate()
+        rel_err = abs(est - true_n) / true_n
+        assert rel_err < 0.05, (true_n, est)
+
+
+def test_approx_distinct_vs_exact_on_events():
+    sf = "/root/testdata/sf0.01"
+    ds = rd.read_parquet(f"{sf}/events.parquet", columns=["user_id", "event_type"])
+    approx = approx_distinct(ds, "user_id", group_by="event_type")
+    import duckdb
+
+    exact = duckdb.sql(
+        f"select event_type, count(distinct user_id) n from '{sf}/events.parquet' group by 1"
+    ).arrow()
+    ex = dict(zip(exact.column("event_type").to_pylist(), exact.column("n").to_pylist()))
+    for g, est in zip(approx.column("event_type").to_pylist(),
+                      approx.column("approx_distinct").to_pylist()):
+        assert abs(est - ex[g]) / ex[g] < 0.05, (g, est, ex[g])

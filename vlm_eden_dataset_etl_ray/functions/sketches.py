@@ -1,0 +1,113 @@
+"""Mergeable sketches — approximate aggregates for 100 TB group-bys.
+
+The pattern (guide: "sketches are designed to be mergeable"): each batch
+emits one serialized sketch per group, a tiny second stage merges them.
+Exact distinct-counts over billions of keys would shuffle every key; an HLL
+register array is 2^p bytes regardless of cardinality.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray.data as rd
+
+from vlm_eden_dataset_etl_ray.functions.hashing import hash_strings
+
+
+class HyperLogLog:
+    """Plain HLL (Flajolet et al.): p-bit register index, rank of remaining
+    bits, harmonic-mean estimator with small-range correction."""
+
+    def __init__(self, p: int = 12):
+        self.p = p
+        self.m = 1 << p
+        self.registers = np.zeros(self.m, dtype=np.uint8)
+
+    def add_hashes(self, h: np.ndarray) -> "HyperLogLog":
+        h = h.astype(np.uint64)
+        idx = (h >> np.uint64(64 - self.p)).astype(np.int64)
+        rest = (h << np.uint64(self.p)) | np.uint64((1 << self.p) - 1)
+        # rank = position of first set bit from the top, 1-based
+        rank = np.zeros(len(h), dtype=np.uint8)
+        remaining = rest.copy()
+        mask = np.uint64(1) << np.uint64(63)
+        found = np.zeros(len(h), dtype=bool)
+        for r in range(1, 64 - self.p + 2):
+            hit = (~found) & ((remaining & mask) != 0)
+            rank[hit] = r
+            found |= hit
+            if found.all():
+                break
+            remaining = remaining << np.uint64(1)
+        np.maximum.at(self.registers, idx, rank)
+        return self
+
+    def merge(self, other: "HyperLogLog") -> "HyperLogLog":
+        np.maximum(self.registers, other.registers, out=self.registers)
+        return self
+
+    def estimate(self) -> float:
+        m = float(self.m)
+        alpha = 0.7213 / (1 + 1.079 / m)
+        est = alpha * m * m / np.sum(2.0 ** -self.registers.astype(np.float64))
+        zeros = int(np.count_nonzero(self.registers == 0))
+        if est <= 2.5 * m and zeros:
+            est = m * np.log(m / zeros)  # linear counting for small ranges
+        return float(est)
+
+    def to_bytes(self) -> bytes:
+        return self.registers.tobytes()
+
+    @classmethod
+    def from_bytes(cls, b: bytes, p: int = 12) -> "HyperLogLog":
+        h = cls(p)
+        h.registers = np.frombuffer(b, dtype=np.uint8).copy()
+        return h
+
+
+def approx_distinct(
+    ds: rd.Dataset, column: str, group_by: str | None = None, p: int = 12
+) -> pa.Table:
+    """Approximate COUNT(DISTINCT column) [per ``group_by``] via mergeable
+    HLL sketches: one sketch per (batch, group) → tree merge. Standard
+    error ≈ 1.04/sqrt(2^p) (~1.6% at p=12)."""
+
+    def _partial(t: pa.Table) -> pa.Table:
+        col = t.column(column)
+        h = hash_strings(col.cast(pa.string()))
+        if group_by is None:
+            sk = HyperLogLog(p).add_hashes(h)
+            return pa.table({"__g": pa.array([None], pa.string()),
+                             "__sk": pa.array([sk.to_bytes()], pa.binary())})
+        groups = np.asarray(t.column(group_by).cast(pa.string()).to_pylist())
+        out_g, out_s = [], []
+        for g in np.unique(groups):
+            sk = HyperLogLog(p).add_hashes(h[groups == g])
+            out_g.append(str(g))
+            out_s.append(sk.to_bytes())
+        return pa.table({"__g": pa.array(out_g, pa.string()),
+                         "__sk": pa.array(out_s, pa.binary())})
+
+    partial = ds.map_batches(_partial, batch_format="pyarrow", zero_copy_batch=True)
+
+    def _merge(t: pa.Table) -> pa.Table:
+        acc: dict = {}
+        for g, b in zip(t.column("__g").to_pylist(), t.column("__sk").to_pylist()):
+            sk = HyperLogLog.from_bytes(b, p)
+            if g in acc:
+                acc[g].merge(sk)
+            else:
+                acc[g] = sk
+        ks = sorted(acc, key=lambda x: (x is None, x))
+        cols = {"approx_distinct": pa.array(
+            [int(round(acc[k].estimate())) for k in ks], pa.int64())}
+        if group_by is not None:
+            cols = {group_by: pa.array([k for k in ks], pa.string()), **cols}
+        return pa.table(cols)
+
+    merged = partial.repartition(1).map_batches(
+        _merge, batch_format="pyarrow", batch_size=None
+    )
+    return pa.concat_tables(merged.iter_batches(batch_format="pyarrow", batch_size=None))
