@@ -383,6 +383,17 @@ def q_multimodal_decode_meta(sf_dir):
     return ds.select_columns(["doc_id", "payload_bytes", "fake_width", "fake_height", "checksum"])
 
 
+def q_orders_with_customer_join(sf_dir):
+    """Large×large partitioned hash join (tagged union → one bucket shuffle
+    → per-bucket merge) — the non-broadcast join path."""
+    from vlm_eden_dataset_etl_ray.functions.relational import hash_join
+    from vlm_eden_dataset_etl_ray.sources.parquet import read_table
+
+    orders = read_table(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_totalprice"])
+    cust = read_table(sf_dir, "customer", columns=["c_custkey", "c_name", "c_mktsegment"])
+    return hash_join(orders, cust, "o_custkey", "c_custkey", how="inner")
+
+
 def q_user_value_stats(sf_dir):
     """Grouped min/max/count-distinct per user (reference A-family breadth):
     per-batch partials, tree-reduce final."""
@@ -585,6 +596,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_scores_docs": q_quality_scores_docs,
         "multimodal_decode_meta": q_multimodal_decode_meta,
         "user_sessions": q_user_sessions,
+        "orders_with_customer_join": q_orders_with_customer_join,
         "user_value_stats": q_user_value_stats,
         "median_value_per_user": q_median_value_per_user,
         "approx_distinct_users": q_approx_distinct_users,
@@ -773,6 +785,10 @@ def oracle_sql() -> dict[str, str]:
                    cast(n % 480 as int) as fake_height,
                    cast((n * 2654435761) % 2147483647 as bigint) as checksum
             from t
+        """,
+        "orders_with_customer_join": """
+            select o_orderkey, o_custkey, o_totalprice, c_custkey, c_name, c_mktsegment
+            from orders join customer on o_custkey = c_custkey
         """,
         "user_value_stats": """
             select user_id, min(value) as min_value, max(value) as max_value,

@@ -84,3 +84,45 @@ def test_lineage_recorded_per_partition(tmp_path):
     # rows = one surviving version per (partition, key) incl. tombstones
     assert total_rows <= P.n_events
     assert m.num_partitions == 32
+
+
+def test_concurrent_commit_race_rebases(tmp_path, monkeypatch):
+    """Two drivers race: while driver A runs its pipeline, driver B commits
+    a DIFFERENT input set under the epoch number A was about to use. A's
+    publish hits FileExistsError, rebases its delta files onto B's manifest,
+    and commits the next epoch — neither driver's updates are lost."""
+    p1 = cl.ChangelogParams(seed=1, n_docs=80, n_events=600, n_shards=2)
+    p2 = cl.ChangelogParams(seed=2, n_docs=80, n_events=600, n_shards=2)
+    files1 = cl.write_changelog(str(tmp_path / "c1"), p1)
+    files2 = cl.write_changelog(str(tmp_path / "c2"), p2)
+    lake_dir = str(tmp_path / "lake")
+
+    from vlm_eden_dataset_etl_ray import apply as apply_mod
+
+    orig_commit = mf.commit
+    state = {"armed": True}
+
+    def racing_commit(lk, m):
+        if state["armed"]:
+            # disarm BEFORE B runs so B's own commit goes straight through
+            state["armed"] = False
+            apply_mod.apply_epoch(lk, files2)  # driver B steals epoch 1
+        return orig_commit(lk, m)
+
+    monkeypatch.setattr(apply_mod.mf, "commit", racing_commit)
+    m_a = apply_mod.apply_epoch(lake_dir, files1)  # driver A
+    assert m_a.epoch == 2  # A rebased past B's epoch 1
+
+    all_inputs = []
+    for e in mf.list_epochs(lake_dir):
+        all_inputs += mf.load(lake_dir, e).applied_inputs
+    assert set(all_inputs) == set(files1) | set(files2)  # nothing lost
+
+    # B's deltas survive in A's manifest (rebase kept them)
+    b_files = {f for st in mf.load(lake_dir, 1).partitions.values() for f in st.deltas}
+    a_files = {f for st in m_a.partitions.values() for f in st.deltas}
+    assert b_files <= a_files
+
+    snap = lake.snapshot(lake_dir)
+    exp1 = oracle.final_state(p1)
+    assert snap.num_rows >= exp1.num_rows  # both drivers' docs coexist

@@ -450,36 +450,48 @@ def apply_epoch(
             .take_all()  # ≤ num_partitions tiny rows
         )
 
-    parts: dict[int, mf.PartitionState] = {}
-    if prev:
-        for pid, st in prev.partitions.items():
-            parts[pid] = mf.PartitionState.from_json(st.to_json())
-    events = 0
-    delta_rows = 0
-    delta_bytes = 0
-    for r in meta_rows:
-        pid = int(r["pid"])
-        st = parts.setdefault(pid, mf.PartitionState(pid=pid))
-        st.deltas.append(r["path"])
-        st.rows += int(r["rows"])
-        st.bytes += int(r["bytes"])
-        st.watermark_lsn = max(st.watermark_lsn, int(r["max_lsn"]))
-        st.applied_lsn_ranges = mf.merge_ranges(
-            st.applied_lsn_ranges, int(r["min_lsn"]), int(r["max_lsn"])
+    def _build_manifest(base: mf.Manifest | None, at_epoch: int) -> mf.Manifest:
+        parts: dict[int, mf.PartitionState] = {}
+        if base:
+            for pid, st in base.partitions.items():
+                parts[pid] = mf.PartitionState.from_json(st.to_json())
+        for r in meta_rows:
+            pid = int(r["pid"])
+            st = parts.setdefault(pid, mf.PartitionState(pid=pid))
+            st.deltas.append(r["path"])
+            st.rows += int(r["rows"])
+            st.bytes += int(r["bytes"])
+            st.watermark_lsn = max(st.watermark_lsn, int(r["max_lsn"]))
+            st.applied_lsn_ranges = mf.merge_ranges(
+                st.applied_lsn_ranges, int(r["min_lsn"]), int(r["max_lsn"])
+            )
+        return mf.Manifest(
+            epoch=at_epoch,
+            num_partitions=spec.num_partitions,
+            schema_version=schema_version,
+            kind="delta",
+            partitions=parts,
+            applied_epoch_ids=[epoch_id],
+            applied_inputs=sorted(changelog_files),
         )
-        delta_rows += int(r["rows"])
-        delta_bytes += int(r["bytes"])
 
-    m = mf.Manifest(
-        epoch=epoch,
-        num_partitions=spec.num_partitions,
-        schema_version=schema_version,
-        kind="delta",
-        partitions=parts,
-        applied_epoch_ids=[epoch_id],
-        applied_inputs=sorted(changelog_files),
-    )
-    mf.commit(lake_dir, m)
+    # Race-safe publish: if another driver commits our epoch number first,
+    # either it applied the SAME inputs (we're done — exactly-once) or it
+    # applied different ones, in which case we rebase our delta files onto
+    # the new latest manifest and retry with the next epoch number. Delta
+    # file paths are absolute, so the staging dir's epoch label not matching
+    # the final epoch number is harmless.
+    m = _build_manifest(prev, epoch)
+    while True:
+        try:
+            mf.commit(lake_dir, m)
+            break
+        except FileExistsError:
+            other = mf.load(lake_dir, m.epoch)
+            if epoch_id in other.applied_epoch_ids:
+                return other
+            latest2 = mf.latest(lake_dir)
+            m = _build_manifest(latest2, latest2.epoch + 1)
     # shuffle slices are transient: safe to drop once the epoch is committed
     if os.path.isdir(shuffle_dir):
         import shutil

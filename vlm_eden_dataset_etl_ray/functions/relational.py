@@ -366,6 +366,74 @@ def calendar_dim(start: str = "1999-01-01", days: int = 29220) -> rd.Dataset:
 
 
 # ---------------------------------------------------------------------------
+# Large×large hash join: when NEITHER side fits a broadcast, co-locate by
+# key hash — tag each side, union, groupby(bucket), join the two sides of
+# each bucket with a pandas merge. One shuffle, B buckets; salt hot keys by
+# raising B (bucket count is the same lever as lake partitions).
+# ---------------------------------------------------------------------------
+
+
+def hash_join(
+    left: rd.Dataset,
+    right: rd.Dataset,
+    left_on: str,
+    right_on: str,
+    how: str = "inner",
+    num_buckets: int = 32,
+) -> rd.Dataset:
+    """Explicit partitioned hash join (the portable large×large pattern).
+    Columns of both sides are kept (right join key dropped if names differ
+    are preserved as-is). ``how`` ∈ {"inner", "left"}."""
+    from vlm_eden_dataset_etl_ray import schema as sch_mod
+    from vlm_eden_dataset_etl_ray.functions.hashing import hash_strings
+
+    ls = pa.schema(list(zip(left.schema().names, left.schema().types)))
+    rs = pa.schema(list(zip(right.schema().names, right.schema().types)))
+    overlap = (set(ls.names) & set(rs.names)) - ({left_on} if left_on == right_on else set())
+    if overlap:
+        raise ValueError(f"column name collision across join sides: {sorted(overlap)}")
+    target = pa.schema(list(ls) + [f for f in rs if f.name not in ls.names])
+
+    def _tag(side: str, key: str):
+        def _f(t: pa.Table) -> pa.Table:
+            k = t.column(key)
+            if not (pa.types.is_string(k.type) or pa.types.is_large_string(k.type)):
+                k = k.cast(pa.string())
+            b = (hash_strings(k) % np.uint64(num_buckets)).astype(np.int32)
+            t = sch_mod.unify_table(t, target)  # null-fill the other side's cols
+            t = t.append_column("__bucket", pa.array(b))
+            return t.append_column("__side", pa.array(np.full(t.num_rows, side)))
+        return _f
+
+    lt = left.map_batches(_tag("l", left_on), batch_format="pyarrow", zero_copy_batch=True)
+    rt = right.map_batches(_tag("r", right_on), batch_format="pyarrow", zero_copy_batch=True)
+
+    left_cols = list(ls.names)
+    right_cols = list(rs.names)
+
+    out_fields = list(ls) + [f for f in rs if f.name not in ls.names or
+                             (left_on == right_on and f.name == left_on)]
+    out_schema = pa.schema([f for i, f in enumerate(out_fields)
+                            if f.name not in [x.name for x in out_fields[:i]]])
+
+    def _join_bucket(g: pd.DataFrame):
+        l = g[g["__side"] == "l"][left_cols]
+        r = g[g["__side"] == "r"][right_cols]
+        merged = l.merge(r, left_on=left_on, right_on=right_on,
+                         how=("left" if how == "left" else "inner"))
+        # the tagged union null-filled the other side's columns, which turned
+        # pandas ints into float64 — restore nullable ints before Arrow
+        for f in out_schema:
+            if pa.types.is_integer(f.type) and str(merged[f.name].dtype) == "float64":
+                merged[f.name] = merged[f.name].astype("Int64")
+        return pa.Table.from_pandas(merged[out_schema.names], schema=out_schema,
+                                    preserve_index=False)
+
+    both = lt.union(rt)
+    return both.groupby("__bucket").map_groups(_join_bucket, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
 # As-of join — an operator Ray Data lacks natively. Small right side →
 # broadcast + pd.merge_asof per batch (no shuffle). Both-sides-large →
 # bucket both sides by hash(key), sort within buckets, merge_asof per
