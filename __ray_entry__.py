@@ -383,6 +383,53 @@ def q_multimodal_decode_meta(sf_dir):
     return ds.select_columns(["doc_id", "payload_bytes", "fake_width", "fake_height", "checksum"])
 
 
+def q_top3_events_per_user(sf_dir):
+    """Top-k per key (D1 generalized): 3 highest-value events per user."""
+    from vlm_eden_dataset_etl_ray.functions.relational import topk_per_key
+
+    ds = _events(sf_dir, columns=["event_id", "user_id", "value"])
+    out = topk_per_key(
+        ds, "user_id", [("value", "descending"), ("event_id", "descending")], 3,
+        cardinality="low",
+    )
+    return out.select_columns(["user_id", "event_id", "value"])
+
+
+def q_tumbling_event_counts(sf_dir):
+    """Tumbling 6-hour windows per event type (epoch-bucketed — Ray Data has
+    no event-time windows, so windows are derived grouping keys)."""
+    from vlm_eden_dataset_etl_ray.functions.relational import grouped_count
+
+    ds = _events(sf_dir, columns=["ts", "event_type"])
+
+    def _win(t: pa.Table) -> pa.Table:
+        sec = t.column("ts").cast(pa.int64())  # microseconds since epoch
+        w = pc.multiply(pc.floor(pc.divide(pc.divide(sec, 1_000_000), 21600)), 21600)
+        return t.append_column("window_start", w.cast(pa.int64())).drop_columns(["ts"])
+
+    ds = ds.map_batches(_win, batch_format="pyarrow", zero_copy_batch=True)
+    return grouped_count(ds, ["window_start", "event_type"], "n_events")
+
+
+def q_term_frequencies(sf_dir):
+    """Explode/flat_map coverage: word → document frequency over the corpus
+    (map_batches emitting more rows than it receives)."""
+    from vlm_eden_dataset_etl_ray.functions.relational import grouped_count
+    from vlm_eden_dataset_etl_ray.sources.parquet import read_table
+
+    ds = read_table(sf_dir, "documents", columns=["text"])
+
+    def _explode(t: pa.Table) -> pa.Table:
+        import polars as pl
+
+        s = pl.from_arrow(t.column("text").combine_chunks())
+        terms = s.str.split(" ").explode()
+        return pa.table({"term": terms.to_arrow().cast(pa.string())})
+
+    ds = ds.map_batches(_explode, batch_format="pyarrow", zero_copy_batch=True)
+    return grouped_count(ds, ["term"], "n")
+
+
 def q_orders_with_customer_join(sf_dir):
     """Large×large partitioned hash join (tagged union → one bucket shuffle
     → per-bucket merge) — the non-broadcast join path."""
@@ -597,6 +644,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multimodal_decode_meta": q_multimodal_decode_meta,
         "user_sessions": q_user_sessions,
         "orders_with_customer_join": q_orders_with_customer_join,
+        "top3_events_per_user": q_top3_events_per_user,
+        "tumbling_event_counts": q_tumbling_event_counts,
+        "term_frequencies": q_term_frequencies,
         "user_value_stats": q_user_value_stats,
         "median_value_per_user": q_median_value_per_user,
         "approx_distinct_users": q_approx_distinct_users,
@@ -789,6 +839,21 @@ def oracle_sql() -> dict[str, str]:
         "orders_with_customer_join": """
             select o_orderkey, o_custkey, o_totalprice, c_custkey, c_name, c_mktsegment
             from orders join customer on o_custkey = c_custkey
+        """,
+        "top3_events_per_user": """
+            select user_id, event_id, value from events
+            qualify row_number() over (partition by user_id
+                                       order by value desc, event_id desc) <= 3
+        """,
+        "tumbling_event_counts": """
+            select cast(floor(epoch(ts) / 21600) * 21600 as bigint) as window_start,
+                   event_type, count(*) as n_events
+            from events group by 1, 2
+        """,
+        "term_frequencies": """
+            select term, count(*) as n
+            from (select unnest(string_split(text, ' ')) as term from documents)
+            group by term
         """,
         "user_value_stats": """
             select user_id, min(value) as min_value, max(value) as max_value,

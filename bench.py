@@ -2,7 +2,7 @@
 """Benchmark harness.
 
 Headline: sustained CDC replay — a deterministic synthetic tokenized
-changelog (sized to the scale factor: 20M events/sf, Zipf keys, 1% dups,
+changelog (sized to the scale factor: 80M events/sf, Zipf keys, 1% dups,
 5% deletes, mid-stream schema change) applied through the full engine
 (apply_epoch → 2PC manifest) into a fresh /tmp lake, then one merge-on-read
 scan. Also times a representative query suite over $GRAFT_SF_DIR.
@@ -56,15 +56,15 @@ def _sf_value(sf_dir: str) -> float:
 def _headline_params(sf: float):
     from vlm_eden_dataset_etl_ray import changelog as cl
 
-    n_events = max(40_000, int(40_000_000 * sf)) if sf > 0 else 400_000
+    n_events = max(80_000, int(80_000_000 * sf)) if sf > 0 else 800_000
     return cl.ChangelogParams(
-        n_docs=max(4_000, n_events // 10),
+        n_docs=max(8_000, n_events // 10),
         n_events=n_events,
         dup_frac=0.01,
         delete_frac=0.05,
         schema_change_at=int(n_events * 0.6),
         mean_tok=64,
-        n_shards=128,
+        n_shards=192,
     )
 
 

@@ -45,6 +45,46 @@ def _single_block(ds: rd.Dataset) -> rd.Dataset:
     return ds.repartition(1)
 
 
+def _topk_reduce(t: pa.Table, key: str, order_by: list[tuple[str, str]], k: int) -> pa.Table:
+    if t.num_rows <= 1:
+        return t
+    t = t.sort_by([(key, "ascending")] + order_by)
+    codes = pc.dictionary_encode(t.column(key).combine_chunks()).indices.to_numpy(
+        zero_copy_only=False
+    )
+    starts = np.flatnonzero(np.concatenate([[True], codes[1:] != codes[:-1]]))
+    run_id = np.cumsum(np.concatenate([[0], (codes[1:] != codes[:-1]).astype(np.int64)]))
+    pos_in_run = np.arange(len(codes)) - starts[run_id]
+    return t.filter(pa.array(pos_in_run < k))
+
+
+def topk_per_key(
+    ds: rd.Dataset, key: str, order_by: list[tuple[str, str]], k: int,
+    cardinality: str = "high",
+) -> rd.Dataset:
+    """Top-k rows per key (D1 generalized): per-batch partial top-k (≤k rows
+    per key leave each batch), then the final reduce (tree or shuffle by
+    ``cardinality``, as in :func:`top1_per_key`)."""
+    pre = ds.map_batches(
+        _topk_reduce,
+        fn_kwargs={"key": key, "order_by": order_by, "k": k},
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    if cardinality == "low":
+        return _single_block(pre).map_batches(
+            _topk_reduce,
+            fn_kwargs={"key": key, "order_by": order_by, "k": k},
+            batch_format="pyarrow",
+            batch_size=None,
+        )
+    return pre.groupby(key).map_groups(
+        _topk_reduce,
+        fn_kwargs={"key": key, "order_by": order_by, "k": k},
+        batch_format="pyarrow",
+    )
+
+
 def top1_per_key(
     ds: rd.Dataset, key: str, order_by: list[tuple[str, str]],
     cardinality: str = "high",
