@@ -602,7 +602,6 @@ def q_tokens_replay_synthetic(sf_dir):
     """Synthetic tokenized changelog (FIXTURES F2) through the full engine:
     out-of-order + duplicates + tombstones + mid-stream schema change."""
     import shutil
-    import tempfile
 
     from vlm_eden_dataset_etl_ray import apply, changelog as cl, lake
 

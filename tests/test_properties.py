@@ -101,3 +101,40 @@ def test_unify_widen_roundtrip(vals):
     u = sch.unify_table(t, target)
     assert u.column("x").to_pylist() == vals  # widen is lossless
     assert u.column("y").null_count == len(vals)
+
+
+@given(
+    st.lists(
+        st.sampled_from(["add_str", "add_f64", "widen"]),
+        min_size=0, max_size=6,
+    )
+)
+@settings(max_examples=60, deadline=None)
+def test_schema_evolution_chains_unify(ops):
+    """Any chain of add-column / widen evolutions validates, and data written
+    under ANY intermediate schema unifies losslessly to the final one."""
+    from vlm_eden_dataset_etl_ray.state.registry import validate_evolution
+
+    schema = pa.schema([("k", pa.string()), ("x", pa.int32())])
+    schemas = [schema]
+    widened = False
+    for i, op in enumerate(ops):
+        if op == "add_str":
+            schema = pa.schema(list(schema) + [pa.field(f"s{i}", pa.string())])
+        elif op == "add_f64":
+            schema = pa.schema(list(schema) + [pa.field(f"f{i}", pa.float64())])
+        elif op == "widen" and not widened:
+            idx = schema.get_field_index("x")
+            schema = schema.set(idx, pa.field("x", pa.int64()))
+            widened = True
+        validate_evolution(schemas[-1], schema)
+        schemas.append(schema)
+
+    t = pa.table({"k": ["a", "b"], "x": pa.array([1, 2], pa.int32())})
+    final = schemas[-1]
+    for s_mid in schemas:
+        mid = sch.unify_table(t, s_mid)
+        up = sch.unify_table(mid, final)
+        assert up.schema.equals(final)
+        assert up.column("x").to_pylist() == [1, 2]
+        assert up.column("k").to_pylist() == ["a", "b"]

@@ -25,7 +25,6 @@ Scale notes (100 TB / 256 nodes):
 
 from __future__ import annotations
 
-import functools
 import hashlib
 import os
 import uuid

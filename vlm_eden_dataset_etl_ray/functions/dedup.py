@@ -29,7 +29,6 @@ try:
 except ImportError:  # pragma: no cover
     pl = None
 
-from vlm_eden_dataset_etl_ray.functions.hashing import hash_strings
 from vlm_eden_dataset_etl_ray.functions.relational import top1_per_key
 
 _MERSENNE = (1 << 61) - 1

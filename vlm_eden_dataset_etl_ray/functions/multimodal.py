@@ -12,7 +12,6 @@ is real and tested.
 
 from __future__ import annotations
 
-import numpy as np
 import pyarrow as pa
 
 import ray.data as rd

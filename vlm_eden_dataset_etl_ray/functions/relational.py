@@ -132,8 +132,6 @@ def watermark_scan(
 ) -> rd.Dataset:
     """read_parquet with ``ts_col > watermark`` pushed to row groups and only
     ``columns`` leaving storage (prune at the read)."""
-    import pyarrow.dataset as pads
-
     expr = pc.field(ts_col) > watermark
     return rd.read_parquet(path, columns=columns, filter=expr)
 

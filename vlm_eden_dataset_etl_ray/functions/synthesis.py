@@ -15,7 +15,6 @@ from __future__ import annotations
 import pyarrow as pa
 import pyarrow.compute as pc
 
-import ray.data as rd
 
 
 def first_true(*vals):
