@@ -185,6 +185,22 @@ class MinHashSignatures:
         )
 
 
+def _signatures_stateless(batch, *, id_col, text_col, num_perm, bands):
+    return MinHashSignatures(id_col, text_col, num_perm, bands)(batch)
+
+
+def _signature_ds(ds, id_col, text_col, num_perm, bands):
+    # coefficient construction is trivial → stateless tasks (elastic
+    # parallelism, no actor-pool ramp)
+    return ds.map_batches(
+        _signatures_stateless,
+        fn_kwargs={"id_col": id_col, "text_col": text_col,
+                   "num_perm": num_perm, "bands": bands},
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
 def minhash_lsh_pairs(
     ds: rd.Dataset,
     id_col: str,
@@ -192,18 +208,12 @@ def minhash_lsh_pairs(
     threshold: float = 0.8,
     num_perm: int = 128,
     bands: int = 32,
-    concurrency=(1, 4),
+    concurrency=None,
 ) -> pa.Table:
     """Near-dup candidate pairs via MinHash banding, verified by exact
     Jaccard ≥ threshold. One shuffle (bucket groupby) over tiny
     (band, bucket, doc) rows; verification uses broadcast term sets."""
-    sigs = ds.map_batches(
-        MinHashSignatures,
-        fn_constructor_args=(id_col, text_col, num_perm, bands),
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-        concurrency=concurrency,
-    )
+    sigs = _signature_ds(ds, id_col, text_col, num_perm, bands)
 
     def _bucket_pairs(g: pa.Table) -> pa.Table:
         ids = np.sort(np.asarray(g.column(id_col).to_pylist(), dtype=np.int64))
@@ -283,13 +293,7 @@ def minhash_dedup(
     set (≤ bands × n_docs after dedup, independent of clique sizes). Keep
     policy: the minimum doc id of each cluster survives.
     """
-    sigs = ds.map_batches(
-        MinHashSignatures,
-        fn_constructor_args=(id_col, text_col, num_perm, bands),
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-        concurrency=concurrency,
-    )
+    sigs = _signature_ds(ds, id_col, text_col, num_perm, bands)
 
     def _star_edges(g: pa.Table) -> pa.Table:
         ids = np.sort(np.asarray(g.column(id_col).to_pylist(), dtype=np.int64))
