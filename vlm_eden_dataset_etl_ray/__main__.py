@@ -76,6 +76,12 @@ def cmd_compact(args) -> dict:
     return {"epoch": m.epoch, "kind": m.kind, "rows": m.total_rows()}
 
 
+def cmd_vacuum(args) -> dict:
+    from vlm_eden_dataset_etl_ray import lake
+
+    return lake.vacuum(args.lake, keep_epochs=args.keep_epochs)
+
+
 def cmd_status(args) -> dict:
     from vlm_eden_dataset_etl_ray import manifest as mf
 
@@ -134,6 +140,9 @@ def main(argv=None) -> int:
     add("tail", cmd_tail, **{"--lake": {"required": True},
                              "--changelog": {"required": True, "nargs": 1}})
     add("compact", cmd_compact, **{"--lake": {"required": True}})
+    add("vacuum", cmd_vacuum, **{"--lake": {"required": True},
+                                 "--keep-epochs": {"type": int, "default": 2,
+                                                   "dest": "keep_epochs"}})
     add("status", cmd_status, **{"--lake": {"required": True}})
     add("scan", cmd_scan, **{"--lake": {"required": True}, "--out": {"required": True},
                              "--columns": {"default": None}})

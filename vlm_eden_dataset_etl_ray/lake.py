@@ -151,6 +151,45 @@ def snapshot(lake_dir: str, **kwargs) -> pa.Table:
     return t.sort_by(spec.key) if spec.key in t.column_names else t
 
 
+def vacuum(lake_dir: str, keep_epochs: int = 2) -> dict:
+    """Garbage-collect data files referenced by NO manifest among the last
+    ``keep_epochs`` manifests (older manifests are dropped too). Readers of
+    retained epochs keep snapshot isolation — their manifests' files are
+    never touched. Returns {files_removed, bytes_removed, manifests_removed}.
+    """
+    epochs = mf.list_epochs(lake_dir)
+    if not epochs:
+        return {"files_removed": 0, "bytes_removed": 0, "manifests_removed": 0}
+    keep = set(epochs[-max(1, keep_epochs):])
+    live: set[str] = set()
+    for e in keep:
+        m = mf.load(lake_dir, e)
+        for pid in m.partitions:
+            live.update(os.path.abspath(f) for f in m.files(pid))
+    removed_files = 0
+    removed_bytes = 0
+    for sub in ("staging", "base"):
+        root = os.path.join(lake_dir, sub)
+        if not os.path.isdir(root):
+            continue
+        for dirpath, _dirs, files in os.walk(root, topdown=False):
+            for f in files:
+                p = os.path.abspath(os.path.join(dirpath, f))
+                if p.endswith(".parquet") and p not in live:
+                    removed_bytes += os.path.getsize(p)
+                    os.remove(p)
+                    removed_files += 1
+            if not os.listdir(dirpath):
+                os.rmdir(dirpath)
+    removed_manifests = 0
+    for e in epochs:
+        if e not in keep:
+            os.remove(os.path.join(lake_dir, mf.MANIFEST_DIR, f"epoch={e:010d}.json"))
+            removed_manifests += 1
+    return {"files_removed": removed_files, "bytes_removed": removed_bytes,
+            "manifests_removed": removed_manifests}
+
+
 def compact(lake_dir: str, *, spec: TableSpec = TOKENS_SPEC) -> mf.Manifest:
     """Fold each partition's base+deltas into a single new base file and
     commit a ``compaction`` manifest. Tombstones are dropped (nothing older
