@@ -103,13 +103,17 @@ def scan(
     live_only: bool = True,
     manifest: mf.Manifest | None = None,
     predicate=None,
+    asof_epoch: int | None = None,
 ) -> rd.Dataset:
     """Streaming merge-on-read scan of the latest committed snapshot.
 
     Returns a Dataset with one block per partition; downstream transforms
     stream with backpressure as usual. ``predicate`` is a function
     ``pa.Table -> pa.BooleanArray`` applied AFTER the LWW merge (filtering
-    before the merge would resurrect older row versions)."""
+    before the merge would resurrect older row versions). ``asof_epoch``
+    time-travels to that committed epoch's snapshot (must not be vacuumed)."""
+    if manifest is None and asof_epoch is not None:
+        manifest = mf.load(lake_dir, asof_epoch)
     m = manifest or mf.latest(lake_dir)
     if m is None:
         return rd.from_items([])
