@@ -598,6 +598,17 @@ def q_knn_ivf_topk(sf_dir):
     return out.map_batches(lambda t: _round_col(t, "cosine", 4), batch_format="pyarrow")
 
 
+def q_train_test_split(sf_dir):
+    """Deterministic hash-based split assignment over documents (rows-only:
+    the hash is engine-internal; determinism/disjointness asserted in
+    pytest)."""
+    from vlm_eden_dataset_etl_ray.functions.text import deterministic_split
+    from vlm_eden_dataset_etl_ray.sources.parquet import read_table
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id"])
+    return deterministic_split(ds, "doc_id", test_frac=0.1)
+
+
 def q_tokens_replay_synthetic(sf_dir):
     """Synthetic tokenized changelog (FIXTURES F2) through the full engine:
     out-of-order + duplicates + tombstones + mid-stream schema change."""
@@ -659,6 +670,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_id_docs": q_lang_id_docs,
         "knn_ivf_topk": q_knn_ivf_topk,
         "tokens_replay_synthetic": q_tokens_replay_synthetic,
+        "train_test_split": q_train_test_split,
     }
 
 

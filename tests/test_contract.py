@@ -105,3 +105,13 @@ def test_minhash_dedup_clusters_cover_exact_pairs():
     assert len(kept) < clusters.num_rows  # some dups were actually collapsed
     for d, r in rep.items():
         assert r <= d
+
+
+def test_train_test_split_deterministic_and_disjoint():
+    t1 = to_table(entry_mod.queries()["train_test_split"](SF_DIR))
+    t2 = to_table(entry_mod.queries()["train_test_split"](SF_DIR))
+    assert t1.sort_by("doc_id").equals(t2.sort_by("doc_id"))  # rerun-stable
+    splits = dict(zip(t1.column("doc_id").to_pylist(), t1.column("split").to_pylist()))
+    assert set(splits.values()) <= {"train", "test"}
+    frac = sum(1 for v in splits.values() if v == "test") / len(splits)
+    assert 0.02 <= frac <= 0.25  # ~10% at n=500

@@ -142,6 +142,30 @@ def fingerprint(ds: rd.Dataset, text_col: str = "text") -> rd.Dataset:
     return ds.map_batches(_fp, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def deterministic_split(
+    ds: rd.Dataset, key_col: str, test_frac: float = 0.1, seed: int = 0,
+    out_col: str = "split",
+) -> rd.Dataset:
+    """Deterministic train/test assignment by key hash: the same key lands
+    in the same split on every run, machine, and shard layout (unlike
+    row-order sampling) — the property training pipelines need so documents
+    never leak across splits when data is re-sharded. Vectorized; no
+    shuffle."""
+    threshold = np.uint64(int(test_frac * (1 << 64)))
+
+    def _assign(t: pa.Table) -> pa.Table:
+        from vlm_eden_dataset_etl_ray.functions.hashing import hash_strings
+
+        col = t.column(key_col)
+        if not (pa.types.is_string(col.type) or pa.types.is_large_string(col.type)):
+            col = col.cast(pa.string())
+        h = hash_strings(col, seed=seed)
+        split = np.where(h < threshold, "test", "train")
+        return t.append_column(out_col, pa.array(split))
+
+    return ds.map_batches(_assign, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def coalesce_clean(ds: rd.Dataset, col: str, default: str, out_col: str) -> rd.Dataset:
     """T3/T9: trim + nullif('') + coalesce(default) — the reference's name
     backfill (sync/modalities.py:120-125) and technician-name cleaning
