@@ -130,7 +130,12 @@ class PrepareAndSpill(PrepareBatch):
             os.makedirs(d, exist_ok=True)
             path = os.path.join(d, f"slice-{uuid.uuid4().hex}.parquet")
             tmp = path + ".tmp"
-            pq.write_table(part, tmp, compression="lz4")
+            # tokenized payloads are high-entropy; lz4 is cheap insurance for
+            # disk-backed shuffle dirs, NONE wins on tmpfs — env-selectable
+            pq.write_table(
+                part, tmp,
+                compression=os.environ.get("VLM_EDEN_SLICE_COMPRESSION", "lz4"),
+            )
             os.replace(tmp, path)
             lsns = part.column(self.spec.order)
             metas.append(
