@@ -65,3 +65,22 @@ def test_vacuum_keeps_recent_epochs_readable(tmp_path):
     assert mf.list_epochs(lake_dir) == [2, 3]
     again = lake.snapshot(lake_dir, manifest=mf.load(lake_dir, 2))
     assert again.equals(snap2)  # snapshot isolation for retained epochs
+
+
+def test_training_stream_covers_lake_and_shuffles(tmp_path):
+    p, lake_dir = _setup(tmp_path)
+    exp = oracle.final_state(p)
+    seen = []
+    total = 0
+    for b in lake.training_stream(lake_dir, batch_size=64, shuffle_seed=7):
+        assert set(b.column_names) == {"doc_id", "tokens", "n_tok"}
+        assert b.num_rows <= 64
+        seen += b.column("doc_id").to_pylist()
+        total += b.num_rows
+    assert total == exp.num_rows
+    assert sorted(seen) == sorted(exp.column("doc_id").to_pylist())  # full coverage, no dups
+    # a different seed yields a different order (overwhelmingly likely)
+    order2 = []
+    for b in lake.training_stream(lake_dir, batch_size=64, shuffle_seed=99):
+        order2 += b.column("doc_id").to_pylist()
+    assert order2 != seen

@@ -155,7 +155,11 @@ def main(argv=None) -> int:
                                                   "dest": "schema_change_at"}})
 
     args = ap.parse_args(argv)
-    out = args.fn(args)
+    try:
+        out = args.fn(args)
+    except FileNotFoundError as e:
+        print(json.dumps({"error": "not_found", "detail": str(e)}), file=sys.stderr)
+        return 1
     print(json.dumps(out))
     try:
         import ray

@@ -159,29 +159,59 @@ def events_table(pl_: dict[str, np.ndarray], lsns: np.ndarray, p: ChangelogParam
     return pa.table(cols)
 
 
-def write_changelog(out_dir: str, p: ChangelogParams) -> list[str]:
+def _write_shard(out_dir: str, pl_: dict, lsns: np.ndarray, p: ChangelogParams,
+                 shard_idx: int) -> list[str]:
+    files: list[str] = []
+    vers = pl_["schema_ver"][lsns]
+    for v in sorted(np.unique(vers)):
+        sub = lsns[vers == v]
+        t = events_table(pl_, sub, p, int(v))
+        path = os.path.join(out_dir, f"shard-{shard_idx:04d}-v{int(v)}.parquet")
+        pq.write_table(t, path)
+        files.append(path)
+    return files
+
+
+def write_changelog(out_dir: str, p: ChangelogParams, parallel: bool | None = None) -> list[str]:
     """Write the delivery stream as ``n_shards`` parquet shard groups under
     ``out_dir``. A shard containing both schema versions is split into
     physically distinct ``-v1`` / ``-v2`` files (old files genuinely carry
     the old schema, so readers must unify — the evolution path under test).
 
-    Returns the list of file paths in delivery order.
+    Shard payload synthesis is embarrassingly parallel (each shard is a pure
+    function of the broadcast plan arrays + its LSN slice); when a Ray
+    session exists (and the stream is big enough to matter) shards are
+    generated by Ray tasks against a `ray.put` copy of the plan. Output is
+    bit-identical to the serial path. Returns file paths in delivery order.
     """
     os.makedirs(out_dir, exist_ok=True)
     pl_ = plan(p)
     order = delivery_order(p)
-    shards = np.array_split(order, p.n_shards)
+    shards = [s for s in np.array_split(order, p.n_shards) if len(s)]
+
+    if parallel is None:
+        try:
+            import ray
+
+            parallel = ray.is_initialized() and p.n_events >= 200_000
+        except ImportError:  # pragma: no cover
+            parallel = False
+
+    if parallel:
+        import ray
+
+        plan_ref = ray.put(pl_)
+
+        @ray.remote
+        def _gen(i: int, lsns: np.ndarray) -> list[str]:
+            return _write_shard(out_dir, ray.get(plan_ref), lsns, p, i)
+
+        parts = ray.get([_gen.remote(i, s) for i, s in enumerate(shards)])
+        return [f for fs in parts for f in fs]
+
     files: list[str] = []
     for i, lsns in enumerate(shards):
-        if len(lsns) == 0:
-            continue
-        vers = pl_["schema_ver"][lsns]
-        for v in sorted(np.unique(vers)):
-            sub = lsns[vers == v]
-            t = events_table(pl_, sub, p, int(v))
-            path = os.path.join(out_dir, f"shard-{i:04d}-v{int(v)}.parquet")
-            pq.write_table(t, path)
-            files.append(path)
+        files += _write_shard(out_dir, pl_, lsns, p, i)
     return files
 
 

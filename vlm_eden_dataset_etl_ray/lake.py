@@ -155,6 +155,31 @@ def snapshot(lake_dir: str, **kwargs) -> pa.Table:
     return t.sort_by(spec.key) if spec.key in t.column_names else t
 
 
+def training_stream(
+    lake_dir: str,
+    *,
+    spec: TableSpec = TOKENS_SPEC,
+    columns: list[str] | None = None,
+    batch_size: int = 1024,
+    shuffle_seed: int | None = 0,
+    local_shuffle_buffer: int = 16384,
+):
+    """Consume the converged lake as a stream of training batches: merge-on-
+    read scan → randomized block order → windowed local shuffle →
+    ``iter_batches``. This is the end-consumer path for the tokenized
+    sequences (epoch-level global `random_shuffle` would be an extra
+    all-to-all; block-order + buffer shuffling is the streaming-friendly
+    approximation training loaders use)."""
+    ds = scan(lake_dir, spec=spec, columns=columns or [spec.key, "tokens", "n_tok"])
+    ds = ds.randomize_block_order(seed=shuffle_seed)
+    return ds.iter_batches(
+        batch_size=batch_size,
+        batch_format="pyarrow",
+        local_shuffle_buffer_size=local_shuffle_buffer,
+        local_shuffle_seed=shuffle_seed,
+    )
+
+
 def vacuum(lake_dir: str, keep_epochs: int = 2) -> dict:
     """Garbage-collect data files referenced by NO manifest among the last
     ``keep_epochs`` manifests (older manifests are dropped too). Readers of
