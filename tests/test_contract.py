@@ -115,3 +115,32 @@ def test_train_test_split_deterministic_and_disjoint():
     assert set(splits.values()) <= {"train", "test"}
     frac = sum(1 for v in splits.values() if v == "test") / len(splits)
     assert 0.02 <= frac <= 0.25  # ~10% at n=500
+
+
+def test_ngram_shingles_window_correctly(duck):
+    """ngram>1 shingling: n-word docs yield n-k+1 shingles (incomplete tail
+    windows dropped), and bigram Jaccard pairs match a DuckDB oracle."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from vlm_eden_dataset_etl_ray.functions.dedup import (_term_hash_sets,
+                                                          ngram_jaccard_pairs)
+
+    ds = rd.from_arrow(pa.table({"doc_id": [1], "text": ["a b c d"]}))
+    for n, expected in ((2, 3), (3, 2)):
+        out = to_table(_term_hash_sets(ds, "doc_id", "text", ngram=n))
+        assert len(out.column("__terms")[0].as_py()) == expected
+
+    docs = rd.read_parquet(f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"])
+    got = ngram_jaccard_pairs(docs, "doc_id", "text", 0.6, ngram=2)
+    exp = duck.sql("""
+        with t as (select doc_id,
+                   list_distinct(list_transform(range(len(string_split(text,' '))-1),
+                       i -> string_split(text,' ')[i+1] || ' ' || string_split(text,' ')[i+2])) w
+                   from documents)
+        select count(*) n from (
+            select cast(len(list_intersect(a.w,b.w)) as double)
+                   / len(list_distinct(list_concat(a.w,b.w))) j
+            from t a join t b on a.doc_id < b.doc_id) where j >= 0.6
+    """).fetchone()[0]
+    assert got.num_rows == exp

@@ -65,7 +65,8 @@ def _term_hash_sets(ds: rd.Dataset, id_col: str, text_col: str, ngram: int = 1):
         s = pl.from_arrow(t.column(text_col).combine_chunks())
         words = s.str.split(" ")
         if ngram > 1:
-            # character-insensitive word n-grams via windowed join
+            # word n-grams via windowed concat; incomplete tail windows
+            # concat to null (concat_str propagates nulls) and are dropped
             words = (
                 s.str.split(" ")
                 .list.eval(
@@ -73,7 +74,7 @@ def _term_hash_sets(ds: rd.Dataset, id_col: str, text_col: str, ngram: int = 1):
                         [pl.element().shift(-i) for i in range(ngram)], separator=" "
                     )
                 )
-                .list.head(-1 * (ngram - 1))
+                .list.drop_nulls()
             )
         hashes = words.list.eval(pl.element().hash(seed=3)).list.unique().list.sort()
         return pa.table(
