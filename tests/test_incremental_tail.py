@@ -36,7 +36,8 @@ def test_tail_applies_only_new_shards(tmp_path):
     for f in files[2:5]:
         shutil.copy(f, tail_dir)
     m2 = run_incremental(lake_dir, tail_dir)
-    assert m2.epoch == 2 and len(m2.applied_inputs) == 3
+    # lineage is cumulative: 2 shards from wave 1 + 3 new ones
+    assert m2.epoch == 2 and len(m2.applied_inputs) == 5
 
     for f in files[5:]:
         shutil.copy(f, tail_dir)
@@ -49,11 +50,10 @@ def test_tail_applies_only_new_shards(tmp_path):
     assert snap.sort_by("doc_id").select(["doc_id", "tokens", "lsn"]).equals(
         exp.sort_by("doc_id").select(["doc_id", "tokens", "lsn"])
     )
-    # every source shard applied exactly once across the three epochs
-    applied = []
-    for e in mf.list_epochs(lake_dir):
-        applied += mf.load(lake_dir, e).applied_inputs
-    assert sorted(os.path.basename(f) for f in applied) == sorted(
+    # every source shard applied exactly once: the latest manifest's
+    # CUMULATIVE lineage lists each shard once, across exactly three epochs
+    assert len(m3.applied_epoch_ids) == 3
+    assert sorted(os.path.basename(f) for f in m3.applied_inputs) == sorted(
         os.listdir(tail_dir)
     )
 

@@ -39,7 +39,7 @@ import ray.data as rd
 
 from vlm_eden_dataset_etl_ray import manifest as mf
 from vlm_eden_dataset_etl_ray import schema as sch
-from vlm_eden_dataset_etl_ray.functions.hashing import partition_ids
+from vlm_eden_dataset_etl_ray.functions.hashing import HASH_FN, partition_ids
 from vlm_eden_dataset_etl_ray.spec import TableSpec, TOKENS_SPEC
 from vlm_eden_dataset_etl_ray.stages import lww
 
@@ -207,11 +207,27 @@ def _epoch_id_of(files: list[str]) -> str:
 
 
 def _already_applied(lake_dir: str, epoch_id: str) -> mf.Manifest | None:
-    for e in mf.list_epochs(lake_dir):
-        m = mf.load(lake_dir, e)
-        if epoch_id in m.applied_epoch_ids:
-            return mf.latest(lake_dir)
+    # Lineage is cumulative: the latest manifest carries every applied epoch
+    # id since lake creation (and survives vacuum of older manifests), so one
+    # membership check suffices — no O(epochs) manifest scan per apply.
+    m = mf.latest(lake_dir)
+    if m is not None and epoch_id in m.applied_epoch_ids:
+        return m
     return None
+
+
+def check_hash_fn(m: mf.Manifest | None) -> None:
+    """Fail fast when the lake was written with a different key→partition
+    hash implementation than the one active in this process (library swap or
+    algorithm revision): continuing would split keys across partitions and
+    surface duplicate rows per key at merge-on-read."""
+    if m is not None and m.hash_fn and m.hash_fn != HASH_FN:
+        raise RuntimeError(
+            f"lake partition-hash mismatch: manifest epoch {m.epoch} was written "
+            f"with hash_fn={m.hash_fn!r} but this process computes {HASH_FN!r}. "
+            "Pin the original environment or rewrite the lake (full compaction "
+            "under the old hash, then re-partition)."
+        )
 
 
 def _stateless_stage(batch: pa.Table, *, stage_cls, target, spec, extra) -> pa.Table:
@@ -350,7 +366,8 @@ def apply_epoch(
         if prev is not None:
             return prev
         m = mf.Manifest(epoch=epoch or 1, num_partitions=spec.num_partitions,
-                        schema_version=1, kind="delta", partitions={})
+                        schema_version=1, kind="delta", partitions={},
+                        hash_fn=HASH_FN)
         mf.commit(lake_dir, m)
         return m
     epoch_id = _epoch_id_of(changelog_files)
@@ -359,6 +376,7 @@ def apply_epoch(
         return done
 
     prev = mf.latest(lake_dir)
+    check_hash_fn(prev)
     if epoch is None:
         epoch = (prev.epoch + 1) if prev else 1
     if mf.is_committed(lake_dir, epoch):
@@ -469,14 +487,19 @@ def apply_epoch(
             st.applied_lsn_ranges = mf.merge_ranges(
                 st.applied_lsn_ranges, int(r["min_lsn"]), int(r["max_lsn"])
             )
+        # cumulative lineage: base's full history + this epoch's inputs, so
+        # the newest manifest alone survives vacuum as the exactly-once record
+        prior_ids = list(base.applied_epoch_ids) if base else []
+        prior_inputs = list(base.applied_inputs) if base else []
         return mf.Manifest(
             epoch=at_epoch,
             num_partitions=spec.num_partitions,
             schema_version=schema_version,
             kind="delta",
             partitions=parts,
-            applied_epoch_ids=[epoch_id],
-            applied_inputs=sorted(changelog_files),
+            applied_epoch_ids=prior_ids + [epoch_id],
+            applied_inputs=sorted(set(prior_inputs) | set(changelog_files)),
+            hash_fn=HASH_FN,
         )
 
     # Race-safe publish: if another driver commits our epoch number first,

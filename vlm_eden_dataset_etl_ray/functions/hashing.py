@@ -2,16 +2,32 @@
 
 The partition function replaces the reference's per-tenant fan-out
 (``/root/reference/cron_tasks.py:84-86``): parallelism unit = hash partition
-of the key, not tenant. The hash must be deterministic across processes and
-sessions (manifests record partition ids; a resume in a new process must map
-keys to the same partitions), so we use polars' seeded ahash (stable for a
-fixed polars version / seed) with a pandas fallback.
+of the key, not tenant. Manifests record partition ids, so a resume in a new
+process — possibly under different library versions — MUST map keys to the
+same partitions or keys silently split across partitions (duplicate rows per
+key at merge-on-read).
+
+Strategy: polars' ahash is the fast path (single Rust pass; ~1000× faster
+than any numpy per-byte kernel on this host), but it is only stable per
+polars build — so the ACTIVE hash implementation is fingerprinted by a
+canary (hash a fixed probe set, digest the result). :data:`HASH_FN` is
+recorded in every lake manifest and ``apply_epoch`` / ``lake.scan`` fail
+fast on a mismatch instead of corrupting the lake. A silent change of
+polars' algorithm — even under an unchanged version string — changes the
+canary digest and is caught. Without polars, a self-contained numpy
+polynomial hash (``poly64/v1``, version-independent by construction) is
+used; its fingerprint never matches an ahash lake, so mixing the two also
+fails fast. The old pandas ``hash_array`` fallback (different hashes,
+silently) is gone.
 """
 
 from __future__ import annotations
 
+import hashlib
+
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 try:
     import polars as pl
@@ -20,30 +36,115 @@ try:
 except ImportError:  # pragma: no cover
     _HAVE_POLARS = False
 
+_FNV_PRIME = np.uint64(0x100000001B3)
 
-def hash_strings(values, seed: int = 0) -> np.ndarray:
-    """Vectorized uint64 hash of a string array.
 
-    ``values`` may be a pyarrow Array/ChunkedArray, numpy object array, or
-    list of str. Returns uint64 ndarray of the same length.
-    """
+# ---------------------------------------------------------------------------
+# Fallback: self-contained vectorized polynomial hash (version-independent)
+# ---------------------------------------------------------------------------
+
+
+def _mix64(x):
+    """splitmix64 finalizer — full-avalanche bijection on uint64."""
+    x = (x + np.uint64(0x9E3779B97F4A7C15)) & np.uint64(0xFFFFFFFFFFFFFFFF)
+    x = x ^ (x >> np.uint64(30))
+    x = (x * np.uint64(0xBF58476D1CE4E5B9)) & np.uint64(0xFFFFFFFFFFFFFFFF)
+    x = x ^ (x >> np.uint64(27))
+    x = (x * np.uint64(0x94D049BB133111EB)) & np.uint64(0xFFFFFFFFFFFFFFFF)
+    return x ^ (x >> np.uint64(31))
+
+
+def _string_buffers(arr: pa.Array) -> tuple[np.ndarray, np.ndarray]:
+    """(byte data, absolute offsets[n+1]) views of a string/binary array."""
+    if pa.types.is_large_string(arr.type) or pa.types.is_large_binary(arr.type):
+        off_dtype = np.int64
+    else:
+        off_dtype = np.int32
+    bufs = arr.buffers()
+    offsets = np.frombuffer(bufs[1], dtype=off_dtype)[arr.offset: arr.offset + len(arr) + 1]
+    data = np.frombuffer(bufs[2], dtype=np.uint8) if bufs[2] is not None else np.empty(0, np.uint8)
+    return data, offsets.astype(np.int64)
+
+
+def _poly_hash_strings(arr: pa.Array, seed: int) -> np.ndarray:
+    """h_i = sum_j (byte_j + 1) * P^(end_i-1-j) mod 2^64, splitmix-finalized
+    with length and seed. All O(total_bytes) work is numpy kernels."""
+    data, offsets = _string_buffers(arr)
+    n = len(offsets) - 1
+    lengths = np.diff(offsets)
+    lo, hi = int(offsets[0]), int(offsets[-1])
+    total = hi - lo
+    if total == 0:
+        h = np.zeros(n, dtype=np.uint64)
+    else:
+        maxlen = int(lengths.max())
+        pw = np.empty(maxlen, dtype=np.uint64)
+        pw[0] = 1
+        if maxlen > 1:
+            np.cumprod(np.full(maxlen - 1, _FNV_PRIME, dtype=np.uint64), out=pw[1:])
+        ends_per_byte = np.repeat(offsets[1:], lengths)
+        exp = ends_per_byte - 1 - np.arange(lo, hi, dtype=np.int64)
+        contrib = (data[lo:hi].astype(np.uint64) + np.uint64(1)) * pw[exp]
+        starts = np.minimum(offsets[:-1] - lo, total - 1)  # reduceat-safe
+        h = np.add.reduceat(contrib, starts)
+        h[lengths == 0] = np.uint64(0)
+    seed_mix = _mix64(np.uint64(seed & 0xFFFFFFFFFFFFFFFF) + np.uint64(0xA5A5A5A5A5A5A5A5))
+    return _mix64(h ^ (lengths.astype(np.uint64) * _FNV_PRIME) ^ seed_mix)
+
+
+# ---------------------------------------------------------------------------
+# Public API
+# ---------------------------------------------------------------------------
+
+
+def _as_hashable_array(values) -> pa.Array:
     if isinstance(values, pa.ChunkedArray):
         values = values.combine_chunks()
-    if _HAVE_POLARS:
-        if isinstance(values, pa.Array):
-            s = pl.from_arrow(values)
-        else:
-            s = pl.Series(values)
-        return s.hash(seed=seed).to_numpy()
-    import pandas as pd  # pragma: no cover - fallback path
+    if not isinstance(values, pa.Array):
+        values = pa.array(list(values), type=pa.string())
+    if not (pa.types.is_string(values.type) or pa.types.is_large_string(values.type)
+            or pa.types.is_binary(values.type) or pa.types.is_large_binary(values.type)):
+        values = values.cast(pa.string())
+    if values.null_count:
+        fill = b"" if (pa.types.is_binary(values.type)
+                       or pa.types.is_large_binary(values.type)) else ""
+        values = pc.fill_null(values, fill)
+    return values
 
-    if isinstance(values, pa.Array):
-        values = values.to_numpy(zero_copy_only=False)
-    return pd.util.hash_array(np.asarray(values, dtype=object))
+
+def hash_strings(values, seed: int = 0) -> np.ndarray:
+    """Vectorized uint64 hash of a string array (implementation =
+    :data:`HASH_FN`; see module docstring for the stability contract).
+
+    ``values`` may be a pyarrow Array/ChunkedArray, numpy object array, or
+    list of str. Nulls hash like empty strings. Returns uint64 ndarray.
+    """
+    arr = _as_hashable_array(values)
+    if _HAVE_POLARS:
+        return pl.from_arrow(arr).hash(seed=seed & 0xFFFFFFFFFFFFFFFF).to_numpy()
+    return _poly_hash_strings(arr, seed)
+
+
+def _hash_fixed_width(arr: pa.Array, seed: int) -> np.ndarray:
+    """Hash a numeric/temporal/bool column by mixing its 64-bit bit pattern
+    (cast through int64/float64 first so equal values of different physical
+    widths hash equal)."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    if arr.null_count:
+        arr = pc.fill_null(arr, pc.cast(pa.scalar(0), arr.type))
+    if pa.types.is_floating(arr.type):
+        bits = arr.cast(pa.float64()).to_numpy(zero_copy_only=False).view(np.uint64)
+    else:
+        bits = arr.cast(pa.int64()).to_numpy(zero_copy_only=False).view(np.uint64)
+    seed_mix = _mix64(np.uint64(seed & 0xFFFFFFFFFFFFFFFF) + np.uint64(0xA5A5A5A5A5A5A5A5))
+    return _mix64(bits ^ seed_mix)
 
 
 def partition_ids(keys, num_partitions: int, seed: int = 0) -> np.ndarray:
-    """pid = hash(key) % P as int32 (P is fixed per lake, manifest-recorded)."""
+    """pid = hash(key) % P as int32 (P is fixed per lake; the hash
+    implementation is fingerprinted as :data:`HASH_FN` in the manifest and
+    validated on every resume)."""
     return (hash_strings(keys, seed=seed) % np.uint64(num_partitions)).astype(np.int32)
 
 
@@ -52,14 +153,29 @@ def content_hash(table: pa.Table, columns: list[str], seed: int = 0) -> np.ndarr
     acc = np.zeros(table.num_rows, dtype=np.uint64)
     for i, c in enumerate(columns):
         col = table.column(c)
-        if pa.types.is_string(col.type) or pa.types.is_large_string(col.type):
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        if (pa.types.is_string(col.type) or pa.types.is_large_string(col.type)
+                or pa.types.is_binary(col.type) or pa.types.is_large_binary(col.type)):
             h = hash_strings(col, seed=seed + i)
         else:
-            if _HAVE_POLARS:
-                h = pl.from_arrow(col.combine_chunks()).hash(seed=seed + i).to_numpy()
-            else:  # pragma: no cover
-                import pandas as pd
-
-                h = pd.util.hash_array(col.to_numpy(zero_copy_only=False))
-        acc = acc * np.uint64(1099511628211) + h.astype(np.uint64)
+            h = _hash_fixed_width(col, seed=seed + i)
+        acc = acc * _FNV_PRIME + h
     return acc
+
+
+def _fingerprint() -> str:
+    """Canary fingerprint of the ACTIVE hash implementation: hash a fixed
+    probe set (several seeds, incl. empty + multibyte strings) and digest the
+    resulting bytes. Any change to the underlying algorithm — polars swap,
+    ahash revision, fallback engagement — yields a different fingerprint."""
+    probe = pa.array(["", "a", "doc1", "doc12345678901234567890", "naïve-ключ-鍵"])
+    parts = [hash_strings(probe, seed=s).tobytes() for s in (0, 1, 31337)]
+    digest = hashlib.sha256(b"".join(parts)).hexdigest()[:12]
+    family = "ahash" if _HAVE_POLARS else "poly64"
+    return f"{family}/{digest}"
+
+
+#: Fingerprint of the partition-hash implementation, recorded in manifests
+#: and validated on resume (see :func:`vlm_eden_dataset_etl_ray.apply.apply_epoch`).
+HASH_FN = _fingerprint()

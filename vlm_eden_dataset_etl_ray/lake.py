@@ -197,11 +197,25 @@ def vacuum(lake_dir: str, keep_epochs: int = 2) -> dict:
             live.update(os.path.abspath(f) for f in m.files(pid))
     removed_files = 0
     removed_bytes = 0
+    max_committed = max(keep)
     for sub in ("staging", "base"):
         root = os.path.join(lake_dir, sub)
         if not os.path.isdir(root):
             continue
         for dirpath, _dirs, files in os.walk(root, topdown=False):
+            # An apply_epoch may be in flight concurrently: its staging /
+            # shuffle files live under staging/epoch=K with K greater than
+            # any committed epoch and are referenced by NO manifest yet —
+            # deleting them would let that epoch publish a manifest pointing
+            # at vanished files. Skip epoch dirs newer than the last commit.
+            rel = os.path.relpath(dirpath, root)
+            top = rel.split(os.sep, 1)[0]
+            if top.startswith("epoch="):
+                try:
+                    if int(top[len("epoch="):]) > max_committed:
+                        continue
+                except ValueError:
+                    pass
             for f in files:
                 p = os.path.abspath(os.path.join(dirpath, f))
                 if p.endswith(".parquet") and p not in live:
@@ -279,7 +293,13 @@ def compact(lake_dir: str, *, spec: TableSpec = TOKENS_SPEC) -> mf.Manifest:
         schema_version=m.schema_version,
         kind="compaction",
         partitions=parts,
-        applied_epoch_ids=[],
+        # lineage is cumulative: compaction rewrites files but the applied
+        # input record must survive (vacuum drops old manifests; without
+        # this, every applied shard would be re-applied on the next poll and
+        # compaction's tombstone-drop would resurrect deleted rows)
+        applied_epoch_ids=list(m.applied_epoch_ids),
+        applied_inputs=list(m.applied_inputs),
+        hash_fn=m.hash_fn,
     )
     mf.commit(lake_dir, out)
     return out

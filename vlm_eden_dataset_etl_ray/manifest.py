@@ -70,8 +70,16 @@ class Manifest:
     schema_version: int
     kind: str  # "delta" | "compaction"
     partitions: dict[int, PartitionState]
-    applied_epoch_ids: list[str] = field(default_factory=list)  # input batch ids applied
-    applied_inputs: list[str] = field(default_factory=list)  # input FILES of this epoch
+    # CUMULATIVE lineage: every applied input-batch id / input file since lake
+    # creation, carried forward into each new manifest (delta AND compaction)
+    # so the latest manifest alone is a complete exactly-once record that
+    # survives vacuum() of older manifests.
+    applied_epoch_ids: list[str] = field(default_factory=list)
+    applied_inputs: list[str] = field(default_factory=list)
+    # Fingerprint of the key→partition hash implementation (see
+    # functions.hashing.HASH_FN). Validated on resume: a different active
+    # hash would silently split keys across partitions.
+    hash_fn: str = ""
 
     def files(self, pid: int) -> list[str]:
         st = self.partitions.get(pid)
@@ -90,6 +98,7 @@ class Manifest:
             "kind": self.kind,
             "applied_epoch_ids": self.applied_epoch_ids,
             "applied_inputs": self.applied_inputs,
+            "hash_fn": self.hash_fn,
             "partitions": [self.partitions[k].to_json() for k in sorted(self.partitions)],
         }
 
@@ -100,6 +109,7 @@ class Manifest:
             schema_version=d["schema_version"], kind=d["kind"],
             applied_epoch_ids=list(d.get("applied_epoch_ids", [])),
             applied_inputs=list(d.get("applied_inputs", [])),
+            hash_fn=d.get("hash_fn", ""),
             partitions={p["pid"]: PartitionState.from_json(p) for p in d["partitions"]},
         )
 

@@ -49,7 +49,9 @@ def _derive_batch(t: pa.Table, with_tokens: bool) -> pa.Table:
     cols: dict[str, pa.Array] = {
         "lsn": pa.array(ev),
         "op": pa.array(np.where(et == "error", "delete", "upsert")),
-        "doc_id": pa.array(np.char.add("doc", uid.astype("U8"))),
+        # U20 fits any int64 (19 digits + sign): matches the oracle's
+        # unbounded cast(user_id as varchar) with no silent truncation
+        "doc_id": pa.array(np.char.add("doc", uid.astype("U20"))),
         "n_tok": pa.array(np.floor(val * 100).astype(np.int64)),
         "source": pa.array(et),
     }
@@ -110,9 +112,10 @@ def run_incremental(
         for f in os.listdir(changelog_dir)
         if f.endswith(".parquet")
     )
-    applied: set[str] = set()
-    for e in mf.list_epochs(lake_dir):
-        applied.update(mf.load(lake_dir, e).applied_inputs)
+    # lineage is cumulative (and vacuum-proof): the latest manifest alone
+    # records every input file ever applied
+    latest = mf.latest(lake_dir)
+    applied: set[str] = set(latest.applied_inputs) if latest else set()
     pending = [f for f in all_files if f not in applied]
     if not pending:
         m = mf.latest(lake_dir)

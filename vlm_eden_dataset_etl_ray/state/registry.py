@@ -112,9 +112,17 @@ class SchemaRegistryState:
 
 
 def make_registry_actor(lake_dir: str | None = None):
-    """Create the named singleton registry actor for a lake."""
+    """Create the named singleton registry actor for a lake.
+
+    The name must be a deterministic function of ``lake_dir`` (builtin
+    ``hash`` is randomized per process via PYTHONHASHSEED — two drivers on
+    the same cluster would get two independent "singletons" and the
+    serialized-migration guarantee would be void), so use a sha256 digest."""
+    import hashlib
+
     import ray
 
+    digest = hashlib.sha256((lake_dir or "").encode()).hexdigest()[:16]
     Actor = ray.remote(num_cpus=0)(SchemaRegistryState)
-    return Actor.options(name=f"schema-registry-{abs(hash(lake_dir)) % (1 << 31)}",
+    return Actor.options(name=f"schema-registry-{digest}",
                          get_if_exists=True).remote(lake_dir)
