@@ -562,8 +562,9 @@ def q_minhash_near_dupes(sf_dir):
 
 
 def q_minhash_dedup_docs(sf_dir):
-    """Near-dup CLUSTERING (star edges + union-find) — the scale path: edge
-    count is bounded by bands×docs regardless of clique sizes."""
+    """Near-dup CLUSTERING — the scale path: star edges bounded by
+    bands×docs regardless of clique sizes, shuffle-join Jaccard verify,
+    distributed connected components (no driver-side corpus state)."""
     from vlm_eden_dataset_etl_ray.functions.dedup import minhash_dedup
     from vlm_eden_dataset_etl_ray.sources.parquet import read_table
 

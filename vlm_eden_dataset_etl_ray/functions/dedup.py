@@ -9,8 +9,8 @@ The reference's dedup is tiny (DISTINCT scans, per-batch natural-key skip —
   one shuffle on the 8-byte hash, never on the payload;
 - MinHash+LSH: signatures per batch (vectorized affine perms) → explode to
   (band, band_hash, doc) rows → groupby band buckets → candidate pairs →
-  exact-Jaccard verify. The bucket groupby is the only shuffle and carries
-  ~bands×docs tiny rows;
+  exact-Jaccard verify via shuffle-joined term sets (no driver/broadcast
+  copy of the corpus) → distributed connected components for clustering;
 - all-pairs n-gram Jaccard / cosine are the *oracle baselines* for tests —
   quadratic, driver-broadcast — not the scale path.
 """
@@ -202,6 +202,62 @@ def _signature_ds(ds, id_col, text_col, num_perm, bands):
     )
 
 
+def _dedup_pairs(cand: rd.Dataset) -> rd.Dataset:
+    """Distinct (doc_a, doc_b) rows via the groupby shuffle (sort-based
+    aggregate — no per-group Python, no driver materialization)."""
+    return (cand.groupby(["doc_a", "doc_b"]).count()
+            .select_columns(["doc_a", "doc_b"]))
+
+
+def _coalesce(ds: rd.Dataset, target_block_bytes: int = 64 * 1024 * 1024,
+              lo: int = 8, hi: int = 512) -> rd.Dataset:
+    """Re-block a MATERIALIZED dataset to ~target_block_bytes per block.
+    Upstream groupbys fragment small datasets into hundreds of tiny blocks
+    and per-block task overhead then dominates every downstream shuffle
+    (measured 5× on the verify joins); data-proportional block counts keep
+    the same code efficient from sf0.001 to 100 TB."""
+    nb = max(lo, min(hi, -(-ds.size_bytes() // target_block_bytes)))
+    if nb < ds.num_blocks():
+        return ds.repartition(nb).materialize()
+    return ds
+
+
+def _verify_pairs(
+    cand: rd.Dataset, prepped: rd.Dataset, id_col: str, threshold: float,
+    num_buckets: int | None = None,
+) -> rd.Dataset:
+    """Exact-Jaccard verification of candidate pairs WITHOUT any driver /
+    broadcast copy of the corpus term sets (the round-1 scale-killer):
+    shuffle-join the pair list to the (doc_id, term-set) table — once on
+    doc_a, once on doc_b — then verify per batch with vectorized polars
+    set-intersection. Each term set crosses the wire O(pairs containing it)
+    times and never aggregates in one object."""
+    from vlm_eden_dataset_etl_ray.functions.relational import hash_join
+
+    ta = prepped.map_batches(
+        lambda t: t.rename_columns(["doc_a", "__ta"]), batch_format="pyarrow")
+    tb = prepped.map_batches(
+        lambda t: t.rename_columns(["doc_b", "__tb"]), batch_format="pyarrow")
+    j = hash_join(cand, ta, "doc_a", "doc_a", how="inner", num_buckets=num_buckets)
+    j = hash_join(j, tb, "doc_b", "doc_b", how="inner", num_buckets=num_buckets)
+
+    def _jac(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t.select(["__ta", "__tb"]))
+        la = df["__ta"].list.len().cast(pl.Int64)
+        lb = df["__tb"].list.len().cast(pl.Int64)
+        inter = df["__ta"].list.set_intersection(df["__tb"]).list.len().cast(pl.Int64)
+        union = la + lb - inter
+        jac = (inter / union).to_numpy()  # int64/int64 → IEEE double, == a/b in SQL
+        keep = pa.array(jac >= threshold)
+        out = pa.table({
+            "doc_a": t.column("doc_a"), "doc_b": t.column("doc_b"),
+            "jaccard": pa.array(jac, pa.float64()),
+        })
+        return out.filter(keep)
+
+    return j.map_batches(_jac, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def minhash_lsh_pairs(
     ds: rd.Dataset,
     id_col: str,
@@ -210,10 +266,12 @@ def minhash_lsh_pairs(
     num_perm: int = 128,
     bands: int = 32,
     concurrency=None,
-) -> pa.Table:
-    """Near-dup candidate pairs via MinHash banding, verified by exact
-    Jaccard ≥ threshold. One shuffle (bucket groupby) over tiny
-    (band, bucket, doc) rows; verification uses broadcast term sets."""
+) -> rd.Dataset:
+    """Near-dup pairs via MinHash banding, verified by exact Jaccard ≥
+    threshold. Shuffles: bucket groupby over tiny (band, bucket, doc) rows,
+    pair-dedup groupby, and the two verify joins — all hash-partitioned,
+    nothing corpus-sized on the driver or in a single broadcast object.
+    Returns a Dataset sorted by (doc_a, doc_b)."""
     sigs = _signature_ds(ds, id_col, text_col, num_perm, bands)
 
     def _bucket_pairs(g: pa.Table) -> pa.Table:
@@ -221,52 +279,21 @@ def minhash_lsh_pairs(
         i, j = np.triu_indices(len(ids), k=1)  # vectorized pair enumeration
         return pa.table({"doc_a": pa.array(ids[i]), "doc_b": pa.array(ids[j])})
 
-    cand = sigs.groupby(["band", "bucket"]).map_groups(
-        _bucket_pairs, batch_format="pyarrow"
-    )
-    cand_t = pa.concat_tables(
-        cand.iter_batches(batch_format="pyarrow", batch_size=None)
-    )
-    if cand_t.num_rows == 0:
-        return pa.table(
+    cand = _coalesce(_dedup_pairs(
+        sigs.groupby(["band", "bucket"]).map_groups(_bucket_pairs, batch_format="pyarrow")
+    ).materialize())  # distributed blocks; bounded by candidate count
+    if cand.count() == 0:
+        return rd.from_arrow(pa.table(
             {"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64()),
              "jaccard": pa.array([], pa.float64())}
-        )
-    cand_t = cand_t.group_by(["doc_a", "doc_b"]).aggregate([])  # dedup pairs
-
-    prepped = _term_hash_sets(ds, id_col, text_col)
-    rows = pa.concat_tables(
-        prepped.iter_batches(batch_format="pyarrow", batch_size=None)
-    )
-    lookup = dict(
-        zip(
-            rows.column(id_col).to_pylist(),
-            [np.asarray(x, dtype=np.uint64) for x in rows.column("__terms").to_pylist()],
-        )
-    )
-    lookup_ref = ray.put(lookup)  # broadcast term sets; verify distributed
-
-    def _verify(batch: pa.Table) -> pa.Table:
-        lk = ray.get(lookup_ref)
-        a = batch.column("doc_a").to_numpy(zero_copy_only=False)
-        b = batch.column("doc_b").to_numpy(zero_copy_only=False)
-        out_a, out_b, out_j = [], [], []
-        for ra, rb in zip(a, b):
-            jac = _jaccard_sorted(lk[ra], lk[rb])
-            if jac >= threshold:
-                out_a.append(int(ra))
-                out_b.append(int(rb))
-                out_j.append(jac)
-        return pa.table(
-            {"doc_a": pa.array(out_a, pa.int64()), "doc_b": pa.array(out_b, pa.int64()),
-             "jaccard": pa.array(out_j, pa.float64())}
-        )
-
-    verified = rd.from_arrow(cand_t).map_batches(
-        _verify, batch_size=8192, batch_format="pyarrow"
-    )
-    out = pa.concat_tables(verified.iter_batches(batch_format="pyarrow", batch_size=None))
-    return out.sort_by([("doc_a", "ascending"), ("doc_b", "ascending")])
+        ))
+    # term sets are reused by both verify joins → materialize once (object-
+    # store resident, spillable; non-candidate docs drop out inside the
+    # inner join, so only candidate term sets survive past the first stage)
+    prepped = _coalesce(_term_hash_sets(ds, id_col, text_col).materialize())
+    nb = max(cand.num_blocks(), prepped.num_blocks())
+    verified = _verify_pairs(cand, prepped, id_col, threshold, num_buckets=nb)
+    return verified.sort(["doc_a", "doc_b"])
 
 
 # ---------------------------------------------------------------------------
@@ -281,19 +308,25 @@ def minhash_dedup(
     threshold: float = 0.8,
     num_perm: int = 128,
     bands: int = 32,
-    concurrency=(1, 4),
-) -> pa.Table:
-    """Near-dup clustering: (doc_id, cluster_rep, is_kept).
+    concurrency=None,
+) -> rd.Dataset:
+    """Near-dup clustering: Dataset of (doc_id, cluster_rep, is_kept).
 
     Where :func:`minhash_lsh_pairs` emits ALL qualifying pairs (quadratic in
     clique size — a boilerplate-heavy corpus produces 10^7+ pairs from 10^3
     docs), this emits per-bucket STAR edges (doc → min-doc of bucket),
-    ≤ bands × docs edges total, verifies them by exact Jaccard
-    (distributed, broadcast term sets), and unions verified edges into
-    clusters. The union-find runs on the driver over a provably small edge
-    set (≤ bands × n_docs after dedup, independent of clique sizes). Keep
-    policy: the minimum doc id of each cluster survives.
+    ≤ bands × docs edges total. Every stage is distributed end-to-end:
+    edges are verified by exact Jaccard via shuffle-joined term sets
+    (:func:`_verify_pairs` — no corpus broadcast), clustered with
+    :func:`~vlm_eden_dataset_etl_ray.functions.graph.connected_components`
+    (per-batch union-find collapse + single-worker-task or log-round label
+    propagation — no driver dict of all doc ids), and isolated docs rejoin
+    as self-clusters through a hash join, never a driver loop. Keep policy:
+    the minimum doc id of each cluster survives.
     """
+    from vlm_eden_dataset_etl_ray.functions.graph import connected_components
+    from vlm_eden_dataset_etl_ray.functions.relational import hash_join
+
     sigs = _signature_ds(ds, id_col, text_col, num_perm, bands)
 
     def _star_edges(g: pa.Table) -> pa.Table:
@@ -304,69 +337,41 @@ def minhash_dedup(
         rep = np.full(len(ids) - 1, ids[0], dtype=np.int64)
         return pa.table({"doc_a": pa.array(rep), "doc_b": pa.array(ids[1:])})
 
-    edges = sigs.groupby(["band", "bucket"]).map_groups(_star_edges, batch_format="pyarrow")
-    edges_t = pa.concat_tables(edges.iter_batches(batch_format="pyarrow", batch_size=None))
-    all_ids_t = pa.concat_tables(
-        ds.select_columns([id_col]).iter_batches(batch_format="pyarrow", batch_size=None)
-    )
-    all_ids = np.unique(np.asarray(all_ids_t.column(id_col).to_pylist(), dtype=np.int64))
+    # NOTE: no pre-verify pair dedup here — a star edge recurs in at most
+    # ``bands`` buckets (measured ~2× at sf0.1), the verify join is dup-
+    # tolerant, and connected_components is idempotent under repeated edges,
+    # so skipping the extra groupby shuffle is a net win.
+    edges = _coalesce(
+        sigs.groupby(["band", "bucket"]).map_groups(_star_edges, batch_format="pyarrow")
+        .materialize())
 
-    if edges_t.num_rows:
-        edges_t = edges_t.group_by(["doc_a", "doc_b"]).aggregate([])
-        prepped = _term_hash_sets(ds, id_col, text_col)
-        rows = pa.concat_tables(
-            prepped.iter_batches(batch_format="pyarrow", batch_size=None)
+    ids_ds = ds.select_columns([id_col])
+    if edges.count():
+        prepped = _coalesce(_term_hash_sets(ds, id_col, text_col).materialize())
+        nb = max(edges.num_blocks(), prepped.num_blocks())
+        verified = _verify_pairs(edges, prepped, id_col, threshold, num_buckets=nb)
+        labels = connected_components(
+            verified.select_columns(["doc_a", "doc_b"]),
+            src="doc_a", dst="doc_b",
+            node_col=id_col, component_col="cluster_rep",
         )
-        lookup = dict(
-            zip(
-                rows.column(id_col).to_pylist(),
-                [np.asarray(x, dtype=np.uint64) for x in rows.column("__terms").to_pylist()],
-            )
-        )
-        lookup_ref = ray.put(lookup)
-
-        def _verify_edges(batch: pa.Table) -> pa.Table:
-            lk = ray.get(lookup_ref)
-            a = batch.column("doc_a").to_numpy(zero_copy_only=False)
-            b = batch.column("doc_b").to_numpy(zero_copy_only=False)
-            keep = np.fromiter(
-                (_jaccard_sorted(lk[x], lk[y]) >= threshold for x, y in zip(a, b)),
-                dtype=bool, count=len(a),
-            )
-            return batch.filter(pa.array(keep))
-
-        verified = rd.from_arrow(edges_t).map_batches(
-            _verify_edges, batch_size=8192, batch_format="pyarrow"
-        )
-        ver_t = pa.concat_tables(verified.iter_batches(batch_format="pyarrow", batch_size=None))
+        joined = hash_join(ids_ds.repartition(nb), labels, id_col, id_col,
+                           how="left", num_buckets=nb)
     else:
-        ver_t = edges_t
+        joined = ids_ds.map_batches(
+            lambda t: t.append_column("cluster_rep", pa.nulls(t.num_rows, pa.int64())),
+            batch_format="pyarrow",
+        )
 
-    # driver union-find over ≤ bands×n verified edges (small by construction)
-    parent = {int(i): int(i) for i in all_ids}
+    def _finalize(t: pa.Table) -> pa.Table:
+        rep = pc.coalesce(t.column("cluster_rep"), t.column(id_col))
+        return pa.table({
+            id_col: t.column(id_col),
+            "cluster_rep": rep,
+            "is_kept": pc.equal(rep, t.column(id_col)),
+        })
 
-    def find(x: int) -> int:
-        while parent[x] != x:
-            parent[x] = parent[parent[x]]
-            x = parent[x]
-        return x
-
-    for a, b in zip(ver_t.column("doc_a").to_pylist(), ver_t.column("doc_b").to_pylist()):
-        ra, rb = find(a), find(b)
-        if ra != rb:
-            if ra < rb:
-                parent[rb] = ra
-            else:
-                parent[ra] = rb
-
-    reps = np.array([find(int(i)) for i in all_ids], dtype=np.int64)
-    return pa.table(
-        {
-            id_col: pa.array(all_ids),
-            "cluster_rep": pa.array(reps),
-            "is_kept": pa.array(all_ids == reps),
-        }
-    )
+    return joined.map_batches(_finalize, batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------

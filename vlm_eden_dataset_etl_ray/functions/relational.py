@@ -406,9 +406,22 @@ def calendar_dim(start: str = "1999-01-01", days: int = 29220) -> rd.Dataset:
 # ---------------------------------------------------------------------------
 # Large×large hash join: when NEITHER side fits a broadcast, co-locate by
 # key hash — tag each side, union, groupby(bucket), join the two sides of
-# each bucket with a pandas merge. One shuffle, B buckets; salt hot keys by
-# raising B (bucket count is the same lever as lake partitions).
+# each bucket in polars (Arrow-native, no pandas float64 null-coercion).
+# One shuffle, B buckets; a bucket is the task-memory unit, so B is derived
+# from the byte estimate when one is available (same lever as lake
+# num_partitions) and from cluster CPUs otherwise. Salt hot keys by raising B.
 # ---------------------------------------------------------------------------
+
+
+def _auto_buckets(bytes_hint: int | None, target_bucket_bytes: int) -> int:
+    """Bucket count: ceil(bytes / target) when the caller can estimate input
+    bytes (a `Dataset.size_bytes()` of a materialized input, parquet file
+    sizes, or a manifest's byte accounting); else 2× cluster CPUs so bucket
+    tasks saturate the cluster. Never below 16 — small-side skew insurance."""
+    if bytes_hint is not None and bytes_hint > 0:
+        return max(16, -(-bytes_hint // target_bucket_bytes))
+    ncpu = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    return max(16, 2 * ncpu)
 
 
 def hash_join(
@@ -417,13 +430,24 @@ def hash_join(
     left_on: str,
     right_on: str,
     how: str = "inner",
-    num_buckets: int = 32,
+    num_buckets: int | None = None,
+    bytes_hint: int | None = None,
+    target_bucket_bytes: int = 256 * 1024 * 1024,
 ) -> rd.Dataset:
     """Explicit partitioned hash join (the portable large×large pattern).
-    Columns of both sides are kept (right join key dropped if names differ
-    are preserved as-is). ``how`` ∈ {"inner", "left"}."""
+    Columns of both sides are kept (a differently-named right key column is
+    preserved, null where unmatched on a left join). ``how`` ∈ {"inner",
+    "left"}. Payload columns may be any Arrow type incl. lists (the
+    per-bucket join runs in polars, zero-copy from Arrow). ``num_buckets``
+    defaults to :func:`_auto_buckets` (pass ``bytes_hint`` = estimated
+    left+right bytes so one bucket ≈ ``target_bucket_bytes``)."""
+    import polars as pl
+
     from vlm_eden_dataset_etl_ray import schema as sch_mod
     from vlm_eden_dataset_etl_ray.functions.hashing import hash_strings
+
+    if num_buckets is None:
+        num_buckets = _auto_buckets(bytes_hint, target_bucket_bytes)
 
     ls = pa.schema(list(zip(left.schema().names, left.schema().types)))
     rs = pa.schema(list(zip(right.schema().names, right.schema().types)))
@@ -454,21 +478,25 @@ def hash_join(
     out_schema = pa.schema([f for i, f in enumerate(out_fields)
                             if f.name not in [x.name for x in out_fields[:i]]])
 
-    def _join_bucket(g: pd.DataFrame):
-        l = g[g["__side"] == "l"][left_cols]
-        r = g[g["__side"] == "r"][right_cols]
-        merged = l.merge(r, left_on=left_on, right_on=right_on,
-                         how=("left" if how == "left" else "inner"))
-        # the tagged union null-filled the other side's columns, which turned
-        # pandas ints into float64 — restore nullable ints before Arrow
-        for f in out_schema:
-            if pa.types.is_integer(f.type) and str(merged[f.name].dtype) == "float64":
-                merged[f.name] = merged[f.name].astype("Int64")
-        return pa.Table.from_pandas(merged[out_schema.names], schema=out_schema,
-                                    preserve_index=False)
+    def _join_bucket(g: pa.Table) -> pa.Table:
+        side = g.column("__side")
+        l = pl.from_arrow(g.filter(pc.equal(side, "l")).select(left_cols))
+        r = pl.from_arrow(g.filter(pc.equal(side, "r")).select(right_cols))
+        if left_on != right_on:
+            # polars coalesces away the right key column; keep a copy so a
+            # left join surfaces null right-keys for unmatched rows (pandas
+            # merge semantics, which the DuckDB oracles follow)
+            r = r.with_columns(pl.col(right_on).alias("__rkeep"))
+        merged = l.join(r, left_on=left_on, right_on=right_on,
+                        how=("left" if how == "left" else "inner"),
+                        coalesce=True)
+        if left_on != right_on:
+            merged = merged.rename({"__rkeep": right_on})
+        out = merged.to_arrow().select(out_schema.names)
+        return out.cast(out_schema)
 
     both = lt.union(rt)
-    return both.groupby("__bucket").map_groups(_join_bucket, batch_format="pandas")
+    return both.groupby("__bucket").map_groups(_join_bucket, batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------
