@@ -186,6 +186,23 @@ def q_event_types_per_user(sf_dir):
     return string_agg_distinct(ds, "user_id", "event_type", "event_types")
 
 
+def q_append_event_types(sf_dir):
+    """K6 APPEND-only sink (the reference's dim_technicians: bare INSERT,
+    dup rows tolerated across syncs — /root/reference/queries/
+    dim_technicians.py:14-29): the events changelog is appended to a lake
+    over 2 epochs with NO key reduce, then read back with the reference's
+    string_agg(DISTINCT … ORDER BY …) aggregate (dim_technicians.py:3-9)
+    plus a per-key row count proving every delivered row was retained."""
+    from vlm_eden_dataset_etl_ray.functions.relational import (
+        grouped_count, hash_join, string_agg_distinct)
+    from vlm_eden_dataset_etl_ray.pipelines.cdc import replay_events_append
+
+    ds = replay_events_append(sf_dir)
+    agg = string_agg_distinct(ds, "doc_id", "source", "event_types")
+    cnt = grouped_count(ds, ["doc_id"], "n_rows")
+    return hash_join(agg, cnt, "doc_id", "doc_id", how="inner")
+
+
 def q_customers_without_recent_orders(sf_dir):
     """The validator's windowed anti-join (S11/D4): keys present on one side
     of a recent window but absent on the other
@@ -265,6 +282,39 @@ def q_daily_event_counts_with_deleted(sf_dir):
     return grouped_count(ds, ["event_date", "event_type"], "n_events")
 
 
+_TZS = ("America/New_York", "Europe/Paris", "Asia/Tokyo", "Australia/Sydney",
+        "America/Los_Angeles", "Asia/Kolkata", "UTC")
+
+
+def q_tz_local_daily_counts(sf_dir):
+    """T7 ROW-DEPENDENT timezone bucketing (the reference computes
+    ``(ts AT TIME ZONE facility_timezone)::date`` with the tz coming from a
+    joined dim, /root/reference/queries/fact_studies.py:101-106): broadcast
+    tz-dim lookup → per-tz-group vectorized local-date conversion →
+    grouped count by (tz, local date)."""
+    from vlm_eden_dataset_etl_ray.functions.relational import (
+        broadcast_left_join, grouped_count)
+    from vlm_eden_dataset_etl_ray.functions.temporal import with_local_date
+    from vlm_eden_dataset_etl_ray.sources.parquet import read_table
+
+    nation = _collect(read_table(sf_dir, "nation", columns=["n_nationkey"]))
+    nk = nation.column("n_nationkey").to_numpy(zero_copy_only=False)
+    dim = pa.table({
+        "n_nationkey": nation.column("n_nationkey"),
+        "tz": pa.array([_TZS[int(k) % len(_TZS)] for k in nk]),
+    })
+    ev = _events(sf_dir, columns=["ts", "user_id"])
+
+    def _nk(t: pa.Table) -> pa.Table:
+        uid = t.column("user_id").to_numpy(zero_copy_only=False)
+        return t.append_column("nk", pa.array(uid % 25))
+
+    ds = ev.map_batches(_nk, batch_format="pyarrow", zero_copy_batch=True)
+    ds = broadcast_left_join(ds, dim, "nk", "n_nationkey", ["tz"])
+    ds = with_local_date(ds, "ts", "tz", alias="event_date")
+    return grouped_count(ds, ["tz", "event_date"], "n_events")
+
+
 def q_monthly_order_priority_counts(sf_dir):
     from vlm_eden_dataset_etl_ray.functions.relational import grouped_count
     from vlm_eden_dataset_etl_ray.sources.parquet import read_table
@@ -285,6 +335,18 @@ def q_normalized_documents(sf_dir):
 
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
     return normalize_terms(ds).select_columns(["doc_id", "norm_text"])
+
+
+def q_tenant_slug_schemas(sf_dir):
+    """T6 tenant-slug regex normalization (the reference derives each
+    tenant's schema name as re.sub("[^A-Za-z0-9]+", "", slug) —
+    /root/reference/utils.py:6-12): customer names as the slug corpus."""
+    from vlm_eden_dataset_etl_ray.functions.text import regex_normalize
+    from vlm_eden_dataset_etl_ray.sources.parquet import read_table
+
+    ds = read_table(sf_dir, "customer", columns=["c_custkey", "c_name"])
+    ds = regex_normalize(ds, "c_name", "schema_name")
+    return ds.select_columns(["c_custkey", "schema_name"])
 
 
 def q_cleaned_documents(sf_dir):
@@ -636,14 +698,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "watermark_max": q_watermark_max,
         "latest_event_with_customer": q_latest_event_with_customer,
         "event_types_per_user": q_event_types_per_user,
+        "append_event_types": q_append_event_types,
         "customers_without_recent_orders": q_customers_without_recent_orders,
         "orders_building_segment": q_orders_building_segment,
         "brand_revenue": q_brand_revenue,
         "daily_event_counts": q_daily_event_counts,
         "daily_event_counts_with_deleted": q_daily_event_counts_with_deleted,
         "monthly_order_priority_counts": q_monthly_order_priority_counts,
+        "tz_local_daily_counts": q_tz_local_daily_counts,
         "normalized_documents": q_normalized_documents,
         "cleaned_documents": q_cleaned_documents,
+        "tenant_slug_schemas": q_tenant_slug_schemas,
         "calendar_dim": q_calendar_dim,
         "dedup_exact_documents": q_dedup_exact_documents,
         "ngram_jaccard_dupes": q_ngram_jaccard_dupes,
@@ -721,6 +786,15 @@ def oracle_sql() -> dict[str, str]:
                    array_to_string(list_sort(list(distinct event_type)), ',') as event_types
             from events group by user_id
         """,
+        "append_event_types": """
+            select doc_id,
+                   array_to_string(list_sort(list(distinct source)), ',') as event_types,
+                   count(*) as n_rows
+            from (select 'doc' || cast(user_id as varchar) as doc_id,
+                         event_type as source
+                  from events)
+            group by doc_id
+        """,
         "customers_without_recent_orders": """
             select c_custkey, c_name, c_acctbal from customer
             where c_custkey not in (
@@ -750,6 +824,19 @@ def oracle_sql() -> dict[str, str]:
                    count(*) as n_orders
             from orders group by 1, 2
         """,
+        "tz_local_daily_counts": """
+            with tzmap as (
+                select n_nationkey,
+                       (['America/New_York','Europe/Paris','Asia/Tokyo',
+                         'Australia/Sydney','America/Los_Angeles','Asia/Kolkata',
+                         'UTC'])[(n_nationkey % 7) + 1] as tz
+                from nation)
+            select tz,
+                   cast(timezone(tz, timezone('UTC', ts)) as date) as event_date,
+                   count(*) as n_events
+            from events join tzmap on n_nationkey = user_id % 25
+            group by tz, event_date
+        """,
         "normalized_documents": """
             select doc_id,
                    array_to_string(list_sort(list_distinct(string_split(text, ' '))), ',') as norm_text
@@ -760,6 +847,11 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(nullif(trim(lang), ''), 'und') as lang_clean,
                    upper(source) as source_norm
             from documents
+        """,
+        "tenant_slug_schemas": """
+            select c_custkey,
+                   regexp_replace(c_name, '[^A-Za-z0-9]+', '', 'g') as schema_name
+            from customer
         """,
         "calendar_dim": """
             select cast(d as date) as date_actual,

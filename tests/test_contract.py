@@ -27,6 +27,9 @@ SUBSET = [
     "brand_revenue",
     "daily_event_counts",
     "monthly_order_priority_counts",
+    "tz_local_daily_counts",
+    "append_event_types",
+    "tenant_slug_schemas",
     "normalized_documents",
     "calendar_dim",
     "dedup_exact_documents",

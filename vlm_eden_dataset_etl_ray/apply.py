@@ -91,7 +91,8 @@ class PrepareBatch:
                 self.target = union_schemas([self.target, payload])
                 self._known_ver = int(maxv)
         t = sch.unify_table(batch, self.target)
-        t = lww.keep_last_writer(t, spec.key, spec.order)  # stage-1 (salted) reduce
+        if spec.mode != "append":  # append mode (K6): no key reduce, keep dups
+            t = lww.keep_last_writer(t, spec.key, spec.order)  # stage-1 (salted) reduce
         pid = partition_ids(t.column(spec.key), spec.num_partitions)
         return t.append_column("pid", pa.array(pid))
 
@@ -171,6 +172,14 @@ _META_SCHEMA = pa.schema(
 )
 
 
+def _tombstone_count(t: pa.Table, spec: TableSpec) -> int:
+    if spec.mode == "append" or spec.op_col not in t.column_names:
+        return 0
+    return pc.sum(
+        pc.cast(pc.equal(t.column(spec.op_col), pa.scalar(spec.delete_op)), pa.int64())
+    ).as_py() or 0
+
+
 def _write_partition_delta(group: pa.Table, spec: TableSpec, staging_dir: str) -> pa.Table:
     """Final (stage-2) LWW reduce for one partition + idempotent delta write.
     Tombstones are KEPT in the delta so merge-on-read can mask older base
@@ -182,9 +191,7 @@ def _write_partition_delta(group: pa.Table, spec: TableSpec, staging_dir: str) -
     pq.write_table(t, tmp)
     os.replace(tmp, path)  # stable name → a retried task overwrites itself
     lsns = t.column(spec.order)
-    tomb = pc.sum(
-        pc.cast(pc.equal(t.column(spec.op_col), pa.scalar(spec.delete_op)), pa.int64())
-    ).as_py() or 0
+    tomb = _tombstone_count(t, spec)
     return pa.table(
         {
             "pid": [int(pid)],
@@ -320,9 +327,7 @@ def _merge_slices_and_write(batch: pa.Table, spec: TableSpec, staging_dir: str) 
         pq.write_table(t, tmp)
         os.replace(tmp, path)
         lsns = t.column(spec.order)
-        tomb = pc.sum(
-            pc.cast(pc.equal(t.column(spec.op_col), pa.scalar(spec.delete_op)), pa.int64())
-        ).as_py() or 0
+        tomb = _tombstone_count(t, spec)
         out.append(
             {
                 "pid": pid, "path": path, "rows": t.num_rows,
@@ -332,6 +337,27 @@ def _merge_slices_and_write(batch: pa.Table, spec: TableSpec, staging_dir: str) 
             }
         )
     return pa.Table.from_pylist(out, schema=_META_SCHEMA)
+
+
+def _resolve_schema_version(target: pa.Schema, spec: TableSpec, registry,
+                            prev: mf.Manifest | None) -> int:
+    """Register/validate the target schema BEFORE running the pipeline so a
+    lossy/incompatible input fails fast with nothing staged (the registry
+    actor serializes this, mirroring the reference's locked migrations,
+    cron_tasks.py:54-59)."""
+    payload_names = [
+        n for n in target.names
+        if n not in (spec.order, spec.op_col) and n not in spec.envelope
+    ]
+    payload = pa.schema([target.field(n) for n in payload_names])
+    if registry is not None:
+        return ray.get(registry.find_or_register.remote(payload))
+    schema_version = prev.schema_version if prev else 1
+    for v, known in sch.SCHEMA_VERSIONS.items():
+        if known.equals(payload):
+            schema_version = max(schema_version, v)
+            break
+    return schema_version
 
 
 def apply_epoch(
@@ -398,24 +424,34 @@ def apply_epoch(
             batch_size=batch_size, prepare_concurrency=prepare_concurrency,
         )
 
-    # Register/validate the target schema BEFORE running the pipeline so a
-    # lossy/incompatible input fails fast with nothing staged (the registry
-    # actor serializes this, mirroring the reference's locked migrations,
-    # cron_tasks.py:54-59).
-    payload_names = [
-        n for n in target.names
-        if n not in (spec.order, spec.op_col) and n not in spec.envelope
-    ]
-    payload = pa.schema([target.field(n) for n in payload_names])
-    if registry is not None:
-        schema_version = ray.get(registry.find_or_register.remote(payload))
-    else:
-        schema_version = prev.schema_version if prev else 1
-        for v, known in sch.SCHEMA_VERSIONS.items():
-            if known.equals(payload):
-                schema_version = max(schema_version, v)
-                break
+    schema_version = _resolve_schema_version(target, spec, registry, prev)
+    return _stage_and_commit(
+        lake_dir, ds, spec=spec, schema_version=schema_version, prev=prev,
+        epoch=epoch, epoch_id=epoch_id, input_files=changelog_files,
+        staging_dir=staging_dir, shuffle_dir=shuffle_dir, shuffle=shuffle,
+        stripe_bytes=stripe_bytes,
+    )
 
+
+def _stage_and_commit(
+    lake_dir: str,
+    ds: rd.Dataset,
+    *,
+    spec: TableSpec,
+    schema_version: int,
+    prev: mf.Manifest | None,
+    epoch: int,
+    epoch_id: str,
+    input_files: list[str],
+    staging_dir: str,
+    shuffle_dir: str,
+    shuffle: str,
+    stripe_bytes: int,
+) -> mf.Manifest:
+    """Shared epoch tail: run the prepared dataset's shuffle (file or sort),
+    build the manifest and publish it race-safely. ``ds`` must already be
+    the PREPARED dataset (unified schema, pre-reduced, pid-tagged — or, for
+    the file path, PrepareAndSpill metadata rows)."""
     if shuffle == "file":
         # phase A: spill per-pid slices (tiny metadata rows come back)
         slice_meta = ds.take_all()
@@ -498,7 +534,7 @@ def apply_epoch(
             kind="delta",
             partitions=parts,
             applied_epoch_ids=prior_ids + [epoch_id],
-            applied_inputs=sorted(set(prior_inputs) | set(changelog_files)),
+            applied_inputs=sorted(set(prior_inputs) | set(input_files)),
             hash_fn=HASH_FN,
         )
 
@@ -525,3 +561,60 @@ def apply_epoch(
 
         shutil.rmtree(shuffle_dir, ignore_errors=True)
     return m
+
+
+def apply_epoch_dataset(
+    lake_dir: str,
+    ds: rd.Dataset,
+    *,
+    epoch_id: str,
+    spec: TableSpec = TOKENS_SPEC,
+    registry=None,
+    epoch: int | None = None,
+    batch_size: int = 65536,
+    stripe_bytes: int = 512 * 1024 * 1024,
+) -> mf.Manifest:
+    """Apply a PREPARED-INPUT epoch directly from a Dataset — no scratch
+    write→read round trip for derived changelogs (``replay_events`` /
+    ``run_etl`` previously wrote the enriched changelog to parquet only to
+    re-read it; this path streams it straight into the partition shuffle).
+
+    Exactly-once lineage is keyed on the caller-provided ``epoch_id`` — a
+    content hash of whatever defines the derived input (source file set +
+    transform parameters). Same id ⇒ skipped; the retry/crash story is
+    identical to :func:`apply_epoch` (stable staging names, 2PC manifest).
+    """
+    os.makedirs(lake_dir, exist_ok=True)
+    done = _already_applied(lake_dir, epoch_id)
+    if done is not None:
+        return done
+    prev = mf.latest(lake_dir)
+    check_hash_fn(prev)
+    if epoch is None:
+        epoch = (prev.epoch + 1) if prev else 1
+    if mf.is_committed(lake_dir, epoch):
+        raise FileExistsError(f"epoch {epoch} committed with different inputs")
+
+    staging_dir = os.path.join(lake_dir, "staging", f"epoch={epoch}")
+    shuffle_dir = os.path.join(staging_dir, "shuffle")
+    os.makedirs(staging_dir, exist_ok=True)
+
+    s = ds.schema()
+    target = pa.schema(list(zip(s.names, s.types)))
+    prepared = ds.map_batches(
+        _stateless_stage,
+        fn_kwargs={"stage_cls": PrepareAndSpill, "target": target, "spec": spec,
+                   "extra": (shuffle_dir,)},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        zero_copy_batch=True,
+        max_retries=3,
+        retry_exceptions=True,
+    )
+    schema_version = _resolve_schema_version(target, spec, registry, prev)
+    return _stage_and_commit(
+        lake_dir, prepared, spec=spec, schema_version=schema_version, prev=prev,
+        epoch=epoch, epoch_id=epoch_id, input_files=[f"dataset:{epoch_id}"],
+        staging_dir=staging_dir, shuffle_dir=shuffle_dir, shuffle="file",
+        stripe_bytes=stripe_bytes,
+    )

@@ -1,0 +1,64 @@
+"""Temporal operators: row-dependent timezone-local date bucketing (T7).
+
+The reference buckets every fact timestamp by the FACILITY's timezone —
+``(ts AT TIME ZONE facility_timezone)::date`` ×4 derived columns
+(``/root/reference/queries/fact_studies.py:101-106``): the timezone is a
+row-dependent VALUE from a joined dimension, not a constant. Ray-Data
+shape: the tz column is already on the row (broadcast dim lookup upstream);
+per batch, group rows by the (few) distinct tz values, convert each group
+with vectorized Arrow kernels (`assume_timezone` → instant-preserving cast
+→ `local_timestamp` → `date32`), and scatter results back into row order.
+Cost: O(n_distinct_tz) vectorized passes per batch, no shuffle, no Python
+per row."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data as rd
+
+
+def local_date_array(ts: pa.ChunkedArray | pa.Array, tz: pa.ChunkedArray | pa.Array,
+                     assume: str = "UTC") -> pa.Array:
+    """date32 array: calendar date of each (naive-``assume``) timestamp in
+    its row's timezone. Null tz or null ts → null date."""
+    if isinstance(ts, pa.ChunkedArray):
+        ts = ts.combine_chunks()
+    if isinstance(tz, pa.ChunkedArray):
+        tz = tz.combine_chunks()
+    aware = pc.assume_timezone(ts, assume)
+    unit = ts.type.unit
+    days = np.zeros(len(ts), dtype=np.int32)  # days since epoch
+    valid = np.zeros(len(ts), dtype=bool)
+    enc = pc.dictionary_encode(tz)
+    codes = enc.indices.to_numpy(zero_copy_only=False)
+    for code, zone in enumerate(enc.dictionary.to_pylist()):
+        if zone is None:
+            continue
+        idx = np.flatnonzero(codes == code)
+        if idx.size == 0:
+            continue
+        sub = pc.take(aware, pa.array(idx))
+        local = pc.local_timestamp(sub.cast(pa.timestamp(unit, tz=zone)))
+        d = local.cast(pa.date32()).cast(pa.int32())
+        sub_valid = pc.is_valid(d).to_numpy(zero_copy_only=False)
+        dnp = pc.fill_null(d, 0).to_numpy(zero_copy_only=False).astype(np.int32)
+        days[idx] = dnp
+        valid[idx] = sub_valid
+    return pa.array(days, type=pa.int32(), mask=~valid).cast(pa.date32())
+
+
+def with_local_date(
+    ds: rd.Dataset, ts_col: str, tz_col: str, alias: str = "local_date",
+    assume: str = "UTC",
+) -> rd.Dataset:
+    """Append ``alias`` = date32 of ``ts_col`` in the row's ``tz_col``
+    timezone (reference T7, fact_studies.py:101-106)."""
+
+    def _f(t: pa.Table) -> pa.Table:
+        return t.append_column(alias, local_date_array(t.column(ts_col),
+                                                       t.column(tz_col), assume))
+
+    return ds.map_batches(_f, batch_format="pyarrow", zero_copy_batch=True)

@@ -166,6 +166,22 @@ def deterministic_split(
     return ds.map_batches(_assign, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def regex_normalize(
+    ds: rd.Dataset, col: str, out_col: str,
+    pattern: str = "[^A-Za-z0-9]+", replacement: str = "",
+) -> rd.Dataset:
+    """T6: regex-strip normalization — the reference's tenant-slug →
+    schema-name mapping ``re.sub("[^A-Za-z0-9]+", "", slug)``
+    (/root/reference/utils.py:6-12), vectorized with Arrow's RE2 kernel."""
+
+    def _norm(t: pa.Table) -> pa.Table:
+        v = pc.replace_substring_regex(t.column(col), pattern=pattern,
+                                       replacement=replacement)
+        return t.append_column(out_col, v)
+
+    return ds.map_batches(_norm, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def coalesce_clean(ds: rd.Dataset, col: str, default: str, out_col: str) -> rd.Dataset:
     """T3/T9: trim + nullif('') + coalesce(default) — the reference's name
     backfill (sync/modalities.py:120-125) and technician-name cleaning

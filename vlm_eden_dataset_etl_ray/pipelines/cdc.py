@@ -40,6 +40,13 @@ EVENTS_REPLAY_SPEC = TableSpec(
     name="events_replay", key="doc_id", order="lsn", num_partitions=16, envelope=()
 )
 
+#: K6 append-only sink spec (the reference's dim_technicians: bare INSERT,
+#: duplicate rows per key retained across syncs — queries/dim_technicians.py:14-29)
+EVENTS_APPEND_SPEC = TableSpec(
+    name="events_append", key="doc_id", order="lsn", mode="append",
+    num_partitions=16, envelope=(),
+)
+
 
 def _derive_batch(t: pa.Table, with_tokens: bool) -> pa.Table:
     ev = t.column("event_id").to_numpy(zero_copy_only=False).astype(np.int64)
@@ -126,21 +133,59 @@ def run_incremental(
     )
 
 
+def replay_events_append(
+    sf_dir: str,
+    workdir: str | None = None,
+    columns: list[str] | None = None,
+    n_epochs: int = 2,
+) -> rd.Dataset:
+    """K6: replay the events-derived changelog into an APPEND-mode lake over
+    several epochs (no LWW reduce, no tombstone masking — every delivered
+    row is retained, duplicates per key included) and return the scan."""
+    workdir = workdir or scratch_dir("events_append_")
+    chg_dir = os.path.join(workdir, "chg")
+    lake_dir = os.path.join(workdir, "lake")
+    shutil.rmtree(lake_dir, ignore_errors=True)
+    files = derive_changelog(sf_dir, chg_dir)
+    for i in range(n_epochs):
+        apply_mod.apply_epoch(lake_dir, files[i::n_epochs], spec=EVENTS_APPEND_SPEC)
+    return lake_mod.scan(
+        lake_dir,
+        spec=EVENTS_APPEND_SPEC,
+        columns=columns or ["doc_id", "lsn", "source"],
+    )
+
+
 def replay_events(
     sf_dir: str,
     workdir: str | None = None,
     with_tokens: bool = False,
     columns: list[str] | None = None,
 ) -> rd.Dataset:
-    """Derive the changelog from ``events``, replay it through the engine
-    into a fresh lake under /tmp, and return the merge-on-read scan of the
-    converged state."""
+    """Derive the changelog from ``events`` and replay it through the engine
+    into a fresh lake under /tmp, returning the merge-on-read scan of the
+    converged state. The derived changelog streams STRAIGHT into the epoch
+    apply (``apply_epoch_dataset`` — no scratch parquet write→read round
+    trip); exactly-once lineage is the content id of (source dir, derivation
+    parameters)."""
+    import hashlib
+
     workdir = workdir or scratch_dir("events_replay_")
-    chg_dir = os.path.join(workdir, "chg")
     lake_dir = os.path.join(workdir, "lake")
     shutil.rmtree(lake_dir, ignore_errors=True)
-    files = derive_changelog(sf_dir, chg_dir, with_tokens=with_tokens)
-    apply_mod.apply_epoch(lake_dir, files, spec=EVENTS_REPLAY_SPEC)
+    ds = read_table(
+        sf_dir, "events", columns=["event_id", "user_id", "event_type", "value"]
+    ).map_batches(
+        _derive_batch,
+        fn_kwargs={"with_tokens": with_tokens},
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    epoch_id = hashlib.sha256(
+        f"events_replay:{os.path.abspath(sf_dir)}:{with_tokens}".encode()
+    ).hexdigest()[:16]
+    apply_mod.apply_epoch_dataset(lake_dir, ds, epoch_id=epoch_id,
+                                  spec=EVENTS_REPLAY_SPEC)
     return lake_mod.scan(
         lake_dir,
         spec=EVENTS_REPLAY_SPEC,

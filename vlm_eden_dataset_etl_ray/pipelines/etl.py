@@ -56,12 +56,15 @@ def snapshot_upsert(
         t = t.append_column("op", pa.array(np.full(len(keys), "insert")))
         return t
 
-    chg_dir = os.path.join(lake_dir, "_snapshot_chg")
-    ds.map_batches(_to_changelog, batch_format="pyarrow").write_parquet(chg_dir)
-    files = sorted(
-        os.path.join(chg_dir, f) for f in os.listdir(chg_dir) if f.endswith(".parquet")
+    import hashlib
+
+    epoch_id = hashlib.sha256(
+        f"snapshot:{table}:{os.path.abspath(sf_dir)}".encode()
+    ).hexdigest()[:16]
+    apply_mod.apply_epoch_dataset(
+        lake_dir, ds.map_batches(_to_changelog, batch_format="pyarrow"),
+        epoch_id=epoch_id, spec=spec,
     )
-    apply_mod.apply_epoch(lake_dir, files, spec=spec)
 
 
 def run_etl(sf_dir: str, warehouse: str | None = None) -> dict[str, str]:
@@ -96,14 +99,17 @@ def run_etl(sf_dir: str, warehouse: str | None = None) -> dict[str, str]:
     chg = ev.map_batches(_derive_keep_uid, batch_format="pyarrow")
     chg = broadcast_left_join(chg, dim_snap, "user_id", "c_custkey", ["c_name"])
 
+    import hashlib
+
     fact_lake = os.path.join(warehouse, "fact_events")
     shutil.rmtree(fact_lake, ignore_errors=True)
-    chg_dir = os.path.join(fact_lake, "_chg")
-    chg.write_parquet(chg_dir)
-    files = sorted(
-        os.path.join(chg_dir, f) for f in os.listdir(chg_dir) if f.endswith(".parquet")
-    )
-    apply_mod.apply_epoch(fact_lake, files, spec=FACT_SPEC)
+    # the enriched changelog streams directly into the epoch apply — no
+    # scratch parquet round trip (the write→read was one extra full-dataset
+    # materialization per epoch)
+    epoch_id = hashlib.sha256(
+        f"etl_fact:{os.path.abspath(sf_dir)}".encode()
+    ).hexdigest()[:16]
+    apply_mod.apply_epoch_dataset(fact_lake, chg, epoch_id=epoch_id, spec=FACT_SPEC)
     lakes["fact_events"] = fact_lake
     return lakes
 

@@ -39,6 +39,14 @@ class TableSpec:
     #: extra envelope columns dropped from the stored lake rows (the lake
     #: keeps `order` and `op_col` for merge-on-read).
     envelope: tuple[str, ...] = ("schema_ver",)
+    #: "upsert" (default): keyed LWW with tombstones — the reference's
+    #: ON CONFLICT DO UPDATE tables. "append": plain INSERT semantics, no
+    #: key reduce, no tombstone masking, duplicate rows per key retained —
+    #: the reference's dim_technicians sink (queries/dim_technicians.py:14-29
+    #: is a bare INSERT; dups across syncs are tolerated by design). The key
+    #: still drives hash partitioning and the order column still drives
+    #: watermark accounting.
+    mode: str = "upsert"
     #: RESERVED. Hot-key skew is already absorbed by the per-batch LWW
     #: pre-reduce (each batch is an implicit salt bucket: a key occurring k
     #: times in a batch leaves it exactly once, so the exchange carries

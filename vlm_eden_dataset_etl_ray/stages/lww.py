@@ -55,7 +55,10 @@ def keep_first_writer(t: pa.Table, key: str, order: str) -> pa.Table:
 def lww_merge(t: pa.Table, spec: TableSpec) -> pa.Table:
     """Full LWW reduce of an event/row table: one row per key (its max-LSN
     version, tombstones included as rows), with ``spec.insert_only`` columns
-    taken from the min-LSN version instead."""
+    taken from the min-LSN version instead. Append-mode tables (K6) keep
+    every row — the reduce is the identity."""
+    if spec.mode == "append":
+        return t
     winners = keep_last_writer(t, spec.key, spec.order)
     if spec.insert_only and t.num_rows > 1:
         firsts = keep_first_writer(t, spec.key, spec.order)
@@ -70,7 +73,8 @@ def lww_merge(t: pa.Table, spec: TableSpec) -> pa.Table:
 
 def drop_tombstones(t: pa.Table, spec: TableSpec) -> pa.Table:
     """Remove delete markers — merge-on-read's final step (the reference's
-    views filter ``not fs.deleted``, migrations/20230426_01_BozYM.sql:5-11)."""
-    if spec.op_col not in t.column_names:
+    views filter ``not fs.deleted``, migrations/20230426_01_BozYM.sql:5-11).
+    Append-mode tables have no tombstone semantics: every row is kept."""
+    if spec.mode == "append" or spec.op_col not in t.column_names:
         return t
     return t.filter(pc.not_equal(t.column(spec.op_col), pa.scalar(spec.delete_op)))
