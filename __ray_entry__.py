@@ -504,37 +504,49 @@ def q_orders_with_customer_join(sf_dir):
 
 
 def q_user_value_stats(sf_dir):
-    """Grouped min/max/count-distinct per user (reference A-family breadth):
-    per-batch partials, tree-reduce final."""
-    from vlm_eden_dataset_etl_ray.sources.parquet import read_table
+    """Grouped min/max/count/count-distinct per user (reference A-family
+    breadth). The group key is user-cardinality (unbounded at scale), so
+    every stage is a shuffle path: mergeable min/max/count partials →
+    groupby combine, and count-distinct as a two-level groupby (distinct
+    (user, type) pairs, then count per user) — no driver-side set merge."""
+    from ray.data.aggregate import Max, Min, Sum
+
+    from vlm_eden_dataset_etl_ray.functions.relational import hash_join
 
     ds = _events(sf_dir, columns=["user_id", "value", "event_type"])
 
     def _partial(t: pa.Table) -> pa.Table:
         g = t.group_by(["user_id"]).aggregate(
-            [("value", "min"), ("value", "max"), ("event_type", "distinct"),
-             ([], "count_all")]
+            [("value", "min"), ("value", "max"), ([], "count_all")]
         )
-        return g.rename_columns(["user_id", "__min", "__max", "__types", "__n"])
+        return g.rename_columns(["user_id", "__min", "__max", "__n"])
 
     partial = ds.map_batches(_partial, batch_format="pyarrow", zero_copy_batch=True)
-
-    def _combine(t: pa.Table) -> pa.Table:
-        g = t.group_by(["user_id"]).aggregate(
-            [("__min", "min"), ("__max", "max"), ("__n", "sum")]
-        )
-        types: dict[int, set] = {}
-        for u, chunk in zip(t.column("user_id").to_pylist(), t.column("__types").to_pylist()):
-            types.setdefault(u, set()).update(chunk)
-        g = g.rename_columns(["user_id", "min_value", "max_value", "n_events"])
-        g = g.set_column(g.column_names.index("n_events"), "n_events",
-                         g.column("n_events").cast(pa.int64()))
-        nd = pa.array([len(types[u]) for u in g.column("user_id").to_pylist()], pa.int64())
-        return g.append_column("n_event_types", nd)
-
-    return partial.repartition(1).map_batches(
-        _combine, batch_format="pyarrow", batch_size=None
+    stats = (
+        partial.groupby("user_id")
+        .aggregate(Min("__min", alias_name="min_value"),
+                   Max("__max", alias_name="max_value"),
+                   Sum("__n", alias_name="n_events"))
+        .map_batches(lambda t: t.set_column(
+            t.column_names.index("n_events"), "n_events",
+            t.column("n_events").cast(pa.int64())), batch_format="pyarrow")
     )
+
+    def _local_distinct(t: pa.Table) -> pa.Table:
+        return t.select(["user_id", "event_type"]).group_by(
+            ["user_id", "event_type"]).aggregate([])
+
+    ntypes = (
+        ds.map_batches(_local_distinct, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["user_id", "event_type"]).count()
+        .groupby("user_id").count()
+        .map_batches(lambda t: pa.table({
+            "__uid": t.column("user_id"),
+            "n_event_types": t.column("count()").cast(pa.int64())}),
+            batch_format="pyarrow")
+    )
+    return hash_join(stats, ntypes, "user_id", "__uid", how="inner").map_batches(
+        lambda t: t.drop_columns(["__uid"]), batch_format="pyarrow")
 
 
 def q_median_value_per_user(sf_dir):

@@ -172,6 +172,25 @@ _META_SCHEMA = pa.schema(
 )
 
 
+#: Fixed Arrow schema for per-partition work-item datasets. from_items with
+#: dict/list fields leaves Ray unable to hash block schemas ("Failed to hash
+#: the schemas" spam on every task at bench scale); a typed Arrow table
+#: keeps the logs clean and the blocks zero-copy.
+WORK_ITEM_SCHEMA = pa.schema([
+    ("pid", pa.int64()),
+    ("stripe", pa.int64()),
+    ("n_stripes", pa.int64()),
+    ("files", pa.list_(pa.string())),
+])
+
+
+def work_items_dataset(items: list[dict], schema: pa.Schema = WORK_ITEM_SCHEMA) -> rd.Dataset:
+    """One-row-per-task dataset with a FIXED Arrow schema, pre-split so each
+    work item is its own block."""
+    ds = rd.from_arrow(pa.Table.from_pylist(items, schema=schema))
+    return ds.repartition(len(items)) if len(items) > 1 else ds
+
+
 def _tombstone_count(t: pa.Table, spec: TableSpec) -> int:
     if spec.mode == "append" or spec.op_col not in t.column_names:
         return 0
@@ -484,9 +503,7 @@ def _stage_and_commit(
                               "files": sub})
         # phase B: one merge task per partition
         if items:
-            merged = rd.from_items(items)
-            if len(items) > 1:
-                merged = merged.repartition(len(items))
+            merged = work_items_dataset(items)
             meta_rows = merged.map_batches(
                 _merge_slices_and_write,
                 fn_kwargs={"spec": spec, "staging_dir": staging_dir},

@@ -25,7 +25,7 @@ import ray.data as rd
 
 from vlm_eden_dataset_etl_ray import manifest as mf
 from vlm_eden_dataset_etl_ray import schema as sch
-from vlm_eden_dataset_etl_ray.apply import union_schemas
+from vlm_eden_dataset_etl_ray.apply import union_schemas, work_items_dataset
 from vlm_eden_dataset_etl_ray.spec import TableSpec, TOKENS_SPEC
 from vlm_eden_dataset_etl_ray.stages import lww
 
@@ -119,15 +119,13 @@ def scan(
         return rd.from_items([])
     out_schema = _output_schema(m, spec, columns, live_only)
     items = [
-        {"pid": pid, "files": m.files(pid)}
+        {"pid": pid, "stripe": 0, "n_stripes": 1, "files": m.files(pid)}
         for pid in sorted(m.partitions)
         if m.files(pid)
     ]
     if not items:
         return rd.from_items([])
-    ds = rd.from_items(items)
-    if len(items) > 1:
-        ds = ds.repartition(len(items))
+    ds = work_items_dataset(items)
     return ds.map_batches(
         _merge_read,
         fn_kwargs={
@@ -266,13 +264,11 @@ def compact(lake_dir: str, *, spec: TableSpec = TOKENS_SPEC) -> mf.Manifest:
         return pa.Table.from_pylist(rows)
 
     items = [
-        {"pid": pid, "files": m.files(pid)}
+        {"pid": pid, "stripe": 0, "n_stripes": 1, "files": m.files(pid)}
         for pid in sorted(m.partitions)
         if m.files(pid)
     ]
-    ds = rd.from_items(items)
-    if len(items) > 1:
-        ds = ds.repartition(len(items))
+    ds = work_items_dataset(items)
     meta = ds.map_batches(_compact_one, batch_size=1, batch_format="pyarrow").take_all()
 
     parts: dict[int, mf.PartitionState] = {}
