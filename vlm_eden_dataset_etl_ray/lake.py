@@ -30,15 +30,37 @@ from vlm_eden_dataset_etl_ray.spec import TableSpec, TOKENS_SPEC
 from vlm_eden_dataset_etl_ray.stages import lww
 
 
+#: Seed of the SECOND (stripe) key hash — must differ from the partition
+#: hash seed (0) so stripes subdivide a partition rather than mirror it.
+STRIPE_SEED = 7
+
+
+def stripe_filter(t: pa.Table, spec: TableSpec, stripe: int, n_stripes: int) -> pa.Table:
+    """Rows of ``t`` whose key belongs to ``stripe`` (of ``n_stripes``).
+    Commutes with the LWW reduce (it partitions by key), so it can be
+    applied before merging."""
+    from vlm_eden_dataset_etl_ray.functions.hashing import partition_ids
+
+    if n_stripes <= 1:
+        return t
+    sid = partition_ids(t.column(spec.key), n_stripes, seed=STRIPE_SEED)
+    return t.filter(pa.array(sid == stripe))
+
+
 def merge_partition_files(
     files: list[str],
     spec: TableSpec,
     *,
     columns: list[str] | None = None,
     live_only: bool = True,
+    stripe: int = 0,
+    n_stripes: int = 1,
 ) -> pa.Table:
-    """Read one partition's files (any mix of schema versions), unify to the
-    widest schema, LWW-reduce, and (optionally) drop tombstones.
+    """Read one partition's (or stripe's) files — any mix of schema
+    versions — unify to the widest schema, LWW-reduce, and (optionally)
+    drop tombstones. With ``n_stripes > 1`` only the ``stripe``'s keys are
+    kept (applied per file, before the merge: stripe membership partitions
+    by key, so it commutes with LWW).
 
     Column pruning is pushed into the parquet read: only ``columns`` plus the
     merge-required envelope (key, order, op) leave storage."""
@@ -49,10 +71,11 @@ def merge_partition_files(
     tables = []
     for f in files:
         if read_cols is None:
-            tables.append(pq.read_table(f))
+            t = pq.read_table(f)
         else:
             avail = set(pq.read_schema(f).names)
-            tables.append(pq.read_table(f, columns=[c for c in read_cols if c in avail]))
+            t = pq.read_table(f, columns=[c for c in read_cols if c in avail])
+        tables.append(stripe_filter(t, spec, stripe, n_stripes))
     target = union_schemas([t.schema for t in tables])
     tables = [sch.unify_table(t, target) for t in tables]
     t = pa.concat_tables(tables) if len(tables) > 1 else tables[0]
@@ -66,12 +89,17 @@ def merge_partition_files(
 
 def _merge_read(batch: pa.Table, spec: TableSpec, columns, live_only: bool,
                 schema: pa.Schema, predicate=None):
-    """One stateless task per partition: manifest-driven read of base+deltas."""
+    """One stateless task per partition STRIPE: manifest-driven read of the
+    stripe's base file(s) plus the partition's deltas (filtered to the
+    stripe's keys)."""
     for row in batch.to_pylist():
         files = list(row["files"])
         if not files:
             continue
-        t = merge_partition_files(files, spec, columns=columns, live_only=live_only)
+        t = merge_partition_files(
+            files, spec, columns=columns, live_only=live_only,
+            stripe=int(row.get("stripe", 0)), n_stripes=int(row.get("n_stripes", 1)),
+        )
         t = sch.unify_table(t, schema)
         if predicate is not None:
             t = t.filter(predicate(t))
@@ -93,6 +121,32 @@ def _output_schema(m: mf.Manifest, spec: TableSpec, columns, live_only, registry
     if columns:
         target = pa.schema([target.field(c) for c in columns])
     return target
+
+
+def _scan_items(m: mf.Manifest) -> list[dict]:
+    """Work items: one per partition, or one per STRIPE for partitions whose
+    manifest records a split layout. A stripe's task reads its own base
+    file(s) plus the partition's deltas (delta files span stripes and are
+    filtered by the stripe hash at read time — deltas are the small
+    between-compactions fraction, the LSM read-amplification tradeoff)."""
+    items: list[dict] = []
+    for pid in sorted(m.partitions):
+        st = m.partitions[pid]
+        if not m.files(pid):
+            continue
+        k = max(1, st.stripe_count)
+        if k == 1:
+            items.append({"pid": pid, "stripe": 0, "n_stripes": 1,
+                          "files": m.files(pid)})
+            continue
+        stripes_of = (st.base_stripes if len(st.base_stripes) == len(st.base)
+                      else [-1] * len(st.base))
+        for s in range(k):
+            fs = [f for f, fstripe in zip(st.base, stripes_of)
+                  if fstripe in (s, -1)] + list(st.deltas)
+            if fs:
+                items.append({"pid": pid, "stripe": s, "n_stripes": k, "files": fs})
+    return items
 
 
 def scan(
@@ -117,12 +171,14 @@ def scan(
     m = manifest or mf.latest(lake_dir)
     if m is None:
         return rd.from_items([])
+    if any(st.stripe_count > 1 for st in m.partitions.values()):
+        # striped reads re-derive stripe membership by hashing keys — refuse
+        # to read under a different hash implementation than wrote the layout
+        from vlm_eden_dataset_etl_ray.apply import check_hash_fn
+
+        check_hash_fn(m)
     out_schema = _output_schema(m, spec, columns, live_only)
-    items = [
-        {"pid": pid, "stripe": 0, "n_stripes": 1, "files": m.files(pid)}
-        for pid in sorted(m.partitions)
-        if m.files(pid)
-    ]
+    items = _scan_items(m)
     if not items:
         return rd.from_items([])
     ds = work_items_dataset(items)
@@ -231,13 +287,34 @@ def vacuum(lake_dir: str, keep_epochs: int = 2) -> dict:
             "manifests_removed": removed_manifests}
 
 
-def compact(lake_dir: str, *, spec: TableSpec = TOKENS_SPEC) -> mf.Manifest:
-    """Fold each partition's base+deltas into a single new base file and
-    commit a ``compaction`` manifest. Tombstones are dropped (nothing older
-    remains to mask). Shuffle-free: one task per partition."""
+def _next_pow2(x: int) -> int:
+    return 1 << max(0, (x - 1).bit_length())
+
+
+def compact(
+    lake_dir: str,
+    *,
+    spec: TableSpec = TOKENS_SPEC,
+    stripe_target_bytes: int = 1 << 30,
+) -> mf.Manifest:
+    """Fold each partition's base+deltas into fresh base files and commit a
+    ``compaction`` manifest. Tombstones are dropped (nothing older remains
+    to mask). Shuffle-free: one task per partition STRIPE.
+
+    Partition-split story: a partition whose byte size exceeds
+    ``stripe_target_bytes`` is split into the next power-of-two number of
+    key-hash stripes (recorded in the manifest), so both this compaction's
+    task unit AND every later merge-on-read task is bounded by the stripe
+    target, not the partition's lifetime growth. When the stripe count is
+    unchanged from the previous layout, each task reads only its own stripe
+    file + deltas; a re-stripe (count changed — rare, geometric growth)
+    reads the whole partition per stripe with a stripe filter."""
     m = mf.latest(lake_dir)
     if m is None:
         raise FileNotFoundError(f"no committed manifest under {lake_dir}")
+    from vlm_eden_dataset_etl_ray.apply import check_hash_fn
+
+    check_hash_fn(m)
     epoch = m.epoch + 1
     base_dir = os.path.join(lake_dir, "base", f"epoch={epoch}")
     os.makedirs(base_dir, exist_ok=True)
@@ -246,8 +323,11 @@ def compact(lake_dir: str, *, spec: TableSpec = TOKENS_SPEC) -> mf.Manifest:
         rows = []
         for row in batch.to_pylist():
             pid, files = int(row["pid"]), list(row["files"])
-            t = merge_partition_files(files, spec, live_only=True)
-            path = os.path.join(base_dir, f"part-{pid:05d}.parquet")
+            s, k = int(row["stripe"]), int(row["n_stripes"])
+            t = merge_partition_files(files, spec, live_only=True,
+                                      stripe=s, n_stripes=k)
+            suffix = f"-s{s:03d}" if k > 1 else ""
+            path = os.path.join(base_dir, f"part-{pid:05d}{suffix}.parquet")
             tmp = f"{path}.tmp-{uuid.uuid4().hex}"
             pq.write_table(t, tmp)
             os.replace(tmp, path)
@@ -255,33 +335,60 @@ def compact(lake_dir: str, *, spec: TableSpec = TOKENS_SPEC) -> mf.Manifest:
             rows.append(
                 {
                     "pid": pid,
+                    "stripe": s,
+                    "n_stripes": k,
                     "path": path,
                     "rows": t.num_rows,
                     "bytes": os.path.getsize(path),
                     "watermark_lsn": -1 if wm is None else int(wm),
                 }
             )
-        return pa.Table.from_pylist(rows)
+        return pa.Table.from_pylist(rows, schema=pa.schema(
+            [("pid", pa.int64()), ("stripe", pa.int64()), ("n_stripes", pa.int64()),
+             ("path", pa.string()), ("rows", pa.int64()), ("bytes", pa.int64()),
+             ("watermark_lsn", pa.int64())]))
 
-    items = [
-        {"pid": pid, "stripe": 0, "n_stripes": 1, "files": m.files(pid)}
-        for pid in sorted(m.partitions)
-        if m.files(pid)
-    ]
+    items: list[dict] = []
+    for pid in sorted(m.partitions):
+        st = m.partitions[pid]
+        files_all = m.files(pid)
+        if not files_all:
+            continue
+        k_new = _next_pow2(-(-max(1, st.bytes) // stripe_target_bytes))
+        if k_new == st.stripe_count and k_new > 1:
+            # stable layout: each stripe reads its own base file + deltas
+            stripes_of = (st.base_stripes if len(st.base_stripes) == len(st.base)
+                          else [-1] * len(st.base))
+            for s in range(k_new):
+                fs = [f for f, fstripe in zip(st.base, stripes_of)
+                      if fstripe in (s, -1)] + list(st.deltas)
+                items.append({"pid": pid, "stripe": s, "n_stripes": k_new, "files": fs})
+        else:
+            for s in range(k_new):
+                items.append({"pid": pid, "stripe": s, "n_stripes": k_new,
+                              "files": files_all})
     ds = work_items_dataset(items)
     meta = ds.map_batches(_compact_one, batch_size=1, batch_format="pyarrow").take_all()
 
-    parts: dict[int, mf.PartitionState] = {}
+    by_pid: dict[int, list[dict]] = {}
     for r in meta:
-        old = m.partitions[int(r["pid"])]
-        parts[int(r["pid"])] = mf.PartitionState(
-            pid=int(r["pid"]),
-            base=[r["path"]],
+        by_pid.setdefault(int(r["pid"]), []).append(r)
+    parts: dict[int, mf.PartitionState] = {}
+    for pid, rows_ in by_pid.items():
+        old = m.partitions[pid]
+        rows_.sort(key=lambda r: int(r["stripe"]))
+        k = int(rows_[0]["n_stripes"])
+        parts[pid] = mf.PartitionState(
+            pid=pid,
+            base=[r["path"] for r in rows_],
             deltas=[],
-            rows=int(r["rows"]),
-            bytes=int(r["bytes"]),
-            watermark_lsn=max(old.watermark_lsn, int(r["watermark_lsn"])),
+            rows=sum(int(r["rows"]) for r in rows_),
+            bytes=sum(int(r["bytes"]) for r in rows_),
+            watermark_lsn=max([old.watermark_lsn]
+                              + [int(r["watermark_lsn"]) for r in rows_]),
             applied_lsn_ranges=[list(x) for x in old.applied_lsn_ranges],
+            stripe_count=k,
+            base_stripes=[int(r["stripe"]) for r in rows_] if k > 1 else [0] * len(rows_),
         )
     out = mf.Manifest(
         epoch=epoch,

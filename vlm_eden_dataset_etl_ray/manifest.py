@@ -42,6 +42,15 @@ class PartitionState:
     bytes: int = 0
     watermark_lsn: int = -1                             # max applied lsn
     applied_lsn_ranges: list[list[int]] = field(default_factory=list)
+    # Partition-split (stripe) layout: a partition whose compacted size
+    # exceeds the stripe target is split by a SECOND key hash into
+    # ``stripe_count`` sub-files, so the merge-on-read / compaction task
+    # unit is the stripe, not the whole partition — partitions no longer
+    # grow without bound as the lake does. ``base_stripes[i]`` is the
+    # stripe id of ``base[i]``; delta files always span every stripe (a
+    # per-stripe read filters them by the stripe hash).
+    stripe_count: int = 1
+    base_stripes: list[int] = field(default_factory=list)
 
     def to_json(self) -> dict[str, Any]:
         return {
@@ -52,6 +61,8 @@ class PartitionState:
             "bytes": self.bytes,
             "watermark_lsn": self.watermark_lsn,
             "applied_lsn_ranges": self.applied_lsn_ranges,
+            "stripe_count": self.stripe_count,
+            "base_stripes": self.base_stripes,
         }
 
     @staticmethod
@@ -60,6 +71,8 @@ class PartitionState:
             pid=d["pid"], base=list(d["base"]), deltas=list(d["deltas"]),
             rows=d["rows"], bytes=d["bytes"], watermark_lsn=d["watermark_lsn"],
             applied_lsn_ranges=[list(r) for r in d["applied_lsn_ranges"]],
+            stripe_count=int(d.get("stripe_count", 1)),
+            base_stripes=[int(x) for x in d.get("base_stripes", [])],
         )
 
 
