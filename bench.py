@@ -42,6 +42,8 @@ BENCH_QUERIES = [
     "user_sessions",
     "asof_latest_order",
     "etl_star_fact",
+    "tz_local_daily_counts",
+    "append_event_types",
 ]
 
 
