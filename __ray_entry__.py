@@ -617,6 +617,54 @@ def q_asof_latest_order(sf_dir):
     return out.select_columns(["event_id", "user_id", "ts", "o_orderkey", "o_orderdate"])
 
 
+def q_asof_latest_order_bucketed(sf_dir):
+    """Both-sides-large as-of join: hash-bucket BOTH sides on the by-key and
+    merge_asof per bucket — the no-broadcast scale path (same semantics and
+    oracle as `asof_latest_order`)."""
+    from vlm_eden_dataset_etl_ray.functions.relational import asof_join_bucketed
+    from vlm_eden_dataset_etl_ray.sources.parquet import read_table
+
+    ev = _events(sf_dir, columns=["event_id", "user_id", "ts"])
+    orders = read_table(sf_dir, "orders",
+                        columns=["o_custkey", "o_orderdate", "o_orderkey"])
+
+    def _dedup_day(t: pa.Table) -> pa.Table:
+        g = t.group_by(["o_custkey", "o_orderdate"]).aggregate([("o_orderkey", "max")])
+        return g.rename_columns(["o_custkey", "o_orderdate", "o_orderkey"])
+
+    # per-batch partial + final combine on the (custkey, date) key: right
+    # side must be tie-free per (key, ts) for a deterministic as-of pick
+    orders = orders.map_batches(_dedup_day, batch_format="pyarrow",
+                                zero_copy_batch=True)
+    orders = orders.groupby(["o_custkey", "o_orderdate"]).max("o_orderkey")
+
+    def _restore(t: pa.Table) -> pa.Table:
+        # Ray's sort-shuffle groupby normalizes the timestamp KEY to [s];
+        # restore [us] so the output dtype matches the oracle
+        t = t.rename_columns(["o_custkey", "o_orderdate", "o_orderkey"])
+        return t.set_column(1, "o_orderdate",
+                            t.column("o_orderdate").cast(pa.timestamp("us")))
+
+    orders = orders.map_batches(_restore, batch_format="pyarrow")
+    out = asof_join_bucketed(
+        ev, orders, "user_id", "o_custkey", "ts", "o_orderdate",
+        ["o_orderkey", "o_orderdate"], num_buckets=16,
+    )
+    return out.select_columns(["event_id", "user_id", "ts", "o_orderkey", "o_orderdate"])
+
+
+def q_hopping_event_counts(sf_dir):
+    """Hopping (sliding) 6h windows every 3h: each event lands in 2 windows
+    (batch-expanding vectorized explode), then a grouped count."""
+    from vlm_eden_dataset_etl_ray.functions.relational import grouped_count
+    from vlm_eden_dataset_etl_ray.functions.temporal import explode_hopping_windows
+
+    ds = _events(sf_dir, columns=["ts", "event_type"])
+    ds = explode_hopping_windows(ds, "ts", size_s=21600, hop_s=10800)
+    ds = ds.map_batches(lambda t: t.drop_columns(["ts"]), batch_format="pyarrow")
+    return grouped_count(ds, ["window_start", "event_type"], "n_events")
+
+
 def q_etl_star_fact(sf_dir):
     """Full multi-table ETL: dim snapshot-upsert → broadcast-enriched fact
     changelog → exactly-once epoch apply → merge-on-read (reference
@@ -671,6 +719,17 @@ def q_knn_ivf_topk(sf_dir):
                          filter=(pc.field("vec_id") < 8))
     out = knn_ivf(emb, queries, k=5)
     return out.map_batches(lambda t: _round_col(t, "cosine", 4), batch_format="pyarrow")
+
+
+def q_stratified_sample_docs(sf_dir):
+    """Per-stratum deterministic sampling (corpus balancing: downsample the
+    dominant language, keep the rest). Rows-only: the hash is
+    engine-internal; rates/determinism asserted in pytest."""
+    from vlm_eden_dataset_etl_ray.functions.sampling import stratified_sample
+    from vlm_eden_dataset_etl_ray.sources.parquet import read_table
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "lang"])
+    return stratified_sample(ds, "lang", {"en": 0.25}, "doc_id", default_frac=1.0)
 
 
 def q_train_test_split(sf_dir):
@@ -742,6 +801,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top10_orders": q_top10_orders,
         "etl_star_fact": q_etl_star_fact,
         "asof_latest_order": q_asof_latest_order,
+        "asof_latest_order_bucketed": q_asof_latest_order_bucketed,
+        "hopping_event_counts": q_hopping_event_counts,
         "minhash_near_dupes": q_minhash_near_dupes,
         "minhash_dedup_docs": q_minhash_dedup_docs,
         "simhash_near_dupes": q_simhash_near_dupes,
@@ -749,6 +810,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_ivf_topk": q_knn_ivf_topk,
         "tokens_replay_synthetic": q_tokens_replay_synthetic,
         "train_test_split": q_train_test_split,
+        "stratified_sample_docs": q_stratified_sample_docs,
     }
 
 
@@ -998,6 +1060,21 @@ def oracle_sql() -> dict[str, str]:
             select e.event_id, e.user_id, e.ts, o.o_orderkey, o.o_orderdate
             from events e asof left join o
               on e.user_id = o.o_custkey and e.ts >= o.o_orderdate
+        """,
+        "asof_latest_order_bucketed": """
+            with o as (
+                select o_custkey, o_orderdate, max(o_orderkey) as o_orderkey
+                from orders group by o_custkey, o_orderdate)
+            select e.event_id, e.user_id, e.ts, o.o_orderkey, o.o_orderdate
+            from events e asof left join o
+              on e.user_id = o.o_custkey and e.ts >= o.o_orderdate
+        """,
+        "hopping_event_counts": """
+            select make_timestamp(cast((floor(epoch(ts) / 10800) - i) * 10800
+                                       as bigint) * 1000000) as window_start,
+                   event_type, count(*) as n_events
+            from events cross join unnest([0, 1]) as t(i)
+            group by 1, 2
         """,
         "etl_star_fact": """
             with chg as (

@@ -204,7 +204,10 @@ def _signature_ds(ds, id_col, text_col, num_perm, bands):
 
 def _dedup_pairs(cand: rd.Dataset) -> rd.Dataset:
     """Distinct (doc_a, doc_b) rows via the groupby shuffle (sort-based
-    aggregate — no per-group Python, no driver materialization)."""
+    aggregate — no per-group Python, no driver materialization). A local
+    per-batch pre-distinct was measured useless here: a pair's duplicates
+    come from DIFFERENT bands, which the (band, bucket) groupby scatters
+    across blocks."""
     return (cand.groupby(["doc_a", "doc_b"]).count()
             .select_columns(["doc_a", "doc_b"]))
 

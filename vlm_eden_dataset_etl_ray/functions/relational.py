@@ -551,6 +551,89 @@ def asof_join_broadcast(
     return ds.map_batches(_asof, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def asof_join_bucketed(
+    left: rd.Dataset,
+    right: rd.Dataset,
+    by_left: str,
+    by_right: str,
+    on_left: str,
+    on_right: str,
+    take_columns: list[str],
+    num_buckets: int | None = None,
+    bytes_hint: int | None = None,
+) -> rd.Dataset:
+    """Both-sides-LARGE as-of join: neither side fits a broadcast, so both
+    are hash-bucketed on the BY key and each bucket merge_asof's its two
+    sides (backward, LEFT join — same semantics as
+    :func:`asof_join_broadcast`). One shuffle; the partitioning assumption
+    is the usual one: a bucket's rows fit one task (raise ``num_buckets``
+    / pass ``bytes_hint`` to hold it). The right side must be tie-free per
+    (key, ts)."""
+    from vlm_eden_dataset_etl_ray import schema as sch_mod
+    from vlm_eden_dataset_etl_ray.functions.hashing import hash_strings
+
+    if num_buckets is None:
+        num_buckets = _auto_buckets(bytes_hint, 256 * 1024 * 1024)
+
+    ls = pa.schema(list(zip(left.schema().names, left.schema().types)))
+    rs = pa.schema(list(zip(right.schema().names, right.schema().types)))
+    overlap = set(ls.names) & set(rs.names)
+    if overlap:
+        raise ValueError(f"column name collision across join sides: {sorted(overlap)}")
+    target = pa.schema(list(ls) + list(rs))
+    out_schema = pa.schema(
+        list(ls) + [rs.field(c) for c in take_columns if c in rs.names])
+
+    def _tag(side: str, key: str):
+        def _f(t: pa.Table) -> pa.Table:
+            k = t.column(key)
+            if not (pa.types.is_string(k.type) or pa.types.is_large_string(k.type)):
+                k = k.cast(pa.string())
+            b = (hash_strings(k) % np.uint64(num_buckets)).astype(np.int32)
+            t = sch_mod.unify_table(t, target)
+            t = t.append_column("__bucket", pa.array(b))
+            return t.append_column("__side", pa.array(np.full(t.num_rows, side)))
+        return _f
+
+    lt = left.map_batches(_tag("l", by_left), batch_format="pyarrow", zero_copy_batch=True)
+    rt = right.map_batches(_tag("r", by_right), batch_format="pyarrow", zero_copy_batch=True)
+    left_cols, right_cols = list(ls.names), list(rs.names)
+
+    def _asof_bucket(g: pa.Table):
+        # split in Arrow so each side converts to pandas WITHOUT the other
+        # side's all-null padding (null int64 → float64 drift breaks
+        # merge_asof's by-key dtype matching when a bucket is one-sided)
+        mask = pc.equal(g.column("__side"), "l")
+        l = g.filter(mask).select(left_cols).to_pandas()
+        r = g.filter(pc.invert(mask)).select(right_cols).to_pandas()
+        r = r.sort_values(on_right, kind="mergesort")
+        l = l.sort_values(on_left, kind="mergesort")
+        r = r[[by_right, on_right] + [c for c in take_columns
+                                      if c not in (by_right, on_right)]]
+        # merge_asof needs IDENTICAL on-key dtypes; mixed temporal units
+        # (timestamp[us] vs date32→[s]) are coerced to a common [us]
+        if pd.api.types.is_datetime64_any_dtype(l[on_left]) and \
+                pd.api.types.is_datetime64_any_dtype(r[on_right]):
+            l = l.assign(**{on_left: l[on_left].astype("datetime64[us]")})
+            r = r.assign(**{on_right: r[on_right].astype("datetime64[us]")})
+        merged = pd.merge_asof(
+            l, r,
+            left_on=on_left, right_on=on_right,
+            left_by=by_left, right_by=by_right,
+        )
+        arrays = []
+        for f in out_schema:
+            col = merged[f.name]
+            if pa.types.is_integer(f.type) and str(col.dtype) == "float64":
+                arrays.append(pa.array(col.astype("Int64"), type=f.type))
+            else:
+                arrays.append(pa.Array.from_pandas(col, type=f.type))
+        return pa.Table.from_arrays(arrays, schema=out_schema)
+
+    both = lt.union(rt)
+    return both.groupby("__bucket").map_groups(_asof_bucket, batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------------------
 # Windowed/session analysis (streaming-shaped; Ray Data has no event-time
 # windows, so windows = per-key map_groups over ts-sorted groups).

@@ -50,6 +50,32 @@ def local_date_array(ts: pa.ChunkedArray | pa.Array, tz: pa.ChunkedArray | pa.Ar
     return pa.array(days, type=pa.int32(), mask=~valid).cast(pa.date32())
 
 
+def explode_hopping_windows(
+    ds: rd.Dataset, ts_col: str, *, size_s: int, hop_s: int,
+    alias: str = "window_start",
+) -> rd.Dataset:
+    """Assign each row to EVERY hopping (sliding) window containing it:
+    windows of ``size_s`` seconds starting every ``hop_s`` seconds
+    (``size_s`` must be a multiple of ``hop_s``; tumbling = size == hop).
+    Each row is replicated size/hop times with its window-start timestamp —
+    the streaming-window shape Ray Data lacks natively, expressed as a
+    batch-expanding vectorized transform + whatever aggregate follows."""
+    if size_s % hop_s:
+        raise ValueError("size_s must be a multiple of hop_s")
+    k = size_s // hop_s
+
+    def _explode(t: pa.Table) -> pa.Table:
+        us = t.column(ts_col).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        base = us // (hop_s * 1_000_000)  # hop index of each row
+        idx = np.repeat(np.arange(len(us)), k)
+        offs = np.tile(np.arange(k, dtype=np.int64), len(us))
+        starts = (np.repeat(base, k) - offs) * (hop_s * 1_000_000)
+        out = t.take(pa.array(idx))
+        return out.append_column(alias, pa.array(starts).cast(pa.timestamp("us")))
+
+    return ds.map_batches(_explode, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def with_local_date(
     ds: rd.Dataset, ts_col: str, tz_col: str, alias: str = "local_date",
     assume: str = "UTC",
