@@ -503,6 +503,51 @@ def q_orders_with_customer_join(sf_dir):
     return hash_join(orders, cust, "o_custkey", "c_custkey", how="inner")
 
 
+def q_order_window_event_counts(sf_dir):
+    """Range (interval) join with an equality key: events within 30 days
+    after each order of the same user (one hash-bucket shuffle + vectorized
+    interval filter), then a grouped count per order."""
+    from vlm_eden_dataset_etl_ray.functions.relational import grouped_count, range_join
+    from vlm_eden_dataset_etl_ray.sources.parquet import read_table
+
+    ev = _events(sf_dir, columns=["user_id", "ts"])
+    orders = read_table(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate"])
+
+    def _window(t: pa.Table) -> pa.Table:
+        end = pc.add(t.column("o_orderdate"),
+                     pa.scalar(30 * 86400 * 1_000_000, type=pa.duration("us")))
+        return t.append_column("o_end", end)
+
+    orders = orders.map_batches(_window, batch_format="pyarrow", zero_copy_batch=True)
+    matched = range_join(ev, orders, "user_id", "o_custkey",
+                         "ts", "o_orderdate", "o_end", closed="left")
+    return grouped_count(matched, ["o_orderkey"], "n_events")
+
+
+def q_running_total_per_customer(sf_dir):
+    """Cumulative windowed aggregate: per-customer running order total in
+    (o_orderdate, o_orderkey) order — the `sum() over (partition by ...
+    order by ...)` shape, as a groupby shuffle + in-group vectorized
+    cumsum. Cents (int64) so the running sum is bit-exact vs the oracle."""
+    from vlm_eden_dataset_etl_ray.functions.relational import running_sum
+    from vlm_eden_dataset_etl_ray.sources.parquet import read_table
+
+    orders = read_table(
+        sf_dir, "orders",
+        columns=["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"])
+
+    def _cents(t: pa.Table) -> pa.Table:
+        c = np.round(t.column("o_totalprice").to_numpy(zero_copy_only=False)
+                     * 100.0).astype(np.int64)
+        return t.drop_columns(["o_totalprice"]).append_column("cents", pa.array(c))
+
+    orders = orders.map_batches(_cents, batch_format="pyarrow", zero_copy_batch=True)
+    out = running_sum(orders, "o_custkey", ["o_orderdate", "o_orderkey"],
+                      "cents", alias="running_cents")
+    return out.select_columns(
+        ["o_orderkey", "o_custkey", "o_orderdate", "cents", "running_cents"])
+
+
 def q_user_value_stats(sf_dir):
     """Grouped min/max/count/count-distinct per user (reference A-family
     breadth). The group key is user-cardinality (unbounded at scale), so
@@ -721,6 +766,55 @@ def q_knn_ivf_topk(sf_dir):
     return out.map_batches(lambda t: _round_col(t, "cosine", 4), batch_format="pyarrow")
 
 
+def q_heavy_hitter_event_types(sf_dir):
+    """Approximate top-k frequent values via mergeable CountMin sketches +
+    per-batch candidate union. At this key cardinality the sketch is
+    collision-free, so the estimates equal exact counts — the oracle checks
+    them exactly (accuracy bounds are pytest-checked at higher cardinality)."""
+    from vlm_eden_dataset_etl_ray.functions.sketches import approx_heavy_hitters
+
+    ds = _events(sf_dir, columns=["event_type"])
+    return approx_heavy_hitters(ds, "event_type", k=5)
+
+
+def q_redacted_documents(sf_dir):
+    """PII scrubbing: chained vectorized RE2 replacements (email/phone/SSN →
+    placeholders). PII is planted deterministically from doc_id so the
+    redaction does real work; both sides run the identical regexes."""
+    from vlm_eden_dataset_etl_ray.functions.text import redact_patterns
+    from vlm_eden_dataset_etl_ray.sources.parquet import read_table
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def _plant(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").cast(pa.string())
+        planted = pc.binary_join_element_wise(
+            pa.array(["contact user"] * t.num_rows), ids,
+            pa.array(["@example.com call 555-123-4567 "] * t.num_rows),
+            t.column("text"), "")
+        return t.drop_columns(["text"]).append_column("text", planted)
+
+    docs = docs.map_batches(_plant, batch_format="pyarrow", zero_copy_batch=True)
+    out = redact_patterns(docs, "text", "clean")
+    return out.select_columns(["doc_id", "clean"])
+
+
+def q_contamination_flags(sf_dir):
+    """Benchmark decontamination: flag documents sharing any 8-gram with a
+    small benchmark set (docs with doc_id < 25). Benchmark n-gram hashes
+    are built once and broadcast; the corpus side streams vectorized."""
+    from vlm_eden_dataset_etl_ray.functions.contamination import (
+        benchmark_ngram_set, flag_contaminated)
+    from vlm_eden_dataset_etl_ray.sources.parquet import read_table
+
+    bench_t = _collect(read_table(sf_dir, "documents", columns=["text"],
+                                  filter=pc.field("doc_id") < 25))
+    bench = benchmark_ngram_set(bench_t.column("text"), n=8)
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    out = flag_contaminated(docs, bench, "text", n=8)
+    return out.select_columns(["doc_id", "contaminated"])
+
+
 def q_stratified_sample_docs(sf_dir):
     """Per-stratum deterministic sampling (corpus balancing: downsample the
     dominant language, keep the rest). Rows-only: the hash is
@@ -803,6 +897,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asof_latest_order": q_asof_latest_order,
         "asof_latest_order_bucketed": q_asof_latest_order_bucketed,
         "hopping_event_counts": q_hopping_event_counts,
+        "order_window_event_counts": q_order_window_event_counts,
+        "running_total_per_customer": q_running_total_per_customer,
         "minhash_near_dupes": q_minhash_near_dupes,
         "minhash_dedup_docs": q_minhash_dedup_docs,
         "simhash_near_dupes": q_simhash_near_dupes,
@@ -811,6 +907,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tokens_replay_synthetic": q_tokens_replay_synthetic,
         "train_test_split": q_train_test_split,
         "stratified_sample_docs": q_stratified_sample_docs,
+        "contamination_flags": q_contamination_flags,
+        "heavy_hitter_event_types": q_heavy_hitter_event_types,
+        "redacted_documents": q_redacted_documents,
     }
 
 
@@ -1075,6 +1174,53 @@ def oracle_sql() -> dict[str, str]:
                    event_type, count(*) as n_events
             from events cross join unnest([0, 1]) as t(i)
             group by 1, 2
+        """,
+        "order_window_event_counts": """
+            select o.o_orderkey, count(*) as n_events
+            from orders o join events e
+              on e.user_id = o.o_custkey
+             and e.ts >= o.o_orderdate
+             and e.ts < o.o_orderdate + interval 30 day
+            group by 1
+        """,
+        "heavy_hitter_event_types": """
+            select event_type, count(*) as approx_count
+            from events group by 1
+            order by approx_count desc, event_type limit 5
+        """,
+        "redacted_documents": """
+            select doc_id,
+                   regexp_replace(regexp_replace(regexp_replace(
+                       'contact user' || cast(doc_id as varchar)
+                           || '@example.com call 555-123-4567 ' || text,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                       '<EMAIL>', 'g'),
+                       '\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b', '<PHONE>', 'g'),
+                       '\\b\\d{3}-\\d{2}-\\d{4}\\b', '<SSN>', 'g') as clean
+            from documents
+        """,
+        "contamination_flags": """
+            with words as (select doc_id, string_split(text, ' ') as w
+                           from documents),
+            grams as (
+                select doc_id, array_to_string(w[i:i+7], ' ') as g
+                from words cross join
+                     unnest(generate_series(1, greatest(len(w) - 7, 0))) as t(i)
+            ),
+            bench as (select distinct g from grams where doc_id < 25),
+            hits as (select distinct gr.doc_id from grams gr join bench using (g))
+            select d.doc_id, (h.doc_id is not null) as contaminated
+            from documents d left join hits h using (doc_id)
+        """,
+        "running_total_per_customer": """
+            select o_orderkey, o_custkey, o_orderdate,
+                   cast(round(o_totalprice * 100) as bigint) as cents,
+                   sum(cast(round(o_totalprice * 100) as bigint)) over (
+                       partition by o_custkey
+                       order by o_orderdate, o_orderkey
+                       rows between unbounded preceding and current row
+                   ) as running_cents
+            from orders
         """,
         "etl_star_fact": """
             with chg as (

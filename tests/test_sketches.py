@@ -6,7 +6,8 @@ import pyarrow as pa
 
 import ray.data as rd
 
-from vlm_eden_dataset_etl_ray.functions.sketches import HyperLogLog, approx_distinct
+from vlm_eden_dataset_etl_ray.functions.sketches import (
+    CountMin, HyperLogLog, approx_distinct, approx_heavy_hitters)
 from vlm_eden_dataset_etl_ray.functions.hashing import hash_strings
 
 
@@ -40,3 +41,35 @@ def test_approx_distinct_vs_exact_on_events():
     for g, est in zip(approx.column("event_type").to_pylist(),
                       approx.column("approx_distinct").to_pylist()):
         assert abs(est - ex[g]) / ex[g] < 0.05, (g, est, ex[g])
+
+
+def test_countmin_merge_and_never_undercounts():
+    rng = np.random.default_rng(11)
+    vals = np.array([f"k{int(z)}" for z in rng.zipf(1.3, 20_000)], dtype=object)
+    h = hash_strings(vals)
+    whole = CountMin().add_hashes(h)
+    merged = CountMin()
+    for part in np.array_split(h, 6):
+        merged.merge(CountMin().add_hashes(part))
+    assert np.array_equal(whole.table, merged.table)
+    uniq, true_counts = np.unique(vals, return_counts=True)
+    est = whole.estimate_hashes(hash_strings(uniq))
+    assert (est >= true_counts).all()  # CM error is one-sided
+    # heavy keys estimated tightly (error bound ~ 2N/w = ~20 here)
+    heavy = true_counts > 100
+    assert (est[heavy] - true_counts[heavy]).max() <= 2 * len(vals) / 2048 + 1
+
+
+def test_approx_heavy_hitters_match_exact_topk():
+    sf = "/root/testdata/sf0.01"
+    ds = rd.read_parquet(f"{sf}/events.parquet", columns=["event_type"])
+    got = approx_heavy_hitters(ds, "event_type", k=5)
+    import duckdb
+
+    exact = duckdb.sql(
+        f"select event_type, count(*) n from '{sf}/events.parquet' "
+        "group by 1 order by n desc, event_type limit 5").arrow()
+    assert got.column("event_type").to_pylist() == exact.column("event_type").to_pylist()
+    est = np.array(got.column("approx_count").to_pylist())
+    true = np.array(exact.column("n").to_pylist())
+    assert (est >= true).all() and (est - true).max() / true.min() < 0.05

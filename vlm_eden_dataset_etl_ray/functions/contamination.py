@@ -1,0 +1,108 @@
+"""Benchmark decontamination: flag documents sharing any word n-gram with a
+benchmark/eval set (the standard training-data hygiene step — e.g. 8-gram
+overlap against held-out test sets).
+
+Scale shape: the benchmark side is SMALL by nature (eval sets are thousands
+of documents), so its n-gram hash set is built once, sorted, and broadcast
+via ``ray.put`` — every task binary-searches against the shared object, no
+shuffle. The corpus side streams: one vectorized pass per batch (polars word
+explode → uint64 word hashes → rolling n-gram combine → ``np.isin``).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import polars as pl
+import pyarrow as pa
+
+import ray
+import ray.data as rd
+
+from vlm_eden_dataset_etl_ray.functions.hashing import hash_strings
+
+# odd multiplier for the rolling positional combine (splitmix64 constant)
+_P = np.uint64(0x9E3779B97F4A7C15)
+
+
+def _word_table(texts: pa.Array | pa.ChunkedArray, sep: str) -> tuple[np.ndarray, np.ndarray]:
+    """(row_idx, word_hash) arrays for all words of all rows, row-major."""
+    s = pl.from_arrow(texts if isinstance(texts, pa.Array) else texts.combine_chunks())
+    df = pl.DataFrame({"row": np.arange(len(s), dtype=np.int64), "w": s.str.split(sep)})
+    ex = df.explode("w")
+    rows = ex.get_column("row").to_numpy()
+    hashes = hash_strings(ex.get_column("w").to_arrow())
+    return rows, hashes
+
+
+def _ngram_hashes(rows: np.ndarray, hashes: np.ndarray, n: int) -> tuple[np.ndarray, np.ndarray]:
+    """Rolling n-gram hashes over the exploded word table. A window is valid
+    only if its n words belong to one row. Returns (window_row, window_hash)."""
+    if len(hashes) < n:
+        return np.empty(0, np.int64), np.empty(0, np.uint64)
+    m = len(hashes) - n + 1
+    combined = np.zeros(m, dtype=np.uint64)
+    mult = np.uint64(1)
+    with np.errstate(over="ignore"):  # uint64 wraparound is the hash design
+        for j in range(n):  # n vectorized passes, not a per-row loop
+            combined += hashes[j:j + m] * mult
+            mult = mult * _P
+    valid = rows[:m] == rows[n - 1:]
+    return rows[:m][valid], combined[valid]
+
+
+def benchmark_ngram_set(
+    texts: pa.Array | pa.ChunkedArray | list[str], n: int = 8, sep: str = " ",
+) -> np.ndarray:
+    """Sorted unique uint64 n-gram hashes of the (small) benchmark corpus."""
+    if isinstance(texts, list):
+        texts = pa.array(texts, type=pa.string())
+    rows, hashes = _word_table(texts, sep)
+    _, grams = _ngram_hashes(rows, hashes, n)
+    return np.unique(grams)
+
+
+def flag_contaminated(
+    ds: rd.Dataset,
+    benchmark: np.ndarray,
+    text_col: str = "text",
+    n: int = 8,
+    sep: str = " ",
+    alias: str = "contaminated",
+) -> rd.Dataset:
+    """Add a bool column: does the document share ≥1 word n-gram with the
+    benchmark set? ``benchmark`` is the sorted hash array from
+    :func:`benchmark_ngram_set` (broadcast once via ``ray.put``)."""
+    ref = ray.put(np.asarray(benchmark, dtype=np.uint64))
+
+    class _Flag:
+        def __init__(self):
+            self.bench = ray.get(ref)  # fetched once per actor, shared-memory read
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            rows, hashes = _word_table(t.column(text_col), sep)
+            wrow, whash = _ngram_hashes(rows, hashes, n)
+            flags = np.zeros(t.num_rows, dtype=bool)
+            if len(whash):
+                hit_rows = wrow[np.isin(whash, self.bench)]
+                flags[np.unique(hit_rows)] = True
+            return t.append_column(alias, pa.array(flags))
+
+    return ds.map_batches(_Flag, batch_format="pyarrow", zero_copy_batch=True,
+                          concurrency=(1, 8))
+
+
+def decontaminate(
+    ds: rd.Dataset,
+    benchmark: np.ndarray,
+    text_col: str = "text",
+    n: int = 8,
+    sep: str = " ",
+) -> rd.Dataset:
+    """Drop contaminated documents (filter form of :func:`flag_contaminated`)."""
+    flagged = flag_contaminated(ds, benchmark, text_col, n, sep, alias="__contam")
+
+    def _drop(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        return t.filter(pc.invert(t.column("__contam"))).drop_columns(["__contam"])
+
+    return flagged.map_batches(_drop, batch_format="pyarrow", zero_copy_batch=True)

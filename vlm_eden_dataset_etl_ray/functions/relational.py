@@ -499,6 +499,39 @@ def hash_join(
     return both.groupby("__bucket").map_groups(_join_bucket, batch_format="pyarrow")
 
 
+def range_join(
+    left: rd.Dataset,
+    right: rd.Dataset,
+    left_on: str,
+    right_on: str,
+    on_col: str,
+    start_col: str,
+    end_col: str,
+    closed: str = "left",
+    num_buckets: int | None = None,
+    bytes_hint: int | None = None,
+) -> rd.Dataset:
+    """Interval (range) join with an equality key — the scalable shape of a
+    range join: rows co-partition by hash(key) (ONE shuffle via
+    :func:`hash_join`), then the interval predicate
+    ``start <= left.on < end`` (``closed='left'``; ``'both'`` makes the end
+    inclusive) filters the per-bucket equality matches vectorized. A pure
+    interval-overlap join with NO equality key would need an interval-tree
+    stage instead; every pipeline in scope keys ranges by an entity id, so
+    that variant is intentionally not built. Inner semantics."""
+    joined = hash_join(left, right, left_on, right_on, how="inner",
+                       num_buckets=num_buckets, bytes_hint=bytes_hint)
+    hi_cmp = pc.less if closed == "left" else pc.less_equal
+
+    def _range(t: pa.Table) -> pa.Table:
+        on = t.column(on_col)
+        lo = pc.greater_equal(on, t.column(start_col))
+        hi = hi_cmp(on, t.column(end_col))
+        return t.filter(pc.and_kleene(lo, hi))
+
+    return joined.map_batches(_range, batch_format="pyarrow", zero_copy_batch=True)
+
+
 # ---------------------------------------------------------------------------
 # As-of join — an operator Ray Data lacks natively. Small right side →
 # broadcast + pd.merge_asof per batch (no shuffle). Both-sides-large →
@@ -653,3 +686,26 @@ def session_counts(
         return pd.DataFrame({key: [g[key].iloc[0]], alias: [int(gaps.sum()) + 1]})
 
     return ds.groupby(key).map_groups(_per_group, batch_format="pandas")
+
+
+def running_sum(
+    ds: rd.Dataset,
+    key: str,
+    order_cols: list[str],
+    value_col: str,
+    alias: str = "running",
+) -> rd.Dataset:
+    """Cumulative windowed aggregate: per-key running sum of ``value_col``
+    in ``order_cols`` order (the `sum(...) over (partition by key order by
+    ...)` shape). One groupby shuffle co-locates each key; the in-group
+    sort + cumsum is vectorized. Make ``order_cols`` a unique ordering
+    (include a tiebreak id) for a deterministic result. Integer values sum
+    exactly; float callers should pre-scale to ints for oracle-exactness."""
+
+    def _per_group(g: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(g, sort_keys=[(c, "ascending") for c in order_cols])
+        g = g.take(idx)
+        vals = g.column(value_col).to_numpy(zero_copy_only=False)
+        return g.append_column(alias, pa.array(np.cumsum(vals)))
+
+    return ds.groupby(key).map_groups(_per_group, batch_format="pyarrow")

@@ -111,3 +111,89 @@ def approx_distinct(
         _merge, batch_format="pyarrow", batch_size=None
     )
     return pa.concat_tables(merged.iter_batches(batch_format="pyarrow", batch_size=None))
+
+
+class CountMin:
+    """Count-min sketch (Cormode & Muthukrishnan): ``d`` rows × ``w``
+    counters, estimate = min over rows. Mergeable by element-wise add —
+    the frequency analog of HLL's registers."""
+
+    def __init__(self, w: int = 2048, d: int = 4):
+        self.w, self.d = w, d
+        self.table = np.zeros((d, w), dtype=np.int64)
+
+    def _row_slots(self, h: np.ndarray, r: int) -> np.ndarray:
+        # row-seeded second hash: cheap independent-enough row functions
+        with np.errstate(over="ignore"):  # uint64 wraparound intended
+            hr = (h * np.uint64(2 * r + 1) + np.uint64(r * 0x9E3779B9)) >> np.uint64(16)
+        return (hr % np.uint64(self.w)).astype(np.int64)
+
+    def add_hashes(self, h: np.ndarray) -> "CountMin":
+        for r in range(self.d):
+            np.add.at(self.table[r], self._row_slots(h, r), 1)
+        return self
+
+    def estimate_hashes(self, h: np.ndarray) -> np.ndarray:
+        est = np.full(len(h), np.iinfo(np.int64).max, dtype=np.int64)
+        for r in range(self.d):
+            est = np.minimum(est, self.table[r][self._row_slots(h, r)])
+        return est
+
+    def merge(self, other: "CountMin") -> "CountMin":
+        self.table += other.table
+        return self
+
+    def to_bytes(self) -> bytes:
+        return self.table.tobytes()
+
+    @classmethod
+    def from_bytes(cls, b: bytes, w: int = 2048, d: int = 4) -> "CountMin":
+        s = cls(w, d)
+        s.table = np.frombuffer(b, dtype=np.int64).reshape(d, w).copy()
+        return s
+
+
+def approx_heavy_hitters(
+    ds: rd.Dataset, column: str, k: int = 10, w: int = 2048, d: int = 4,
+    candidates_per_batch: int = 64,
+) -> pa.Table:
+    """Approximate top-k most frequent values. Each batch emits (a) one
+    CountMin sketch and (b) its local top-``candidates_per_batch`` values;
+    the tiny final stage merges sketches, unions candidates, and ranks the
+    candidates by their CM estimate. A true heavy hitter is a local heavy
+    hitter in enough batches to surface as a candidate, and CM never
+    under-counts — so at k ≪ candidates the result matches exact top-k with
+    high probability, at sketch-sized memory (d·w counters per batch)."""
+
+    def _partial(t: pa.Table) -> pa.Table:
+        col = t.column(column).cast(pa.string())
+        h = hash_strings(col)
+        sk = CountMin(w, d).add_hashes(h)
+        counts = pa.table({"v": col}).group_by("v").aggregate([([], "count_all")])
+        order = np.argsort(-counts.column("count_all").to_numpy())[:candidates_per_batch]
+        cand = counts.column("v").take(pa.array(order)).to_pylist()
+        return pa.table({
+            "__sk": pa.array([sk.to_bytes()], pa.binary()),
+            "__cand": pa.array([cand], pa.list_(pa.string())),
+        })
+
+    partial = ds.map_batches(_partial, batch_format="pyarrow", zero_copy_batch=True)
+
+    def _merge(t: pa.Table) -> pa.Table:
+        sk = CountMin(w, d)
+        cands: set = set()
+        for b, c in zip(t.column("__sk").to_pylist(), t.column("__cand").to_pylist()):
+            sk.merge(CountMin.from_bytes(b, w, d))
+            cands.update(c)
+        vals = sorted(cands)
+        est = sk.estimate_hashes(hash_strings(pa.array(vals, pa.string())))
+        order = np.lexsort((np.array(vals, dtype=object), -est))[:k]
+        return pa.table({
+            column: pa.array([vals[i] for i in order], pa.string()),
+            "approx_count": pa.array(est[order], pa.int64()),
+        })
+
+    merged = partial.repartition(1).map_batches(
+        _merge, batch_format="pyarrow", batch_size=None)
+    return pa.concat_tables(
+        merged.iter_batches(batch_format="pyarrow", batch_size=None))

@@ -194,6 +194,34 @@ def regex_normalize(
     return ds.map_batches(_norm, batch_format="pyarrow", zero_copy_batch=True)
 
 
+# Default PII patterns: RE2-compatible (no backreferences/lookaround), so the
+# same pattern string runs verbatim in Arrow's kernel AND DuckDB's
+# regexp_replace (both RE2).
+PII_PATTERNS: tuple[tuple[str, str], ...] = (
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\b\d{3}[-.]\d{3}[-.]\d{4}\b", "<PHONE>"),
+    (r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
+)
+
+
+def redact_patterns(
+    ds: rd.Dataset, col: str, out_col: str,
+    patterns: tuple[tuple[str, str], ...] = PII_PATTERNS,
+) -> rd.Dataset:
+    """PII scrubbing: sequentially apply (regex → replacement) pairs to a
+    text column — one vectorized RE2 pass per pattern, no Python loop over
+    rows. Patterns apply in order (an earlier replacement can shadow a
+    later match, same as chained regexp_replace in SQL)."""
+
+    def _redact(t: pa.Table) -> pa.Table:
+        v = t.column(col)
+        for pat, repl in patterns:
+            v = pc.replace_substring_regex(v, pattern=pat, replacement=repl)
+        return t.append_column(out_col, v)
+
+    return ds.map_batches(_redact, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def coalesce_clean(ds: rd.Dataset, col: str, default: str, out_col: str) -> rd.Dataset:
     """T3/T9: trim + nullif('') + coalesce(default) — the reference's name
     backfill (sync/modalities.py:120-125) and technician-name cleaning
