@@ -766,6 +766,16 @@ def q_knn_ivf_topk(sf_dir):
     return out.map_batches(lambda t: _round_col(t, "cosine", 4), batch_format="pyarrow")
 
 
+def q_bpe_token_counts(sf_dir):
+    """BPE-ish regex token counting per document (vectorized RE2
+    match-count; the LLM token-budget proxy)."""
+    from vlm_eden_dataset_etl_ray.functions.text import bpe_token_counts
+    from vlm_eden_dataset_etl_ray.sources.parquet import read_table
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return bpe_token_counts(docs, "text").select_columns(["doc_id", "n_bpe_tokens"])
+
+
 def q_heavy_hitter_event_types(sf_dir):
     """Approximate top-k frequent values via mergeable CountMin sketches +
     per-batch candidate union. At this key cardinality the sketch is
@@ -910,6 +920,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "contamination_flags": q_contamination_flags,
         "heavy_hitter_event_types": q_heavy_hitter_event_types,
         "redacted_documents": q_redacted_documents,
+        "bpe_token_counts": q_bpe_token_counts,
     }
 
 
@@ -1182,6 +1193,13 @@ def oracle_sql() -> dict[str, str]:
              and e.ts >= o.o_orderdate
              and e.ts < o.o_orderdate + interval 30 day
             group by 1
+        """,
+        "bpe_token_counts": """
+            select doc_id,
+                   len(regexp_extract_all(text,
+                       ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+|\\s+'))::bigint
+                       as n_bpe_tokens
+            from documents
         """,
         "heavy_hitter_event_types": """
             select event_type, count(*) as approx_count

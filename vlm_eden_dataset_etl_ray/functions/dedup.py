@@ -269,16 +269,34 @@ def minhash_lsh_pairs(
     num_perm: int = 128,
     bands: int = 32,
     concurrency=None,
+    max_bucket: int | None = None,
 ) -> rd.Dataset:
     """Near-dup pairs via MinHash banding, verified by exact Jaccard ≥
     threshold. Shuffles: bucket groupby over tiny (band, bucket, doc) rows,
     pair-dedup groupby, and the two verify joins — all hash-partitioned,
     nothing corpus-sized on the driver or in a single broadcast object.
-    Returns a Dataset sorted by (doc_a, doc_b)."""
+    Returns a Dataset sorted by (doc_a, doc_b).
+
+    Scale contract: the OUTPUT is all qualifying pairs, which is quadratic
+    in clique size — a corpus that is one big near-dup family (e.g. heavy
+    boilerplate) produces O(n²) pairs no matter the algorithm. For dedup at
+    scale use :func:`minhash_dedup` (star edges, ≤ bands × docs rows); use
+    this operator when the pair list itself is the product. ``max_bucket``
+    (optional) skips pair enumeration for buckets larger than the cap and
+    logs how many buckets were truncated — an explicit recall/cost lever,
+    never a silent one."""
     sigs = _signature_ds(ds, id_col, text_col, num_perm, bands)
 
     def _bucket_pairs(g: pa.Table) -> pa.Table:
         ids = np.sort(np.asarray(g.column(id_col).to_pylist(), dtype=np.int64))
+        if max_bucket is not None and len(ids) > max_bucket:
+            import logging
+            logging.getLogger(__name__).warning(
+                "minhash_lsh_pairs: bucket of %d docs exceeds max_bucket=%d; "
+                "pairs from this bucket are DROPPED (use minhash_dedup for "
+                "clique-safe clustering)", len(ids), max_bucket)
+            return pa.table({"doc_a": pa.array([], pa.int64()),
+                             "doc_b": pa.array([], pa.int64())})
         i, j = np.triu_indices(len(ids), k=1)  # vectorized pair enumeration
         return pa.table({"doc_a": pa.array(ids[i]), "doc_b": pa.array(ids[j])})
 

@@ -194,6 +194,27 @@ def regex_normalize(
     return ds.map_batches(_norm, batch_format="pyarrow", zero_copy_batch=True)
 
 
+# BPE-ish pre-tokenizer pattern, RE2-compatible (no lookarounds): a word
+# run, a digit run, a punctuation run (each with optional leading space), or
+# a whitespace run — the GPT-2-style segmentation minus its lookahead rule.
+BPE_TOKEN_PATTERN = r" ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+"
+
+
+def bpe_token_counts(
+    ds: rd.Dataset, text_col: str = "text", alias: str = "n_bpe_tokens",
+    pattern: str = BPE_TOKEN_PATTERN,
+) -> rd.Dataset:
+    """Token counting with a BPE-ish pre-tokenizer regex — one vectorized
+    RE2 match-count per batch (`pc.count_substring_regex`), no Python loop.
+    Proxy for LLM token budgeting where a real BPE vocab isn't loaded."""
+
+    def _count(t: pa.Table) -> pa.Table:
+        n = pc.count_substring_regex(t.column(text_col), pattern=pattern)
+        return t.append_column(alias, n.cast(pa.int64()))
+
+    return ds.map_batches(_count, batch_format="pyarrow", zero_copy_batch=True)
+
+
 # Default PII patterns: RE2-compatible (no backreferences/lookaround), so the
 # same pattern string runs verbatim in Arrow's kernel AND DuckDB's
 # regexp_replace (both RE2).
