@@ -548,6 +548,20 @@ def q_running_total_per_customer(sf_dir):
         ["o_orderkey", "o_custkey", "o_orderdate", "cents", "running_cents"])
 
 
+def q_events_with_customer_skewjoin(sf_dir):
+    """Skew-safe large×large join: hot user keys detected by sampling take
+    a broadcast side-path (no shuffle), cold keys take the bucketed path —
+    identical semantics to a plain hash join, verified by the same oracle."""
+    from vlm_eden_dataset_etl_ray.functions.relational import skew_hash_join
+    from vlm_eden_dataset_etl_ray.sources.parquet import read_table
+
+    ev = _events(sf_dir, columns=["event_id", "user_id"])
+    cust = read_table(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
+    # hot_frac below any real key share → exercises BOTH paths at sf0.01
+    return skew_hash_join(ev, cust, "user_id", "c_custkey", how="inner",
+                          hot_frac=0.01, num_buckets=16)
+
+
 def q_user_value_stats(sf_dir):
     """Grouped min/max/count/count-distinct per user (reference A-family
     breadth). The group key is user-cardinality (unbounded at scale), so
@@ -766,6 +780,16 @@ def q_knn_ivf_topk(sf_dir):
     return out.map_batches(lambda t: _round_col(t, "cosine", 4), batch_format="pyarrow")
 
 
+def q_approx_value_quantiles(sf_dir):
+    """Approximate per-group quantiles via mergeable centroid sketches
+    (rows-only: approximate by design; <5% accuracy vs exact asserted in
+    pytest)."""
+    from vlm_eden_dataset_etl_ray.functions.sketches import approx_quantiles
+
+    ds = _events(sf_dir, columns=["event_type", "value"])
+    return approx_quantiles(ds, "value", qs=(0.5, 0.9, 0.99), group_by="event_type")
+
+
 def q_bpe_token_counts(sf_dir):
     """BPE-ish regex token counting per document (vectorized RE2
     match-count; the LLM token-budget proxy)."""
@@ -909,6 +933,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hopping_event_counts": q_hopping_event_counts,
         "order_window_event_counts": q_order_window_event_counts,
         "running_total_per_customer": q_running_total_per_customer,
+        "events_with_customer_skewjoin": q_events_with_customer_skewjoin,
         "minhash_near_dupes": q_minhash_near_dupes,
         "minhash_dedup_docs": q_minhash_dedup_docs,
         "simhash_near_dupes": q_simhash_near_dupes,
@@ -921,6 +946,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "heavy_hitter_event_types": q_heavy_hitter_event_types,
         "redacted_documents": q_redacted_documents,
         "bpe_token_counts": q_bpe_token_counts,
+        "approx_value_quantiles": q_approx_value_quantiles,
     }
 
 
@@ -1185,6 +1211,10 @@ def oracle_sql() -> dict[str, str]:
                    event_type, count(*) as n_events
             from events cross join unnest([0, 1]) as t(i)
             group by 1, 2
+        """,
+        "events_with_customer_skewjoin": """
+            select e.event_id, e.user_id, c.c_custkey, c.c_mktsegment
+            from events e join customer c on e.user_id = c.c_custkey
         """,
         "order_window_event_counts": """
             select o.o_orderkey, count(*) as n_events

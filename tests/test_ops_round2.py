@@ -9,7 +9,8 @@ import ray.data as rd
 
 from vlm_eden_dataset_etl_ray.functions.contamination import (
     benchmark_ngram_set, decontaminate, flag_contaminated)
-from vlm_eden_dataset_etl_ray.functions.relational import range_join, running_sum
+from vlm_eden_dataset_etl_ray.functions.relational import (
+    range_join, running_sum, skew_hash_join)
 from vlm_eden_dataset_etl_ray.functions.text import redact_patterns
 
 
@@ -57,6 +58,28 @@ def test_running_sum_matches_pandas():
     exp["r"] = exp.groupby("k")["v"].cumsum()
     got = out.sort_values(["k", "o"]).reset_index(drop=True)[["k", "o", "v", "r"]]
     pd.testing.assert_frame_equal(got, exp)
+
+
+def test_skew_hash_join_matches_plain_join():
+    rng = np.random.default_rng(13)
+    # Zipf-hot left: key 0 carries ~60% of rows
+    k = np.where(rng.random(4000) < 0.6, 0, rng.integers(1, 50, 4000))
+    left = pd.DataFrame({"k": k, "x": np.arange(4000)})
+    right = pd.DataFrame({"k2": np.arange(50), "name": [f"n{i}" for i in range(50)]})
+    for how in ("inner", "left"):
+        out = _to_pandas(skew_hash_join(
+            rd.from_pandas(left), rd.from_pandas(right),
+            "k", "k2", how=how, sample_rows=1000, hot_frac=0.2, num_buckets=16))
+        exp = left.merge(right, left_on="k", right_on="k2", how=how)
+        cols = ["k", "x", "k2", "name"]
+        got = out[cols].sort_values(["k", "x"]).reset_index(drop=True)
+        want = exp[cols].sort_values(["k", "x"]).reset_index(drop=True)
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    # explicit hot key list short-circuits detection
+    out2 = _to_pandas(skew_hash_join(
+        rd.from_pandas(left), rd.from_pandas(right),
+        "k", "k2", hot_keys=[0], num_buckets=16))
+    assert len(out2) == len(left.merge(right, left_on="k", right_on="k2"))
 
 
 def test_redact_patterns():

@@ -7,7 +7,8 @@ import pyarrow as pa
 import ray.data as rd
 
 from vlm_eden_dataset_etl_ray.functions.sketches import (
-    CountMin, HyperLogLog, approx_distinct, approx_heavy_hitters)
+    CentroidSketch, CountMin, HyperLogLog, approx_distinct,
+    approx_heavy_hitters, approx_quantiles)
 from vlm_eden_dataset_etl_ray.functions.hashing import hash_strings
 
 
@@ -58,6 +59,42 @@ def test_countmin_merge_and_never_undercounts():
     # heavy keys estimated tightly (error bound ~ 2N/w = ~20 here)
     heavy = true_counts > 100
     assert (est[heavy] - true_counts[heavy]).max() <= 2 * len(vals) / 2048 + 1
+
+
+def test_centroid_sketch_accuracy_and_merge():
+    rng = np.random.default_rng(5)
+    vals = rng.lognormal(0, 1.5, 200_000)
+    whole = CentroidSketch.from_values(vals)
+    merged = CentroidSketch.from_values(np.empty(0))
+    for part in np.array_split(vals, 16):
+        merged.merge(CentroidSketch.from_values(part))
+    for q in (0.1, 0.5, 0.9, 0.99):
+        exact = np.quantile(vals, q)
+        for sk in (whole, merged):
+            # rank error O(1/k) → value error small on a smooth CDF
+            assert abs(sk.quantile(q) - exact) / exact < 0.05, (q, sk.quantile(q), exact)
+
+
+def test_approx_quantiles_per_group_vs_exact():
+    sf = "/root/testdata/sf0.01"
+    ds = rd.read_parquet(f"{sf}/events.parquet", columns=["event_type", "value"])
+    got = approx_quantiles(ds, "value", qs=(0.5, 0.9), group_by="event_type")
+    import duckdb
+
+    exact = duckdb.sql(
+        f"select event_type, quantile_cont(value, 0.5) q50, "
+        f"quantile_cont(value, 0.9) q90 from '{sf}/events.parquet' group by 1"
+    ).arrow()
+    ex = {g: (a, b) for g, a, b in zip(exact.column("event_type").to_pylist(),
+                                       exact.column("q50").to_pylist(),
+                                       exact.column("q90").to_pylist())}
+    for g, q50, q90 in zip(got.column("event_type").to_pylist(),
+                           got.column("q50").to_pylist(),
+                           got.column("q90").to_pylist()):
+        e50, e90 = ex[g]
+        spread = abs(e90) + abs(e50) + 1e-9
+        assert abs(q50 - e50) / spread < 0.05, (g, q50, e50)
+        assert abs(q90 - e90) / spread < 0.05, (g, q90, e90)
 
 
 def test_approx_heavy_hitters_match_exact_topk():

@@ -499,6 +499,88 @@ def hash_join(
     return both.groupby("__bucket").map_groups(_join_bucket, batch_format="pyarrow")
 
 
+def skew_hash_join(
+    left: rd.Dataset,
+    right: rd.Dataset,
+    left_on: str,
+    right_on: str,
+    how: str = "inner",
+    hot_keys: list | None = None,
+    sample_rows: int = 100_000,
+    hot_frac: float = 0.05,
+    num_buckets: int | None = None,
+) -> rd.Dataset:
+    """Skew-safe large×large join. A Zipf-hot key overloads its
+    :func:`hash_join` bucket (one task gets a constant fraction of the
+    corpus); here hot keys are detected from a driver sample of the left
+    side (or passed explicitly), their RIGHT rows — small, because a dim
+    key has bounded payload — are broadcast, and hot LEFT rows join per
+    batch with no shuffle at all. Cold keys take the normal bucketed path.
+    Partitioning assumption: right-side rows of any single hot key fit one
+    broadcast object (true for dim-shaped right sides; a hot×hot join
+    needs a salted replicate-right strategy instead, which no pipeline in
+    scope requires)."""
+    import polars as pl
+
+    if hot_keys is None:
+        sample = left.limit(sample_rows).select_columns([left_on])
+        st = pa.concat_tables(sample.iter_batches(batch_format="pyarrow",
+                                                  batch_size=None))
+        counts = st.group_by(left_on).aggregate([([], "count_all")])
+        n = st.num_rows
+        mask = pc.greater(counts.column("count_all"),
+                          pa.scalar(int(hot_frac * n)))
+        hot_keys = counts.filter(mask).column(left_on).to_pylist()
+    if not hot_keys:
+        return hash_join(left, right, left_on, right_on, how=how,
+                         num_buckets=num_buckets)
+
+    hot_arr = pa.array(hot_keys)
+
+    def _split(col: str, keep_hot: bool):
+        def _f(t: pa.Table) -> pa.Table:
+            m = pc.is_in(t.column(col), value_set=hot_arr)
+            return t.filter(m if keep_hot else pc.invert(m))
+        return _f
+
+    # hot right rows: collected once, broadcast via ray.put
+    hot_right = right.map_batches(_split(right_on, True), batch_format="pyarrow",
+                                  zero_copy_batch=True)
+    hr = pa.concat_tables(hot_right.iter_batches(batch_format="pyarrow",
+                                                 batch_size=None))
+    hr_ref = ray.put(hr)
+    rs_names = list(right.schema().names)
+
+    cold = hash_join(
+        left.map_batches(_split(left_on, False), batch_format="pyarrow",
+                         zero_copy_batch=True),
+        right.map_batches(_split(right_on, False), batch_format="pyarrow",
+                          zero_copy_batch=True),
+        left_on, right_on, how=how, num_buckets=num_buckets)
+    cold_schema = pa.schema(list(zip(cold.schema().names, cold.schema().types)))
+
+    class _HotJoin:
+        def __init__(self):
+            self.r = pl.from_arrow(ray.get(hr_ref))
+            if left_on != right_on:
+                self.r = self.r.with_columns(pl.col(right_on).alias("__rkeep"))
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            merged = pl.from_arrow(t).join(
+                self.r, left_on=left_on, right_on=right_on,
+                how=("left" if how == "left" else "inner"), coalesce=True)
+            if left_on != right_on:
+                merged = merged.rename({"__rkeep": right_on})
+            return merged.to_arrow().select(cold_schema.names).cast(cold_schema)
+
+    hot = left.map_batches(_split(left_on, True), batch_format="pyarrow",
+                           zero_copy_batch=True)
+    hot_joined = hot.map_batches(_HotJoin, batch_format="pyarrow",
+                                 zero_copy_batch=True, concurrency=(1, 8))
+    del rs_names
+    return cold.union(hot_joined)
+
+
 def range_join(
     left: rd.Dataset,
     right: rd.Dataset,

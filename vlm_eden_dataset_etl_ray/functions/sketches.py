@@ -113,6 +113,110 @@ def approx_distinct(
     return pa.concat_tables(merged.iter_batches(batch_format="pyarrow", batch_size=None))
 
 
+class CentroidSketch:
+    """Mergeable quantile sketch (t-digest-lite): a sorted batch compresses
+    to ≤ ``k`` (mean, count) centroids by equal-count chunking; merging
+    concatenates and re-compresses. Deterministic (no RNG), error
+    ~ O(1/k) in rank. For 100-TB group-bys: one sketch per (batch, group),
+    tiny final merge — the quantile analog of HLL registers."""
+
+    def __init__(self, k: int = 256, means: np.ndarray | None = None,
+                 counts: np.ndarray | None = None):
+        self.k = k
+        self.means = means if means is not None else np.empty(0, np.float64)
+        self.counts = counts if counts is not None else np.empty(0, np.int64)
+
+    @classmethod
+    def from_values(cls, v: np.ndarray, k: int = 256) -> "CentroidSketch":
+        v = np.sort(v[~np.isnan(v)].astype(np.float64))
+        if len(v) <= k:
+            return cls(k, v, np.ones(len(v), np.int64))
+        edges = np.linspace(0, len(v), k + 1).astype(np.int64)
+        counts = np.diff(edges)
+        sums = np.add.reduceat(v, edges[:-1])
+        return cls(k, sums / counts, counts)
+
+    def merge(self, other: "CentroidSketch") -> "CentroidSketch":
+        means = np.concatenate([self.means, other.means])
+        counts = np.concatenate([self.counts, other.counts])
+        order = np.argsort(means, kind="stable")
+        means, counts = means[order], counts[order]
+        if len(means) > self.k:
+            # weighted equal-count re-compression to k centroids
+            cum = np.cumsum(counts)
+            total = cum[-1]
+            targets = np.linspace(0, total, self.k + 1)[1:-1]
+            idx = np.searchsorted(cum, targets, side="left")
+            bounds = np.concatenate([[0], np.unique(idx) + 1, [len(means)]])
+            bounds = np.unique(bounds)
+            sums = np.add.reduceat(means * counts, bounds[:-1])
+            cnts = np.add.reduceat(counts, bounds[:-1])
+            means, counts = sums / cnts, cnts
+        self.means, self.counts = means, counts
+        return self
+
+    def quantile(self, q: float) -> float:
+        if not len(self.means):
+            return float("nan")
+        cum = np.cumsum(self.counts) - self.counts / 2.0
+        rank = q * float(np.sum(self.counts))
+        return float(np.interp(rank, cum, self.means))
+
+    def to_bytes(self) -> bytes:
+        return np.concatenate([self.means,
+                               self.counts.astype(np.float64)]).tobytes()
+
+    @classmethod
+    def from_bytes(cls, b: bytes, k: int = 256) -> "CentroidSketch":
+        a = np.frombuffer(b, dtype=np.float64)
+        h = len(a) // 2
+        return cls(k, a[:h].copy(), a[h:].astype(np.int64))
+
+
+def approx_quantiles(
+    ds: rd.Dataset, column: str, qs: tuple[float, ...] = (0.5, 0.9, 0.99),
+    group_by: str | None = None, k: int = 256,
+) -> pa.Table:
+    """Approximate quantiles [per group] via mergeable centroid sketches:
+    one sketch per (batch, group) → tiny final merge. Columns:
+    ``q50``-style names per requested quantile."""
+
+    def _partial(t: pa.Table) -> pa.Table:
+        vals = t.column(column).to_numpy(zero_copy_only=False).astype(np.float64)
+        if group_by is None:
+            sk = CentroidSketch.from_values(vals, k)
+            return pa.table({"__g": pa.array([None], pa.string()),
+                             "__sk": pa.array([sk.to_bytes()], pa.binary())})
+        groups = np.asarray(t.column(group_by).cast(pa.string()).to_pylist())
+        out_g, out_s = [], []
+        for g in np.unique(groups):
+            out_g.append(str(g))
+            out_s.append(CentroidSketch.from_values(vals[groups == g], k).to_bytes())
+        return pa.table({"__g": pa.array(out_g, pa.string()),
+                         "__sk": pa.array(out_s, pa.binary())})
+
+    partial = ds.map_batches(_partial, batch_format="pyarrow", zero_copy_batch=True)
+
+    def _merge(t: pa.Table) -> pa.Table:
+        acc: dict = {}
+        for g, b in zip(t.column("__g").to_pylist(), t.column("__sk").to_pylist()):
+            sk = CentroidSketch.from_bytes(b, k)
+            acc[g] = acc[g].merge(sk) if g in acc else sk
+        ks = sorted(acc, key=lambda x: (x is None, x))
+        cols: dict = {}
+        if group_by is not None:
+            cols[group_by] = pa.array(ks, pa.string())
+        for q in qs:
+            cols[f"q{int(round(q * 100))}"] = pa.array(
+                [acc[g].quantile(q) for g in ks], pa.float64())
+        return pa.table(cols)
+
+    merged = partial.repartition(1).map_batches(
+        _merge, batch_format="pyarrow", batch_size=None)
+    return pa.concat_tables(
+        merged.iter_batches(batch_format="pyarrow", batch_size=None))
+
+
 class CountMin:
     """Count-min sketch (Cormode & Muthukrishnan): ``d`` rows × ``w``
     counters, estimate = min over rows. Mergeable by element-wise add —
