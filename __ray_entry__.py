@@ -504,24 +504,33 @@ def q_orders_with_customer_join(sf_dir):
 
 
 def q_order_window_event_counts(sf_dir):
-    """Range (interval) join with an equality key: events within 30 days
-    after each order of the same user (one hash-bucket shuffle + vectorized
-    interval filter), then a grouped count per order."""
+    """Range (interval) join with an equality key: for each order, count
+    the customer's OTHER orders placed within 90 days after it (one
+    hash-bucket shuffle + vectorized interval filter + grouped count)."""
     from vlm_eden_dataset_etl_ray.functions.relational import grouped_count, range_join
     from vlm_eden_dataset_etl_ray.sources.parquet import read_table
 
-    ev = _events(sf_dir, columns=["user_id", "ts"])
-    orders = read_table(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate"])
+    follow = read_table(sf_dir, "orders",
+                        columns=["o_orderkey", "o_custkey", "o_orderdate"])
+    follow = follow.map_batches(
+        lambda t: t.rename_columns(["f_orderkey", "f_custkey", "f_orderdate"]),
+        batch_format="pyarrow", zero_copy_batch=True)
+    anchor = read_table(sf_dir, "orders",
+                        columns=["o_orderkey", "o_custkey", "o_orderdate"])
 
     def _window(t: pa.Table) -> pa.Table:
         end = pc.add(t.column("o_orderdate"),
-                     pa.scalar(30 * 86400 * 1_000_000, type=pa.duration("us")))
+                     pa.scalar(90 * 86400 * 1_000_000, type=pa.duration("us")))
         return t.append_column("o_end", end)
 
-    orders = orders.map_batches(_window, batch_format="pyarrow", zero_copy_batch=True)
-    matched = range_join(ev, orders, "user_id", "o_custkey",
-                         "ts", "o_orderdate", "o_end", closed="left")
-    return grouped_count(matched, ["o_orderkey"], "n_events")
+    anchor = anchor.map_batches(_window, batch_format="pyarrow", zero_copy_batch=True)
+    matched = range_join(follow, anchor, "f_custkey", "o_custkey",
+                         "f_orderdate", "o_orderdate", "o_end", closed="left")
+    matched = matched.map_batches(
+        lambda t: t.filter(pc.invert(pc.equal(t.column("f_orderkey"),
+                                              t.column("o_orderkey")))),
+        batch_format="pyarrow", zero_copy_batch=True)
+    return grouped_count(matched, ["o_orderkey"], "n_follow")
 
 
 def q_running_total_per_customer(sf_dir):
@@ -1217,11 +1226,12 @@ def oracle_sql() -> dict[str, str]:
             from events e join customer c on e.user_id = c.c_custkey
         """,
         "order_window_event_counts": """
-            select o.o_orderkey, count(*) as n_events
-            from orders o join events e
-              on e.user_id = o.o_custkey
-             and e.ts >= o.o_orderdate
-             and e.ts < o.o_orderdate + interval 30 day
+            select a.o_orderkey, count(*) as n_follow
+            from orders a join orders b
+              on b.o_custkey = a.o_custkey
+             and b.o_orderdate >= a.o_orderdate
+             and b.o_orderdate < a.o_orderdate + interval 90 day
+             and b.o_orderkey <> a.o_orderkey
             group by 1
         """,
         "bpe_token_counts": """
@@ -1263,11 +1273,11 @@ def oracle_sql() -> dict[str, str]:
         "running_total_per_customer": """
             select o_orderkey, o_custkey, o_orderdate,
                    cast(round(o_totalprice * 100) as bigint) as cents,
-                   sum(cast(round(o_totalprice * 100) as bigint)) over (
+                   cast(sum(cast(round(o_totalprice * 100) as bigint)) over (
                        partition by o_custkey
                        order by o_orderdate, o_orderkey
                        rows between unbounded preceding and current row
-                   ) as running_cents
+                   ) as bigint) as running_cents
             from orders
         """,
         "etl_star_fact": """

@@ -44,6 +44,14 @@ BENCH_QUERIES = [
     "etl_star_fact",
     "tz_local_daily_counts",
     "append_event_types",
+    "events_with_customer_skewjoin",
+    "order_window_event_counts",
+    "running_total_per_customer",
+    "hopping_event_counts",
+    "contamination_flags",
+    "heavy_hitter_event_types",
+    "approx_value_quantiles",
+    "stratified_sample_docs",
 ]
 
 

@@ -82,7 +82,8 @@ def compare(name: str, ray_t: pa.Table, ora_t: pa.Table) -> list[str]:
 
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    # accept space- and/or comma-separated names; tolerate an "--only" flag
+    only = {n for a in sys.argv[2:] for n in a.split(",") if n and n != "--only"}
 
     import ray
 
@@ -104,6 +105,10 @@ def main():
 
     qs = entry.queries()
     oracles = entry.oracle_sql()
+    unknown = only - set(qs)
+    if unknown:  # a filter that matches nothing must not pass vacuously
+        print(f"ERROR: unknown query name(s): {sorted(unknown)}")
+        sys.exit(2)
     n_fail = 0
     for name, fn in qs.items():
         if only and name not in only:
