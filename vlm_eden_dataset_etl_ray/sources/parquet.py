@@ -14,6 +14,13 @@ import os
 import ray.data as rd
 
 
+def _strip_meta(t):
+    # pandas-metadata dicts on the file schema make Ray's block-schema
+    # dedup log "Failed to hash the schemas" from every worker; the
+    # metadata carries no information the engine uses. Zero-copy.
+    return t.replace_schema_metadata(None)
+
+
 def read_table(sf_dir: str, name: str, columns=None, filter=None, **kwargs) -> rd.Dataset:
     path = os.path.join(sf_dir, f"{name}.parquet")
     opts = dict(kwargs)
@@ -21,7 +28,8 @@ def read_table(sf_dir: str, name: str, columns=None, filter=None, **kwargs) -> r
         opts["columns"] = list(columns)
     if filter is not None:
         opts["filter"] = filter
-    return rd.read_parquet(path, **opts)
+    return rd.read_parquet(path, **opts).map_batches(
+        _strip_meta, batch_format="pyarrow", zero_copy_batch=True)
 
 
 def read_small(sf_dir: str, name: str, columns=None, filter=None):
