@@ -533,6 +533,33 @@ def q_order_window_event_counts(sf_dir):
     return grouped_count(matched, ["o_orderkey"], "n_follow")
 
 
+def q_monthly_priority_pivot(sf_dir):
+    """Pivot-style conditional aggregation: one row per order month with a
+    count column per priority (`sum(case when …)` shape; mergeable wide
+    partials, one tiny per-key combine)."""
+    from vlm_eden_dataset_etl_ray.functions.relational import pivot_count
+    from vlm_eden_dataset_etl_ray.sources.parquet import read_table
+
+    orders = read_table(sf_dir, "orders", columns=["o_orderdate", "o_orderpriority"])
+
+    def _month(t: pa.Table) -> pa.Table:
+        m = pc.floor_temporal(t.column("o_orderdate"), unit="month")
+        return t.drop_columns(["o_orderdate"]).append_column("month", m)
+
+    orders = orders.map_batches(_month, batch_format="pyarrow", zero_copy_batch=True)
+    out = pivot_count(
+        orders, "month", "o_orderpriority",
+        ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"],
+        alias_fmt="n_{}")
+
+    def _fix_unit(t: pa.Table) -> pa.Table:
+        # Ray's sort-shuffle groupby normalizes the timestamp key to [s]
+        i = t.column_names.index("month")
+        return t.set_column(i, "month", t.column("month").cast(pa.timestamp("us")))
+
+    return out.map_batches(_fix_unit, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def q_running_total_per_customer(sf_dir):
     """Cumulative windowed aggregate: per-customer running order total in
     (o_orderdate, o_orderkey) order — the `sum() over (partition by ...
@@ -942,6 +969,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hopping_event_counts": q_hopping_event_counts,
         "order_window_event_counts": q_order_window_event_counts,
         "running_total_per_customer": q_running_total_per_customer,
+        "monthly_priority_pivot": q_monthly_priority_pivot,
         "events_with_customer_skewjoin": q_events_with_customer_skewjoin,
         "minhash_near_dupes": q_minhash_near_dupes,
         "minhash_dedup_docs": q_minhash_dedup_docs,
@@ -1269,6 +1297,15 @@ def oracle_sql() -> dict[str, str]:
             hits as (select distinct gr.doc_id from grams gr join bench using (g))
             select d.doc_id, (h.doc_id is not null) as contaminated
             from documents d left join hits h using (doc_id)
+        """,
+        "monthly_priority_pivot": """
+            select cast(date_trunc('month', o_orderdate) as timestamp) as month,
+                   cast(sum(case when o_orderpriority = '1-URGENT' then 1 else 0 end) as bigint) as n_1_urgent,
+                   cast(sum(case when o_orderpriority = '2-HIGH' then 1 else 0 end) as bigint) as n_2_high,
+                   cast(sum(case when o_orderpriority = '3-MEDIUM' then 1 else 0 end) as bigint) as n_3_medium,
+                   cast(sum(case when o_orderpriority = '4-NOT SPECIFIED' then 1 else 0 end) as bigint) as n_4_not_specified,
+                   cast(sum(case when o_orderpriority = '5-LOW' then 1 else 0 end) as bigint) as n_5_low
+            from orders group by 1
         """,
         "running_total_per_customer": """
             select o_orderkey, o_custkey, o_orderdate,

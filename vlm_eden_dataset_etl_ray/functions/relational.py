@@ -770,6 +770,46 @@ def session_counts(
     return ds.groupby(key).map_groups(_per_group, batch_format="pandas")
 
 
+def pivot_count(
+    ds: rd.Dataset,
+    key: str,
+    pivot_col: str,
+    categories: list[str],
+    alias_fmt: str = "n_{}",
+) -> rd.Dataset:
+    """Pivot-style conditional aggregation: one output row per ``key`` with
+    a count column per pivot category (`sum(case when ...)` shape).
+    Categories are declared up front so every partial has a fixed schema;
+    per-batch partials are wide count vectors, the final combine is a tiny
+    per-key Sum — mergeable, so the exchange carries one row per
+    (batch, key), never the raw data."""
+    import polars as pl
+    from ray.data.aggregate import Sum
+
+    aliases = [alias_fmt.format(c.lower().replace(" ", "_").replace("-", "_"))
+               for c in categories]
+
+    def _partial(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t.select([key, pivot_col]))
+        agg = df.group_by(key).agg([
+            (pl.col(pivot_col) == c).sum().cast(pl.Int64).alias(a)
+            for c, a in zip(categories, aliases)
+        ])
+        return agg.to_arrow()
+
+    partial = ds.map_batches(_partial, batch_format="pyarrow", zero_copy_batch=True)
+    out = partial.groupby(key).aggregate(
+        *[Sum(a, alias_name=a) for a in aliases])
+
+    def _cast(t: pa.Table) -> pa.Table:
+        for a in aliases:
+            i = t.column_names.index(a)
+            t = t.set_column(i, a, t.column(a).cast(pa.int64()))
+        return t
+
+    return out.map_batches(_cast, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def running_sum(
     ds: rd.Dataset,
     key: str,
