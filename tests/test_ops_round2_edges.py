@@ -1,0 +1,77 @@
+"""Edge cases for the round-2 operators: one-sided as-of buckets, absent
+pivot categories, empty-input sketches, sampling rate bounds."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data as rd
+
+from vlm_eden_dataset_etl_ray.functions.relational import (
+    asof_join_bucketed, pivot_count)
+from vlm_eden_dataset_etl_ray.functions.sampling import hash_sample
+from vlm_eden_dataset_etl_ray.functions.sketches import (
+    CentroidSketch, approx_heavy_hitters)
+
+
+def _to_pandas(ds):
+    batches = list(ds.iter_batches(batch_format="pyarrow", batch_size=None))
+    return pa.concat_tables(batches).to_pandas() if batches else pd.DataFrame()
+
+
+def test_asof_bucketed_one_sided_buckets():
+    # left keys 0..9; right covers only evens → odd-key buckets may hold
+    # ONLY left rows (the null-int→float64 merge_asof dtype trap)
+    left = pd.DataFrame({
+        "k": np.arange(10).repeat(3),
+        "t": pd.to_datetime("2024-01-01") + pd.to_timedelta(np.tile([1, 5, 9], 10), "D"),
+        "x": np.arange(30),
+    })
+    right = pd.DataFrame({
+        "k2": np.arange(0, 10, 2),
+        "t2": pd.to_datetime("2024-01-03"),
+        "payload": np.arange(0, 10, 2) * 100,
+    })
+    out = _to_pandas(asof_join_bucketed(
+        rd.from_pandas(left), rd.from_pandas(right),
+        "k", "k2", "t", "t2", ["payload", "t2"], num_buckets=8))
+    assert len(out) == 30
+    exp = pd.merge_asof(
+        left.sort_values("t"), right.sort_values("t2"),
+        left_on="t", right_on="t2", left_by="k", right_by="k2")
+    exp_matched = exp["payload"].notna().sum()
+    assert out["payload"].notna().sum() == exp_matched
+    # odd keys never match; even keys match only from t >= t2
+    odd = out[out.k % 2 == 1]
+    assert odd["payload"].isna().all()
+
+
+def test_pivot_count_absent_category_is_zero():
+    df = pd.DataFrame({"g": ["a", "a", "b"], "c": ["x", "y", "x"]})
+    out = _to_pandas(pivot_count(rd.from_pandas(df), "g", "c",
+                                 ["x", "y", "never-seen"]))
+    out = out.sort_values("g").reset_index(drop=True)
+    assert out["n_x"].tolist() == [1, 1]
+    assert out["n_y"].tolist() == [1, 0]
+    assert out["n_never_seen"].tolist() == [0, 0]
+
+
+def test_centroid_sketch_empty_and_single():
+    assert np.isnan(CentroidSketch.from_values(np.empty(0)).quantile(0.5))
+    sk = CentroidSketch.from_values(np.array([42.0]))
+    assert sk.quantile(0.0) == sk.quantile(1.0) == 42.0
+
+
+def test_heavy_hitters_fewer_keys_than_k():
+    ds = rd.from_items([{"v": "only"}, {"v": "two"}, {"v": "two"}])
+    out = approx_heavy_hitters(ds, "v", k=10)
+    assert out.num_rows == 2
+    assert out.column("v").to_pylist() == ["two", "only"]
+    assert out.column("approx_count").to_pylist() == [2, 1]
+
+
+def test_hash_sample_rate_bounds():
+    ds = rd.range(1000).map_batches(
+        lambda t: t.rename_columns(["k"]), batch_format="pyarrow")
+    assert hash_sample(ds, "k", 1.0).count() == 1000
+    assert hash_sample(ds, "k", 0.0).count() == 0
