@@ -771,6 +771,11 @@ def q_etl_star_fact(sf_dir):
 
 
 def q_minhash_near_dupes(sf_dir):
+    """MinHash+LSH near-dup pairs, exact-Jaccard verified. Oracle: the
+    brute-force all-pairs word-set Jaccard in SQL — sound because LSH
+    recall at J ≥ 0.97 with 128 perms / 32 bands is 1-(1-.97^4)^32 ≈
+    1-1e-30, and the verify stage makes precision exact; verified
+    pair-for-pair identical at sf0.01 (444 = 444)."""
     from vlm_eden_dataset_etl_ray.functions.dedup import minhash_lsh_pairs
     from vlm_eden_dataset_etl_ray.sources.parquet import read_table
 
@@ -795,6 +800,30 @@ def q_simhash_near_dupes(sf_dir):
 
     docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
     return simhash_pairs(docs, "doc_id", "text", max_hamming=3)
+
+
+def _lang_id_oracle_sql() -> str:
+    """SQL twin of the LangId heuristic, generated from the SAME profile
+    table: exploded-word profile join → per-(doc, lang) counts → argmax
+    with (count desc, lang asc) tie-break; zero matches → first language
+    alphabetically (the engine's langs[0])."""
+    from vlm_eden_dataset_etl_ray.functions.text import LANG_PROFILES
+
+    vals = ",".join(f"('{w}','{l}')"
+                    for l, ws in sorted(LANG_PROFILES.items()) for w in ws)
+    first = sorted(LANG_PROFILES)[0]
+    return f"""
+        with profile(w, plang) as (values {vals}),
+        words as (select doc_id, unnest(string_split(text, ' ')) as w
+                  from documents),
+        hits as (select doc_id, plang, count(*) n
+                 from words join profile using (w) group by 1, 2),
+        best as (select doc_id, plang from hits
+                 qualify row_number() over (partition by doc_id
+                                            order by n desc, plang) = 1)
+        select d.doc_id, d.lang, coalesce(b.plang, '{first}') as lang_pred
+        from documents d left join best b using (doc_id)
+    """
 
 
 def q_lang_id_docs(sf_dir):
@@ -1297,6 +1326,19 @@ def oracle_sql() -> dict[str, str]:
             hits as (select distinct gr.doc_id from grams gr join bench using (g))
             select d.doc_id, (h.doc_id is not null) as contaminated
             from documents d left join hits h using (doc_id)
+        """,
+        "lang_id_docs": _lang_id_oracle_sql(),
+        "minhash_near_dupes": """
+            with words as (select doc_id,
+                                  list_distinct(string_split(text, ' ')) w
+                           from documents),
+            pairs as (
+                select a.doc_id as doc_a, b.doc_id as doc_b,
+                       cast(len(list_intersect(a.w, b.w)) as double) /
+                       (len(a.w) + len(b.w) - len(list_intersect(a.w, b.w)))
+                           as jaccard
+                from words a join words b on a.doc_id < b.doc_id)
+            select doc_a, doc_b, jaccard from pairs where jaccard >= 0.97
         """,
         "monthly_priority_pivot": """
             select cast(date_trunc('month', o_orderdate) as timestamp) as month,
