@@ -74,21 +74,20 @@ def flag_contaminated(
     :func:`benchmark_ngram_set` (broadcast once via ``ray.put``)."""
     ref = ray.put(np.asarray(benchmark, dtype=np.uint64))
 
-    class _Flag:
-        def __init__(self):
-            self.bench = ray.get(ref)  # fetched once per actor, shared-memory read
+    def _flag(t: pa.Table, *, bench_ref) -> pa.Table:
+        bench = ray.get(bench_ref)  # zero-copy shared-memory read per task
+        rows, hashes = _word_table(t.column(text_col), sep)
+        wrow, whash = _ngram_hashes(rows, hashes, n)
+        flags = np.zeros(t.num_rows, dtype=bool)
+        if len(whash):
+            hit_rows = wrow[np.isin(whash, bench)]
+            flags[np.unique(hit_rows)] = True
+        return t.append_column(alias, pa.array(flags))
 
-        def __call__(self, t: pa.Table) -> pa.Table:
-            rows, hashes = _word_table(t.column(text_col), sep)
-            wrow, whash = _ngram_hashes(rows, hashes, n)
-            flags = np.zeros(t.num_rows, dtype=bool)
-            if len(whash):
-                hit_rows = wrow[np.isin(whash, self.bench)]
-                flags[np.unique(hit_rows)] = True
-            return t.append_column(alias, pa.array(flags))
-
-    return ds.map_batches(_Flag, batch_format="pyarrow", zero_copy_batch=True,
-                          concurrency=(1, 8))
+    # stateless tasks: no actor-pool ramp; the broadcast array is a plasma
+    # object read zero-copy by every task
+    return ds.map_batches(_flag, batch_format="pyarrow", zero_copy_batch=True,
+                          fn_kwargs={"bench_ref": ref})
 
 
 def decontaminate(
