@@ -925,6 +925,21 @@ def q_stratified_sample_docs(sf_dir):
     return stratified_sample(ds, "lang", {"en": 0.25}, "doc_id", default_frac=1.0)
 
 
+def q_frame_sample_meta(sf_dir):
+    """Multimodal frame-sampling plumbing: payload → one row per sampled
+    frame with typed metadata (stub kernel, oracle-expressible; the
+    batch-expanding shape and batch sizing are the real plumbing)."""
+    from vlm_eden_dataset_etl_ray.functions.multimodal import frame_sample, text_as_payload
+    from vlm_eden_dataset_etl_ray.sources.parquet import read_table
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    ds = text_as_payload(docs).map_batches(
+        lambda t: t.drop_columns(["text"]), batch_format="pyarrow")
+    out = frame_sample(ds, stride_bytes=64, max_frames=8)
+    return out.select_columns(
+        ["doc_id", "frame_idx", "frame_offset", "frame_checksum"])
+
+
 def q_train_test_split(sf_dir):
     """Deterministic hash-based split assignment over documents (rows-only:
     the hash is engine-internal; determinism/disjointness asserted in
@@ -1009,6 +1024,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "train_test_split": q_train_test_split,
         "stratified_sample_docs": q_stratified_sample_docs,
         "contamination_flags": q_contamination_flags,
+        "frame_sample_meta": q_frame_sample_meta,
         "heavy_hitter_event_types": q_heavy_hitter_event_types,
         "redacted_documents": q_redacted_documents,
         "bpe_token_counts": q_bpe_token_counts,
@@ -1326,6 +1342,16 @@ def oracle_sql() -> dict[str, str]:
             hits as (select distinct gr.doc_id from grams gr join bench using (g))
             select d.doc_id, (h.doc_id is not null) as contaminated
             from documents d left join hits h using (doc_id)
+        """,
+        "frame_sample_meta": """
+            select doc_id, cast(i as int) as frame_idx,
+                   i * 64 as frame_offset,
+                   (strlen(text) * 2654435761 + i * 97) % 2147483647
+                       as frame_checksum
+            from documents cross join unnest(generate_series(0,
+                 least(7, cast(floor((strlen(text) - 1) / 64.0)
+                               as bigint)))) as t(i)
+            where strlen(text) > 0
         """,
         "lang_id_docs": _lang_id_oracle_sql(),
         "minhash_near_dupes": """

@@ -70,6 +70,28 @@ def test_heavy_hitters_fewer_keys_than_k():
     assert out.column("approx_count").to_pylist() == [2, 1]
 
 
+def test_multimodal_resize_and_frame_sample_edges():
+    from vlm_eden_dataset_etl_ray.functions.multimodal import ResizeStub, frame_sample
+
+    ds = rd.from_items([
+        {"doc": 1, "payload": b"x" * 300},
+        {"doc": 2, "payload": b""},          # empty payload → zero frames
+        {"doc": 3, "payload": b"y" * 1000},  # capped at max_frames
+    ])
+    out = _to_pandas(frame_sample(ds, stride_bytes=64, max_frames=4))
+    per_doc = out.groupby("doc").size().to_dict()
+    assert per_doc == {1: 4, 3: 4}  # 300//64+1=5→cap 4; empty absent
+    assert out[out.doc == 1]["frame_offset"].tolist() == [0, 64, 128, 192]
+
+    resized = _to_pandas(ds.map_batches(
+        ResizeStub, fn_constructor_args=("payload", 224, 224),
+        batch_format="pyarrow", concurrency=1))
+    r1 = resized[resized.doc == 1].iloc[0]
+    assert (r1.out_w, r1.out_h) == (224, 224)  # 300%640=300→clamp 224
+    r2 = resized[resized.doc == 2].iloc[0]
+    assert (r2.out_w, r2.out_h, r2.resized_bytes) == (0, 0, 0)
+
+
 def test_hash_sample_rate_bounds():
     ds = rd.range(1000).map_batches(
         lambda t: t.rename_columns(["k"]), batch_format="pyarrow")

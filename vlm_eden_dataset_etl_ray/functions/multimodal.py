@@ -73,6 +73,69 @@ def decode_stage(
     )
 
 
+class ResizeStub:
+    """Actor-pool resize stage, stub kernel. Fake semantics (stable,
+    oracle-expressible): output dims are the target box clamped to the
+    fake source dims (aspect ignored by the stub), ``resized_bytes =
+    out_w * out_h * 3``. A real deployment swaps the kernel for
+    PIL/libvips; pool shape, small batches, typed outputs stay."""
+
+    def __init__(self, payload_col: str = "payload", target_w: int = 224,
+                 target_h: int = 224):
+        self.payload_col = payload_col
+        self.tw, self.th = target_w, target_h
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import numpy as np
+        import pyarrow.compute as pc
+
+        n = pc.binary_length(batch.column(self.payload_col)).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        src_w, src_h = n % 640, n % 480
+        out_w = np.minimum(src_w, self.tw).astype(np.int32)
+        out_h = np.minimum(src_h, self.th).astype(np.int32)
+        batch = batch.append_column("out_w", pa.array(out_w))
+        batch = batch.append_column("out_h", pa.array(out_h))
+        return batch.append_column(
+            "resized_bytes", pa.array((out_w.astype(np.int64) *
+                                       out_h.astype(np.int64) * 3)))
+
+
+def frame_sample(
+    ds: rd.Dataset,
+    payload_col: str = "payload",
+    stride_bytes: int = 64,
+    max_frames: int = 8,
+    batch_size: int = 64,
+) -> rd.Dataset:
+    """Video frame sampling plumbing: one output ROW per sampled frame
+    (batch-expanding, the explode shape a real frame sampler has), with
+    typed metadata (frame_idx, frame_offset, frame_checksum). The frame
+    decode itself is the documented stub (checksum of (payload length,
+    index)); stride/max_frames bound the expansion factor so batch ×
+    expansion stays heap-safe."""
+    import numpy as np
+
+    def _sample(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        n = pc.binary_length(t.column(payload_col)).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        n_frames = np.minimum(max_frames, np.maximum(0, 1 + (n - 1) // stride_bytes))
+        row_idx = np.repeat(np.arange(len(n)), n_frames)
+        frame_idx = np.concatenate([np.arange(k) for k in n_frames]) \
+            if len(n) else np.empty(0, np.int64)
+        out = t.drop_columns([payload_col]).take(pa.array(row_idx))
+        out = out.append_column("frame_idx", pa.array(frame_idx.astype(np.int32)))
+        out = out.append_column("frame_offset",
+                                pa.array(frame_idx * stride_bytes))
+        checksum = (n[row_idx] * 2654435761 + frame_idx * 97) % (2**31 - 1)
+        return out.append_column("frame_checksum", pa.array(checksum))
+
+    return ds.map_batches(_sample, batch_format="pyarrow",
+                          batch_size=batch_size, zero_copy_batch=True)
+
+
 def text_as_payload(ds: rd.Dataset, text_col: str = "text") -> rd.Dataset:
     """Adapter used by tests/benchmarks: treat a utf-8 text column as the
     opaque binary payload column."""
