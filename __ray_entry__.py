@@ -845,6 +845,19 @@ def q_knn_ivf_topk(sf_dir):
     return out.map_batches(lambda t: _round_col(t, "cosine", 4), batch_format="pyarrow")
 
 
+def q_knn_lsh_topk(sf_dir):
+    """ANN via random-hyperplane LSH buckets + multi-probe (rows-only:
+    approximate by design; recall vs brute force asserted in pytest)."""
+    from vlm_eden_dataset_etl_ray.functions.knn import knn_lsh
+    from vlm_eden_dataset_etl_ray.sources.parquet import read_small, read_table
+
+    emb = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    queries = read_small(sf_dir, "embeddings", columns=["vec_id", "embedding"],
+                         filter=(pc.field("vec_id") < 8))
+    out = knn_lsh(emb, queries, k=5)
+    return out.map_batches(lambda t: _round_col(t, "cosine", 4), batch_format="pyarrow")
+
+
 def q_approx_value_quantiles(sf_dir):
     """Approximate per-group quantiles via mergeable centroid sketches
     (rows-only: approximate by design; <5% accuracy vs exact asserted in
@@ -1029,6 +1042,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "redacted_documents": q_redacted_documents,
         "bpe_token_counts": q_bpe_token_counts,
         "approx_value_quantiles": q_approx_value_quantiles,
+        "knn_lsh_topk": q_knn_lsh_topk,
     }
 
 

@@ -147,3 +147,15 @@ def test_ngram_shingles_window_correctly(duck):
             from t a join t b on a.doc_id < b.doc_id) where j >= 0.6
     """).fetchone()[0]
     assert got.num_rows == exp
+
+
+def test_knn_lsh_recall_vs_brute_force():
+    """Random-hyperplane LSH ANN should recover most brute-force neighbors
+    at 8 bits / 3 probe bits on this corpus."""
+    brute = to_table(entry_mod.queries()["knn_cosine_topk"](SF_DIR))
+    lsh = to_table(entry_mod.queries()["knn_lsh_topk"](SF_DIR))
+    b = set(zip(brute.column("query_id").to_pylist(),
+                brute.column("neighbor_id").to_pylist()))
+    l = set(zip(lsh.column("query_id").to_pylist(),
+                lsh.column("neighbor_id").to_pylist()))
+    assert len(l & b) / max(1, len(b)) >= 0.6, (len(l & b), len(b))

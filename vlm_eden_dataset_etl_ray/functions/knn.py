@@ -223,3 +223,70 @@ def knn_ivf(
     return partial.groupby("query_id").map_groups(
         _final_topk, fn_kwargs={"k": k}, batch_format="pyarrow"
     )
+
+
+def knn_lsh(
+    ds: rd.Dataset,
+    queries: pa.Table,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_bits: int = 8,
+    n_probe_bits: int = 3,
+    seed: int = 17,
+    concurrency=(1, 4),
+) -> rd.Dataset:
+    """ANN top-k via random-hyperplane LSH — the bucketed alternative to
+    :func:`knn_ivf`: sign(v @ H) gives each vector an ``n_bits`` bucket
+    code; a query scans only vectors whose code is within ``n_probe_bits``
+    Hamming distance of its own (multi-probe). No training pass (vs IVF's
+    k-means sample): the hyperplanes are a seeded Gaussian draw, identical
+    on every node. Approximate — recall < 1.0 by construction."""
+    rng = np.random.default_rng(seed)
+    # deterministic hyperplanes; dim taken from the first query vector
+    dim = len(queries.column(vec_col)[0].as_py())
+    planes = rng.standard_normal((dim, n_bits))
+    weights = (1 << np.arange(n_bits, dtype=np.int64))
+
+    def _codes(m: np.ndarray) -> np.ndarray:
+        return ((m @ planes) > 0) @ weights
+
+    qids = np.asarray(queries.column(id_col).to_pylist(), dtype=np.int64)
+    qmat = _normalize(_as_matrix(queries.column(vec_col)))
+    qcodes = _codes(qmat)
+    # popcount via bit table (codes are < 2^n_bits)
+    pop = np.array([bin(i).count("1") for i in range(1 << n_bits)], dtype=np.int8)
+    ref = ray.put((qids, qmat, qcodes))
+
+    class _LSHTopK:
+        def __init__(self):
+            self.qids, self.qmat, self.qcodes = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ids = np.asarray(batch.column(id_col).to_pylist())
+            m = _normalize(_as_matrix(batch.column(vec_col)))
+            codes = _codes(m)
+            sims = self.qmat @ m.T
+            q_out, n_out, c_out = [], [], []
+            for qi, qid in enumerate(self.qids):
+                near = (pop[codes ^ self.qcodes[qi]] <= n_probe_bits) & (ids != qid)
+                cand, cand_ids = sims[qi][near], ids[near]
+                if cand.size == 0:
+                    continue
+                kk = min(k, cand.size)
+                top = np.argpartition(-cand, kk - 1)[:kk]
+                q_out.extend([int(qid)] * kk)
+                n_out.extend(cand_ids[top].astype(np.int64))
+                c_out.extend(cand[top])
+            return pa.table({
+                "query_id": pa.array(q_out, pa.int64()),
+                "neighbor_id": pa.array(n_out, pa.int64()),
+                "cosine": pa.array(c_out, pa.float64()),
+            })
+
+    partial = ds.map_batches(
+        _LSHTopK, batch_format="pyarrow", zero_copy_batch=True, concurrency=concurrency
+    )
+    return partial.groupby("query_id").map_groups(
+        _final_topk, fn_kwargs={"k": k}, batch_format="pyarrow"
+    )
