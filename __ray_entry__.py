@@ -533,6 +533,40 @@ def q_order_window_event_counts(sf_dir):
     return grouped_count(matched, ["o_orderkey"], "n_follow")
 
 
+def q_rollup_event_counts(sf_dir):
+    """ROLLUP multi-level counts: (event_type, day), (event_type), grand
+    total in one result — only the finest level touches the data, coarser
+    levels re-aggregate the counts."""
+    from vlm_eden_dataset_etl_ray.functions.relational import rollup_counts
+
+    ds = _events(sf_dir, columns=["event_type", "ts"])
+
+    def _day(t: pa.Table) -> pa.Table:
+        return t.drop_columns(["ts"]).append_column(
+            "day", t.column("ts").cast(pa.date32()))
+
+    ds = ds.map_batches(_day, batch_format="pyarrow", zero_copy_batch=True)
+    return rollup_counts(ds, ["event_type", "day"], "n")
+
+
+def q_event_gaps(sf_dir):
+    """lag() windowed operator: per event, microseconds since the user's
+    previous event (null for each user's first) — groupby shuffle +
+    in-group vectorized shift."""
+    from vlm_eden_dataset_etl_ray.functions.relational import with_previous
+
+    ds = _events(sf_dir, columns=["event_id", "user_id", "ts"])
+    out = with_previous(ds, "user_id", ["ts", "event_id"], ["ts"])
+
+    def _gap(t: pa.Table) -> pa.Table:
+        gap = pc.subtract(t.column("ts").cast(pa.int64()),
+                          t.column("prev_ts").cast(pa.int64()))
+        t = t.append_column("gap_us", gap)
+        return t.select(["event_id", "user_id", "ts", "gap_us"])
+
+    return out.map_batches(_gap, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def q_monthly_priority_pivot(sf_dir):
     """Pivot-style conditional aggregation: one row per order month with a
     count column per priority (`sum(case when …)` shape; mergeable wide
@@ -1027,6 +1061,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "order_window_event_counts": q_order_window_event_counts,
         "running_total_per_customer": q_running_total_per_customer,
         "monthly_priority_pivot": q_monthly_priority_pivot,
+        "event_gaps": q_event_gaps,
+        "rollup_event_counts": q_rollup_event_counts,
         "events_with_customer_skewjoin": q_events_with_customer_skewjoin,
         "minhash_near_dupes": q_minhash_near_dupes,
         "minhash_dedup_docs": q_minhash_dedup_docs,
@@ -1379,6 +1415,18 @@ def oracle_sql() -> dict[str, str]:
                            as jaccard
                 from words a join words b on a.doc_id < b.doc_id)
             select doc_a, doc_b, jaccard from pairs where jaccard >= 0.97
+        """,
+        "rollup_event_counts": """
+            select event_type, day, count(*) as n
+            from (select event_type, cast(ts as date) as day from events)
+            group by rollup(event_type, day)
+        """,
+        "event_gaps": """
+            select event_id, user_id, ts,
+                   cast(epoch_us(ts) - epoch_us(lag(ts) over (
+                       partition by user_id order by ts, event_id)) as bigint)
+                       as gap_us
+            from events
         """,
         "monthly_priority_pivot": """
             select cast(date_trunc('month', o_orderdate) as timestamp) as month,

@@ -8,7 +8,7 @@ import pyarrow as pa
 import ray.data as rd
 
 from vlm_eden_dataset_etl_ray.functions.relational import (
-    asof_join_bucketed, pivot_count)
+    asof_join_bucketed, pivot_count, rollup_counts, with_previous)
 from vlm_eden_dataset_etl_ray.functions.sampling import hash_sample
 from vlm_eden_dataset_etl_ray.functions.sketches import (
     CentroidSketch, approx_heavy_hitters)
@@ -68,6 +68,22 @@ def test_heavy_hitters_fewer_keys_than_k():
     assert out.num_rows == 2
     assert out.column("v").to_pylist() == ["two", "only"]
     assert out.column("approx_count").to_pylist() == [2, 1]
+
+
+def test_with_previous_multiple_columns():
+    df = pd.DataFrame({"k": [1, 1, 1, 2], "o": [3, 1, 2, 5],
+                       "v": ["c", "a", "b", "z"]})
+    out = _to_pandas(with_previous(rd.from_pandas(df), "k", ["o"], ["o", "v"]))
+    out = out.sort_values(["k", "o"]).reset_index(drop=True)
+    assert out["prev_v"].tolist() == [None, "a", "b", None]
+    assert out["prev_o"].fillna(-1).tolist() == [-1, 1, 2, -1]
+
+
+def test_rollup_single_key():
+    df = pd.DataFrame({"g": ["a", "a", "b"]})
+    out = _to_pandas(rollup_counts(rd.from_pandas(df), ["g"]))
+    got = {(r.g if pd.notna(r.g) else None): r.n for r in out.itertuples()}
+    assert got == {"a": 2, "b": 1, None: 3}
 
 
 def test_multimodal_resize_and_frame_sample_edges():

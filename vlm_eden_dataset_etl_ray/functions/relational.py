@@ -810,6 +810,83 @@ def pivot_count(
     return out.map_batches(_cast, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def rollup_counts(ds: rd.Dataset, keys: list[str], alias: str = "n") -> rd.Dataset:
+    """ROLLUP-style multi-level counts: one output row per group at every
+    key-prefix level (finest → … → grand total), dropped keys null-filled.
+    The finest level is the only pass over the DATA; every coarser level
+    re-aggregates the previous level's (already tiny) counts — the shuffle
+    cost decays geometrically with each level."""
+    from ray.data.aggregate import Sum
+
+    # normalize to Arrow blocks so the schema carries Arrow types even for
+    # pandas-block inputs (from_pandas)
+    ds = ds.map_batches(lambda t: t, batch_format="pyarrow", zero_copy_batch=True)
+    schema = pa.schema(list(zip(ds.schema().names, ds.schema().types)))
+    key_types = {k: schema.field(k).type for k in keys}
+
+    def _with_nulls_and_cast(level_keys: list[str]):
+        def _f(t: pa.Table) -> pa.Table:
+            for k in keys:
+                if k not in level_keys:
+                    t = t.append_column(k, pa.nulls(t.num_rows, key_types[k]))
+                else:
+                    i = t.column_names.index(k)
+                    t = t.set_column(i, k, t.column(k).cast(key_types[k]))
+            i = t.column_names.index(alias)
+            t = t.set_column(i, alias, t.column(alias).cast(pa.int64()))
+            return t.select(keys + [alias])
+        return _f
+
+    finest = grouped_count(ds, keys, alias)
+    levels = [finest.map_batches(_with_nulls_and_cast(keys),
+                                 batch_format="pyarrow")]
+    cur = finest
+    for i in range(len(keys) - 1, 0, -1):
+        cur = cur.groupby(keys[:i]).aggregate(Sum(alias, alias_name=alias))
+        levels.append(cur.map_batches(_with_nulls_and_cast(keys[:i]),
+                                      batch_format="pyarrow"))
+    # grand total folds the COARSEST level (one row per first-key value)
+    total = cur.map_batches(
+        lambda t: pa.table({alias: t.column(alias).cast(pa.int64())}),
+        batch_format="pyarrow",
+    ).repartition(1).map_batches(
+        lambda t: pa.table({alias: pa.array(
+            [pc.sum(t.column(alias)).as_py() or 0], pa.int64())}),
+        batch_format="pyarrow", batch_size=None,
+    ).map_batches(_with_nulls_and_cast([]), batch_format="pyarrow")
+
+    out = levels[0]
+    for lv in levels[1:] + [total]:
+        out = out.union(lv)
+    return out
+
+
+def with_previous(
+    ds: rd.Dataset,
+    key: str,
+    order_cols: list[str],
+    cols: list[str],
+    prefix: str = "prev_",
+) -> rd.Dataset:
+    """lag()-family windowed operator: for each row, attach the PREVIOUS
+    row's ``cols`` values within its key partition in ``order_cols`` order
+    (null for each partition's first row). One groupby shuffle co-locates
+    the key; the in-group sort + shift is vectorized (`take` with offset
+    indices). ``order_cols`` should order rows uniquely for determinism."""
+
+    def _per_group(g: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(g, sort_keys=[(c, "ascending") for c in order_cols])
+        g = g.take(idx)
+        n = g.num_rows
+        prev_idx = pa.array(
+            np.arange(-1, n - 1), type=pa.int64(), mask=np.arange(n) == 0)
+        for c in cols:
+            g = g.append_column(prefix + c, g.column(c).take(prev_idx))
+        return g
+
+    return ds.groupby(key).map_groups(_per_group, batch_format="pyarrow")
+
+
 def running_sum(
     ds: rd.Dataset,
     key: str,
