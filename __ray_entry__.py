@@ -953,8 +953,10 @@ def q_contamination_flags(sf_dir):
         benchmark_ngram_set, flag_contaminated)
     from vlm_eden_dataset_etl_ray.sources.parquet import read_table
 
-    bench_t = _collect(read_table(sf_dir, "documents", columns=["text"],
-                                  filter=pc.field("doc_id") < 25))
+    from vlm_eden_dataset_etl_ray.sources.parquet import read_small
+
+    bench_t = read_small(sf_dir, "documents", columns=["text"],
+                         filter=pc.field("doc_id") < 25)
     bench = benchmark_ngram_set(bench_t.column("text"), n=8)
     docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
     out = flag_contaminated(docs, bench, "text", n=8)
