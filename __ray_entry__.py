@@ -533,6 +533,19 @@ def q_order_window_event_counts(sf_dir):
     return grouped_count(matched, ["o_orderkey"], "n_follow")
 
 
+def q_active_buyers_intersect(sf_dir):
+    """Distinct set op: user ids present in BOTH events and orders
+    (INTERSECT DISTINCT) — tagged union + one all-columns groupby."""
+    from vlm_eden_dataset_etl_ray.functions.relational import distinct_set_op
+    from vlm_eden_dataset_etl_ray.sources.parquet import read_table
+
+    ev = _events(sf_dir, columns=["user_id"])
+    buyers = read_table(sf_dir, "orders", columns=["o_custkey"]).map_batches(
+        lambda t: t.rename_columns(["user_id"]),
+        batch_format="pyarrow", zero_copy_batch=True)
+    return distinct_set_op(ev, buyers, "intersect")
+
+
 def q_rollup_event_counts(sf_dir):
     """ROLLUP multi-level counts: (event_type, day), (event_type), grand
     total in one result — only the finest level touches the data, coarser
@@ -1065,6 +1078,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "monthly_priority_pivot": q_monthly_priority_pivot,
         "event_gaps": q_event_gaps,
         "rollup_event_counts": q_rollup_event_counts,
+        "active_buyers_intersect": q_active_buyers_intersect,
         "events_with_customer_skewjoin": q_events_with_customer_skewjoin,
         "minhash_near_dupes": q_minhash_near_dupes,
         "minhash_dedup_docs": q_minhash_dedup_docs,
@@ -1417,6 +1431,11 @@ def oracle_sql() -> dict[str, str]:
                            as jaccard
                 from words a join words b on a.doc_id < b.doc_id)
             select doc_a, doc_b, jaccard from pairs where jaccard >= 0.97
+        """,
+        "active_buyers_intersect": """
+            select user_id from events
+            intersect
+            select o_custkey as user_id from orders
         """,
         "rollup_event_counts": """
             select event_type, day, count(*) as n

@@ -810,6 +810,38 @@ def pivot_count(
     return out.map_batches(_cast, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def distinct_set_op(
+    left: rd.Dataset, right: rd.Dataset, op: str,
+) -> rd.Dataset:
+    """SQL set operations on whole rows: ``op`` ∈ {"intersect", "except"}
+    with DISTINCT semantics. Both sides must share column names/types.
+    Shape: per-batch distinct partial (rows collapse before the exchange)
+    → ONE groupby over all columns → membership decision per group —
+    the same tagged-union pattern as the joins, carrying only distinct
+    rows plus a 1-byte side tag."""
+    if op not in ("intersect", "except"):
+        raise ValueError(op)
+    cols = list(left.schema().names)
+
+    def _tag(side: int):
+        def _f(t: pa.Table) -> pa.Table:
+            g = t.group_by(cols).aggregate([])  # local distinct
+            return g.append_column("__side", pa.array(
+                np.full(g.num_rows, side, dtype=np.int8)))
+        return _f
+
+    lt = left.map_batches(_tag(0), batch_format="pyarrow", zero_copy_batch=True)
+    rt = right.map_batches(_tag(1), batch_format="pyarrow", zero_copy_batch=True)
+
+    def _decide(g: pa.Table) -> pa.Table:
+        sides = set(g.column("__side").to_pylist())
+        keep = ({0, 1} <= sides) if op == "intersect" else (sides == {0})
+        return g.slice(0, 1).drop_columns(["__side"]) if keep else \
+            g.slice(0, 0).drop_columns(["__side"])
+
+    return lt.union(rt).groupby(cols).map_groups(_decide, batch_format="pyarrow")
+
+
 def rollup_counts(ds: rd.Dataset, keys: list[str], alias: str = "n") -> rd.Dataset:
     """ROLLUP-style multi-level counts: one output row per group at every
     key-prefix level (finest → … → grand total), dropped keys null-filled.
