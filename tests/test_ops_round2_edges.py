@@ -113,3 +113,21 @@ def test_hash_sample_rate_bounds():
         lambda t: t.rename_columns(["k"]), batch_format="pyarrow")
     assert hash_sample(ds, "k", 1.0).count() == 1000
     assert hash_sample(ds, "k", 0.0).count() == 0
+
+
+def test_pca_fit_project_variance_ordering():
+    from vlm_eden_dataset_etl_ray.functions.knn import pca_fit, pca_project
+
+    ds = rd.read_parquet("/root/testdata/sf0.01/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    mean, comp = pca_fit(ds, n_components=4, sample_frac=1.0)
+    assert comp.shape[0] == 4
+    # orthonormal basis
+    assert np.allclose(comp @ comp.T, np.eye(4), atol=1e-8)
+    out = _to_pandas(pca_project(ds, mean, comp))
+    proj = np.vstack(out["pca"].to_numpy())
+    var = proj.var(axis=0)
+    assert (np.diff(var) <= 1e-9).all()  # descending variance per component
+    # deterministic: same fit twice
+    mean2, comp2 = pca_fit(ds, n_components=4, sample_frac=1.0)
+    assert np.allclose(comp, comp2)

@@ -290,3 +290,51 @@ def knn_lsh(
     return partial.groupby("query_id").map_groups(
         _final_topk, fn_kwargs={"k": k}, batch_format="pyarrow"
     )
+
+
+def pca_fit(
+    ds: rd.Dataset,
+    vec_col: str = "embedding",
+    n_components: int = 8,
+    sample_frac: float = 0.25,
+    seed: int = 5,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Fit a PCA basis on a SAMPLE of the embedding column (same pattern as
+    IVF's k-means: the fit sees sample_frac of rows; embedding dim is
+    small, so the driver eigendecomposition of the dim×dim covariance is
+    trivial regardless of corpus size). Returns (mean[dim],
+    components[n_components, dim]) ordered by descending variance."""
+    sample = _as_matrix(
+        pa.concat_tables(
+            ds.random_sample(sample_frac, seed=seed)
+            .select_columns([vec_col])
+            .iter_batches(batch_format="pyarrow", batch_size=None)
+        ).column(vec_col)
+    )
+    mean = sample.mean(axis=0)
+    centered = sample - mean
+    cov = (centered.T @ centered) / max(1, len(sample) - 1)
+    eigvals, eigvecs = np.linalg.eigh(cov)  # ascending
+    order = np.argsort(-eigvals)[:n_components]
+    return mean, eigvecs[:, order].T.copy()
+
+
+def pca_project(
+    ds: rd.Dataset,
+    mean: np.ndarray,
+    components: np.ndarray,
+    vec_col: str = "embedding",
+    out_col: str = "pca",
+) -> rd.Dataset:
+    """Project embeddings onto a fitted PCA basis — one broadcast of the
+    (tiny) basis, one matmul per batch."""
+    ref = ray.put((np.asarray(mean), np.asarray(components)))
+
+    def _proj(t: pa.Table) -> pa.Table:
+        mu, comp = ray.get(ref)
+        m = _as_matrix(t.column(vec_col))
+        proj = (m - mu) @ comp.T
+        return t.append_column(
+            out_col, pa.array(list(proj), pa.list_(pa.float64())))
+
+    return ds.map_batches(_proj, batch_format="pyarrow", zero_copy_batch=True)
