@@ -1002,6 +1002,23 @@ def q_frame_sample_meta(sf_dir):
         ["doc_id", "frame_idx", "frame_offset", "frame_checksum"])
 
 
+def q_corpus_prep(sf_dir):
+    """Flagship corpus-preparation pipeline: quality gate → language gate
+    → exact dedup → MinHash cluster keep → decontamination → split, all
+    streaming (rows-only: composition of oracle-checked stages; stage
+    accounting + determinism asserted in pytest)."""
+    from vlm_eden_dataset_etl_ray.pipelines.corpus import CorpusParams, prepare_corpus
+    from vlm_eden_dataset_etl_ray.sources.parquet import read_small, read_table
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+    bench_t = read_small(sf_dir, "documents", columns=["text"],
+                         filter=(pc.field("doc_id") < 10))
+    out = prepare_corpus(
+        docs, bench_t.column("text"),
+        CorpusParams(keep_langs=("en", "de", "es", "fr", "zh")))
+    return out.select_columns(["doc_id", "lang_pred", "split"])
+
+
 def q_train_test_split(sf_dir):
     """Deterministic hash-based split assignment over documents (rows-only:
     the hash is engine-internal; determinism/disjointness asserted in
@@ -1090,6 +1107,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stratified_sample_docs": q_stratified_sample_docs,
         "contamination_flags": q_contamination_flags,
         "frame_sample_meta": q_frame_sample_meta,
+        "corpus_prep": q_corpus_prep,
         "heavy_hitter_event_types": q_heavy_hitter_event_types,
         "redacted_documents": q_redacted_documents,
         "bpe_token_counts": q_bpe_token_counts,
