@@ -549,7 +549,6 @@ def skew_hash_join(
     hr = pa.concat_tables(hot_right.iter_batches(batch_format="pyarrow",
                                                  batch_size=None))
     hr_ref = ray.put(hr)
-    rs_names = list(right.schema().names)
 
     cold = hash_join(
         left.map_batches(_split(left_on, False), batch_format="pyarrow",
@@ -577,7 +576,6 @@ def skew_hash_join(
                            zero_copy_batch=True)
     hot_joined = hot.map_batches(_HotJoin, batch_format="pyarrow",
                                  zero_copy_batch=True, concurrency=(1, 8))
-    del rs_names
     return cold.union(hot_joined)
 
 
