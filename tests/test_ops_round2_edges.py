@@ -131,3 +131,26 @@ def test_pca_fit_project_variance_ordering():
     # deterministic: same fit twice
     mean2, comp2 = pca_fit(ds, n_components=4, sample_frac=1.0)
     assert np.allclose(comp, comp2)
+
+
+def test_hash_join_null_keys_match_sql_semantics():
+    """SQL inner joins never match NULL = NULL; polars' default join
+    semantics inside the bucketed join must agree."""
+    import duckdb
+    from vlm_eden_dataset_etl_ray.functions.relational import hash_join
+
+    lt = pa.table({"k": pa.array([1, 2, None, None], pa.int64()),
+                   "x": pa.array([10, 20, 30, 40], pa.int64())})
+    rt = pa.table({"k2": pa.array([1, None], pa.int64()),
+                   "y": pa.array(["a", "b"])})
+    out = _to_pandas(hash_join(rd.from_arrow(lt), rd.from_arrow(rt),
+                               "k", "k2", how="inner", num_buckets=4))
+    exp = duckdb.sql(
+        "select l.k, l.x, r.k2, r.y from lt l join rt r on l.k = r.k2"
+    ).df()
+    assert len(out) == len(exp) == 1
+    assert out.iloc[0]["x"] == 10 and out.iloc[0]["y"] == "a"
+    # left join keeps null-key left rows with null right side
+    out_l = _to_pandas(hash_join(rd.from_arrow(lt), rd.from_arrow(rt),
+                                 "k", "k2", how="left", num_buckets=4))
+    assert len(out_l) == 4 and out_l["y"].notna().sum() == 1
