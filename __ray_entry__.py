@@ -594,17 +594,10 @@ def q_monthly_priority_pivot(sf_dir):
         return t.drop_columns(["o_orderdate"]).append_column("month", m)
 
     orders = orders.map_batches(_month, batch_format="pyarrow", zero_copy_batch=True)
-    out = pivot_count(
+    return pivot_count(
         orders, "month", "o_orderpriority",
         ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"],
         alias_fmt="n_{}")
-
-    def _fix_unit(t: pa.Table) -> pa.Table:
-        # Ray's sort-shuffle groupby normalizes the timestamp key to [s]
-        i = t.column_names.index("month")
-        return t.set_column(i, "month", t.column("month").cast(pa.timestamp("us")))
-
-    return out.map_batches(_fix_unit, batch_format="pyarrow", zero_copy_batch=True)
 
 
 def q_running_total_per_customer(sf_dir):

@@ -28,7 +28,7 @@ def test_lineage_survives_vacuum_no_reapply(tmp_path):
     # compaction (which DROPPED tombstones) must carry the lineage forward
     assert m2.applied_epoch_ids == m1.applied_epoch_ids
     assert m2.applied_inputs == m1.applied_inputs
-    lake.vacuum(lake_dir, keep_epochs=1)  # only the compaction manifest remains
+    lake.vacuum(lake_dir, keep_epochs=1, min_age_seconds=0)  # only the compaction manifest remains
     assert mf.list_epochs(lake_dir) == [m2.epoch]
     # polling again re-applies NOTHING: same epoch, same state, no
     # resurrection of deleted docs from the still-present changelog shards
@@ -71,7 +71,7 @@ def test_vacuum_spares_inflight_staging(tmp_path):
     probe = os.path.join(inflight, "part-00000.parquet")
     with open(probe, "wb") as fh:
         fh.write(b"inflight")
-    stats = lake.vacuum(lake_dir, keep_epochs=1)
+    stats = lake.vacuum(lake_dir, keep_epochs=1, min_age_seconds=0)
     assert os.path.exists(probe), "vacuum deleted an in-flight epoch's staging file"
     # but committed-epoch orphans are still collected as before
     assert stats["files_removed"] >= 0

@@ -154,3 +154,52 @@ def test_hash_join_null_keys_match_sql_semantics():
     out_l = _to_pandas(hash_join(rd.from_arrow(lt), rd.from_arrow(rt),
                                  "k", "k2", how="left", num_buckets=4))
     assert len(out_l) == 4 and out_l["y"].notna().sum() == 1
+
+
+def test_skew_join_hot_key_absent_from_right():
+    """A hot left key with NO right rows must not crash the broadcast
+    side-path (left join pads nulls, inner join drops)."""
+    from vlm_eden_dataset_etl_ray.functions.relational import skew_hash_join
+
+    left = pd.DataFrame({"k": [999] * 50 + [1, 2], "x": range(52)})
+    right = pd.DataFrame({"k2": [1, 2], "y": ["a", "b"]})
+    inner = _to_pandas(skew_hash_join(
+        rd.from_pandas(left), rd.from_pandas(right), "k", "k2",
+        how="inner", hot_keys=[999], num_buckets=4))
+    assert sorted(inner["k"].tolist()) == [1, 2]
+    left_j = _to_pandas(skew_hash_join(
+        rd.from_pandas(left), rd.from_pandas(right), "k", "k2",
+        how="left", hot_keys=[999], num_buckets=4))
+    assert len(left_j) == 52 and left_j["y"].notna().sum() == 2
+
+
+def test_sketches_null_group_keys():
+    from vlm_eden_dataset_etl_ray.functions.sketches import (
+        approx_distinct, approx_heavy_hitters, approx_quantiles)
+
+    ds = rd.from_items(
+        [{"g": None, "v": float(i)} for i in range(50)]
+        + [{"g": "a", "v": float(i)} for i in range(100)])
+    q = approx_quantiles(ds, "v", qs=(0.5,), group_by="g")
+    got = dict(zip(q.column("g").to_pylist(), q.column("q50").to_pylist()))
+    assert set(got) == {None, "a"}
+    assert abs(got[None] - 24.5) < 2 and abs(got["a"] - 49.5) < 3
+    d = approx_distinct(ds, "v", group_by="g")
+    gd = dict(zip(d.column("g").to_pylist(),
+                  d.column("approx_distinct").to_pylist()))
+    assert set(gd) == {None, "a"} and gd["a"] >= 95
+    hh = approx_heavy_hitters(
+        rd.from_items([{"v": None}] * 5 + [{"v": "x"}] * 3), "v", k=2)
+    got_hh = dict(zip(hh.column("v").to_pylist(),
+                      hh.column("approx_count").to_pylist()))
+    assert got_hh == {None: 5, "x": 3}
+
+
+def test_null_hashes_distinct_from_empty():
+    from vlm_eden_dataset_etl_ray.functions.dedup import exact_dedup
+
+    t = pa.table({"id": pa.array([1, 2, 3], pa.int64()),
+                  "text": pa.array(["", None, ""], pa.string())})
+    out = _to_pandas(exact_dedup(rd.from_arrow(t), on=["text"], keep_by="id"))
+    # "" dedups to one row; null survives separately (not merged with "")
+    assert sorted(out["id"].tolist()) == [1, 2]

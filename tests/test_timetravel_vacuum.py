@@ -39,7 +39,7 @@ def test_vacuum_after_compaction_drops_old_files(tmp_path):
     p, lake_dir = _setup(tmp_path)
     lake.compact(lake_dir)
     before = len(glob.glob(os.path.join(lake_dir, "**", "*.parquet"), recursive=True))
-    stats = lake.vacuum(lake_dir, keep_epochs=1)
+    stats = lake.vacuum(lake_dir, keep_epochs=1, min_age_seconds=0)
     after = len(glob.glob(os.path.join(lake_dir, "**", "*.parquet"), recursive=True))
     assert stats["files_removed"] > 0 and stats["bytes_removed"] > 0
     assert stats["manifests_removed"] == 3  # epochs 1-3 dropped, compaction kept
@@ -61,7 +61,7 @@ def test_vacuum_after_compaction_drops_old_files(tmp_path):
 def test_vacuum_keeps_recent_epochs_readable(tmp_path):
     p, lake_dir = _setup(tmp_path)
     snap2 = lake.snapshot(lake_dir, manifest=mf.load(lake_dir, 2))
-    lake.vacuum(lake_dir, keep_epochs=2)  # keeps epochs 2 and 3
+    lake.vacuum(lake_dir, keep_epochs=2, min_age_seconds=0)  # keeps epochs 2 and 3
     assert mf.list_epochs(lake_dir) == [2, 3]
     again = lake.snapshot(lake_dir, manifest=mf.load(lake_dir, 2))
     assert again.equals(snap2)  # snapshot isolation for retained epochs

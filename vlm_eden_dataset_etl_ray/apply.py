@@ -237,8 +237,18 @@ def _already_applied(lake_dir: str, epoch_id: str) -> mf.Manifest | None:
     # id since lake creation (and survives vacuum of older manifests), so one
     # membership check suffices — no O(epochs) manifest scan per apply.
     m = mf.latest(lake_dir)
-    if m is not None and epoch_id in m.applied_epoch_ids:
+    if m is None:
+        return None
+    if epoch_id in m.applied_epoch_ids:
         return m
+    if m.lineage != "cumulative":
+        # legacy lake (pre-marker manifests carry per-epoch lineage only):
+        # union over every retained manifest before declaring "pending" —
+        # re-applying an already-applied shard after a tombstone-dropping
+        # compaction would resurrect deleted rows
+        for e in mf.list_epochs(lake_dir):
+            if epoch_id in mf.load(lake_dir, e).applied_epoch_ids:
+                return m
     return None
 
 

@@ -97,7 +97,15 @@ def _poly_hash_strings(arr: pa.Array, seed: int) -> np.ndarray:
 # ---------------------------------------------------------------------------
 
 
-def _as_hashable_array(values) -> pa.Array:
+#: XOR-salt applied to null positions so null hashes DISTINCT from ""/0
+#: (a null text field and an empty one are different documents)
+_NULL_SALT = np.uint64(0xD6E8FEB86659FD93)
+
+
+def _as_hashable_array(values) -> tuple[pa.Array, np.ndarray | None]:
+    """Normalize to a (large_)string/binary Arrow array + null mask.
+    Null slots are filled with ""/b"" for the kernel; the mask lets the
+    caller re-salt them so nulls stay distinguishable."""
     if isinstance(values, pa.ChunkedArray):
         values = values.combine_chunks()
     if not isinstance(values, pa.Array):
@@ -105,11 +113,13 @@ def _as_hashable_array(values) -> pa.Array:
     if not (pa.types.is_string(values.type) or pa.types.is_large_string(values.type)
             or pa.types.is_binary(values.type) or pa.types.is_large_binary(values.type)):
         values = values.cast(pa.string())
+    mask = None
     if values.null_count:
+        mask = pc.is_null(values).to_numpy(zero_copy_only=False)
         fill = b"" if (pa.types.is_binary(values.type)
                        or pa.types.is_large_binary(values.type)) else ""
         values = pc.fill_null(values, fill)
-    return values
+    return values, mask
 
 
 def hash_strings(values, seed: int = 0) -> np.ndarray:
@@ -117,12 +127,18 @@ def hash_strings(values, seed: int = 0) -> np.ndarray:
     :data:`HASH_FN`; see module docstring for the stability contract).
 
     ``values`` may be a pyarrow Array/ChunkedArray, numpy object array, or
-    list of str. Nulls hash like empty strings. Returns uint64 ndarray.
+    list of str. Nulls hash DISTINCTLY from empty strings (XOR salt).
+    Returns uint64 ndarray.
     """
-    arr = _as_hashable_array(values)
+    arr, mask = _as_hashable_array(values)
     if _HAVE_POLARS:
-        return pl.from_arrow(arr).hash(seed=seed & 0xFFFFFFFFFFFFFFFF).to_numpy()
-    return _poly_hash_strings(arr, seed)
+        h = pl.from_arrow(arr).hash(seed=seed & 0xFFFFFFFFFFFFFFFF).to_numpy()
+    else:
+        h = _poly_hash_strings(arr, seed)
+    if mask is not None:
+        h = h.copy()
+        h[mask] ^= _NULL_SALT
+    return h
 
 
 def _hash_fixed_width(arr: pa.Array, seed: int) -> np.ndarray:
@@ -131,14 +147,20 @@ def _hash_fixed_width(arr: pa.Array, seed: int) -> np.ndarray:
     widths hash equal)."""
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
+    mask = None
     if arr.null_count:
+        mask = pc.is_null(arr).to_numpy(zero_copy_only=False)
         arr = pc.fill_null(arr, pc.cast(pa.scalar(0), arr.type))
     if pa.types.is_floating(arr.type):
         bits = arr.cast(pa.float64()).to_numpy(zero_copy_only=False).view(np.uint64)
     else:
         bits = arr.cast(pa.int64()).to_numpy(zero_copy_only=False).view(np.uint64)
     seed_mix = _mix64(np.uint64(seed & 0xFFFFFFFFFFFFFFFF) + np.uint64(0xA5A5A5A5A5A5A5A5))
-    return _mix64(bits ^ seed_mix)
+    h = _mix64(bits ^ seed_mix)
+    if mask is not None:
+        h = h.copy()
+        h[mask] ^= _NULL_SALT  # null != 0
+    return h
 
 
 def partition_ids(keys, num_partitions: int, seed: int = 0) -> np.ndarray:
@@ -156,8 +178,10 @@ def content_hash(table: pa.Table, columns: list[str], seed: int = 0) -> np.ndarr
         if isinstance(col, pa.ChunkedArray):
             col = col.combine_chunks()
         if (pa.types.is_string(col.type) or pa.types.is_large_string(col.type)
-                or pa.types.is_binary(col.type) or pa.types.is_large_binary(col.type)):
-            h = hash_strings(col, seed=seed + i)
+                or pa.types.is_binary(col.type) or pa.types.is_large_binary(col.type)
+                or pa.types.is_null(col.type)):  # all-null block column
+            h = hash_strings(col if not pa.types.is_null(col.type)
+                             else col.cast(pa.string()), seed=seed + i)
         else:
             h = _hash_fixed_width(col, seed=seed + i)
         acc = acc * _FNV_PRIME + h
@@ -169,7 +193,10 @@ def _fingerprint() -> str:
     probe set (several seeds, incl. empty + multibyte strings) and digest the
     resulting bytes. Any change to the underlying algorithm — polars swap,
     ahash revision, fallback engagement — yields a different fingerprint."""
-    probe = pa.array(["", "a", "doc1", "doc12345678901234567890", "naïve-ключ-鍵"])
+    # the null probe pins the null-vs-"" distinction into the fingerprint:
+    # a lake written before (or after) a null-hash change fails fast
+    probe = pa.array(["", "a", "doc1", "doc12345678901234567890",
+                      "naïve-ключ-鍵", None])
     parts = [hash_strings(probe, seed=s).tobytes() for s in (0, 1, 31337)]
     digest = hashlib.sha256(b"".join(parts)).hexdigest()[:12]
     family = "ahash" if _HAVE_POLARS else "poly64"

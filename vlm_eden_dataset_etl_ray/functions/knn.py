@@ -304,13 +304,18 @@ def pca_fit(
     small, so the driver eigendecomposition of the dim×dim covariance is
     trivial regardless of corpus size). Returns (mean[dim],
     components[n_components, dim]) ordered by descending variance."""
-    sample = _as_matrix(
-        pa.concat_tables(
-            ds.random_sample(sample_frac, seed=seed)
-            .select_columns([vec_col])
-            .iter_batches(batch_format="pyarrow", batch_size=None)
-        ).column(vec_col)
-    )
+    batches = list(
+        ds.random_sample(sample_frac, seed=seed)
+        .select_columns([vec_col])
+        .iter_batches(batch_format="pyarrow", batch_size=None))
+    if not batches:
+        # per-row sampling can legitimately return 0 rows on small inputs;
+        # fall back to a bounded prefix rather than crashing in concat
+        batches = list(ds.limit(4096).select_columns([vec_col])
+                       .iter_batches(batch_format="pyarrow", batch_size=None))
+        if not batches:
+            raise ValueError("pca_fit: dataset is empty")
+    sample = _as_matrix(pa.concat_tables(batches).column(vec_col))
     mean = sample.mean(axis=0)
     centered = sample - mean
     cov = (centered.T @ centered) / max(1, len(sample) - 1)

@@ -522,15 +522,31 @@ def skew_hash_join(
     scope requires)."""
     import polars as pl
 
+    # both sides feed multiple consumers (sample + hot + cold paths);
+    # materialize once so upstream stages run once, not 3×/2×. The Arrow
+    # normalization also pins schema().types to Arrow DataTypes (pandas-
+    # block inputs report numpy classes, which break pa.schema below)
+    left = left.map_batches(lambda t: t, batch_format="pyarrow",
+                            zero_copy_batch=True).materialize()
+    right = right.map_batches(lambda t: t, batch_format="pyarrow",
+                              zero_copy_batch=True).materialize()
+
     if hot_keys is None:
-        sample = left.limit(sample_rows).select_columns([left_on])
-        st = pa.concat_tables(sample.iter_batches(batch_format="pyarrow",
-                                                  batch_size=None))
-        counts = st.group_by(left_on).aggregate([([], "count_all")])
-        n = st.num_rows
-        mask = pc.greater(counts.column("count_all"),
-                          pa.scalar(int(hot_frac * n)))
-        hot_keys = counts.filter(mask).column(left_on).to_pylist()
+        # RANDOM sample — limit() takes the first blocks, which misses hot
+        # keys entirely when the input is clustered/sorted by key
+        n_left = left.count()  # metadata-cheap on a materialized dataset
+        frac = min(1.0, sample_rows / max(1, n_left))
+        sample = left.random_sample(frac, seed=7).select_columns([left_on])
+        batches = list(sample.iter_batches(batch_format="pyarrow",
+                                           batch_size=None))
+        if batches:
+            st = pa.concat_tables(batches)
+            counts = st.group_by(left_on).aggregate([([], "count_all")])
+            mask = pc.greater(counts.column("count_all"),
+                              pa.scalar(int(hot_frac * st.num_rows)))
+            hot_keys = counts.filter(mask).column(left_on).to_pylist()
+        else:
+            hot_keys = []
     if not hot_keys:
         return hash_join(left, right, left_on, right_on, how=how,
                          num_buckets=num_buckets)
@@ -543,11 +559,16 @@ def skew_hash_join(
             return t.filter(m if keep_hot else pc.invert(m))
         return _f
 
-    # hot right rows: collected once, broadcast via ray.put
+    # hot right rows: collected once, broadcast via ray.put. A hot key
+    # ABSENT from right yields zero batches — broadcast an empty table of
+    # the right schema so the per-batch join still runs (left join pads
+    # nulls, inner join drops, matching the bucketed path's semantics)
     hot_right = right.map_batches(_split(right_on, True), batch_format="pyarrow",
                                   zero_copy_batch=True)
-    hr = pa.concat_tables(hot_right.iter_batches(batch_format="pyarrow",
-                                                 batch_size=None))
+    hr_batches = list(hot_right.iter_batches(batch_format="pyarrow",
+                                             batch_size=None))
+    rs = pa.schema(list(zip(right.schema().names, right.schema().types)))
+    hr = pa.concat_tables(hr_batches) if hr_batches else rs.empty_table()
     hr_ref = ray.put(hr)
 
     cold = hash_join(
@@ -786,6 +807,10 @@ def pivot_count(
 
     aliases = [alias_fmt.format(c.lower().replace(" ", "_").replace("-", "_"))
                for c in categories]
+    # normalize to Arrow blocks so the key dtype is known exactly; Ray's
+    # sort-shuffle groupby normalizes temporal keys (us→s) — restore below
+    ds = ds.map_batches(lambda t: t, batch_format="pyarrow", zero_copy_batch=True)
+    key_type = dict(zip(ds.schema().names, ds.schema().types))[key]
 
     def _partial(t: pa.Table) -> pa.Table:
         df = pl.from_arrow(t.select([key, pivot_col]))
@@ -800,6 +825,8 @@ def pivot_count(
         *[Sum(a, alias_name=a) for a in aliases])
 
     def _cast(t: pa.Table) -> pa.Table:
+        ki = t.column_names.index(key)
+        t = t.set_column(ki, key, t.column(key).cast(key_type))
         for a in aliases:
             i = t.column_names.index(a)
             t = t.set_column(i, a, t.column(a).cast(pa.int64()))

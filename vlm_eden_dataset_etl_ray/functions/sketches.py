@@ -10,10 +10,25 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray.data as rd
 
 from vlm_eden_dataset_etl_ray.functions.hashing import hash_strings
+
+# null group keys ride through the partial/merge machinery as a sentinel
+# string (np.unique / sorted() cannot order None against str) and map back
+# to null at the output edge — matching SQL GROUP BY's one-null-group rule
+_NULL_KEY = "\x00\x00__null__"
+
+
+def _group_strings(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
+    s = pc.fill_null(col.cast(pa.string()), _NULL_KEY)
+    return np.asarray(s.to_pylist())
+
+
+def _unmask_keys(keys: list[str]) -> list:
+    return [None if k == _NULL_KEY else k for k in keys]
 
 
 class HyperLogLog:
@@ -81,7 +96,7 @@ def approx_distinct(
             sk = HyperLogLog(p).add_hashes(h)
             return pa.table({"__g": pa.array([None], pa.string()),
                              "__sk": pa.array([sk.to_bytes()], pa.binary())})
-        groups = np.asarray(t.column(group_by).cast(pa.string()).to_pylist())
+        groups = _group_strings(t.column(group_by))
         out_g, out_s = [], []
         for g in np.unique(groups):
             sk = HyperLogLog(p).add_hashes(h[groups == g])
@@ -104,7 +119,7 @@ def approx_distinct(
         cols = {"approx_distinct": pa.array(
             [int(round(acc[k].estimate())) for k in ks], pa.int64())}
         if group_by is not None:
-            cols = {group_by: pa.array([k for k in ks], pa.string()), **cols}
+            cols = {group_by: pa.array(_unmask_keys(ks), pa.string()), **cols}
         return pa.table(cols)
 
     merged = partial.repartition(1).map_batches(
@@ -187,7 +202,7 @@ def approx_quantiles(
             sk = CentroidSketch.from_values(vals, k)
             return pa.table({"__g": pa.array([None], pa.string()),
                              "__sk": pa.array([sk.to_bytes()], pa.binary())})
-        groups = np.asarray(t.column(group_by).cast(pa.string()).to_pylist())
+        groups = _group_strings(t.column(group_by))
         out_g, out_s = [], []
         for g in np.unique(groups):
             out_g.append(str(g))
@@ -205,7 +220,7 @@ def approx_quantiles(
         ks = sorted(acc, key=lambda x: (x is None, x))
         cols: dict = {}
         if group_by is not None:
-            cols[group_by] = pa.array(ks, pa.string())
+            cols[group_by] = pa.array(_unmask_keys(ks), pa.string())
         for q in qs:
             cols[f"q{int(round(q * 100))}"] = pa.array(
                 [acc[g].quantile(q) for g in ks], pa.float64())
@@ -270,7 +285,7 @@ def approx_heavy_hitters(
     high probability, at sketch-sized memory (d·w counters per batch)."""
 
     def _partial(t: pa.Table) -> pa.Table:
-        col = t.column(column).cast(pa.string())
+        col = pc.fill_null(t.column(column).cast(pa.string()), _NULL_KEY)
         h = hash_strings(col)
         sk = CountMin(w, d).add_hashes(h)
         counts = pa.table({"v": col}).group_by("v").aggregate([([], "count_all")])
@@ -293,7 +308,7 @@ def approx_heavy_hitters(
         est = sk.estimate_hashes(hash_strings(pa.array(vals, pa.string())))
         order = np.lexsort((np.array(vals, dtype=object), -est))[:k]
         return pa.table({
-            column: pa.array([vals[i] for i in order], pa.string()),
+            column: pa.array(_unmask_keys([vals[i] for i in order]), pa.string()),
             "approx_count": pa.array(est[order], pa.int64()),
         })
 

@@ -234,12 +234,17 @@ def training_stream(
     )
 
 
-def vacuum(lake_dir: str, keep_epochs: int = 2) -> dict:
+def vacuum(lake_dir: str, keep_epochs: int = 2,
+           min_age_seconds: float = 3600.0) -> dict:
     """Garbage-collect data files referenced by NO manifest among the last
     ``keep_epochs`` manifests (older manifests are dropped too). Readers of
     retained epochs keep snapshot isolation — their manifests' files are
-    never touched. Returns {files_removed, bytes_removed, manifests_removed}.
-    """
+    never touched. Unreferenced files younger than ``min_age_seconds`` are
+    ALSO spared: a concurrent apply that lost a publish race can hold
+    staged files under an epoch number ≤ the latest commit (it will rebase
+    and commit them under a later epoch) — age, not epoch number, is the
+    only safe signal for those. Returns {files_removed, bytes_removed,
+    manifests_removed}."""
     epochs = mf.list_epochs(lake_dir)
     if not epochs:
         return {"files_removed": 0, "bytes_removed": 0, "manifests_removed": 0}
@@ -270,9 +275,16 @@ def vacuum(lake_dir: str, keep_epochs: int = 2) -> dict:
                         continue
                 except ValueError:
                     pass
+            import time as _time
+            now = _time.time()
             for f in files:
                 p = os.path.abspath(os.path.join(dirpath, f))
                 if p.endswith(".parquet") and p not in live:
+                    try:
+                        if now - os.path.getmtime(p) < min_age_seconds:
+                            continue  # possibly an in-flight rebase's staging
+                    except OSError:
+                        continue
                     removed_bytes += os.path.getsize(p)
                     os.remove(p)
                     removed_files += 1

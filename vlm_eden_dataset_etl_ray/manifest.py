@@ -93,6 +93,11 @@ class Manifest:
     # functions.hashing.HASH_FN). Validated on resume: a different active
     # hash would silently split keys across partitions.
     hash_fn: str = ""
+    # Lineage format marker. "cumulative" = applied_epoch_ids/applied_inputs
+    # carry the FULL history (latest manifest alone suffices); "epoch"
+    # (the pre-marker legacy default) = per-epoch lists only, so exactly-once
+    # checks must union over ALL retained manifests.
+    lineage: str = "cumulative"
 
     def files(self, pid: int) -> list[str]:
         st = self.partitions.get(pid)
@@ -112,6 +117,7 @@ class Manifest:
             "applied_epoch_ids": self.applied_epoch_ids,
             "applied_inputs": self.applied_inputs,
             "hash_fn": self.hash_fn,
+            "lineage": self.lineage,
             "partitions": [self.partitions[k].to_json() for k in sorted(self.partitions)],
         }
 
@@ -123,6 +129,7 @@ class Manifest:
             applied_epoch_ids=list(d.get("applied_epoch_ids", [])),
             applied_inputs=list(d.get("applied_inputs", [])),
             hash_fn=d.get("hash_fn", ""),
+            lineage=d.get("lineage", "epoch"),  # absent marker = legacy
             partitions={p["pid"]: PartitionState.from_json(p) for p in d["partitions"]},
         )
 

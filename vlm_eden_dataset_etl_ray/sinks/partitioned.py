@@ -70,8 +70,12 @@ def write_partitioned(
         pdir = os.path.join(out_dir, f"pid={pid}")
         os.makedirs(pdir, exist_ok=True)
         path = os.path.join(pdir, "part.parquet")
-        tmp = path + ".tmp"
-        pq.write_table(body, tmp)  # stable name: a retry overwrites itself
+        # uuid tmp: a zombie attempt and its retry must not interleave on
+        # one tmp file (same contract as apply.py's staging writes); the
+        # atomic os.replace publishes whichever attempt finishes
+        import uuid
+        tmp = f"{path}.tmp-{uuid.uuid4().hex}"
+        pq.write_table(body, tmp)
         os.replace(tmp, path)
         with open(os.path.join(pdir, "_SUCCESS"), "w") as f:
             f.write(str(body.num_rows))
