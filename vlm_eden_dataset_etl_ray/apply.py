@@ -551,9 +551,11 @@ def _stage_and_commit(
                 st.applied_lsn_ranges, int(r["min_lsn"]), int(r["max_lsn"])
             )
         # cumulative lineage: base's full history + this epoch's inputs, so
-        # the newest manifest alone survives vacuum as the exactly-once record
-        prior_ids = list(base.applied_epoch_ids) if base else []
-        prior_inputs = list(base.applied_inputs) if base else []
+        # the newest manifest alone survives vacuum as the exactly-once
+        # record. A LEGACY (per-epoch) base carries only its own epoch's
+        # lists — cumulative_lineage unions over all retained manifests so
+        # the upgrade to a cumulative manifest loses no applied ids.
+        prior_ids, prior_inputs = mf.cumulative_lineage(lake_dir, base)
         return mf.Manifest(
             epoch=at_epoch,
             num_partitions=spec.num_partitions,

@@ -152,7 +152,14 @@ def _hash_fixed_width(arr: pa.Array, seed: int) -> np.ndarray:
         mask = pc.is_null(arr).to_numpy(zero_copy_only=False)
         arr = pc.fill_null(arr, pc.cast(pa.scalar(0), arr.type))
     if pa.types.is_floating(arr.type):
-        bits = arr.cast(pa.float64()).to_numpy(zero_copy_only=False).view(np.uint64)
+        vals = arr.cast(pa.float64()).to_numpy(zero_copy_only=False)
+        # -0.0 == 0.0 in SQL/Arrow comparisons but differs in its bit
+        # pattern — normalize before the bit view so content_hash/exact
+        # dedup agree with a DISTINCT oracle. NaN payload bits are kept
+        # as-is: NaN != NaN in SQL, so hashing NaNs apart never merges
+        # rows an oracle would keep distinct (it may keep extra rows,
+        # which DISTINCT keeps too).
+        bits = np.where(vals == 0.0, 0.0, vals).view(np.uint64)
     else:
         bits = arr.cast(pa.int64()).to_numpy(zero_copy_only=False).view(np.uint64)
     seed_mix = _mix64(np.uint64(seed & 0xFFFFFFFFFFFFFFFF) + np.uint64(0xA5A5A5A5A5A5A5A5))

@@ -424,6 +424,17 @@ def _auto_buckets(bytes_hint: int | None, target_bucket_bytes: int) -> int:
     return max(16, 2 * ncpu)
 
 
+def _join_out_schema(ls: pa.Schema, rs: pa.Schema, left_on: str, right_on: str) -> pa.Schema:
+    """Output schema of :func:`hash_join` / :func:`skew_hash_join`, computed
+    STATICALLY from the two input schemas — never by executing the joined
+    dataset (an all-hot or empty cold branch can yield no blocks, and
+    ``Dataset.schema()`` on it would return None or trigger execution)."""
+    out_fields = list(ls) + [f for f in rs if f.name not in ls.names or
+                             (left_on == right_on and f.name == left_on)]
+    return pa.schema([f for i, f in enumerate(out_fields)
+                      if f.name not in [x.name for x in out_fields[:i]]])
+
+
 def hash_join(
     left: rd.Dataset,
     right: rd.Dataset,
@@ -473,10 +484,7 @@ def hash_join(
     left_cols = list(ls.names)
     right_cols = list(rs.names)
 
-    out_fields = list(ls) + [f for f in rs if f.name not in ls.names or
-                             (left_on == right_on and f.name == left_on)]
-    out_schema = pa.schema([f for i, f in enumerate(out_fields)
-                            if f.name not in [x.name for x in out_fields[:i]]])
+    out_schema = _join_out_schema(ls, rs, left_on, right_on)
 
     def _join_bucket(g: pa.Table) -> pa.Table:
         side = g.column("__side")
@@ -577,7 +585,10 @@ def skew_hash_join(
         right.map_batches(_split(right_on, False), batch_format="pyarrow",
                           zero_copy_batch=True),
         left_on, right_on, how=how, num_buckets=num_buckets)
-    cold_schema = pa.schema(list(zip(cold.schema().names, cold.schema().types)))
+    # static schema from the INPUT schemas — executing cold.schema() crashes
+    # when every key is hot (both cold sides empty → schema None)
+    ls_static = pa.schema(list(zip(left.schema().names, left.schema().types)))
+    cold_schema = _join_out_schema(ls_static, rs, left_on, right_on)
 
     class _HotJoin:
         def __init__(self):

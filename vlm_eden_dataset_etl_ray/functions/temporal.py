@@ -65,13 +65,20 @@ def explode_hopping_windows(
     k = size_s // hop_s
 
     def _explode(t: pa.Table) -> pa.Table:
-        us = t.column(ts_col).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        ts = t.column(ts_col)
+        if not pa.types.is_timestamp(ts.type):
+            raise TypeError(f"{ts_col!r} must be a timestamp column, got {ts.type}")
+        # normalize the PHYSICAL unit to microseconds before the integer hop
+        # arithmetic — a timestamp[s]/[ms]/[ns] input would otherwise be
+        # silently misbucketed by a factor of the unit ratio
+        out_type = pa.timestamp("us", tz=ts.type.tz)
+        us = ts.cast(out_type).cast(pa.int64()).to_numpy(zero_copy_only=False)
         base = us // (hop_s * 1_000_000)  # hop index of each row
         idx = np.repeat(np.arange(len(us)), k)
         offs = np.tile(np.arange(k, dtype=np.int64), len(us))
         starts = (np.repeat(base, k) - offs) * (hop_s * 1_000_000)
         out = t.take(pa.array(idx))
-        return out.append_column(alias, pa.array(starts).cast(pa.timestamp("us")))
+        return out.append_column(alias, pa.array(starts).cast(out_type))
 
     return ds.map_batches(_explode, batch_format="pyarrow", zero_copy_batch=True)
 

@@ -402,6 +402,7 @@ def compact(
             stripe_count=k,
             base_stripes=[int(r["stripe"]) for r in rows_] if k > 1 else [0] * len(rows_),
         )
+    lineage_ids, lineage_inputs = mf.cumulative_lineage(lake_dir, m)
     out = mf.Manifest(
         epoch=epoch,
         num_partitions=m.num_partitions,
@@ -411,9 +412,10 @@ def compact(
         # lineage is cumulative: compaction rewrites files but the applied
         # input record must survive (vacuum drops old manifests; without
         # this, every applied shard would be re-applied on the next poll and
-        # compaction's tombstone-drop would resurrect deleted rows)
-        applied_epoch_ids=list(m.applied_epoch_ids),
-        applied_inputs=list(m.applied_inputs),
+        # compaction's tombstone-drop would resurrect deleted rows). A
+        # legacy per-epoch latest manifest is upgraded via the full union.
+        applied_epoch_ids=lineage_ids,
+        applied_inputs=lineage_inputs,
         hash_fn=m.hash_fn,
     )
     mf.commit(lake_dir, out)

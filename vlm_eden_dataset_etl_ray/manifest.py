@@ -181,6 +181,29 @@ def commit(lake_dir: str, m: Manifest) -> str:
     return path
 
 
+def cumulative_lineage(lake_dir: str, m: Manifest | None) -> tuple[list[str], list[str]]:
+    """Full ``(applied_epoch_ids, applied_inputs)`` history as of manifest
+    ``m``. A ``lineage="cumulative"`` manifest carries it alone; a LEGACY
+    per-epoch manifest does not — its lists cover only its own epoch, so the
+    true history is the union over ALL retained manifests. Every writer that
+    seeds a new cumulative manifest from a prior one (epoch apply, compaction)
+    and every exactly-once membership check MUST go through this helper:
+    seeding from a legacy manifest's own lists would silently drop earlier
+    epochs from the record, and re-applying one of those shards after a
+    tombstone-dropping compaction resurrects deleted rows."""
+    if m is None:
+        return [], []
+    if m.lineage == "cumulative":
+        return list(m.applied_epoch_ids), list(m.applied_inputs)
+    ids: set[str] = set()
+    inputs: set[str] = set()
+    for e in list_epochs(lake_dir):
+        em = load(lake_dir, e)
+        ids.update(em.applied_epoch_ids)
+        inputs.update(em.applied_inputs)
+    return sorted(ids), sorted(inputs)
+
+
 def merge_ranges(ranges: list[list[int]], lo: int, hi: int) -> list[list[int]]:
     """Insert [lo, hi] into a sorted list of closed LSN ranges, coalescing
     adjacent/overlapping ranges — the per-partition lineage record."""

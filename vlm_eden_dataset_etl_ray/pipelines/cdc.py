@@ -120,9 +120,11 @@ def run_incremental(
         if f.endswith(".parquet")
     )
     # lineage is cumulative (and vacuum-proof): the latest manifest alone
-    # records every input file ever applied
+    # records every input file ever applied. For a LEGACY per-epoch lake,
+    # cumulative_lineage unions over all retained manifests instead — a
+    # legacy latest manifest's own list covers only its final epoch.
     latest = mf.latest(lake_dir)
-    applied: set[str] = set(latest.applied_inputs) if latest else set()
+    applied: set[str] = set(mf.cumulative_lineage(lake_dir, latest)[1])
     pending = [f for f in all_files if f not in applied]
     if not pending:
         m = mf.latest(lake_dir)
