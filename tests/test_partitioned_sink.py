@@ -34,12 +34,14 @@ def test_partitioned_sink_write_resume_and_readback():
     assert len(full) == 500
 
     # all partitions sealed → a re-run writes NOTHING
-    mtimes = {p: os.path.getmtime(os.path.join(OUT, p, "part.parquet"))
+    from vlm_eden_dataset_etl_ray.sinks.partitioned import _sealed_file
+
+    mtimes = {p: os.path.getmtime(_sealed_file(OUT, int(p[len("pid="):])))
               for p in os.listdir(OUT)}
     stats2 = write_partitioned(_src(), OUT, "doc_id", num_partitions=8)
     assert stats2.num_rows == 0
     for p, m in mtimes.items():
-        assert os.path.getmtime(os.path.join(OUT, p, "part.parquet")) == m
+        assert os.path.getmtime(_sealed_file(OUT, int(p[len("pid="):]))) == m
 
     # lose one partition → only it rebuilds; content reconverges exactly
     lost = sorted(os.listdir(OUT))[3]

@@ -37,6 +37,7 @@ import pyarrow.parquet as pq
 import ray
 import ray.data as rd
 
+from vlm_eden_dataset_etl_ray import fsio
 from vlm_eden_dataset_etl_ray import manifest as mf
 from vlm_eden_dataset_etl_ray import schema as sch
 from vlm_eden_dataset_etl_ray.functions.hashing import HASH_FN, partition_ids
@@ -127,24 +128,24 @@ class PrepareAndSpill(PrepareBatch):
         for s, e in zip(starts, ends):
             pid = int(pids[s])
             part = t.slice(s, e - s).drop_columns(["pid"])
-            d = os.path.join(self.shuffle_dir, f"pid={pid:05d}")
-            os.makedirs(d, exist_ok=True)
-            path = os.path.join(d, f"slice-{uuid.uuid4().hex}.parquet")
-            tmp = path + ".tmp"
+            # unique name + direct write (rename-free): a retried task's
+            # orphan slices carry verbatim-duplicate rows, which the phase-B
+            # LWW reduce collapses; only metadata-listed slices are read
+            path = fsio.join(self.shuffle_dir, f"pid={pid:05d}",
+                             f"slice-{uuid.uuid4().hex}.parquet")
             # tokenized payloads are high-entropy; lz4 is cheap insurance for
             # disk-backed shuffle dirs, NONE wins on tmpfs — env-selectable
-            pq.write_table(
-                part, tmp,
+            nbytes = fsio.write_parquet(
+                path, part,
                 compression=os.environ.get("VLM_EDEN_SLICE_COMPRESSION", "lz4"),
             )
-            os.replace(tmp, path)
             lsns = part.column(self.spec.order)
             metas.append(
                 {
                     "pid": pid,
                     "path": path,
                     "rows": part.num_rows,
-                    "bytes": os.path.getsize(path),
+                    "bytes": nbytes,
                     "min_lsn": pc.min(lsns).as_py(),
                     "max_lsn": pc.max(lsns).as_py(),
                 }
@@ -205,10 +206,10 @@ def _write_partition_delta(group: pa.Table, spec: TableSpec, staging_dir: str) -
     rows (dropped only at compaction). Returns one metadata row."""
     pid = group.column("pid")[0].as_py()
     t = lww.lww_merge(group.drop_columns(["pid"]), spec)
-    path = os.path.join(staging_dir, f"part-{int(pid):05d}.parquet")
-    tmp = f"{path}.tmp-{uuid.uuid4().hex}"
-    pq.write_table(t, tmp)
-    os.replace(tmp, path)  # stable name → a retried task overwrites itself
+    path = fsio.join(staging_dir, f"part-{int(pid):05d}.parquet")
+    # stable name, direct write → a retried task overwrites itself; nothing
+    # reads the file until the manifest referencing it commits
+    nbytes = fsio.write_parquet(path, t)
     lsns = t.column(spec.order)
     tomb = _tombstone_count(t, spec)
     return pa.table(
@@ -216,7 +217,7 @@ def _write_partition_delta(group: pa.Table, spec: TableSpec, staging_dir: str) -
             "pid": [int(pid)],
             "path": [path],
             "rows": [t.num_rows],
-            "bytes": [os.path.getsize(path)],
+            "bytes": [nbytes],
             "min_lsn": [pc.min(lsns).as_py()],
             "max_lsn": [pc.max(lsns).as_py()],
             "tombstones": [int(tomb)],
@@ -293,7 +294,7 @@ def changelog_dataset(
         prepare_concurrency = (1, max(2, ncpu - 2))
     groups: dict[tuple, tuple[pa.Schema, list[str]]] = {}
     for f in files:
-        s = pq.read_schema(f)
+        s = fsio.read_parquet_schema(f)
         key = tuple(sorted((fl.name, str(fl.type)) for fl in s))
         groups.setdefault(key, (s, []))[1].append(f)
     target = target_schema or union_schemas([g[0] for g in groups.values()])
@@ -346,21 +347,19 @@ def _merge_slices_and_write(batch: pa.Table, spec: TableSpec, staging_dir: str) 
         pid, files = int(row["pid"]), list(row["files"])
         stripe = int(row.get("stripe", 0))
         n_stripes = int(row.get("n_stripes", 1))
-        tables = [pq.read_table(f) for f in files]
+        tables = [fsio.read_parquet(f) for f in files]
         target = union_schemas([t.schema for t in tables])
         t = pa.concat_tables(sch.unify_table(t_, target) for t_ in tables)
         t = lww.lww_merge(t, spec)
         suffix = f"-s{stripe:02d}" if n_stripes > 1 else ""
-        path = os.path.join(staging_dir, f"part-{pid:05d}{suffix}.parquet")
-        tmp = f"{path}.tmp-{uuid.uuid4().hex}"
-        pq.write_table(t, tmp)
-        os.replace(tmp, path)
+        path = fsio.join(staging_dir, f"part-{pid:05d}{suffix}.parquet")
+        nbytes = fsio.write_parquet(path, t)  # stable name, direct write
         lsns = t.column(spec.order)
         tomb = _tombstone_count(t, spec)
         out.append(
             {
                 "pid": pid, "path": path, "rows": t.num_rows,
-                "bytes": os.path.getsize(path),
+                "bytes": nbytes,
                 "min_lsn": pc.min(lsns).as_py(), "max_lsn": pc.max(lsns).as_py(),
                 "tombstones": int(tomb),
             }
@@ -414,7 +413,7 @@ def apply_epoch(
     - ``"sort"``: idiomatic Ray Data ``groupby(pid).map_groups`` through the
       object store.
     """
-    os.makedirs(lake_dir, exist_ok=True)
+    fsio.makedirs(lake_dir)
     if not changelog_files:
         # empty epoch: nothing to apply, state unchanged
         prev = mf.latest(lake_dir)
@@ -437,9 +436,9 @@ def apply_epoch(
     if mf.is_committed(lake_dir, epoch):
         raise FileExistsError(f"epoch {epoch} committed with different inputs")
 
-    staging_dir = os.path.join(lake_dir, "staging", f"epoch={epoch}")
-    shuffle_dir = os.path.join(staging_dir, "shuffle")
-    os.makedirs(staging_dir, exist_ok=True)
+    staging_dir = fsio.join(lake_dir, "staging", f"epoch={epoch}")
+    shuffle_dir = fsio.join(staging_dir, "shuffle")
+    fsio.makedirs(staging_dir)
 
     if shuffle == "file":
         ds, target = changelog_dataset(
@@ -585,10 +584,7 @@ def _stage_and_commit(
             latest2 = mf.latest(lake_dir)
             m = _build_manifest(latest2, latest2.epoch + 1)
     # shuffle slices are transient: safe to drop once the epoch is committed
-    if os.path.isdir(shuffle_dir):
-        import shutil
-
-        shutil.rmtree(shuffle_dir, ignore_errors=True)
+    fsio.delete_dir(shuffle_dir)
     return m
 
 
@@ -613,7 +609,7 @@ def apply_epoch_dataset(
     transform parameters). Same id ⇒ skipped; the retry/crash story is
     identical to :func:`apply_epoch` (stable staging names, 2PC manifest).
     """
-    os.makedirs(lake_dir, exist_ok=True)
+    fsio.makedirs(lake_dir)
     done = _already_applied(lake_dir, epoch_id)
     if done is not None:
         return done
@@ -624,9 +620,9 @@ def apply_epoch_dataset(
     if mf.is_committed(lake_dir, epoch):
         raise FileExistsError(f"epoch {epoch} committed with different inputs")
 
-    staging_dir = os.path.join(lake_dir, "staging", f"epoch={epoch}")
-    shuffle_dir = os.path.join(staging_dir, "shuffle")
-    os.makedirs(staging_dir, exist_ok=True)
+    staging_dir = fsio.join(lake_dir, "staging", f"epoch={epoch}")
+    shuffle_dir = fsio.join(staging_dir, "shuffle")
+    fsio.makedirs(staging_dir)
 
     s = ds.schema()
     target = pa.schema(list(zip(s.names, s.types)))

@@ -14,15 +14,12 @@ readable without an all-to-all exchange.
 
 from __future__ import annotations
 
-import os
-import uuid
-
 import pyarrow as pa
 import pyarrow.compute as pc
-import pyarrow.parquet as pq
 
 import ray.data as rd
 
+from vlm_eden_dataset_etl_ray import fsio
 from vlm_eden_dataset_etl_ray import manifest as mf
 from vlm_eden_dataset_etl_ray import schema as sch
 from vlm_eden_dataset_etl_ray.apply import union_schemas, work_items_dataset
@@ -71,10 +68,10 @@ def merge_partition_files(
     tables = []
     for f in files:
         if read_cols is None:
-            t = pq.read_table(f)
+            t = fsio.read_parquet(f)
         else:
-            avail = set(pq.read_schema(f).names)
-            t = pq.read_table(f, columns=[c for c in read_cols if c in avail])
+            avail = set(fsio.read_parquet_schema(f).names)
+            t = fsio.read_parquet(f, columns=[c for c in read_cols if c in avail])
         tables.append(stripe_filter(t, spec, stripe, n_stripes))
     target = union_schemas([t.schema for t in tables])
     tables = [sch.unify_table(t, target) for t in tables]
@@ -112,7 +109,7 @@ def _output_schema(m: mf.Manifest, spec: TableSpec, columns, live_only, registry
     schemas = []
     for pid in sorted(m.partitions):
         for f in m.files(pid):
-            schemas.append(pq.read_schema(f))
+            schemas.append(fsio.read_parquet_schema(f))
         if schemas:
             break
     if not schemas:
@@ -245,6 +242,8 @@ def vacuum(lake_dir: str, keep_epochs: int = 2,
     and commit them under a later epoch) — age, not epoch number, is the
     only safe signal for those. Returns {files_removed, bytes_removed,
     manifests_removed}."""
+    import time as _time
+
     epochs = mf.list_epochs(lake_dir)
     if not epochs:
         return {"files_removed": 0, "bytes_removed": 0, "manifests_removed": 0}
@@ -253,47 +252,48 @@ def vacuum(lake_dir: str, keep_epochs: int = 2,
     for e in keep:
         m = mf.load(lake_dir, e)
         for pid in m.partitions:
-            live.update(os.path.abspath(f) for f in m.files(pid))
+            live.update(fsio.canon(f) for f in m.files(pid))
     removed_files = 0
     removed_bytes = 0
     max_committed = max(keep)
+    now = _time.time()
     for sub in ("staging", "base"):
-        root = os.path.join(lake_dir, sub)
-        if not os.path.isdir(root):
-            continue
-        for dirpath, _dirs, files in os.walk(root, topdown=False):
+        root = fsio.join(lake_dir, sub)
+        touched_dirs: set[str] = set()
+        for p, size, mtime in fsio.walk_files(root):
             # An apply_epoch may be in flight concurrently: its staging /
             # shuffle files live under staging/epoch=K with K greater than
             # any committed epoch and are referenced by NO manifest yet —
             # deleting them would let that epoch publish a manifest pointing
             # at vanished files. Skip epoch dirs newer than the last commit.
-            rel = os.path.relpath(dirpath, root)
-            top = rel.split(os.sep, 1)[0]
+            rel = p[len(root):].lstrip("/")
+            top = rel.split("/", 1)[0]
             if top.startswith("epoch="):
                 try:
                     if int(top[len("epoch="):]) > max_committed:
                         continue
                 except ValueError:
                     pass
-            import time as _time
-            now = _time.time()
-            for f in files:
-                p = os.path.abspath(os.path.join(dirpath, f))
-                if p.endswith(".parquet") and p not in live:
-                    try:
-                        if now - os.path.getmtime(p) < min_age_seconds:
-                            continue  # possibly an in-flight rebase's staging
-                    except OSError:
-                        continue
-                    removed_bytes += os.path.getsize(p)
-                    os.remove(p)
-                    removed_files += 1
-            if not os.listdir(dirpath):
-                os.rmdir(dirpath)
+            if p.endswith(".parquet") and fsio.canon(p) not in live:
+                if now - mtime < min_age_seconds:
+                    continue  # possibly an in-flight rebase's staging
+                try:
+                    fsio.delete_file(p)
+                except (FileNotFoundError, OSError):
+                    continue  # concurrent vacuum / already gone
+                removed_bytes += size
+                removed_files += 1
+                touched_dirs.add(fsio.parent(p))
+        # drop now-empty directories bottom-up (no-op on object stores)
+        for d in sorted(touched_dirs, key=len, reverse=True):
+            while len(d) > len(root):
+                fsio.delete_dir_if_empty(d)
+                d = fsio.parent(d)
     removed_manifests = 0
     for e in epochs:
         if e not in keep:
-            os.remove(os.path.join(lake_dir, mf.MANIFEST_DIR, f"epoch={e:010d}.json"))
+            fsio.delete_file(fsio.join(lake_dir, mf.MANIFEST_DIR,
+                                       f"epoch={e:010d}.json"))
             removed_manifests += 1
     return {"files_removed": removed_files, "bytes_removed": removed_bytes,
             "manifests_removed": removed_manifests}
@@ -328,8 +328,8 @@ def compact(
 
     check_hash_fn(m)
     epoch = m.epoch + 1
-    base_dir = os.path.join(lake_dir, "base", f"epoch={epoch}")
-    os.makedirs(base_dir, exist_ok=True)
+    base_dir = fsio.join(lake_dir, "base", f"epoch={epoch}")
+    fsio.makedirs(base_dir)
 
     def _compact_one(batch: pa.Table, spec=spec, base_dir=base_dir) -> pa.Table:
         rows = []
@@ -339,10 +339,8 @@ def compact(
             t = merge_partition_files(files, spec, live_only=True,
                                       stripe=s, n_stripes=k)
             suffix = f"-s{s:03d}" if k > 1 else ""
-            path = os.path.join(base_dir, f"part-{pid:05d}{suffix}.parquet")
-            tmp = f"{path}.tmp-{uuid.uuid4().hex}"
-            pq.write_table(t, tmp)
-            os.replace(tmp, path)
+            path = fsio.join(base_dir, f"part-{pid:05d}{suffix}.parquet")
+            nbytes = fsio.write_parquet(path, t)  # stable name, direct write
             wm = pc.max(t.column(spec.order)).as_py() if t.num_rows else -1
             rows.append(
                 {
@@ -351,7 +349,7 @@ def compact(
                     "n_stripes": k,
                     "path": path,
                     "rows": t.num_rows,
-                    "bytes": os.path.getsize(path),
+                    "bytes": nbytes,
                     "watermark_lsn": -1 if wm is None else int(wm),
                 }
             )

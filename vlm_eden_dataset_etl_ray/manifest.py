@@ -6,14 +6,18 @@ Replaces the reference's ``sync_records`` watermark table
 (``sync/sync_base.py:55-56``) with exact lineage: each committed epoch's
 manifest records, per partition, the delta/base files, applied-LSN ranges,
 row/byte counts and the high-watermark LSN. Commit protocol with only
-filesystem primitives:
+RENAME-FREE filesystem primitives (runs on local POSIX and object stores
+alike — all I/O through :mod:`vlm_eden_dataset_etl_ray.fsio`):
 
 1. tasks write staging files with STABLE names ``staging/epoch=K/part-P.parquet``
-   (a retried task overwrites its own file — idempotent);
-2. the driver writes ``_manifests/epoch=K.json.tmp`` then ``os.replace`` →
-   atomic publish;
+   via a direct output stream (a retried task overwrites its own file —
+   idempotent; readers only ever open manifest-committed files);
+2. the driver publishes ``_manifests/epoch=K.json`` with
+   :func:`fsio.put_if_absent` — atomic create-if-absent (``O_EXCL``
+   locally, the store's conditional PUT on S3/GCS/Azure);
 3. re-running a committed epoch is a no-op (`is_committed`); a crash before
-   (2) leaves orphan staging files that the rerun simply overwrites.
+   (2) leaves orphan staging files that the rerun simply overwrites; a LOST
+   publish race raises ``FileExistsError`` and the caller rebases.
 
 Layout of a lake directory::
 
@@ -26,9 +30,10 @@ Layout of a lake directory::
 from __future__ import annotations
 
 import json
-import os
 from dataclasses import dataclass, field
 from typing import Any
+
+from vlm_eden_dataset_etl_ray import fsio
 
 MANIFEST_DIR = "_manifests"
 
@@ -135,15 +140,12 @@ class Manifest:
 
 
 def _manifest_path(lake_dir: str, epoch: int) -> str:
-    return os.path.join(lake_dir, MANIFEST_DIR, f"epoch={epoch:010d}.json")
+    return fsio.join(lake_dir, MANIFEST_DIR, f"epoch={epoch:010d}.json")
 
 
 def list_epochs(lake_dir: str) -> list[int]:
-    d = os.path.join(lake_dir, MANIFEST_DIR)
-    if not os.path.isdir(d):
-        return []
     out = []
-    for f in os.listdir(d):
+    for f in fsio.list_names(fsio.join(lake_dir, MANIFEST_DIR)):
         if f.startswith("epoch=") and f.endswith(".json"):
             out.append(int(f[len("epoch="):-len(".json")]))
     return sorted(out)
@@ -157,27 +159,24 @@ def latest(lake_dir: str) -> Manifest | None:
 
 
 def load(lake_dir: str, epoch: int) -> Manifest:
-    with open(_manifest_path(lake_dir, epoch)) as fh:
-        return Manifest.from_json(json.load(fh))
+    return Manifest.from_json(fsio.read_json(_manifest_path(lake_dir, epoch)))
 
 
 def is_committed(lake_dir: str, epoch: int) -> bool:
-    return os.path.exists(_manifest_path(lake_dir, epoch))
+    return fsio.exists(_manifest_path(lake_dir, epoch))
 
 
 def commit(lake_dir: str, m: Manifest) -> str:
-    """Atomically publish ``m``. Deterministic bytes (sorted keys, no
+    """Atomically publish ``m`` rename-free: one ``put_if_absent`` of the
+    final name (O_EXCL locally / conditional PUT on object stores) — exactly
+    one of any number of racing committers wins; losers raise
+    ``FileExistsError`` and rebase. Deterministic bytes (sorted keys, no
     timestamps) so exactly-once tests can compare manifests bytewise."""
-    os.makedirs(os.path.join(lake_dir, MANIFEST_DIR), exist_ok=True)
+    fsio.makedirs(fsio.join(lake_dir, MANIFEST_DIR))
     path = _manifest_path(lake_dir, m.epoch)
-    if os.path.exists(path):
+    data = json.dumps(m.to_json(), sort_keys=True, indent=1).encode()
+    if not fsio.put_if_absent(path, data):
         raise FileExistsError(f"epoch {m.epoch} already committed: {path}")
-    tmp = path + ".tmp"
-    with open(tmp, "w") as fh:
-        json.dump(m.to_json(), fh, sort_keys=True, indent=1)
-        fh.flush()
-        os.fsync(fh.fileno())
-    os.replace(tmp, path)
     return path
 
 

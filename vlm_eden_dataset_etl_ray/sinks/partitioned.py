@@ -9,28 +9,51 @@ both the WRITE (partition dirs that are done produce no work) and, with
 key-hash determinism, the rows that would land in them are filtered out
 before any shuffle. A 100-TB job that dies at partition 731/1024 redoes
 only the missing 293.
+
+Rename-free publish (object-store-safe, all I/O through :mod:`fsio`): each
+attempt streams its data to a UNIQUE file name, then writes the tiny
+``_SUCCESS`` seal naming that file. Concurrent zombie/retry attempts never
+touch each other's data files; whichever seal lands last wins and names a
+fully-written file. Readers open only the sealed file; orphans are inert.
 """
 
 from __future__ import annotations
 
-import os
+import json
+import uuid
 
 import numpy as np
 import pyarrow as pa
-import pyarrow.parquet as pq
 
 import ray.data as rd
 
+from vlm_eden_dataset_etl_ray import fsio
 from vlm_eden_dataset_etl_ray.functions.hashing import partition_ids
 
 _PID = "__out_pid"
 
 
+def _seal_path(out_dir: str, pid: int) -> str:
+    return fsio.join(out_dir, f"pid={pid}", "_SUCCESS")
+
+
+def _sealed_file(out_dir: str, pid: int) -> str | None:
+    """Data-file path named by a partition's seal; None when unsealed.
+    Legacy seals (bare row count) point at the old fixed name."""
+    sp = _seal_path(out_dir, pid)
+    if not fsio.exists(sp):
+        return None
+    raw = fsio.read_bytes(sp).decode()
+    try:
+        name = json.loads(raw)["file"]
+    except (json.JSONDecodeError, TypeError, KeyError):
+        name = "part.parquet"  # legacy seal format
+    return fsio.join(out_dir, f"pid={pid}", name)
+
+
 def _finished_pids(out_dir: str, num_partitions: int) -> np.ndarray:
-    done = []
-    for pid in range(num_partitions):
-        if os.path.exists(os.path.join(out_dir, f"pid={pid}", "_SUCCESS")):
-            done.append(pid)
+    done = [pid for pid in range(num_partitions)
+            if fsio.exists(_seal_path(out_dir, pid))]
     return np.asarray(done, dtype=np.int32)
 
 
@@ -41,14 +64,15 @@ def write_partitioned(
     num_partitions: int = 64,
     skip_existing: bool = True,
 ) -> pa.Table:
-    """Write ``ds`` as ``out_dir/pid=K/part.parquet`` (K = hash(by_col) % P)
-    with a `_SUCCESS` marker per finished partition. Returns a tiny stats
-    table (pid, rows, bytes) of the partitions written THIS run.
+    """Write ``ds`` as ``out_dir/pid=K/part-<uuid>.parquet`` (K =
+    hash(by_col) % P) with a `_SUCCESS` seal per finished partition.
+    Returns a tiny stats table (pid, rows, bytes) of the partitions written
+    THIS run.
 
     Resume contract: the source pipeline must be deterministic (same rows →
     same pids). ``skip_existing`` filters sealed partitions' rows out
     before the exchange, so a resume moves only the missing data."""
-    os.makedirs(out_dir, exist_ok=True)
+    fsio.makedirs(out_dir)
     done = _finished_pids(out_dir, num_partitions) if skip_existing else np.empty(0, np.int32)
 
     def _tag(t: pa.Table) -> pa.Table:
@@ -67,22 +91,17 @@ def write_partitioned(
     def _write(g: pa.Table) -> pa.Table:
         pid = int(g.column(_PID)[0].as_py())
         body = g.drop_columns([_PID])
-        pdir = os.path.join(out_dir, f"pid={pid}")
-        os.makedirs(pdir, exist_ok=True)
-        path = os.path.join(pdir, "part.parquet")
-        # uuid tmp: a zombie attempt and its retry must not interleave on
-        # one tmp file (same contract as apply.py's staging writes); the
-        # atomic os.replace publishes whichever attempt finishes
-        import uuid
-        tmp = f"{path}.tmp-{uuid.uuid4().hex}"
-        pq.write_table(body, tmp)
-        os.replace(tmp, path)
-        with open(os.path.join(pdir, "_SUCCESS"), "w") as f:
-            f.write(str(body.num_rows))
+        name = f"part-{uuid.uuid4().hex}.parquet"
+        path = fsio.join(out_dir, f"pid={pid}", name)
+        nbytes = fsio.write_parquet(path, body)
+        # seal AFTER the data stream closed; the seal names this attempt's
+        # unique file, so racing attempts can't publish a partial write
+        fsio.write_bytes(_seal_path(out_dir, pid),
+                         json.dumps({"file": name, "rows": body.num_rows}).encode())
         return pa.table({
             "pid": pa.array([pid], pa.int32()),
             "rows": pa.array([body.num_rows], pa.int64()),
-            "bytes": pa.array([os.path.getsize(path)], pa.int64()),
+            "bytes": pa.array([nbytes], pa.int64()),
         })
 
     stats = tagged.groupby(_PID).map_groups(_write, batch_format="pyarrow")
@@ -96,12 +115,26 @@ def write_partitioned(
 
 def read_partitioned(out_dir: str, columns=None) -> rd.Dataset:
     """Read back a :func:`write_partitioned` directory (sealed partitions
-    only)."""
+    only — each seal names its partition's canonical data file)."""
     paths = []
-    for entry in sorted(os.listdir(out_dir)):
-        pdir = os.path.join(out_dir, entry)
-        if entry.startswith("pid=") and os.path.exists(os.path.join(pdir, "_SUCCESS")):
-            paths.append(os.path.join(pdir, "part.parquet"))
+    for entry in fsio.list_names(out_dir):
+        if not entry.startswith("pid="):
+            continue
+        f = _sealed_file(out_dir, int(entry[len("pid="):]))
+        if f is not None:
+            paths.append(f)
     if not paths:
         return rd.from_arrow(pa.table({}))
-    return rd.read_parquet(paths, columns=columns)
+    if paths and "://" not in paths[0]:
+        return rd.read_parquet(paths, columns=columns)
+    # scheme-ful paths (e.g. the norename:// test scheme) resolve via fsio
+    def _read(batch: pa.Table) -> pa.Table:
+        out = []
+        for p in batch.column("path").to_pylist():
+            out.append(fsio.read_parquet(p, columns=columns))
+        return pa.concat_tables(out) if out else pa.table({})
+
+    items = rd.from_arrow(pa.table({"path": pa.array(paths)}))
+    if len(paths) > 1:
+        items = items.repartition(len(paths))
+    return items.map_batches(_read, batch_format="pyarrow", batch_size=1)

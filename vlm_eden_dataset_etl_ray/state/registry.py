@@ -14,13 +14,15 @@ from __future__ import annotations
 
 import base64
 import json
-import os
+import uuid
 
 import pyarrow as pa
 
+from vlm_eden_dataset_etl_ray import fsio
 from vlm_eden_dataset_etl_ray import schema as sch
 
-_REGISTRY_FILE = "_schema/versions.json"
+_REGISTRY_DIR = "_schema"
+_LEGACY_FILE = "versions.json"
 
 
 def _encode(s: pa.Schema) -> str:
@@ -53,25 +55,43 @@ class SchemaRegistryState:
         self._lake_dir = lake_dir
         self._versions: dict[int, pa.Schema] = {}
         if lake_dir:
-            path = os.path.join(lake_dir, _REGISTRY_FILE)
-            if os.path.exists(path):
-                with open(path) as fh:
-                    for k, v in json.load(fh).items():
-                        self._versions[int(k)] = _decode(v)
+            self._load_persisted(lake_dir)
         if not self._versions:
             for v, s in (seed_versions or {1: sch.PAYLOAD_V1}).items():
                 self._versions[v] = s
             self._persist()
 
+    def _load_persisted(self, lake_dir: str) -> None:
+        """Newest parseable versioned snapshot wins (rename-free persistence
+        writes a fresh ``versions-<maxver>-<uuid>.json`` per migration — a
+        crash mid-write corrupts at most the newest file, and the reader
+        falls back to the previous snapshot). Legacy ``versions.json`` from
+        the tmp+rename era is still read when no snapshot exists."""
+        d = fsio.join(lake_dir, _REGISTRY_DIR)
+        snaps = sorted((n for n in fsio.list_names(d)
+                        if n.startswith("versions-") and n.endswith(".json")),
+                       reverse=True)
+        for name in snaps:
+            try:
+                payload = json.loads(fsio.read_bytes(fsio.join(d, name)).decode())
+            except (json.JSONDecodeError, OSError):
+                continue  # torn write of the newest snapshot — fall back
+            for k, v in payload.items():
+                self._versions[int(k)] = _decode(v)
+            return
+        legacy = fsio.join(d, _LEGACY_FILE)
+        if fsio.exists(legacy):
+            for k, v in json.loads(fsio.read_bytes(legacy).decode()).items():
+                self._versions[int(k)] = _decode(v)
+
     def _persist(self) -> None:
         if not self._lake_dir:
             return
-        path = os.path.join(self._lake_dir, _REGISTRY_FILE)
-        os.makedirs(os.path.dirname(path), exist_ok=True)
-        tmp = path + ".tmp"
-        with open(tmp, "w") as fh:
-            json.dump({str(k): _encode(s) for k, s in self._versions.items()}, fh)
-        os.replace(tmp, path)
+        d = fsio.join(self._lake_dir, _REGISTRY_DIR)
+        fsio.makedirs(d)
+        name = f"versions-{max(self._versions):06d}-{uuid.uuid4().hex[:8]}.json"
+        data = json.dumps({str(k): _encode(s) for k, s in self._versions.items()})
+        fsio.write_bytes(fsio.join(d, name), data.encode())
 
     def latest_version(self) -> int:
         return max(self._versions)
