@@ -101,6 +101,16 @@ def q_cdc_replay_events(sf_dir):
     return replay_events(sf_dir)
 
 
+def q_cdc_drop_readd_evolution(sf_dir):
+    """Drop + re-add schema evolution replay (reference
+    migrations/20241029_01_JnkId.sql shape): ``source`` is dropped
+    mid-stream then re-added as a fresh generation; winners that predate
+    the re-add boundary must read NULL (no pre-drop resurrection)."""
+    from vlm_eden_dataset_etl_ray.pipelines.cdc import replay_events_drop_readd
+
+    return replay_events_drop_readd(sf_dir)
+
+
 def q_pricing_summary(sf_dir):
     from vlm_eden_dataset_etl_ray.functions.relational import grouped_agg
     from vlm_eden_dataset_etl_ray.sources.parquet import read_table
@@ -1043,6 +1053,7 @@ def q_tokens_replay_synthetic(sf_dir):
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "cdc_replay_events": q_cdc_replay_events,
+        "cdc_drop_readd_evolution": q_cdc_drop_readd_evolution,
         "pricing_summary": q_pricing_summary,
         "latest_event_per_user": q_latest_event_per_user,
         "watermark_filter_events": q_watermark_filter_events,
@@ -1123,6 +1134,27 @@ def oracle_sql() -> dict[str, str]:
                 select * from chg
                 qualify row_number() over (partition by doc_id order by lsn desc) = 1)
             select doc_id, lsn, n_tok, source from latest where op <> 'delete'
+        """,
+        # drop+re-add evolution: `source` was dropped at t1 and re-added as a
+        # FRESH generation at t2 = mx - least(400, mx//10); only winners in
+        # the re-added generation (lsn >= t2) carry a value — every earlier
+        # winner reads NULL (DROP COLUMN erased the old generation's values).
+        "cdc_drop_readd_evolution": """
+            with mx as (select max(event_id) as m from events),
+            chg as (
+                select event_id as lsn,
+                       case when event_type = 'error' then 'delete' else 'upsert' end as op,
+                       'doc' || cast(user_id as varchar) as doc_id,
+                       cast(floor(value * 100) as bigint) as n_tok,
+                       event_type as source
+                from events),
+            latest as (
+                select * from chg
+                qualify row_number() over (partition by doc_id order by lsn desc) = 1)
+            select doc_id, lsn, n_tok,
+                   case when lsn >= (select m - least(400, m // 10) from mx)
+                        then source else null end as source
+            from latest where op <> 'delete'
         """,
         "pricing_summary": """
             select l_returnflag, l_linestatus,

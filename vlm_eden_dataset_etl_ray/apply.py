@@ -90,6 +90,10 @@ class PrepareBatch:
             if maxv is not None and (self._known_ver is None or maxv > self._known_ver):
                 payload = ray.get(self.registry.ensure_known.remote(int(maxv)))
                 self.target = union_schemas([self.target, payload])
+                drops = ray.get(self.registry.current_drops.remote())
+                if drops:  # a DROP migration: stop carrying the column
+                    self.target = pa.schema(
+                        [fl for fl in self.target if fl.name not in drops])
                 self._known_ver = int(maxv)
         t = sch.unify_table(batch, self.target)
         if spec.mode != "append":  # append mode (K6): no key reduce, keep dups
@@ -182,6 +186,7 @@ WORK_ITEM_SCHEMA = pa.schema([
     ("stripe", pa.int64()),
     ("n_stripes", pa.int64()),
     ("files", pa.list_(pa.string())),
+    ("vers", pa.list_(pa.int64())),  # per-file schema versions (scan/compact)
 ])
 
 
@@ -297,7 +302,20 @@ def changelog_dataset(
         s = fsio.read_parquet_schema(f)
         key = tuple(sorted((fl.name, str(fl.type)) for fl in s))
         groups.setdefault(key, (s, []))[1].append(f)
-    target = target_schema or union_schemas([g[0] for g in groups.values()])
+    target = target_schema
+    if target is None:
+        target = union_schemas([g[0] for g in groups.values()])
+        if registry is not None:
+            # migrations-first (reference cron_tasks.py:54-59): the registry
+            # latest is authoritative — union it in (late old-schema shards
+            # still widen up to it) and remove currently-dropped columns so
+            # a DROP COLUMN migration erases their values from this epoch's
+            # deltas even when pre-drop shards deliver late.
+            latest_payload = ray.get(registry.schema.remote())
+            drops = ray.get(registry.current_drops.remote())
+            target = union_schemas([target, latest_payload])
+            if drops:
+                target = pa.schema([fl for fl in target if fl.name not in drops])
     pieces = []
     for s, fs in groups.values():
         ds = rd.read_parquet(fs)
@@ -542,7 +560,16 @@ def _stage_and_commit(
         for r in meta_rows:
             pid = int(r["pid"])
             st = parts.setdefault(pid, mf.PartitionState(pid=pid))
+            if len(st.delta_vers) != len(st.deltas):
+                # legacy (pre-version-tracking) manifest: backfill with the
+                # base manifest's version before appending precise entries
+                st.delta_vers = [base.schema_version if base else schema_version
+                                 ] * len(st.deltas)
+            if len(st.base_vers) != len(st.base):
+                st.base_vers = [base.schema_version if base else schema_version
+                                ] * len(st.base)
             st.deltas.append(r["path"])
+            st.delta_vers.append(schema_version)
             st.rows += int(r["rows"])
             st.bytes += int(r["bytes"])
             st.watermark_lsn = max(st.watermark_lsn, int(r["max_lsn"]))

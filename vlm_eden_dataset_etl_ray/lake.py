@@ -52,12 +52,23 @@ def merge_partition_files(
     live_only: bool = True,
     stripe: int = 0,
     n_stripes: int = 1,
+    file_versions: dict[str, int] | None = None,
+    activations: dict[str, int] | None = None,
+    exclude: frozenset[str] | set[str] | None = None,
 ) -> pa.Table:
     """Read one partition's (or stripe's) files — any mix of schema
     versions — unify to the widest schema, LWW-reduce, and (optionally)
     drop tombstones. With ``n_stripes > 1`` only the ``stripe``'s keys are
     kept (applied per file, before the merge: stripe membership partitions
     by key, so it commutes with LWW).
+
+    Drop-column evolution (reference migrations/20241029_01_JnkId.sql):
+    ``exclude`` = currently-tombstoned columns, removed from every file
+    before the merge; ``activations`` = re-added column → version its
+    current generation started at — a file whose ``file_versions`` entry
+    predates the activation reads that column as NULL (a re-add is a fresh
+    column; pre-drop values must not resurrect). Masking per file BEFORE
+    the whole-row LWW merge keeps rows internally consistent.
 
     Column pruning is pushed into the parquet read: only ``columns`` plus the
     merge-required envelope (key, order, op) leave storage."""
@@ -72,6 +83,16 @@ def merge_partition_files(
         else:
             avail = set(fsio.read_parquet_schema(f).names)
             t = fsio.read_parquet(f, columns=[c for c in read_cols if c in avail])
+        if exclude and any(c in exclude for c in t.column_names):
+            t = t.select([c for c in t.column_names if c not in exclude])
+        if activations and file_versions:
+            fv = file_versions.get(f, 0)
+            for c, av in activations.items():
+                if fv < av and c in t.column_names:
+                    i = t.column_names.index(c)
+                    t = t.set_column(
+                        i, t.schema.field(i),
+                        pa.nulls(t.num_rows, t.schema.field(i).type))
         tables.append(stripe_filter(t, spec, stripe, n_stripes))
     target = union_schemas([t.schema for t in tables])
     tables = [sch.unify_table(t, target) for t in tables]
@@ -85,7 +106,8 @@ def merge_partition_files(
 
 
 def _merge_read(batch: pa.Table, spec: TableSpec, columns, live_only: bool,
-                schema: pa.Schema, predicate=None):
+                schema: pa.Schema, predicate=None, activations=None,
+                exclude=None):
     """One stateless task per partition STRIPE: manifest-driven read of the
     stripe's base file(s) plus the partition's deltas (filtered to the
     stripe's keys)."""
@@ -93,9 +115,12 @@ def _merge_read(batch: pa.Table, spec: TableSpec, columns, live_only: bool,
         files = list(row["files"])
         if not files:
             continue
+        vers = row.get("vers") or []
         t = merge_partition_files(
             files, spec, columns=columns, live_only=live_only,
             stripe=int(row.get("stripe", 0)), n_stripes=int(row.get("n_stripes", 1)),
+            file_versions=dict(zip(files, vers)) if vers else None,
+            activations=activations, exclude=exclude,
         )
         t = sch.unify_table(t, schema)
         if predicate is not None:
@@ -103,9 +128,11 @@ def _merge_read(batch: pa.Table, spec: TableSpec, columns, live_only: bool,
         yield t
 
 
-def _output_schema(m: mf.Manifest, spec: TableSpec, columns, live_only, registry=None) -> pa.Schema:
+def _output_schema(m: mf.Manifest, spec: TableSpec, columns, live_only,
+                   exclude: set[str] | None = None) -> pa.Schema:
     """Unified schema of a scan — derived from one non-empty partition's
-    file footers (cheap driver-side metadata read)."""
+    file footers (cheap driver-side metadata read), minus currently-dropped
+    columns."""
     schemas = []
     for pid in sorted(m.partitions):
         for f in m.files(pid):
@@ -115,6 +142,8 @@ def _output_schema(m: mf.Manifest, spec: TableSpec, columns, live_only, registry
     if not schemas:
         return pa.schema([])
     target = union_schemas(schemas)
+    if exclude:
+        target = pa.schema([f for f in target if f.name not in exclude])
     if columns:
         target = pa.schema([target.field(c) for c in columns])
     return target
@@ -125,16 +154,20 @@ def _scan_items(m: mf.Manifest) -> list[dict]:
     manifest records a split layout. A stripe's task reads its own base
     file(s) plus the partition's deltas (delta files span stripes and are
     filtered by the stripe hash at read time — deltas are the small
-    between-compactions fraction, the LSM read-amplification tradeoff)."""
+    between-compactions fraction, the LSM read-amplification tradeoff).
+    ``vers`` parallels ``files`` with each file's written-at schema version
+    (drop/re-add masking input)."""
     items: list[dict] = []
     for pid in sorted(m.partitions):
         st = m.partitions[pid]
         if not m.files(pid):
             continue
+        fver = st.file_versions(m.schema_version)
         k = max(1, st.stripe_count)
         if k == 1:
+            fs = m.files(pid)
             items.append({"pid": pid, "stripe": 0, "n_stripes": 1,
-                          "files": m.files(pid)})
+                          "files": fs, "vers": [fver[f] for f in fs]})
             continue
         stripes_of = (st.base_stripes if len(st.base_stripes) == len(st.base)
                       else [-1] * len(st.base))
@@ -142,7 +175,8 @@ def _scan_items(m: mf.Manifest) -> list[dict]:
             fs = [f for f, fstripe in zip(st.base, stripes_of)
                   if fstripe in (s, -1)] + list(st.deltas)
             if fs:
-                items.append({"pid": pid, "stripe": s, "n_stripes": k, "files": fs})
+                items.append({"pid": pid, "stripe": s, "n_stripes": k,
+                              "files": fs, "vers": [fver[f] for f in fs]})
     return items
 
 
@@ -174,7 +208,14 @@ def scan(
         from vlm_eden_dataset_etl_ray.apply import check_hash_fn
 
         check_hash_fn(m)
-    out_schema = _output_schema(m, spec, columns, live_only)
+    # drop/re-add evolution state (registry-backed lakes only): tombstoned
+    # columns leave the projection; re-added columns mask pre-activation files
+    from vlm_eden_dataset_etl_ray.state.registry import SchemaRegistryState
+
+    reg = SchemaRegistryState.load_readonly(lake_dir)
+    exclude = set(reg.current_drops()) if reg else None
+    activations = reg.column_activations() if reg else None
+    out_schema = _output_schema(m, spec, columns, live_only, exclude=exclude)
     items = _scan_items(m)
     if not items:
         return rd.from_items([])
@@ -187,6 +228,8 @@ def scan(
             "live_only": live_only,
             "schema": out_schema,
             "predicate": predicate,
+            "activations": activations or None,
+            "exclude": exclude or None,
         },
         batch_size=1,
         batch_format="pyarrow",
@@ -325,8 +368,15 @@ def compact(
     if m is None:
         raise FileNotFoundError(f"no committed manifest under {lake_dir}")
     from vlm_eden_dataset_etl_ray.apply import check_hash_fn
+    from vlm_eden_dataset_etl_ray.state.registry import SchemaRegistryState
 
     check_hash_fn(m)
+    # drop/re-add evolution: compaction physically removes tombstoned
+    # columns and masks pre-activation generations, so compacted bases are
+    # clean — exactly what the reference's DROP COLUMN does to the table
+    reg = SchemaRegistryState.load_readonly(lake_dir)
+    exclude = set(reg.current_drops()) if reg else None
+    activations = reg.column_activations() if reg else None
     epoch = m.epoch + 1
     base_dir = fsio.join(lake_dir, "base", f"epoch={epoch}")
     fsio.makedirs(base_dir)
@@ -336,8 +386,11 @@ def compact(
         for row in batch.to_pylist():
             pid, files = int(row["pid"]), list(row["files"])
             s, k = int(row["stripe"]), int(row["n_stripes"])
-            t = merge_partition_files(files, spec, live_only=True,
-                                      stripe=s, n_stripes=k)
+            vers = row.get("vers") or []
+            t = merge_partition_files(
+                files, spec, live_only=True, stripe=s, n_stripes=k,
+                file_versions=dict(zip(files, vers)) if vers else None,
+                activations=activations, exclude=exclude)
             suffix = f"-s{s:03d}" if k > 1 else ""
             path = fsio.join(base_dir, f"part-{pid:05d}{suffix}.parquet")
             nbytes = fsio.write_parquet(path, t)  # stable name, direct write
@@ -364,6 +417,7 @@ def compact(
         files_all = m.files(pid)
         if not files_all:
             continue
+        fver = st.file_versions(m.schema_version)
         k_new = _next_pow2(-(-max(1, st.bytes) // stripe_target_bytes))
         if k_new == st.stripe_count and k_new > 1:
             # stable layout: each stripe reads its own base file + deltas
@@ -372,11 +426,13 @@ def compact(
             for s in range(k_new):
                 fs = [f for f, fstripe in zip(st.base, stripes_of)
                       if fstripe in (s, -1)] + list(st.deltas)
-                items.append({"pid": pid, "stripe": s, "n_stripes": k_new, "files": fs})
+                items.append({"pid": pid, "stripe": s, "n_stripes": k_new,
+                              "files": fs, "vers": [fver[f] for f in fs]})
         else:
             for s in range(k_new):
                 items.append({"pid": pid, "stripe": s, "n_stripes": k_new,
-                              "files": files_all})
+                              "files": files_all,
+                              "vers": [fver[f] for f in files_all]})
     ds = work_items_dataset(items)
     meta = ds.map_batches(_compact_one, batch_size=1, batch_format="pyarrow").take_all()
 
@@ -399,6 +455,7 @@ def compact(
             applied_lsn_ranges=[list(x) for x in old.applied_lsn_ranges],
             stripe_count=k,
             base_stripes=[int(r["stripe"]) for r in rows_] if k > 1 else [0] * len(rows_),
+            base_vers=[m.schema_version] * len(rows_),
         )
     lineage_ids, lineage_inputs = mf.cumulative_lineage(lake_dir, m)
     out = mf.Manifest(

@@ -56,6 +56,13 @@ class PartitionState:
     # per-stripe read filters them by the stripe hash).
     stripe_count: int = 1
     base_stripes: list[int] = field(default_factory=list)
+    # Schema version each file was WRITTEN at (parallel to base / deltas).
+    # Drop+re-add evolution needs this at merge-on-read: a column re-added
+    # at version v is a fresh generation, so files written before v must
+    # read it as null instead of resurrecting pre-drop values. Legacy
+    # manifests (lists absent) backfill with the manifest's own version.
+    base_vers: list[int] = field(default_factory=list)
+    delta_vers: list[int] = field(default_factory=list)
 
     def to_json(self) -> dict[str, Any]:
         return {
@@ -68,6 +75,8 @@ class PartitionState:
             "applied_lsn_ranges": self.applied_lsn_ranges,
             "stripe_count": self.stripe_count,
             "base_stripes": self.base_stripes,
+            "base_vers": self.base_vers,
+            "delta_vers": self.delta_vers,
         }
 
     @staticmethod
@@ -78,7 +87,21 @@ class PartitionState:
             applied_lsn_ranges=[list(r) for r in d["applied_lsn_ranges"]],
             stripe_count=int(d.get("stripe_count", 1)),
             base_stripes=[int(x) for x in d.get("base_stripes", [])],
+            base_vers=[int(x) for x in d.get("base_vers", [])],
+            delta_vers=[int(x) for x in d.get("delta_vers", [])],
         )
+
+    def file_versions(self, fallback: int) -> dict[str, int]:
+        """path → schema version written at, ``fallback`` for files whose
+        manifest predates per-file version tracking."""
+        out: dict[str, int] = {}
+        bv = self.base_vers if len(self.base_vers) == len(self.base) else []
+        dv = self.delta_vers if len(self.delta_vers) == len(self.deltas) else []
+        for i, f in enumerate(self.base):
+            out[f] = bv[i] if bv else fallback
+        for i, f in enumerate(self.deltas):
+            out[f] = dv[i] if dv else fallback
+        return out
 
 
 @dataclass

@@ -18,6 +18,7 @@ import tempfile
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray.data as rd
 
@@ -155,6 +156,129 @@ def replay_events_append(
         lake_dir,
         spec=EVENTS_APPEND_SPEC,
         columns=columns or ["doc_id", "lsn", "source"],
+    )
+
+
+#: drop+re-add evolution replay spec (schema_ver rides the envelope so the
+#: registry payload is exactly the user-visible columns)
+EVENTS_EVOLVE_SPEC = TableSpec(
+    name="events_evolve", key="doc_id", order="lsn", num_partitions=16,
+    envelope=("schema_ver",),
+)
+
+
+def _events_max_lsn(sf_dir: str) -> int:
+    """max(event_id) from parquet row-group statistics (driver-side metadata
+    read — no data scan); falls back to a single-column read."""
+    import pyarrow.parquet as pq
+
+    path = os.path.join(sf_dir, "events.parquet")
+    f = pq.ParquetFile(path)
+    idx = f.schema_arrow.get_field_index("event_id")
+    mx = None
+    for rg in range(f.metadata.num_row_groups):
+        st = f.metadata.row_group(rg).column(idx).statistics
+        if st is None or not st.has_min_max:
+            mx = None
+            break
+        mx = st.max if mx is None else max(mx, st.max)
+    if mx is None:
+        import pyarrow.compute as pc
+
+        mx = pc.max(pq.read_table(path, columns=["event_id"])
+                    .column("event_id")).as_py()
+    return int(mx)
+
+
+def replay_events_drop_readd(
+    sf_dir: str,
+    workdir: str | None = None,
+    columns: list[str] | None = None,
+) -> rd.Dataset:
+    """Drop + re-add schema evolution replay — the reference's
+    ``migrations/20241029_01_JnkId.sql:4-16`` shape (DROP COLUMN then ADD a
+    fresh one) over the events-derived changelog, in three epochs:
+
+    1. epoch 1: payload carries ``source``;
+    2. explicit ``registry.migrate`` DROPS ``source`` (tombstoned — its
+       values are erased, exactly like Postgres DROP COLUMN), then epoch 2
+       applies without the column;
+    3. a second migrate RE-ADDS ``source`` as a FRESH generation, then
+       epoch 3 applies with values again.
+
+    The re-add boundary sits in the stream's TAIL (last min(400, 10%)
+    events), so many docs keep a pre-re-add winner — those rows MUST read
+    NULL even though epoch-1 files physically hold their old values; this
+    is the resurrection case the per-file version masking exists for.
+
+    Final state: ``source`` is the event_type only for docs whose winning
+    row landed in epoch 3; every earlier winner reads NULL — pre-drop values
+    must NOT resurrect (per-file version masking at merge-on-read)."""
+    workdir = workdir or scratch_dir("events_dropreadd_")
+    lake_dir = os.path.join(workdir, "lake")
+    chg_root = os.path.join(workdir, "chg")
+    shutil.rmtree(lake_dir, ignore_errors=True)
+    mx = _events_max_lsn(sf_dir)
+    t2 = mx - min(400, mx // 10)
+    t1 = t2 // 2
+
+    def _phase_batch(t: pa.Table, *, lo: int, hi: int, ver: int,
+                     with_source: bool) -> pa.Table:
+        ev = t.column("event_id")
+        m = pc.and_(pc.greater_equal(ev, lo), pc.less(ev, hi))
+        d = _derive_batch(t.filter(m), with_tokens=False)
+        cols = {
+            "lsn": d.column("lsn"),
+            "op": d.column("op"),
+            "schema_ver": pa.array(np.full(d.num_rows, ver, dtype=np.int32)),
+            "doc_id": d.column("doc_id"),
+            "n_tok": d.column("n_tok"),
+        }
+        if with_source:
+            cols["source"] = d.column("source")
+        return pa.table(cols)
+
+    phases = [
+        (1, 0, t1 + 1, True),          # lsn in [0, t1]
+        (2, t1 + 1, t2, False),        # drop window
+        (3, t2, mx + 1, True),         # re-added generation
+    ]
+    phase_files: list[list[str]] = []
+    for ver, lo, hi, with_source in phases:
+        out_dir = os.path.join(chg_root, f"phase{ver}")
+        shutil.rmtree(out_dir, ignore_errors=True)
+        os.makedirs(out_dir, exist_ok=True)
+        ds = read_table(sf_dir, "events",
+                        columns=["event_id", "user_id", "event_type", "value"])
+        ds = ds.map_batches(
+            _phase_batch,
+            fn_kwargs={"lo": lo, "hi": hi, "ver": ver, "with_source": with_source},
+            batch_format="pyarrow", zero_copy_batch=True,
+        )
+        ds.write_parquet(out_dir)
+        phase_files.append(sorted(
+            os.path.join(out_dir, f) for f in os.listdir(out_dir)
+            if f.endswith(".parquet")))
+
+    import ray
+
+    from vlm_eden_dataset_etl_ray.state.registry import make_registry_actor
+
+    payload_v1 = pa.schema([("doc_id", pa.string()), ("n_tok", pa.int64()),
+                            ("source", pa.string())])
+    payload_dropped = pa.schema([("doc_id", pa.string()), ("n_tok", pa.int64())])
+    reg = make_registry_actor(lake_dir, seed_versions={1: payload_v1})
+    apply_mod.apply_epoch(lake_dir, phase_files[0], spec=EVENTS_EVOLVE_SPEC,
+                          registry=reg)
+    ray.get(reg.migrate.remote(payload_dropped))   # DROP source
+    apply_mod.apply_epoch(lake_dir, phase_files[1], spec=EVENTS_EVOLVE_SPEC,
+                          registry=reg)
+    ray.get(reg.migrate.remote(payload_v1))        # RE-ADD source (fresh)
+    apply_mod.apply_epoch(lake_dir, phase_files[2], spec=EVENTS_EVOLVE_SPEC,
+                          registry=reg)
+    return lake_mod.scan(
+        lake_dir, spec=EVENTS_EVOLVE_SPEC,
+        columns=columns or ["doc_id", "lsn", "n_tok", "source"],
     )
 
 

@@ -33,18 +33,31 @@ def _decode(b: str) -> pa.Schema:
     return pa.ipc.read_schema(pa.BufferReader(base64.b64decode(b)))
 
 
-def validate_evolution(old: pa.Schema, new: pa.Schema) -> None:
-    """Raise unless old→new is purely add-column / widen (the only
-    evolutions the engine supports, per SURVEY.md §1.3)."""
+def validate_evolution(old: pa.Schema, new: pa.Schema,
+                       allow_drop: bool = False) -> list[str]:
+    """Validate old→new as add-column / widen, plus (when ``allow_drop``)
+    drop-column — the three migration shapes the reference actually applies
+    (add/widen ``migrations/20230510_01_V14Kk.sql``; drop+re-add
+    ``migrations/20241029_01_JnkId.sql:4-16``). Returns the dropped column
+    names. Drops are EXPLICIT migrations only (:meth:`.migrate`): the
+    inference path (:meth:`.find_or_register`) keeps rejecting them, because
+    a shard merely missing a column is indistinguishable from a late
+    old-schema shard and must not silently drop data."""
+    dropped: list[str] = []
     for f in old:
         nf_idx = new.get_field_index(f.name)
         if nf_idx < 0:
-            raise ValueError(f"schema evolution dropped column {f.name!r}")
+            if not allow_drop:
+                raise ValueError(f"schema evolution dropped column {f.name!r} "
+                                 "(drops require an explicit migrate() call)")
+            dropped.append(f.name)
+            continue
         nf = new.field(nf_idx)
         if not f.type.equals(nf.type) and not sch._is_safe_widen(f.type, nf.type):
             raise ValueError(
                 f"schema evolution narrows column {f.name!r}: {f.type} -> {nf.type}"
             )
+    return dropped
 
 
 class SchemaRegistryState:
@@ -54,6 +67,12 @@ class SchemaRegistryState:
                  seed_versions: dict[int, pa.Schema] | None = None):
         self._lake_dir = lake_dir
         self._versions: dict[int, pa.Schema] = {}
+        #: currently-dropped column → version at which it was dropped
+        self._dropped: dict[str, int] = {}
+        #: re-added column → version at which its CURRENT generation started
+        #: (files written before that version must read the column as null —
+        #: a re-add is a FRESH column, the pre-drop values are gone)
+        self._activations: dict[str, int] = {}
         if lake_dir:
             self._load_persisted(lake_dir)
         if not self._versions:
@@ -76,8 +95,12 @@ class SchemaRegistryState:
                 payload = json.loads(fsio.read_bytes(fsio.join(d, name)).decode())
             except (json.JSONDecodeError, OSError):
                 continue  # torn write of the newest snapshot — fall back
-            for k, v in payload.items():
+            versions = payload.get("versions", payload)  # wrapped or legacy flat
+            for k, v in versions.items():
                 self._versions[int(k)] = _decode(v)
+            self._dropped = {k: int(v) for k, v in payload.get("dropped", {}).items()}
+            self._activations = {k: int(v)
+                                 for k, v in payload.get("activations", {}).items()}
             return
         legacy = fsio.join(d, _LEGACY_FILE)
         if fsio.exists(legacy):
@@ -90,7 +113,11 @@ class SchemaRegistryState:
         d = fsio.join(self._lake_dir, _REGISTRY_DIR)
         fsio.makedirs(d)
         name = f"versions-{max(self._versions):06d}-{uuid.uuid4().hex[:8]}.json"
-        data = json.dumps({str(k): _encode(s) for k, s in self._versions.items()})
+        data = json.dumps({
+            "versions": {str(k): _encode(s) for k, s in self._versions.items()},
+            "dropped": self._dropped,
+            "activations": self._activations,
+        })
         fsio.write_bytes(fsio.join(d, name), data.encode())
 
     def latest_version(self) -> int:
@@ -113,12 +140,59 @@ class SchemaRegistryState:
 
     def find_or_register(self, schema: pa.Schema) -> int:
         """Version number whose schema equals ``schema``, registering it as
-        ``latest+1`` when novel (an online add-column/widen migration)."""
-        for v in sorted(self._versions):
+        ``latest+1`` when novel (an online add-column/widen migration).
+        The LARGEST equal version wins: after a drop+re-add cycle several
+        versions can share one schema value, and the manifest's recorded
+        version must never regress."""
+        for v in sorted(self._versions, reverse=True):
             if self._versions[v].equals(schema):
                 return v
         v = self.latest_version() + 1
         return self.register(v, schema)
+
+    def migrate(self, schema: pa.Schema) -> int:
+        """EXPLICIT migration to ``schema`` as ``latest+1`` — the only path
+        that may DROP columns (and re-add previously dropped ones), mirroring
+        the reference's run-migrations-then-sync discipline
+        (cron_tasks.py:54-59; drop+re-add migrations/20241029_01_JnkId.sql).
+        A dropped column is tombstoned: readers stop projecting it. A re-add
+        starts a FRESH null-filled column — its activation version is
+        recorded so merge-on-read masks pre-drop file values instead of
+        resurrecting them. Idempotent when ``schema`` equals the latest."""
+        old = self.schema()
+        if old.equals(schema):
+            return self.latest_version()
+        v = self.latest_version() + 1
+        drops = validate_evolution(old, schema, allow_drop=True)
+        for name in drops:
+            self._dropped[name] = v
+        for f in schema:
+            if f.name in self._dropped and f.name not in old.names:
+                # re-add of a tombstoned column: new generation starts at v
+                del self._dropped[f.name]
+                self._activations[f.name] = v
+        self._versions[v] = schema
+        self._persist()
+        return v
+
+    def current_drops(self) -> dict[str, int]:
+        """Currently-dropped column → version dropped (re-added ones left)."""
+        return dict(self._dropped)
+
+    def column_activations(self) -> dict[str, int]:
+        """Re-added column → version its current generation started at."""
+        return dict(self._activations)
+
+    @staticmethod
+    def load_readonly(lake_dir: str) -> "SchemaRegistryState | None":
+        """Persisted registry state for a lake, or None when the lake has
+        none — WITHOUT the constructor's seed-and-persist side effect (a
+        plain scan of a registry-less lake must not create ``_schema/``)."""
+        from vlm_eden_dataset_etl_ray import fsio as _fsio
+
+        if not _fsio.list_names(_fsio.join(lake_dir, _REGISTRY_DIR)):
+            return None
+        return SchemaRegistryState(lake_dir)
 
     def ensure_known(self, version: int) -> pa.Schema:
         """Fetch a version, falling back to the engine's built-in version
@@ -131,7 +205,8 @@ class SchemaRegistryState:
         return self._versions[version]
 
 
-def make_registry_actor(lake_dir: str | None = None):
+def make_registry_actor(lake_dir: str | None = None,
+                        seed_versions: dict[int, pa.Schema] | None = None):
     """Create the named singleton registry actor for a lake.
 
     The name must be a deterministic function of ``lake_dir`` (builtin
@@ -145,4 +220,4 @@ def make_registry_actor(lake_dir: str | None = None):
     digest = hashlib.sha256((lake_dir or "").encode()).hexdigest()[:16]
     Actor = ray.remote(num_cpus=0)(SchemaRegistryState)
     return Actor.options(name=f"schema-registry-{digest}",
-                         get_if_exists=True).remote(lake_dir)
+                         get_if_exists=True).remote(lake_dir, seed_versions)
