@@ -160,13 +160,18 @@ def run_bench() -> dict:
     shutil.rmtree(lake_dir, ignore_errors=True)
 
     # sustained variant: the SAME stream split into 4 sequential epochs onto
-    # one lake (deltas accumulate, merge-on-read spans epochs) + compaction
+    # one lake (deltas accumulate, merge-on-read spans epochs), compaction
+    # driven by the cadence policy (delta:base ratio / delta file count),
+    # not a fixed schedule — the shape an ingest loop actually runs
     t0 = time.time()
     quarter = max(1, len(files) // 4)
+    n_compactions = 0
     for i in range(0, len(files), quarter):
         apply.apply_epoch(lake_dir, files[i:i + quarter], spec=spec,
                           batch_size=131072)
-    lake.compact(lake_dir, spec=spec)
+        if lake.maybe_compact(lake_dir, spec=spec,
+                              delta_ratio=0.5, min_delta_files=4) is not None:
+            n_compactions += 1
     sustained_sec = round(time.time() - t0, 3)
     shutil.rmtree(lake_dir, ignore_errors=True)  # tmpfs hygiene
 
@@ -195,6 +200,7 @@ def run_bench() -> dict:
         "trials_sec": [round(t, 3) for t in trials],
         "compact_sec": compact_sec,
         "multi_epoch_sec": sustained_sec,
+        "multi_epoch_compactions": n_compactions,
         "lake_rows": rows,
     }
 

@@ -90,16 +90,33 @@ def _jaccard_sorted(a: np.ndarray, b: np.ndarray) -> float:
     return inter / union if union else 0.0
 
 
+#: hard row cap for the O(n²) oracle baselines below: they broadcast the
+#: whole (prepped) corpus and compute all pairs — a test/audit tool, never
+#: a scale path. Above the cap they raise instead of silently melting a
+#: cluster; the scale twins are minhash_lsh_pairs / knn_* (IVF/LSH).
+QUADRATIC_BASELINE_MAX_ROWS = 20_000
+
+
+def _guard_quadratic(n: int, fn: str, twin: str) -> None:
+    if n > QUADRATIC_BASELINE_MAX_ROWS:
+        raise ValueError(
+            f"{fn} is the O(n^2) oracle baseline and is capped at "
+            f"{QUADRATIC_BASELINE_MAX_ROWS} rows (got {n}); use {twin} at scale"
+        )
+
+
 def ngram_jaccard_pairs(
     ds: rd.Dataset, id_col: str, text_col: str, threshold: float, ngram: int = 1
 ) -> pa.Table:
     """ALL-PAIRS exact Jaccard ≥ threshold (the quadratic oracle baseline —
-    use :func:`minhash_lsh_pairs` at scale). Pairs are computed in
-    distributed row-blocks against a broadcast copy of the term sets."""
+    use :func:`minhash_lsh_pairs` at scale; rows capped by
+    :data:`QUADRATIC_BASELINE_MAX_ROWS`). Pairs are computed in distributed
+    row-blocks against a broadcast copy of the term sets."""
     prepped = _term_hash_sets(ds, id_col, text_col, ngram)
     rows = pa.concat_tables(
         prepped.iter_batches(batch_format="pyarrow", batch_size=None)
     ).sort_by(id_col)
+    _guard_quadratic(rows.num_rows, "ngram_jaccard_pairs", "minhash_lsh_pairs")
     ids = rows.column(id_col).to_pylist()
     terms = [np.asarray(x, dtype=np.uint64) for x in rows.column("__terms").to_pylist()]
     terms_ref = ray.put((ids, terms))
@@ -418,10 +435,12 @@ def simhash_fingerprints(ds: rd.Dataset, id_col: str, text_col: str) -> rd.Datas
     return ds.map_batches(_sim, batch_format="pyarrow", zero_copy_batch=True)
 
 
-def simhash_pairs(ds: rd.Dataset, id_col: str, text_col: str, max_hamming: int = 3) -> pa.Table:
+def simhash_pairs(ds: rd.Dataset, id_col: str, text_col: str, max_hamming: int = 3) -> rd.Dataset:
     """Near-dup pairs with Hamming(simhash) ≤ max_hamming, found by the
     pigeonhole banding trick: split 64 bits into (max_hamming+1) bands —
-    a qualifying pair must match exactly on ≥1 band → groupby band value."""
+    a qualifying pair must match exactly on ≥1 band → groupby band value.
+    Returns a streaming Dataset: the cross-band (doc_a, doc_b) dedup is a
+    distributed min-hamming groupby, never a driver-side concat."""
     nbands = max_hamming + 1
     width = 64 // nbands
 
@@ -460,12 +479,14 @@ def simhash_pairs(ds: rd.Dataset, id_col: str, text_col: str, max_hamming: int =
                          "hamming": pa.array(ham[keep])})
 
     pairs = exploded.groupby(["band", "val"]).map_groups(_bucket, batch_format="pyarrow")
-    t = pa.concat_tables(pairs.iter_batches(batch_format="pyarrow", batch_size=None))
-    if t.num_rows == 0:
-        return t
-    return t.group_by(["doc_a", "doc_b"]).aggregate([("hamming", "min")]).rename_columns(
-        ["doc_a", "doc_b", "hamming"]
-    ).sort_by([("doc_a", "ascending"), ("doc_b", "ascending")])
+    # a pair can qualify in several bands: keep its true (minimum) hamming
+    # once, via the distributed groupby — same shape as _dedup_pairs
+    deduped = pairs.groupby(["doc_a", "doc_b"]).min("hamming")
+
+    def _rename(t: pa.Table) -> pa.Table:
+        return t.rename_columns(["doc_a", "doc_b", "hamming"])
+
+    return deduped.map_batches(_rename, batch_format="pyarrow", zero_copy_batch=True)
 
 
 # ---------------------------------------------------------------------------
@@ -478,12 +499,16 @@ def embedding_near_dup(
 ) -> pa.Table:
     """Pairs with cosine ≥ threshold. Distributed row-blocks × broadcast
     normalized matrix (brute force — at 10^9 vectors swap in the IVF path
-    from functions.knn)."""
+    from functions.knn; rows capped by
+    :data:`QUADRATIC_BASELINE_MAX_ROWS`)."""
     rows = pa.concat_tables(
         ds.select_columns([id_col, vec_col]).iter_batches(batch_format="pyarrow", batch_size=None)
     ).sort_by(id_col)
-    ids = np.asarray(rows.column(id_col).to_pylist())
-    mat = np.asarray(rows.column(vec_col).to_pylist(), dtype=np.float64)
+    _guard_quadratic(rows.num_rows, "embedding_near_dup", "knn_ivf / knn_lsh")
+    from vlm_eden_dataset_etl_ray.functions.knn import _as_matrix
+
+    ids = rows.column(id_col).to_numpy(zero_copy_only=False)
+    mat = _as_matrix(rows.column(vec_col))
     mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
     ref = ray.put((ids, mat))
 

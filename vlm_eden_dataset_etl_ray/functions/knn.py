@@ -21,7 +21,30 @@ def _normalize(m: np.ndarray) -> np.ndarray:
 
 
 def _as_matrix(col) -> np.ndarray:
-    return np.asarray(col.to_pylist(), dtype=np.float64)
+    """``list<float>`` column → (n, d) float64 matrix via the Arrow list
+    buffers (flatten + reshape) — no Python-object round trip. Ragged
+    lengths or null rows raise (an embedding column is rectangular by
+    contract); at 10⁹ vectors the ``to_pylist`` alternative IS the stage
+    bottleneck, so this path must stay buffer-level."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    n = len(col)
+    if col.null_count:
+        raise ValueError("_as_matrix: embedding column contains null rows")
+    if pa.types.is_fixed_size_list(col.type):
+        d = col.type.list_size
+        flat = col.flatten()
+    else:
+        offsets = col.offsets.to_numpy(zero_copy_only=False)
+        widths = np.diff(offsets)
+        if widths.size == 0:
+            return np.empty((0, 0), dtype=np.float64)
+        d = int(widths[0])
+        if not np.all(widths == d):
+            raise ValueError("_as_matrix: ragged embedding lengths")
+        flat = col.flatten()
+    m = flat.to_numpy(zero_copy_only=False).astype(np.float64, copy=False)
+    return m.reshape(n, d)
 
 
 class _BatchTopK:
@@ -35,7 +58,7 @@ class _BatchTopK:
         self.exclude_self = exclude_self
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        ids = np.asarray(batch.column(self.id_col).to_pylist())
+        ids = batch.column(self.id_col).to_numpy(zero_copy_only=False)
         m = _normalize(_as_matrix(batch.column(self.vec_col)))
         sims = self.qmat @ m.T  # (n_queries, batch)
         q_out, n_out, c_out = [], [], []
@@ -76,7 +99,7 @@ def knn_brute_force(
 ) -> rd.Dataset:
     """Top-k cosine neighbors for each query row. Result columns:
     query_id, neighbor_id, cosine (float64, UNrounded — round at the edge)."""
-    qids = np.asarray(queries.column(id_col).to_pylist(), dtype=np.int64)
+    qids = queries.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
     qmat = _normalize(_as_matrix(queries.column(vec_col)))
     qref = ray.put((qids, qmat))
 
@@ -124,7 +147,7 @@ def label_centroids(
         )
 
     def _final(g: pa.Table) -> pa.Table:
-        sums = np.asarray(g.column("__sum").to_pylist(), dtype=np.float64)
+        sums = _as_matrix(g.column("__sum"))
         n = int(np.sum(g.column("__n").to_numpy(zero_copy_only=False)))
         centroid = np.round(sums.sum(axis=0) / n, 6)
         return pa.table(
@@ -181,7 +204,7 @@ def knn_ivf(
         ).column(vec_col)
     )
     cent = kmeans_lite(sample, n_clusters)
-    qids = np.asarray(queries.column(id_col).to_pylist(), dtype=np.int64)
+    qids = queries.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
     qmat = _normalize(_as_matrix(queries.column(vec_col)))
     # clusters each query probes
     probes = np.argsort(-(qmat @ cent.T), axis=1)[:, :n_probe]
@@ -193,7 +216,7 @@ def knn_ivf(
             self.k = k
 
         def __call__(self, batch: pa.Table) -> pa.Table:
-            ids = np.asarray(batch.column(id_col).to_pylist())
+            ids = batch.column(id_col).to_numpy(zero_copy_only=False)
             m = _normalize(_as_matrix(batch.column(vec_col)))
             assign = np.argmax(m @ self.cent.T, axis=1)
             sims = self.qmat @ m.T
@@ -251,7 +274,7 @@ def knn_lsh(
     def _codes(m: np.ndarray) -> np.ndarray:
         return ((m @ planes) > 0) @ weights
 
-    qids = np.asarray(queries.column(id_col).to_pylist(), dtype=np.int64)
+    qids = queries.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
     qmat = _normalize(_as_matrix(queries.column(vec_col)))
     qcodes = _codes(qmat)
     # popcount via bit table (codes are < 2^n_bits)
@@ -263,7 +286,7 @@ def knn_lsh(
             self.qids, self.qmat, self.qcodes = ray.get(ref)
 
         def __call__(self, batch: pa.Table) -> pa.Table:
-            ids = np.asarray(batch.column(id_col).to_pylist())
+            ids = batch.column(id_col).to_numpy(zero_copy_only=False)
             m = _normalize(_as_matrix(batch.column(vec_col)))
             codes = _codes(m)
             sims = self.qmat @ m.T

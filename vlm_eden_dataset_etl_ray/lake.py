@@ -346,15 +346,88 @@ def _next_pow2(x: int) -> int:
     return 1 << max(0, (x - 1).bit_length())
 
 
+def compaction_due(
+    m: mf.Manifest | None,
+    *,
+    delta_ratio: float = 0.25,
+    min_delta_files: int = 8,
+) -> bool:
+    """Cadence policy: is read amplification worth a compaction yet?
+
+    True when accumulated delta bytes exceed ``delta_ratio`` × base bytes
+    (the LSM write/read-amplification trade), or when any partition holds
+    ≥ ``min_delta_files`` delta files (per-file open cost dominates before
+    byte ratio does on small partitions). Metadata-only: per-partition
+    ``bytes`` is read from the manifest; base bytes are a bounded number of
+    size stats (base files are immutable between compactions)."""
+    if m is None:
+        return False
+    total_delta = total_base = 0
+    max_delta_files = 0
+    for st in m.partitions.values():
+        base_b = sum(fsio.file_size(f) for f in st.base)
+        total_base += base_b
+        total_delta += max(0, st.bytes - base_b)
+        max_delta_files = max(max_delta_files, len(st.deltas))
+    if total_delta <= 0 or max_delta_files == 0:
+        return False
+    if max_delta_files >= min_delta_files:
+        return True
+    if total_base == 0:
+        # never-compacted lake: a first compaction buys nothing until the
+        # per-partition file count itself hurts (handled above)
+        return False
+    return total_delta >= delta_ratio * total_base
+
+
+def maybe_compact(
+    lake_dir: str,
+    *,
+    spec: TableSpec = TOKENS_SPEC,
+    delta_ratio: float = 0.25,
+    min_delta_files: int = 8,
+    stripe_target_bytes: int = 1 << 30,
+    tombstone_watermark: int | None = 0,
+) -> mf.Manifest | None:
+    """Compact only when :func:`compaction_due` says the delta:base ratio
+    (or delta file count) crossed the threshold — the cadence an ingest
+    loop should call after every epoch instead of a fixed schedule. Returns
+    the compaction manifest, or None when compaction was skipped.
+
+    Because a cadence compaction runs MID-STREAM, tombstones are retained
+    by default (``tombstone_watermark=0``): an out-of-order straggler with
+    a smaller LSN than a dropped tombstone would otherwise resurrect the
+    deleted row. Pass ``tombstone_watermark=None`` only when the source is
+    LSN-ordered or the stream is known complete."""
+    m = mf.latest(lake_dir)
+    if not compaction_due(m, delta_ratio=delta_ratio,
+                          min_delta_files=min_delta_files):
+        return None
+    return compact(lake_dir, spec=spec, stripe_target_bytes=stripe_target_bytes,
+                   tombstone_watermark=tombstone_watermark)
+
+
 def compact(
     lake_dir: str,
     *,
     spec: TableSpec = TOKENS_SPEC,
     stripe_target_bytes: int = 1 << 30,
+    tombstone_watermark: int | None = None,
 ) -> mf.Manifest:
     """Fold each partition's base+deltas into fresh base files and commit a
-    ``compaction`` manifest. Tombstones are dropped (nothing older remains
-    to mask). Shuffle-free: one task per partition STRIPE.
+    ``compaction`` manifest. Shuffle-free: one task per partition STRIPE.
+
+    Tombstone retention: with ``tombstone_watermark=None`` (default) delete
+    tombstones are DROPPED — only valid when no out-of-order delivery below
+    the current watermark can still arrive (stream fully applied, or the
+    source is LSN-ordered like the reference's polling loop). A MID-STREAM
+    compaction must pass a watermark: tombstones with lsn > watermark are
+    kept in the base (winner rows with op=delete; merge-on-read masks them
+    exactly like delta tombstones), so a straggler upsert with a smaller
+    LSN still loses the LWW merge instead of resurrecting the deleted row.
+    ``tombstone_watermark=0`` keeps all tombstones. The ingest cadence
+    (:func:`maybe_compact`) defaults to 0 for this reason; a final
+    end-of-stream compaction can drop them.
 
     Partition-split story: a partition whose byte size exceeds
     ``stripe_target_bytes`` is split into the next power-of-two number of
@@ -388,9 +461,17 @@ def compact(
             s, k = int(row["stripe"]), int(row["n_stripes"])
             vers = row.get("vers") or []
             t = merge_partition_files(
-                files, spec, live_only=True, stripe=s, n_stripes=k,
+                files, spec, live_only=tombstone_watermark is None,
+                stripe=s, n_stripes=k,
                 file_versions=dict(zip(files, vers)) if vers else None,
                 activations=activations, exclude=exclude)
+            if tombstone_watermark is not None:
+                # keep young tombstones (they must outlive any possible
+                # out-of-order straggler), drop ones at/below the watermark
+                is_del = pc.equal(t.column(spec.op_col), spec.delete_op)
+                old = pc.less_equal(t.column(spec.order),
+                                    pa.scalar(tombstone_watermark))
+                t = t.filter(pc.invert(pc.and_kleene(is_del, old)))
             suffix = f"-s{s:03d}" if k > 1 else ""
             path = fsio.join(base_dir, f"part-{pid:05d}{suffix}.parquet")
             nbytes = fsio.write_parquet(path, t)  # stable name, direct write

@@ -11,14 +11,10 @@ from __future__ import annotations
 
 import os
 
+import pyarrow as pa
+import pyarrow.parquet as pq
+
 import ray.data as rd
-
-
-def _strip_meta(t):
-    # pandas-metadata dicts on the file schema make Ray's block-schema
-    # dedup log "Failed to hash the schemas" from every worker; the
-    # metadata carries no information the engine uses. Zero-copy.
-    return t.replace_schema_metadata(None)
 
 
 def read_table(sf_dir: str, name: str, columns=None, filter=None, **kwargs) -> rd.Dataset:
@@ -28,8 +24,16 @@ def read_table(sf_dir: str, name: str, columns=None, filter=None, **kwargs) -> r
         opts["columns"] = list(columns)
     if filter is not None:
         opts["filter"] = filter
-    return rd.read_parquet(path, **opts).map_batches(
-        _strip_meta, batch_format="pyarrow", zero_copy_batch=True)
+    if "schema" not in opts:
+        # pandas-metadata dicts on the file footer schema make Ray's
+        # block-schema dedup log "Failed to hash the schemas" from every
+        # read task; pass a metadata-stripped (and projected) schema so the
+        # read operator itself emits clean blocks — no extra strip stage.
+        sch = pq.read_schema(path).remove_metadata()
+        if columns is not None:
+            sch = pa.schema([sch.field(c) for c in columns])
+        opts["schema"] = sch
+    return rd.read_parquet(path, **opts)
 
 
 def read_small(sf_dir: str, name: str, columns=None, filter=None):
