@@ -52,7 +52,10 @@ EVENTS_APPEND_SPEC = TableSpec(
 def _derive_batch(t: pa.Table, with_tokens: bool) -> pa.Table:
     ev = t.column("event_id").to_numpy(zero_copy_only=False).astype(np.int64)
     uid = t.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
-    et = np.asarray(t.column("event_type").to_pylist())
+    # dtype=str keeps the array string-typed even when the batch is EMPTY
+    # (np.asarray of an empty pylist defaults to float64, which would leak
+    # a double-typed op/source column into schema inference)
+    et = np.asarray(t.column("event_type").to_pylist(), dtype=str)
     val = t.column("value").to_numpy(zero_copy_only=False)
     cols: dict[str, pa.Array] = {
         "lsn": pa.array(ev),
@@ -61,7 +64,7 @@ def _derive_batch(t: pa.Table, with_tokens: bool) -> pa.Table:
         # unbounded cast(user_id as varchar) with no silent truncation
         "doc_id": pa.array(np.char.add("doc", uid.astype("U20"))),
         "n_tok": pa.array(np.floor(val * 100).astype(np.int64)),
-        "source": pa.array(et),
+        "source": t.column("event_type"),
     }
     if with_tokens:
         # deterministic token payload from the lsn (list<int32> plumbing)
@@ -216,7 +219,6 @@ def replay_events_drop_readd(
     must NOT resurrect (per-file version masking at merge-on-read)."""
     workdir = workdir or scratch_dir("events_dropreadd_")
     lake_dir = os.path.join(workdir, "lake")
-    chg_root = os.path.join(workdir, "chg")
     shutil.rmtree(lake_dir, ignore_errors=True)
     mx = _events_max_lsn(sf_dir)
     t2 = mx - min(400, mx // 10)
@@ -243,22 +245,8 @@ def replay_events_drop_readd(
         (2, t1 + 1, t2, False),        # drop window
         (3, t2, mx + 1, True),         # re-added generation
     ]
-    phase_files: list[list[str]] = []
-    for ver, lo, hi, with_source in phases:
-        out_dir = os.path.join(chg_root, f"phase{ver}")
-        shutil.rmtree(out_dir, ignore_errors=True)
-        os.makedirs(out_dir, exist_ok=True)
-        ds = read_table(sf_dir, "events",
-                        columns=["event_id", "user_id", "event_type", "value"])
-        ds = ds.map_batches(
-            _phase_batch,
-            fn_kwargs={"lo": lo, "hi": hi, "ver": ver, "with_source": with_source},
-            batch_format="pyarrow", zero_copy_batch=True,
-        )
-        ds.write_parquet(out_dir)
-        phase_files.append(sorted(
-            os.path.join(out_dir, f) for f in os.listdir(out_dir)
-            if f.endswith(".parquet")))
+
+    import hashlib
 
     import ray
 
@@ -268,14 +256,28 @@ def replay_events_drop_readd(
                             ("source", pa.string())])
     payload_dropped = pa.schema([("doc_id", pa.string()), ("n_tok", pa.int64())])
     reg = make_registry_actor(lake_dir, seed_versions={1: payload_v1})
-    apply_mod.apply_epoch(lake_dir, phase_files[0], spec=EVENTS_EVOLVE_SPEC,
-                          registry=reg)
+
+    def _apply_phase(ver: int, lo: int, hi: int, with_source: bool) -> None:
+        # derived phases stream STRAIGHT into the epoch apply (no scratch
+        # write→read round trip — same shape as replay_events)
+        ds = read_table(sf_dir, "events",
+                        columns=["event_id", "user_id", "event_type", "value"])
+        ds = ds.map_batches(
+            _phase_batch,
+            fn_kwargs={"lo": lo, "hi": hi, "ver": ver, "with_source": with_source},
+            batch_format="pyarrow", zero_copy_batch=True,
+        )
+        epoch_id = hashlib.sha256(
+            f"drop_readd:{os.path.abspath(sf_dir)}:{ver}:{lo}:{hi}".encode()
+        ).hexdigest()[:16]
+        apply_mod.apply_epoch_dataset(lake_dir, ds, epoch_id=epoch_id,
+                                      spec=EVENTS_EVOLVE_SPEC, registry=reg)
+
+    _apply_phase(*phases[0])
     ray.get(reg.migrate.remote(payload_dropped))   # DROP source
-    apply_mod.apply_epoch(lake_dir, phase_files[1], spec=EVENTS_EVOLVE_SPEC,
-                          registry=reg)
+    _apply_phase(*phases[1])
     ray.get(reg.migrate.remote(payload_v1))        # RE-ADD source (fresh)
-    apply_mod.apply_epoch(lake_dir, phase_files[2], spec=EVENTS_EVOLVE_SPEC,
-                          registry=reg)
+    _apply_phase(*phases[2])
     return lake_mod.scan(
         lake_dir, spec=EVENTS_EVOLVE_SPEC,
         columns=columns or ["doc_id", "lsn", "n_tok", "source"],
