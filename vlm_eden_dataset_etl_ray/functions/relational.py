@@ -555,9 +555,12 @@ def skew_hash_join(
             hot_keys = counts.filter(mask).column(left_on).to_pylist()
         else:
             hot_keys = []
+    # both sides are materialized above, so size_bytes() is free metadata:
+    # bucket counts track data volume, not cluster shape
+    joined_bytes = (left.size_bytes() or 0) + (right.size_bytes() or 0)
     if not hot_keys:
         return hash_join(left, right, left_on, right_on, how=how,
-                         num_buckets=num_buckets)
+                         num_buckets=num_buckets, bytes_hint=joined_bytes)
 
     hot_arr = pa.array(hot_keys)
 
@@ -584,7 +587,8 @@ def skew_hash_join(
                          zero_copy_batch=True),
         right.map_batches(_split(right_on, False), batch_format="pyarrow",
                           zero_copy_batch=True),
-        left_on, right_on, how=how, num_buckets=num_buckets)
+        left_on, right_on, how=how, num_buckets=num_buckets,
+        bytes_hint=joined_bytes)
     # static schema from the INPUT schemas — executing cold.schema() crashes
     # when every key is hot (both cold sides empty → schema None)
     ls_static = pa.schema(list(zip(left.schema().names, left.schema().types)))

@@ -346,6 +346,17 @@ def _next_pow2(x: int) -> int:
     return 1 << max(0, (x - 1).bit_length())
 
 
+def total_bytes(lake_dir: str) -> int:
+    """Manifest-accounted byte size of the lake's live files — the
+    ``bytes_hint`` a lake-sourced join should pass to
+    :func:`~vlm_eden_dataset_etl_ray.functions.relational.hash_join` so
+    bucket counts track data volume (metadata-only; no file stats)."""
+    m = mf.latest(lake_dir)
+    if m is None:
+        return 0
+    return sum(st.bytes for st in m.partitions.values())
+
+
 def compaction_due(
     m: mf.Manifest | None,
     *,

@@ -124,9 +124,11 @@ def prepare_corpus(
         lambda t: t.filter(t.column("is_kept")).select([id_col]),
         batch_format="pyarrow", zero_copy_batch=True)
     from vlm_eden_dataset_etl_ray.functions.relational import hash_join
+    # ds is materialized above → size_bytes() is free; kept is id-only and
+    # strictly smaller, so the corpus side dominates the bucket count
     ds = hash_join(ds, kept.map_batches(
         lambda t: t.rename_columns(["__keep_id"]), batch_format="pyarrow"),
-        id_col, "__keep_id", how="inner")
+        id_col, "__keep_id", how="inner", bytes_hint=ds.size_bytes() or None)
     ds = ds.map_batches(lambda t: t.drop_columns(["__keep_id"]),
                         batch_format="pyarrow", zero_copy_batch=True)
     ds = _counted(ds, counter, "near_dedup")

@@ -82,7 +82,11 @@ def repair(
     if dest_keys.count() == 0:
         missing = src  # destination window empty → everything is missing
     else:
-        joined = hash_join(src, dest_keys, spec.key, "__dest_key", how="left")
+        # both sides are materialized → size_bytes() is free metadata, and
+        # the bucket count then tracks the repair window's data volume
+        joined = hash_join(src, dest_keys, spec.key, "__dest_key", how="left",
+                           bytes_hint=(src.size_bytes() or 0)
+                           + (dest_keys.size_bytes() or 0))
 
         def _missing_only(t: pa.Table) -> pa.Table:
             return t.filter(pc.is_null(t.column("__dest_key"))).drop_columns(["__dest_key"])
