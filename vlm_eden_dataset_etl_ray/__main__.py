@@ -5,6 +5,7 @@
     python -m vlm_eden_dataset_etl_ray tail    --lake L --changelog DIR   # one tick
     python -m vlm_eden_dataset_etl_ray compact --lake L
     python -m vlm_eden_dataset_etl_ray status  --lake L
+    python -m vlm_eden_dataset_etl_ray metrics --lake L [--last N]
     python -m vlm_eden_dataset_etl_ray scan    --lake L --out DIR [--columns a,b]
     python -m vlm_eden_dataset_etl_ray gen     --out DIR --events N [--docs N] ...
 
@@ -101,6 +102,20 @@ def cmd_status(args) -> dict:
     }
 
 
+def cmd_metrics(args) -> dict:
+    from vlm_eden_dataset_etl_ray import metrics
+
+    reps = metrics.list_reports(args.lake)
+    if args.last:
+        reps = reps[-args.last:]
+    return {"runs": [
+        {"run_id": r["run_id"], "wall_seconds": r["wall_seconds"],
+         "stages": {k: v["rows"] for k, v in r["stages"].items()},
+         "errors": len(r["errors"])}
+        for r in reps
+    ]}
+
+
 def cmd_scan(args) -> dict:
     from vlm_eden_dataset_etl_ray import lake
 
@@ -144,6 +159,8 @@ def main(argv=None) -> int:
                                  "--keep-epochs": {"type": int, "default": 2,
                                                    "dest": "keep_epochs"}})
     add("status", cmd_status, **{"--lake": {"required": True}})
+    add("metrics", cmd_metrics, **{"--lake": {"required": True},
+                                   "--last": {"type": int, "default": 0}})
     add("scan", cmd_scan, **{"--lake": {"required": True}, "--out": {"required": True},
                              "--columns": {"default": None}})
     add("gen", cmd_gen, **{"--out": {"required": True},

@@ -24,6 +24,8 @@ import pyarrow.compute as pc
 
 import ray.data as rd
 
+from vlm_eden_dataset_etl_ray.metrics import RunMetrics
+
 
 @dataclass
 class CorpusParams:
@@ -34,35 +36,7 @@ class CorpusParams:
     benchmark_ngram: int = 8
     test_frac: float = 0.1
     counts: dict = field(default_factory=dict)  # stage → rows (filled in run)
-
-
-import ray
-
-
-@ray.remote(num_cpus=0)
-class _StageCounter:
-    """Streaming row accounting: every stage adds one tiny fire-and-forget
-    actor call per batch instead of a full pipeline re-execution per
-    Dataset.count(). One actor per run; O(stages) driver state."""
-
-    def __init__(self):
-        self.counts: dict[str, int] = {}
-
-    def add(self, stage: str, n: int) -> None:
-        self.counts[stage] = self.counts.get(stage, 0) + n
-
-    def get(self) -> dict[str, int]:
-        return dict(self.counts)
-
-
-def _counted(ds: rd.Dataset, counter, stage: str) -> rd.Dataset:
-    def _f(t: pa.Table) -> pa.Table:
-        # blocking: the add must COMMIT before this task completes, else
-        # the end-of-run counter read races in-flight fire-and-forget adds
-        ray.get(counter.add.remote(stage, t.num_rows))
-        return t
-
-    return ds.map_batches(_f, batch_format="pyarrow", zero_copy_batch=True)
+    metrics: object = None  # RunMetrics handle, set by prepare_corpus
 
 
 def prepare_corpus(
@@ -77,8 +51,10 @@ def prepare_corpus(
     lang optional). Returns the surviving documents with ``split``
     assigned; if ``out_dir`` is given, also writes the resumable
     partitioned output. ``params.counts`` records per-stage row counts via
-    a streaming counter actor (one tiny actor call per batch — no pipeline
-    re-execution), filled after the single end-to-end execution."""
+    a :class:`~vlm_eden_dataset_etl_ray.metrics.RunMetrics` tap (one tiny
+    actor call per batch — no pipeline re-execution), filled after the
+    single end-to-end execution; ``params.metrics`` keeps the handle so
+    callers can persist the full run report (``write_report``)."""
     from vlm_eden_dataset_etl_ray.functions.contamination import (
         benchmark_ngram_set, decontaminate)
     from vlm_eden_dataset_etl_ray.functions.dedup import exact_dedup, minhash_dedup
@@ -86,8 +62,8 @@ def prepare_corpus(
         deterministic_split, lang_id, quality_scores, token_stats)
 
     p = params or CorpusParams()
-    counter = _StageCounter.remote()
-    ds = _counted(docs, counter, "input")
+    m = p.metrics = RunMetrics()
+    ds = m.tap(docs, "input")
 
     # 1. quality gate: vectorized stats, then one filter
     ds = token_stats(ds, text_col)
@@ -100,7 +76,7 @@ def prepare_corpus(
         return t.filter(pc.fill_null(keep, False))
 
     ds = ds.map_batches(_quality, batch_format="pyarrow", zero_copy_batch=True)
-    ds = _counted(ds, counter, "quality")
+    ds = m.tap(ds, "quality")
 
     # 2. language gate
     ds = lang_id(ds)
@@ -110,13 +86,13 @@ def prepare_corpus(
         return t.filter(pc.is_in(t.column("lang_pred"), value_set=keep_langs))
 
     ds = ds.map_batches(_lang, batch_format="pyarrow", zero_copy_batch=True)
-    ds = _counted(ds, counter, "language")
+    ds = m.tap(ds, "language")
 
     # 3. exact dedup on content — materialized AFTER the count tap: stage
     # 4 has TWO consumers (the corpus and its cluster labels); both read
     # the materialized frontier, so every count tap fires exactly once
     ds = exact_dedup(ds, on=[text_col], keep_by=id_col)
-    ds = _counted(ds, counter, "exact_dedup").materialize()
+    ds = m.tap(ds, "exact_dedup").materialize()
 
     # 4. near-dup clustering: keep the representative of each cluster
     labels = minhash_dedup(ds, id_col, text_col, threshold=p.jaccard_threshold)
@@ -131,12 +107,12 @@ def prepare_corpus(
         id_col, "__keep_id", how="inner", bytes_hint=ds.size_bytes() or None)
     ds = ds.map_batches(lambda t: t.drop_columns(["__keep_id"]),
                         batch_format="pyarrow", zero_copy_batch=True)
-    ds = _counted(ds, counter, "near_dedup")
+    ds = m.tap(ds, "near_dedup")
 
     # 5. decontamination against the benchmark
     bench = benchmark_ngram_set(benchmark_texts, n=p.benchmark_ngram)
     ds = decontaminate(ds, bench, text_col, n=p.benchmark_ngram)
-    ds = _counted(ds, counter, "decontaminated")
+    ds = m.tap(ds, "decontaminated")
 
     # 6. deterministic split
     ds = deterministic_split(ds, id_col, test_frac=p.test_frac)
@@ -148,5 +124,5 @@ def prepare_corpus(
             pa.compute.sum(stats.column("rows")).as_py() or 0)
     else:
         ds = ds.materialize()  # one execution fills the counters
-    p.counts.update(ray.get(counter.get.remote()))
+    p.counts.update(m.counts())
     return ds
