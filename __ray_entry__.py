@@ -1053,6 +1053,76 @@ def q_tokens_replay_synthetic(sf_dir):
     return lake.snapshot(lake_dir).select(["doc_id", "lsn", "n_tok", "source"])
 
 
+def q_order_price_ntile(sf_dir):
+    """Global-ordering window (ntile over a distributed sort): quartile
+    buckets of all orders by price, then per-tile count/min/max. Driver
+    state is one summary row per block (windows._sorted_with_block_offsets);
+    the tile assignment happens inside each block."""
+    from vlm_eden_dataset_etl_ray.functions.windows import ntile
+    from vlm_eden_dataset_etl_ray.sources.parquet import read_table
+
+    orders = read_table(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
+    tiled = ntile(orders, 4, ["o_totalprice", "o_orderkey"], out_col="tile")
+
+    def _partial(t: pa.Table) -> pa.Table:
+        g = t.group_by(["tile"]).aggregate(
+            [("o_totalprice", "min"), ("o_totalprice", "max"), ([], "count_all")])
+        return g.rename_columns(["tile", "__mn", "__mx", "__n"])
+
+    def _combine(t: pa.Table) -> pa.Table:
+        g = t.group_by(["tile"]).aggregate(
+            [("__mn", "min"), ("__mx", "max"), ("__n", "sum")])
+        g = g.rename_columns(["tile", "min_price", "max_price", "n"])
+        return g.set_column(g.column_names.index("n"), "n",
+                            g.column("n").cast(pa.int64()))
+
+    partial = tiled.map_batches(_partial, batch_format="pyarrow",
+                                zero_copy_batch=True)
+    return partial.repartition(1).map_batches(_combine, batch_format="pyarrow",
+                                              batch_size=None)
+
+
+def q_exact_price_quantiles(sf_dir):
+    """Exact percentile_disc via distributed sort + block-offset row
+    numbers — the exact twin of approx_value_quantiles' centroid sketch.
+    Only len(qs) rows reach the driver."""
+    from vlm_eden_dataset_etl_ray.functions.windows import exact_quantiles
+    from vlm_eden_dataset_etl_ray.sources.parquet import read_table
+
+    orders = read_table(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
+    return exact_quantiles(orders, "o_totalprice", [0.25, 0.5, 0.75, 0.99],
+                           tiebreak="o_orderkey")
+
+
+def q_scd2_order_status_history(sf_dir):
+    """SCD Type-2 interval compression: per customer, runs of equal order
+    status (in order-date order) collapse into [valid_from, valid_to)
+    validity rows — the CDC-warehouse history-table shape."""
+    from vlm_eden_dataset_etl_ray.functions.windows import scd2_compress
+    from vlm_eden_dataset_etl_ray.sources.parquet import read_table
+
+    orders = read_table(sf_dir, "orders",
+                        columns=["o_custkey", "o_orderkey", "o_orderdate",
+                                 "o_orderstatus"])
+    return scd2_compress(orders, "o_custkey", ["o_orderdate", "o_orderkey"],
+                         "o_orderstatus")
+
+
+def q_rolling_min_order_price(sf_dir):
+    """Frame-bounded window (rows between 2 preceding and current row):
+    per customer, the rolling minimum of the last 3 order prices. min is
+    float-order-insensitive, so the doubles match the oracle bit-exactly."""
+    from vlm_eden_dataset_etl_ray.functions.windows import rolling_min
+    from vlm_eden_dataset_etl_ray.sources.parquet import read_table
+
+    orders = read_table(sf_dir, "orders",
+                        columns=["o_custkey", "o_orderkey", "o_orderdate",
+                                 "o_totalprice"])
+    out = rolling_min(orders, "o_custkey", ["o_orderdate", "o_orderkey"],
+                      "o_totalprice", window=3, alias="rmin")
+    return out.select_columns(["o_custkey", "o_orderkey", "o_totalprice", "rmin"])
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "cdc_replay_events": q_cdc_replay_events,
@@ -1102,6 +1172,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "monthly_priority_pivot": q_monthly_priority_pivot,
         "event_gaps": q_event_gaps,
         "rollup_event_counts": q_rollup_event_counts,
+        "order_price_ntile": q_order_price_ntile,
+        "exact_price_quantiles": q_exact_price_quantiles,
+        "scd2_order_status_history": q_scd2_order_status_history,
+        "rolling_min_order_price": q_rolling_min_order_price,
         "active_buyers_intersect": q_active_buyers_intersect,
         "events_with_customer_skewjoin": q_events_with_customer_skewjoin,
         "minhash_near_dupes": q_minhash_near_dupes,
@@ -1494,6 +1568,51 @@ def oracle_sql() -> dict[str, str]:
                        partition by user_id order by ts, event_id)) as bigint)
                        as gap_us
             from events
+        """,
+        "order_price_ntile": """
+            select tile, min(o_totalprice) as min_price,
+                   max(o_totalprice) as max_price, count(*) as n
+            from (select o_totalprice,
+                         ntile(4) over (order by o_totalprice, o_orderkey) as tile
+                  from orders)
+            group by tile
+        """,
+        "exact_price_quantiles": """
+            select cast(0.25 as double) as q, quantile_disc(o_totalprice, 0.25) as value from orders
+            union all
+            select cast(0.50 as double), quantile_disc(o_totalprice, 0.50) from orders
+            union all
+            select cast(0.75 as double), quantile_disc(o_totalprice, 0.75) from orders
+            union all
+            select cast(0.99 as double), quantile_disc(o_totalprice, 0.99) from orders
+        """,
+        "scd2_order_status_history": """
+            with e as (
+                select o_custkey, o_orderkey, o_orderdate, o_orderstatus,
+                       lag(o_orderstatus) over (
+                           partition by o_custkey
+                           order by o_orderdate, o_orderkey) as pv
+                from orders),
+            m as (select *, case when pv is null or pv <> o_orderstatus
+                                 then 1 else 0 end as chg from e),
+            v as (select *, cast(sum(chg) over (
+                        partition by o_custkey order by o_orderdate, o_orderkey
+                        rows unbounded preceding) as bigint) as ver from m),
+            runs as (select o_custkey, ver, min(o_orderstatus) as o_orderstatus,
+                            min(o_orderdate) as valid_from
+                     from v group by o_custkey, ver)
+            select o_custkey, o_orderstatus, valid_from,
+                   lead(valid_from) over (
+                       partition by o_custkey order by ver) as valid_to
+            from runs
+        """,
+        "rolling_min_order_price": """
+            select o_custkey, o_orderkey, o_totalprice,
+                   min(o_totalprice) over (
+                       partition by o_custkey
+                       order by o_orderdate, o_orderkey
+                       rows between 2 preceding and current row) as rmin
+            from orders
         """,
         "monthly_priority_pivot": """
             select cast(date_trunc('month', o_orderdate) as timestamp) as month,

@@ -1,0 +1,142 @@
+"""Global-ordering + frame-bounded window operators vs DuckDB oracles."""
+
+import duckdb
+import numpy as np
+import pyarrow as pa
+import pytest
+
+import ray.data as rd
+
+from vlm_eden_dataset_etl_ray.functions import windows as W
+
+
+def _orders(n=5000, seed=7):
+    rng = np.random.default_rng(seed)
+    return pa.table({
+        "k": pa.array(np.arange(n, dtype=np.int64)),
+        "cust": pa.array(rng.integers(0, 97, n)),
+        "price": pa.array(np.round(rng.uniform(1, 1000, n), 2)),
+        "d": pa.array(rng.integers(0, 10_000, n) * 86_400_000_000,
+                      pa.timestamp("us")),
+        "status": pa.array(rng.choice(["O", "F", "P"], n)),
+    })
+
+
+def _con(t):
+    con = duckdb.connect()
+    con.execute("SET threads=2")
+    con.register("t", t)
+    return con
+
+
+def _sorted_tbl(ds, keys):
+    tbs = list(ds.iter_batches(batch_format="pyarrow", batch_size=None))
+    return pa.concat_tables(tbs).sort_by([(k, "ascending") for k in keys])
+
+
+def test_global_row_number_matches_duckdb():
+    t = _orders()
+    ds = rd.from_arrow(t).repartition(16)  # force many blocks
+    out = _sorted_tbl(W.global_row_number(ds, ["price", "k"]), ["k"])
+    exp = _con(t).execute(
+        "select *, row_number() over (order by price, k) as row_number "
+        "from t order by k").fetch_arrow_table()
+    assert out.column("row_number").type == pa.int64()
+    assert out.select(["k", "row_number"]).to_pylist() == \
+        exp.select(["k", "row_number"]).to_pylist()
+
+
+def test_global_row_number_descending():
+    t = _orders(300)
+    ds = rd.from_arrow(t).repartition(7)
+    out = _sorted_tbl(
+        W.global_row_number(ds, ["price", "k"], descending=[True, False]),
+        ["k"])
+    exp = _con(t).execute(
+        "select k, row_number() over (order by price desc, k asc) as rn "
+        "from t order by k").fetch_arrow_table()
+    assert out.column("row_number").to_pylist() == exp.column("rn").to_pylist()
+
+
+def test_ntile_matches_duckdb():
+    t = _orders(1003)  # deliberately not divisible by 5
+    ds = rd.from_arrow(t).repartition(9)
+    out = _sorted_tbl(W.ntile(ds, 5, ["price", "k"]), ["k"])
+    exp = _con(t).execute(
+        "select k, ntile(5) over (order by price, k) as tile "
+        "from t order by k").fetch_arrow_table()
+    assert out.column("tile").to_pylist() == exp.column("tile").to_pylist()
+
+
+def test_exact_quantiles_match_duckdb():
+    t = _orders(2777)
+    ds = rd.from_arrow(t).repartition(8)
+    got = W.exact_quantiles(ds, "price", [0.01, 0.25, 0.5, 0.75, 0.99], "k")
+    con = _con(t)
+    for q, v in zip(got.column("q").to_pylist(), got.column("value").to_pylist()):
+        exp = con.execute(f"select quantile_disc(price, {q}) from t").fetchone()[0]
+        assert v == exp, (q, v, exp)
+
+
+def test_duplicate_first_key_rejected():
+    """Two blocks starting with the same key tuple = non-unique order_by;
+    the prefix-sum builder must refuse rather than misnumber."""
+    with pytest.raises(ValueError, match="uniquely"):
+        W._prefix_offsets([((1, "a"), 10), ((1, "a"), 5)], [False, False])
+    offs, total = W._prefix_offsets(
+        [((2,), 5), ((1,), 10)], [False])
+    assert offs == {(1,): 0, (2,): 10} and total == 15
+    # descending: offsets follow the inverted order
+    offs, total = W._prefix_offsets([((1,), 10), ((2,), 5)], [True])
+    assert offs == {(2,): 0, (1,): 5} and total == 15
+
+
+def test_scd2_compress_matches_duckdb():
+    t = _orders(4000)
+    ds = rd.from_arrow(t)
+    got = _sorted_tbl(
+        W.scd2_compress(ds, "cust", ["d", "k"], "status"),
+        ["cust", "valid_from", "status"])
+    exp = _con(t).execute("""
+        with e as (select cust, k, d, status,
+                          lag(status) over (partition by cust order by d, k) pv
+                   from t),
+        m as (select *, case when pv is null or pv <> status then 1 else 0 end chg
+              from e),
+        v as (select *, cast(sum(chg) over (partition by cust order by d, k
+                   rows unbounded preceding) as bigint) ver from m),
+        runs as (select cust, ver, min(status) as status, min(d) as valid_from
+                 from v group by cust, ver)
+        select cust, status, valid_from,
+               lead(valid_from) over (partition by cust order by ver) as valid_to
+        from runs order by cust, valid_from, status
+    """).fetch_arrow_table()
+    assert got.num_rows == exp.num_rows
+    for c in ["cust", "status", "valid_from", "valid_to"]:
+        assert got.column(c).to_pylist() == exp.column(c).to_pylist(), c
+
+
+def test_scd2_single_run_and_current_null():
+    t = pa.table({
+        "cust": pa.array([1, 1, 1], pa.int64()),
+        "k": pa.array([1, 2, 3], pa.int64()),
+        "d": pa.array([10, 20, 30], pa.timestamp("us")),
+        "status": pa.array(["A", "A", "A"]),
+    })
+    got = W.scd2_compress(rd.from_arrow(t), "cust", ["d", "k"], "status") \
+        .take_all()
+    assert len(got) == 1
+    assert got[0]["valid_to"] is None
+
+
+def test_rolling_min_matches_duckdb():
+    t = _orders(3000)
+    ds = rd.from_arrow(t)
+    got = _sorted_tbl(
+        W.rolling_min(ds, "cust", ["d", "k"], "price", 3, alias="rmin"), ["k"])
+    exp = _con(t).execute("""
+        select k, min(price) over (partition by cust order by d, k
+            rows between 2 preceding and current row) as rmin
+        from t order by k
+    """).fetch_arrow_table()
+    assert got.column("rmin").to_pylist() == exp.column("rmin").to_pylist()

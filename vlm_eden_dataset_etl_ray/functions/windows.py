@@ -1,0 +1,260 @@
+"""Global-ordering and frame-bounded window operators.
+
+The per-key window family (``with_previous``, ``running_sum``,
+``session_counts`` in :mod:`.relational`) co-locates each key with one
+groupby shuffle. The operators here cover the OTHER two window shapes:
+
+- **Global ordering** (``row_number() over (order by ...)``, ``ntile``,
+  exact ``percentile_disc``): one distributed sort, then per-block offsets
+  are assigned from a prefix sum over per-block row COUNTS — the driver
+  sees one summary row per block (O(blocks), never O(rows)), and each
+  block finds its own offset by its first row's key. This is the textbook
+  cluster implementation; it requires ``order_by`` to order rows uniquely
+  (include a tiebreak id), which is also what makes the result
+  deterministic. Streaming execution does not guarantee block arrival
+  order, so the prefix sum orders block summaries by their first-row KEY
+  VALUE (the blocks are globally sorted, so first keys are totally
+  ordered) — never by arrival.
+- **Frame-bounded per-key windows** (``rows between N preceding and
+  current row``): the usual groupby co-location, frame math vectorized
+  inside the group.
+- **SCD Type-2 interval compression**: the CDC-warehouse "history table"
+  shape — consecutive equal values of a tracked column collapse into
+  [valid_from, valid_to) validity intervals per key. The reference keeps
+  only latest state (LWW upsert, /root/reference/tasks.py); warehouses fed
+  by the same changelogs almost always ALSO want the history — this
+  operator derives it from the ordered event stream.
+"""
+
+from __future__ import annotations
+
+import pickle
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data as rd
+
+
+def _first_tuple(t: pa.Table, order_by: list[str]) -> tuple:
+    vals = tuple(t.column(c)[0].as_py() for c in order_by)
+    if any(v is None or (isinstance(v, float) and v != v) for v in vals):
+        raise ValueError(
+            "order_by columns must be non-null and non-NaN for global "
+            f"window assignment (got first-row key {vals})")
+    return vals
+
+
+class _Rev:
+    """Inverts comparison for descending sort-key columns."""
+    __slots__ = ("v",)
+
+    def __init__(self, v):
+        self.v = v
+
+    def __lt__(self, o):
+        return o.v < self.v
+
+
+def _sorted_with_block_offsets(
+    ds: rd.Dataset, order_by: list[str], descending: bool | list[bool] = False,
+):
+    """Sort ``ds`` by ``order_by`` and return (sorted_ds, offsets_ref,
+    total): ``offsets_ref`` is a broadcast dict mapping each block's
+    first-row key tuple → that block's global row offset. Driver state is
+    one tiny summary row per block. Raises if two blocks share a first-row
+    key (i.e. ``order_by`` is not a unique ordering)."""
+    desc = [descending] * len(order_by) if isinstance(descending, bool) \
+        else list(descending)
+    sorted_ds = ds.sort(order_by, descending=descending).materialize()
+
+    def _summ(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"__first": pa.array([], pa.binary()),
+                             "__n": pa.array([], pa.int64())})
+        return pa.table({
+            "__first": pa.array([pickle.dumps(_first_tuple(t, order_by))],
+                                pa.binary()),
+            "__n": pa.array([t.num_rows], pa.int64())})
+
+    rows = sorted_ds.map_batches(
+        _summ, batch_format="pyarrow", batch_size=None).take_all()
+    summ = [(pickle.loads(r["__first"]), r["__n"]) for r in rows]
+    offsets, acc = _prefix_offsets(summ, desc)
+    return sorted_ds, ray.put(offsets), acc
+
+
+def _prefix_offsets(summ: list[tuple[tuple, int]], desc: list[bool]):
+    """Prefix-sum block offsets from (first_key_tuple, n_rows) summaries,
+    ordered by key value. Raises when two blocks share a first key — the
+    signal that ``order_by`` does not uniquely order rows."""
+    summ = sorted(summ, key=lambda fn: tuple(
+        _Rev(v) if d else v for v, d in zip(fn[0], desc)))
+    offsets: dict[tuple, int] = {}
+    acc = 0
+    for first, n in summ:
+        if first in offsets:
+            raise ValueError(
+                "order_by does not uniquely order rows (duplicate key tuple "
+                f"{first} starts two blocks); add a tiebreak column")
+        offsets[first] = acc
+        acc += n
+    return offsets, acc
+
+
+def global_row_number(
+    ds: rd.Dataset,
+    order_by: list[str],
+    out_col: str = "row_number",
+    descending: bool | list[bool] = False,
+) -> rd.Dataset:
+    """``row_number() over (order by ...)`` (1-based), distributed: one
+    sort, O(blocks) driver metadata, offset assignment inside each block.
+    ``order_by`` must order rows uniquely (non-null, non-NaN)."""
+    sorted_ds, offsets_ref, _ = _sorted_with_block_offsets(
+        ds, order_by, descending)
+
+    def _assign(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t.append_column(out_col, pa.array([], pa.int64()))
+        base = ray.get(offsets_ref)[_first_tuple(t, order_by)]
+        return t.append_column(
+            out_col, pa.array(np.arange(base + 1, base + 1 + t.num_rows)))
+
+    return sorted_ds.map_batches(_assign, batch_format="pyarrow",
+                                 batch_size=None)
+
+
+def ntile(
+    ds: rd.Dataset,
+    n: int,
+    order_by: list[str],
+    out_col: str = "tile",
+) -> rd.Dataset:
+    """``ntile(n) over (order by ...)`` with SQL semantics: the first
+    ``total % n`` tiles get ``total // n + 1`` rows, the rest
+    ``total // n``. Same distributed shape as :func:`global_row_number`."""
+    sorted_ds, offsets_ref, total = _sorted_with_block_offsets(ds, order_by)
+    q, r = divmod(total, n)
+    boundary = r * (q + 1)
+
+    def _assign(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t.append_column(out_col, pa.array([], pa.int64()))
+        rn0 = np.arange(t.num_rows, dtype=np.int64) \
+            + ray.get(offsets_ref)[_first_tuple(t, order_by)]
+        if q == 0:  # fewer rows than tiles: one row per tile
+            tile = rn0 + 1
+        else:
+            tile = np.where(rn0 < boundary, rn0 // (q + 1),
+                            r + (rn0 - boundary) // q) + 1
+        return t.append_column(out_col, pa.array(tile))
+
+    return sorted_ds.map_batches(_assign, batch_format="pyarrow",
+                                 batch_size=None)
+
+
+def exact_quantiles(
+    ds: rd.Dataset,
+    col: str,
+    qs: list[float],
+    tiebreak: str,
+) -> pa.Table:
+    """Exact discrete quantiles (``quantile_disc`` / ``percentile_disc``
+    semantics: the smallest value whose cumulative share reaches ``q``,
+    i.e. 0-based index ``ceil(q * total) - 1`` — verified bit-identical to
+    DuckDB). One distributed sort; only ``len(qs)`` rows ever reach the
+    driver. ``tiebreak`` makes the sort deterministic (the selected VALUE
+    is tie-insensitive, but unique ordering is required by the offset
+    assignment). Returns a tiny in-memory table (q, value)."""
+    keys = [col, tiebreak]
+    sorted_ds, offsets_ref, total = _sorted_with_block_offsets(
+        ds.select_columns(keys), keys)
+    targets = {max(1, int(np.ceil(q * total))): q for q in qs}
+    tset = pa.array(sorted(targets), pa.int64())
+
+    def _pick(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t.append_column("__rn", pa.array([], pa.int64()))
+        base = ray.get(offsets_ref)[_first_tuple(t, keys)]
+        t = t.append_column(
+            "__rn", pa.array(np.arange(base + 1, base + 1 + t.num_rows)))
+        return t.filter(pc.is_in(t.column("__rn"), value_set=tset))
+
+    picked = sorted_ds.map_batches(_pick, batch_format="pyarrow",
+                                   batch_size=None).take_all()
+    by_rn = {r["__rn"]: r[col] for r in picked}
+    out_q, out_v = [], []
+    for idx, q in sorted(targets.items()):
+        out_q.append(q)
+        out_v.append(by_rn[idx])
+    return pa.table({"q": pa.array(out_q, pa.float64()), "value": out_v})
+
+
+def scd2_compress(
+    ds: rd.Dataset,
+    key: str,
+    order_cols: list[str],
+    value_col: str,
+    valid_from_col: str | None = None,
+    out_from: str = "valid_from",
+    out_to: str = "valid_to",
+) -> rd.Dataset:
+    """Slowly-Changing-Dimension Type-2 history: per ``key``, collapse
+    consecutive runs of equal ``value_col`` (in ``order_cols`` order) into
+    one row per run with ``[valid_from, valid_to)`` validity — ``valid_to``
+    null for the current run. ``valid_from_col`` (default: first of
+    ``order_cols``) supplies the interval endpoints. One groupby shuffle
+    co-locates each key; run detection is vectorized inside the group.
+    ``order_cols`` must order rows uniquely within a key."""
+    ts_col = valid_from_col or order_cols[0]
+
+    def _per_group(g: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(g, sort_keys=[(c, "ascending") for c in order_cols])
+        g = g.take(idx)
+        v = g.column(value_col).combine_chunks()
+        neq = pc.fill_null(
+            pc.not_equal(v.slice(1), v.slice(0, max(0, len(v) - 1))), True)
+        starts = np.concatenate(
+            [[0], np.flatnonzero(neq.to_numpy(zero_copy_only=False)) + 1]
+        ).astype(np.int64)
+        ts = g.column(ts_col)
+        starts_arr = pa.array(starts)
+        vto = ts.take(pa.array(
+            np.append(starts[1:], -1),
+            mask=np.append(np.zeros(len(starts) - 1, bool), True)))
+        return pa.table({
+            key: g.column(key).take(starts_arr),
+            value_col: v.take(starts_arr),
+            out_from: ts.take(starts_arr),
+            out_to: vto,
+        })
+
+    return ds.groupby(key).map_groups(_per_group, batch_format="pyarrow")
+
+
+def rolling_min(
+    ds: rd.Dataset,
+    key: str,
+    order_cols: list[str],
+    value_col: str,
+    window: int,
+    alias: str = "rolling_min",
+) -> rd.Dataset:
+    """Frame-bounded window: ``min(value) over (partition by key order by
+    ... rows between window-1 preceding and current row)``. min is
+    insensitive to float addition order, so the result is bit-exact
+    against any SQL engine. One groupby shuffle; the sliding min is
+    vectorized inside the group."""
+
+    def _per_group(g: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(g, sort_keys=[(c, "ascending") for c in order_cols])
+        g = g.take(idx)
+        vals = g.column(value_col).to_numpy(zero_copy_only=False)
+        rmin = pd.Series(vals).rolling(window, min_periods=1).min().to_numpy()
+        return g.append_column(alias, pa.array(rmin, pa.float64()))
+
+    return ds.groupby(key).map_groups(_per_group, batch_format="pyarrow")
