@@ -1053,6 +1053,22 @@ def q_tokens_replay_synthetic(sf_dir):
     return lake.snapshot(lake_dir).select(["doc_id", "lsn", "n_tok", "source"])
 
 
+def q_user_order_full_join(sf_dir):
+    """FULL OUTER join (partitioned, SQL ON semantics): per-user event
+    counts against per-customer order counts — ids unique to either side
+    survive with the other side null."""
+    from vlm_eden_dataset_etl_ray.functions.relational import grouped_count, hash_join
+    from vlm_eden_dataset_etl_ray.sources.parquet import read_table
+
+    ev = grouped_count(_events(sf_dir, columns=["user_id"]), ["user_id"],
+                       "n_events", cardinality="high")
+    buyers = read_table(sf_dir, "orders", columns=["o_custkey"]).map_batches(
+        lambda t: t.rename_columns(["buyer_id"]),
+        batch_format="pyarrow", zero_copy_batch=True)
+    bo = grouped_count(buyers, ["buyer_id"], "n_orders", cardinality="high")
+    return hash_join(ev, bo, "user_id", "buyer_id", how="full")
+
+
 def q_order_price_ntile(sf_dir):
     """Global-ordering window (ntile over a distributed sort): quartile
     buckets of all orders by price, then per-tile count/min/max. Driver
@@ -1172,6 +1188,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "monthly_priority_pivot": q_monthly_priority_pivot,
         "event_gaps": q_event_gaps,
         "rollup_event_counts": q_rollup_event_counts,
+        "user_order_full_join": q_user_order_full_join,
         "order_price_ntile": q_order_price_ntile,
         "exact_price_quantiles": q_exact_price_quantiles,
         "scd2_order_status_history": q_scd2_order_status_history,
@@ -1568,6 +1585,14 @@ def oracle_sql() -> dict[str, str]:
                        partition by user_id order by ts, event_id)) as bigint)
                        as gap_us
             from events
+        """,
+        "user_order_full_join": """
+            select e.user_id, e.n_events, b.buyer_id, b.n_orders
+            from (select user_id, count(*) as n_events
+                  from events group by 1) e
+            full join (select o_custkey as buyer_id, count(*) as n_orders
+                       from orders group by 1) b
+            on e.user_id = b.buyer_id
         """,
         "order_price_ntile": """
             select tile, min(o_totalprice) as min_price,

@@ -448,10 +448,14 @@ def hash_join(
     """Explicit partitioned hash join (the portable large×large pattern).
     Columns of both sides are kept (a differently-named right key column is
     preserved, null where unmatched on a left join). ``how`` ∈ {"inner",
-    "left"}. Payload columns may be any Arrow type incl. lists (the
-    per-bucket join runs in polars, zero-copy from Arrow). ``num_buckets``
-    defaults to :func:`_auto_buckets` (pass ``bytes_hint`` = estimated
-    left+right bytes so one bucket ≈ ``target_bucket_bytes``)."""
+    "left", "full"}. Full-outer follows SQL ON semantics when the key
+    names differ (each side's key is null on the other side's unmatched
+    rows; null keys never match); with IDENTICAL key names the single key
+    column is coalesced (SQL ``USING`` shape). Payload columns may be any
+    Arrow type incl. lists (the per-bucket join runs in polars, zero-copy
+    from Arrow). ``num_buckets`` defaults to :func:`_auto_buckets` (pass
+    ``bytes_hint`` = estimated left+right bytes so one bucket ≈
+    ``target_bucket_bytes``)."""
     import polars as pl
 
     from vlm_eden_dataset_etl_ray import schema as sch_mod
@@ -486,20 +490,29 @@ def hash_join(
 
     out_schema = _join_out_schema(ls, rs, left_on, right_on)
 
+    if how not in ("inner", "left", "full"):
+        raise ValueError(f"hash_join: unsupported how={how!r}")
+
     def _join_bucket(g: pa.Table) -> pa.Table:
         side = g.column("__side")
         l = pl.from_arrow(g.filter(pc.equal(side, "l")).select(left_cols))
         r = pl.from_arrow(g.filter(pc.equal(side, "r")).select(right_cols))
-        if left_on != right_on:
-            # polars coalesces away the right key column; keep a copy so a
-            # left join surfaces null right-keys for unmatched rows (pandas
-            # merge semantics, which the DuckDB oracles follow)
-            r = r.with_columns(pl.col(right_on).alias("__rkeep"))
-        merged = l.join(r, left_on=left_on, right_on=right_on,
-                        how=("left" if how == "left" else "inner"),
-                        coalesce=True)
-        if left_on != right_on:
-            merged = merged.rename({"__rkeep": right_on})
+        if how == "full":
+            # ON semantics for distinct key names (each key null on the
+            # other side's unmatched rows); USING/coalesce for a shared one
+            merged = l.join(r, left_on=left_on, right_on=right_on,
+                            how="full", coalesce=(left_on == right_on))
+        else:
+            if left_on != right_on:
+                # polars coalesces away the right key column; keep a copy
+                # so a left join surfaces null right-keys for unmatched
+                # rows (pandas merge semantics, which the DuckDB oracles
+                # follow)
+                r = r.with_columns(pl.col(right_on).alias("__rkeep"))
+            merged = l.join(r, left_on=left_on, right_on=right_on,
+                            how=how, coalesce=True)
+            if left_on != right_on:
+                merged = merged.rename({"__rkeep": right_on})
         out = merged.to_arrow().select(out_schema.names)
         return out.cast(out_schema)
 
