@@ -1053,6 +1053,41 @@ def q_tokens_replay_synthetic(sf_dir):
     return lake.snapshot(lake_dir).select(["doc_id", "lsn", "n_tok", "source"])
 
 
+def q_cube_order_counts(sf_dir):
+    """CUBE counts over (status, priority): the power-set of grouping
+    sets — one data pass for the finest level, coarser levels re-aggregate
+    the already-tiny counts."""
+    from vlm_eden_dataset_etl_ray.functions.relational import cube_counts
+    from vlm_eden_dataset_etl_ray.sources.parquet import read_table
+
+    orders = read_table(sf_dir, "orders",
+                        columns=["o_orderstatus", "o_orderpriority"])
+    return cube_counts(orders, ["o_orderstatus", "o_orderpriority"], "n")
+
+
+def q_value_histogram(sf_dir):
+    """Fixed-width histogram (20 bins over [0, 1000)): vectorized binning
+    + mergeable grouped count."""
+    from vlm_eden_dataset_etl_ray.functions.relational import histogram_counts
+
+    ev = _events(sf_dir, columns=["value"])
+    return histogram_counts(ev, "value", 0.0, 1000.0, 20)
+
+
+def q_orders_customer_auto_join(sf_dir):
+    """auto_join planner: the customer side measures under the broadcast
+    threshold at test scale, so this exercises the shuffle-free broadcast
+    merge; semantics are identical to the partitioned hash join."""
+    from vlm_eden_dataset_etl_ray.functions.relational import auto_join
+    from vlm_eden_dataset_etl_ray.sources.parquet import read_table
+
+    orders = read_table(sf_dir, "orders",
+                        columns=["o_orderkey", "o_custkey", "o_totalprice"])
+    cust = read_table(sf_dir, "customer",
+                      columns=["c_custkey", "c_name", "c_mktsegment"])
+    return auto_join(orders, cust, "o_custkey", "c_custkey", how="left")
+
+
 def q_user_order_full_join(sf_dir):
     """FULL OUTER join (partitioned, SQL ON semantics): per-user event
     counts against per-customer order counts — ids unique to either side
@@ -1189,6 +1224,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_gaps": q_event_gaps,
         "rollup_event_counts": q_rollup_event_counts,
         "user_order_full_join": q_user_order_full_join,
+        "cube_order_counts": q_cube_order_counts,
+        "value_histogram": q_value_histogram,
+        "orders_customer_auto_join": q_orders_customer_auto_join,
         "order_price_ntile": q_order_price_ntile,
         "exact_price_quantiles": q_exact_price_quantiles,
         "scd2_order_status_history": q_scd2_order_status_history,
@@ -1585,6 +1623,21 @@ def oracle_sql() -> dict[str, str]:
                        partition by user_id order by ts, event_id)) as bigint)
                        as gap_us
             from events
+        """,
+        "cube_order_counts": """
+            select o_orderstatus, o_orderpriority, count(*) as n
+            from orders group by cube(o_orderstatus, o_orderpriority)
+        """,
+        "value_histogram": """
+            select cast(floor((value - 0.0) / 50.0) as bigint) as bin,
+                   count(*) as n
+            from events where value >= 0.0 and value < 1000.0
+            group by 1
+        """,
+        "orders_customer_auto_join": """
+            select o.o_orderkey, o.o_custkey, o.o_totalprice,
+                   c.c_custkey, c.c_name, c.c_mktsegment
+            from orders o left join customer c on o.o_custkey = c.c_custkey
         """,
         "user_order_full_join": """
             select e.user_id, e.n_events, b.buyer_id, b.n_orders

@@ -435,6 +435,31 @@ def _join_out_schema(ls: pa.Schema, rs: pa.Schema, left_on: str, right_on: str) 
                       if f.name not in [x.name for x in out_fields[:i]]])
 
 
+def _merge_sides(lt: pa.Table, rt: pa.Table, left_on: str, right_on: str,
+                 how: str, out_schema: pa.Schema) -> pa.Table:
+    """SQL-semantics merge of two Arrow sides in polars (zero-copy both
+    ways): inner/left follow ON semantics (a differently-named right key
+    stays visible, null where unmatched); full keeps both unmatched sides
+    (USING/coalesce when the key name is shared). Null keys never match."""
+    import polars as pl
+
+    l, r = pl.from_arrow(lt), pl.from_arrow(rt)
+    if how == "full":
+        merged = l.join(r, left_on=left_on, right_on=right_on,
+                        how="full", coalesce=(left_on == right_on))
+    else:
+        if left_on != right_on:
+            # polars coalesces away the right key column; keep a copy so a
+            # left join surfaces null right-keys for unmatched rows
+            # (pandas merge semantics, which the DuckDB oracles follow)
+            r = r.with_columns(pl.col(right_on).alias("__rkeep"))
+        merged = l.join(r, left_on=left_on, right_on=right_on,
+                        how=how, coalesce=True)
+        if left_on != right_on:
+            merged = merged.rename({"__rkeep": right_on})
+    return merged.to_arrow().select(out_schema.names).cast(out_schema)
+
+
 def hash_join(
     left: rd.Dataset,
     right: rd.Dataset,
@@ -495,29 +520,88 @@ def hash_join(
 
     def _join_bucket(g: pa.Table) -> pa.Table:
         side = g.column("__side")
-        l = pl.from_arrow(g.filter(pc.equal(side, "l")).select(left_cols))
-        r = pl.from_arrow(g.filter(pc.equal(side, "r")).select(right_cols))
-        if how == "full":
-            # ON semantics for distinct key names (each key null on the
-            # other side's unmatched rows); USING/coalesce for a shared one
-            merged = l.join(r, left_on=left_on, right_on=right_on,
-                            how="full", coalesce=(left_on == right_on))
-        else:
-            if left_on != right_on:
-                # polars coalesces away the right key column; keep a copy
-                # so a left join surfaces null right-keys for unmatched
-                # rows (pandas merge semantics, which the DuckDB oracles
-                # follow)
-                r = r.with_columns(pl.col(right_on).alias("__rkeep"))
-            merged = l.join(r, left_on=left_on, right_on=right_on,
-                            how=how, coalesce=True)
-            if left_on != right_on:
-                merged = merged.rename({"__rkeep": right_on})
-        out = merged.to_arrow().select(out_schema.names)
-        return out.cast(out_schema)
+        l = g.filter(pc.equal(side, "l")).select(left_cols)
+        r = g.filter(pc.equal(side, "r")).select(right_cols)
+        return _merge_sides(l, r, left_on, right_on, how, out_schema)
 
     both = lt.union(rt)
     return both.groupby("__bucket").map_groups(_join_bucket, batch_format="pyarrow")
+
+
+def auto_join(
+    left: rd.Dataset,
+    right: rd.Dataset,
+    left_on: str,
+    right_on: str,
+    how: str = "inner",
+    broadcast_threshold_bytes: int = 64 * 1024 * 1024,
+    bytes_hint: int | None = None,
+    num_buckets: int | None = None,
+) -> rd.Dataset:
+    """Join planner: measure the RIGHT side (materialized — it is the
+    small-side candidate, so this is the work a planner must do anyway);
+    if it fits ``broadcast_threshold_bytes``, ship it ONCE via ``ray.put``
+    and merge per left batch with no shuffle at all — otherwise fall back
+    to the partitioned :func:`hash_join` with the measured bytes folded
+    into the bucket hint. The broadcast path handles 1:N matches and SQL
+    null semantics identically to the shuffle path (same polars merge
+    core), so the choice is invisible to callers. ``how="full"`` always
+    shuffles (both sides' unmatched rows must survive — a broadcast of one
+    side cannot know which of its rows went unmatched globally)."""
+    if how == "full":
+        return hash_join(left, right, left_on, right_on, how=how,
+                         num_buckets=num_buckets, bytes_hint=bytes_hint)
+    right = right.materialize()
+    rb = right.size_bytes() or 0
+    if rb > broadcast_threshold_bytes:
+        return hash_join(left, right, left_on, right_on, how=how,
+                         num_buckets=num_buckets,
+                         bytes_hint=bytes_hint or (rb * 2))
+
+    ls = pa.schema(list(zip(left.schema().names, left.schema().types)))
+    rs = pa.schema(list(zip(right.schema().names, right.schema().types)))
+    overlap = (set(ls.names) & set(rs.names)) - ({left_on} if left_on == right_on else set())
+    if overlap:
+        raise ValueError(f"column name collision across join sides: {sorted(overlap)}")
+    out_schema = _join_out_schema(ls, rs, left_on, right_on)
+    batches = list(right.iter_batches(batch_format="pyarrow", batch_size=None))
+    from vlm_eden_dataset_etl_ray.schema import unify_table
+    dim = pa.concat_tables(unify_table(b, rs) for b in batches) if batches \
+        else rs.empty_table()
+    dim_ref = ray.put(dim)
+
+    def _bj(t: pa.Table) -> pa.Table:
+        return _merge_sides(t, ray.get(dim_ref), left_on, right_on, how,
+                            out_schema)
+
+    return left.map_batches(_bj, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def histogram_counts(
+    ds: rd.Dataset,
+    col: str,
+    lo: float,
+    hi: float,
+    n_bins: int,
+    bin_col: str = "bin",
+    alias: str = "n",
+) -> rd.Dataset:
+    """Fixed-width histogram: rows with ``lo <= col < hi`` are binned by
+    ``floor((col - lo) / width)`` (vectorized per batch), then counted
+    with the mergeable partial-combine shuffle of :func:`grouped_count`.
+    Out-of-range and null values are excluded — the SQL-matchable
+    convention (`where col >= lo and col < hi`)."""
+    width = (hi - lo) / n_bins
+
+    def _bin(t: pa.Table) -> pa.Table:
+        v = t.column(col)
+        keep = pc.and_(pc.greater_equal(v, lo), pc.less(v, hi))
+        v = v.filter(pc.fill_null(keep, False))
+        b = pc.cast(pc.floor(pc.divide(pc.subtract(v, lo), width)), pa.int64())
+        return pa.table({bin_col: b})
+
+    binned = ds.map_batches(_bin, batch_format="pyarrow", zero_copy_batch=True)
+    return grouped_count(binned, [bin_col], alias)
 
 
 def skew_hash_join(
@@ -944,6 +1028,73 @@ def rollup_counts(ds: rd.Dataset, keys: list[str], alias: str = "n") -> rd.Datas
     for lv in levels[1:] + [total]:
         out = out.union(lv)
     return out
+
+
+def grouping_sets_counts(
+    ds: rd.Dataset, keys: list[str], sets: list[list[str]], alias: str = "n",
+) -> rd.Dataset:
+    """GROUPING SETS counts: one output row per group for every requested
+    key subset, dropped keys null-filled. Only the FULL key set touches
+    the data (one pass + one shuffle); every other set re-aggregates the
+    finest level's already-tiny counts — same decay argument as
+    :func:`rollup_counts`, generalized to arbitrary subsets (so CUBE =
+    the power set). Each ``sets`` entry must be a subset of ``keys``."""
+    from ray.data.aggregate import Sum
+
+    for s in sets:
+        if not set(s) <= set(keys):
+            raise ValueError(f"grouping set {s} not a subset of {keys}")
+
+    ds = ds.map_batches(lambda t: t, batch_format="pyarrow", zero_copy_batch=True)
+    schema = pa.schema(list(zip(ds.schema().names, ds.schema().types)))
+    key_types = {k: schema.field(k).type for k in keys}
+
+    def _shape(level_keys: list[str]):
+        def _f(t: pa.Table) -> pa.Table:
+            for k in keys:
+                if k not in level_keys:
+                    if k in t.column_names:
+                        t = t.drop_columns([k])
+                    t = t.append_column(k, pa.nulls(t.num_rows, key_types[k]))
+                else:
+                    i = t.column_names.index(k)
+                    t = t.set_column(i, k, t.column(k).cast(key_types[k]))
+            i = t.column_names.index(alias)
+            t = t.set_column(i, alias, t.column(alias).cast(pa.int64()))
+            return t.select(keys + [alias])
+        return _f
+
+    finest = grouped_count(ds, keys, alias).materialize()
+    levels = []
+    for s in sets:
+        if list(s) == list(keys) or set(s) == set(keys):
+            lv = finest
+        elif s:
+            lv = finest.groupby(list(s)).aggregate(Sum(alias, alias_name=alias))
+        else:
+            lv = finest.map_batches(
+                lambda t: pa.table({alias: t.column(alias).cast(pa.int64())}),
+                batch_format="pyarrow",
+            ).repartition(1).map_batches(
+                lambda t: pa.table({alias: pa.array(
+                    [pc.sum(t.column(alias)).as_py() or 0], pa.int64())}),
+                batch_format="pyarrow", batch_size=None)
+        levels.append(lv.map_batches(_shape(list(s)), batch_format="pyarrow"))
+
+    out = levels[0]
+    for lv in levels[1:]:
+        out = out.union(lv)
+    return out
+
+
+def cube_counts(ds: rd.Dataset, keys: list[str], alias: str = "n") -> rd.Dataset:
+    """CUBE counts: :func:`grouping_sets_counts` over the power set of
+    ``keys`` (finest-first, so only one pass touches the data)."""
+    from itertools import combinations
+
+    sets = [list(c) for r in range(len(keys), -1, -1)
+            for c in combinations(keys, r)]
+    return grouping_sets_counts(ds, keys, sets, alias)
 
 
 def with_previous(
