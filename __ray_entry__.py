@@ -1053,6 +1053,17 @@ def q_tokens_replay_synthetic(sf_dir):
     return lake.snapshot(lake_dir).select(["doc_id", "lsn", "n_tok", "source"])
 
 
+def q_event_session_ids(sf_dir):
+    """Gaps-and-islands sessionization: per-event 1-based session ordinal
+    within each user (new session after >SESSION_GAP_H h of inactivity) —
+    the per-row refinement of user_sessions' per-key counts."""
+    from vlm_eden_dataset_etl_ray.functions.relational import session_ids
+
+    ev = _events(sf_dir, columns=["event_id", "user_id", "ts"])
+    return session_ids(ev, "user_id", "ts", SESSION_GAP_H * 3600,
+                       order_cols=["ts", "event_id"])
+
+
 def q_cube_order_counts(sf_dir):
     """CUBE counts over (status, priority): the power-set of grouping
     sets — one data pass for the finest level, coarser levels re-aggregate
@@ -1224,6 +1235,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_gaps": q_event_gaps,
         "rollup_event_counts": q_rollup_event_counts,
         "user_order_full_join": q_user_order_full_join,
+        "event_session_ids": q_event_session_ids,
         "cube_order_counts": q_cube_order_counts,
         "value_histogram": q_value_histogram,
         "orders_customer_auto_join": q_orders_customer_auto_join,
@@ -1624,6 +1636,18 @@ def oracle_sql() -> dict[str, str]:
                        as gap_us
             from events
         """,
+        "event_session_ids": """
+            select event_id, user_id, ts,
+                   cast(sum(case when gap_us is null
+                                 or gap_us > {G} then 1 else 0 end) over (
+                       partition by user_id order by ts, event_id
+                       rows unbounded preceding) as bigint) as session_id
+            from (select event_id, user_id, ts,
+                         epoch_us(ts) - epoch_us(lag(ts) over (
+                             partition by user_id order by ts, event_id))
+                             as gap_us
+                  from events)
+        """.replace("{G}", str(SESSION_GAP_H * 3600 * 1_000_000)),
         "cube_order_counts": """
             select o_orderstatus, o_orderpriority, count(*) as n
             from orders group by cube(o_orderstatus, o_orderpriority)

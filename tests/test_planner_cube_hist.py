@@ -59,6 +59,12 @@ def test_auto_join_falls_back_to_shuffle_over_threshold(monkeypatch):
     calls.clear()
     _df(rel.auto_join(rd.from_arrow(LT), rd.from_arrow(RT), "k", "k2"))
     assert not calls
+    # a right_bytes_hint above the threshold routes straight to shuffle
+    # (no right-side materialization needed for the decision)
+    calls.clear()
+    _df(rel.auto_join(rd.from_arrow(LT), rd.from_arrow(RT), "k", "k2",
+                      right_bytes_hint=1 << 40))
+    assert calls and calls[0] == 2 << 40
 
 
 def test_cube_counts_matches_duckdb():

@@ -140,3 +140,40 @@ def test_rolling_min_matches_duckdb():
         from t order by k
     """).fetch_arrow_table()
     assert got.column("rmin").to_pylist() == exp.column("rmin").to_pylist()
+
+
+def test_session_ids_matches_duckdb_and_counts():
+    from vlm_eden_dataset_etl_ray.functions.relational import (
+        session_counts, session_ids)
+
+    rng = np.random.default_rng(13)
+    n = 3000
+    t = pa.table({
+        "eid": pa.array(np.arange(n, dtype=np.int64)),
+        "u": pa.array(rng.integers(0, 40, n)),
+        "ts": pa.array(np.sort(rng.integers(0, 10**7, n)) * 1_000_000,
+                       pa.timestamp("us")),
+    })
+    gap = 3600.0
+    got = _sorted_tbl(session_ids(rd.from_arrow(t), "u", "ts", gap,
+                                  order_cols=["ts", "eid"]), ["eid"])
+    exp = _con(t).execute(f"""
+        select eid, cast(sum(case when gap_us is null or gap_us > {int(gap*1e6)}
+                        then 1 else 0 end) over (
+            partition by u order by ts, eid rows unbounded preceding)
+            as bigint) as session_id
+        from (select eid, u, ts,
+                     epoch_us(ts) - epoch_us(lag(ts) over (
+                         partition by u order by ts, eid)) as gap_us from t)
+        order by eid
+    """).fetch_arrow_table()
+    assert got.column("session_id").to_pylist() == \
+        exp.column("session_id").to_pylist()
+    # per-key max session_id == session_counts' n_sessions
+    counts = {r["u"]: r["n_sessions"] for r in
+              session_counts(rd.from_arrow(t), "u", "ts", gap).take_all()}
+    import collections
+    mx = collections.defaultdict(int)
+    for row in got.select(["u", "session_id"]).to_pylist():
+        mx[row["u"]] = max(mx[row["u"]], row["session_id"])
+    assert dict(mx) == counts

@@ -537,6 +537,7 @@ def auto_join(
     broadcast_threshold_bytes: int = 64 * 1024 * 1024,
     bytes_hint: int | None = None,
     num_buckets: int | None = None,
+    right_bytes_hint: int | None = None,
 ) -> rd.Dataset:
     """Join planner: measure the RIGHT side (materialized — it is the
     small-side candidate, so this is the work a planner must do anyway);
@@ -547,10 +548,20 @@ def auto_join(
     null semantics identically to the shuffle path (same polars merge
     core), so the choice is invisible to callers. ``how="full"`` always
     shuffles (both sides' unmatched rows must survive — a broadcast of one
-    side cannot know which of its rows went unmatched globally)."""
+    side cannot know which of its rows went unmatched globally).
+
+    ``right_bytes_hint``: a caller who already KNOWS the right side's size
+    (e.g. ``lake.total_bytes`` from the manifest, or ``size_bytes()`` of a
+    materialized upstream) should pass it — a hint above the threshold
+    routes straight to the shuffle join without materializing the right
+    side at all."""
     if how == "full":
         return hash_join(left, right, left_on, right_on, how=how,
                          num_buckets=num_buckets, bytes_hint=bytes_hint)
+    if right_bytes_hint is not None and right_bytes_hint > broadcast_threshold_bytes:
+        return hash_join(left, right, left_on, right_on, how=how,
+                         num_buckets=num_buckets,
+                         bytes_hint=bytes_hint or (right_bytes_hint * 2))
     right = right.materialize()
     rb = right.size_bytes() or 0
     if rb > broadcast_threshold_bytes:
@@ -626,6 +637,12 @@ def skew_hash_join(
     needs a salted replicate-right strategy instead, which no pipeline in
     scope requires)."""
     import polars as pl
+
+    if how not in ("inner", "left"):
+        # a full join cannot split into hot/cold paths: the broadcast hot
+        # side-path cannot know which of ITS rows went unmatched globally
+        raise ValueError(
+            f"skew_hash_join: how={how!r} unsupported; use hash_join for full")
 
     # both sides feed multiple consumers (sample + hot + cold paths);
     # materialize once so upstream stages run once, not 3×/2×. The Arrow
@@ -899,6 +916,37 @@ def session_counts(
         return pd.DataFrame({key: [g[key].iloc[0]], alias: [int(gaps.sum()) + 1]})
 
     return ds.groupby(key).map_groups(_per_group, batch_format="pandas")
+
+
+def session_ids(
+    ds: rd.Dataset,
+    key: str,
+    ts_col: str,
+    gap_seconds: float,
+    order_cols: list[str] | None = None,
+    session_col: str = "session_id",
+) -> rd.Dataset:
+    """Per-event session assignment (gaps-and-islands): within each key,
+    ordered by ``order_cols`` (default ``[ts_col]`` — include a tiebreak
+    id for determinism), a new session starts when the gap from the
+    previous event EXCEEDS ``gap_seconds``; ``session_col`` is the 1-based
+    session ordinal within the key. Same shuffle shape as
+    :func:`session_counts` (which this refines from per-key counts to
+    per-row labels); the gap/cumsum math is vectorized in the group.
+    Timestamps are normalized to microseconds before the gap arithmetic
+    (s/ms/ns inputs bucket identically)."""
+    order_cols = order_cols or [ts_col]
+
+    def _per_group(g: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(g, sort_keys=[(c, "ascending") for c in order_cols])
+        g = g.take(idx)
+        us = g.column(ts_col).cast(pa.timestamp("us")).cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        new = np.diff(us) > gap_seconds * 1_000_000
+        sid = np.cumsum(np.concatenate([[1], new.astype(np.int64)]))
+        return g.append_column(session_col, pa.array(sid))
+
+    return ds.groupby(key).map_groups(_per_group, batch_format="pyarrow")
 
 
 def pivot_count(
