@@ -1053,6 +1053,17 @@ def q_tokens_replay_synthetic(sf_dir):
     return lake.snapshot(lake_dir).select(["doc_id", "lsn", "n_tok", "source"])
 
 
+def q_tfidf_docs(sf_dir):
+    """TF-IDF relevance weights per (doc, term): explode → tf → df →
+    planner join → vectorized score (round(4) both sides; np.round
+    bit-matches SQL round)."""
+    from vlm_eden_dataset_etl_ray.functions.text import tfidf
+    from vlm_eden_dataset_etl_ray.sources.parquet import read_table
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return tfidf(ds, "doc_id", "text")
+
+
 def q_event_session_ids(sf_dir):
     """Gaps-and-islands sessionization: per-event 1-based session ordinal
     within each user (new session after >SESSION_GAP_H h of inactivity) —
@@ -1235,6 +1246,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_gaps": q_event_gaps,
         "rollup_event_counts": q_rollup_event_counts,
         "user_order_full_join": q_user_order_full_join,
+        "tfidf_docs": q_tfidf_docs,
         "event_session_ids": q_event_session_ids,
         "cube_order_counts": q_cube_order_counts,
         "value_histogram": q_value_histogram,
@@ -1635,6 +1647,18 @@ def oracle_sql() -> dict[str, str]:
                        partition by user_id order by ts, event_id)) as bigint)
                        as gap_us
             from events
+        """,
+        "tfidf_docs": """
+            with tok as (select doc_id,
+                                unnest(string_split(text, ' ')) as term
+                         from documents),
+            tf as (select doc_id, term, count(*) as tf
+                   from tok group by doc_id, term),
+            df as (select term, count(*) as df from tf group by term),
+            n as (select count(*) as n from documents)
+            select tf.doc_id, tf.term, tf.tf,
+                   round(tf.tf * ln(cast(n.n as double) / df.df), 4) as tfidf
+            from tf join df using(term) cross join n
         """,
         "event_session_ids": """
             select event_id, user_id, ts,

@@ -52,6 +52,15 @@ BENCH_QUERIES = [
     "heavy_hitter_event_types",
     "approx_value_quantiles",
     "stratified_sample_docs",
+    # round-3 additions: global-ordering windows, SCD2, planner joins
+    "order_price_ntile",
+    "exact_price_quantiles",
+    "scd2_order_status_history",
+    "event_session_ids",
+    "orders_customer_auto_join",
+    "user_order_full_join",
+    "cube_order_counts",
+    "value_histogram",
 ]
 
 

@@ -255,3 +255,57 @@ def coalesce_clean(ds: rd.Dataset, col: str, default: str, out_col: str) -> rd.D
         return t.append_column(out_col, v)
 
     return ds.map_batches(_clean, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def tfidf(
+    ds: rd.Dataset,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = " ",
+    round_to: int = 4,
+) -> rd.Dataset:
+    """TF-IDF scores per (doc, term): ``tf * ln(N / df)`` — the standard
+    relevance weighting a curation pipeline uses for keyword extraction /
+    quality features. Shape: one explode pass → high-cardinality grouped
+    count for tf → df re-aggregates the (already distinct) tf pairs by
+    term → the small term→df side joins back through the
+    :func:`~vlm_eden_dataset_etl_ray.functions.relational.auto_join`
+    planner (vocabulary-sized → broadcast; falls back to shuffle if not).
+    The score is rounded to ``round_to`` decimals on both engine and
+    oracle sides (np.round bit-matches SQL round; ln may differ by 1 ulp
+    across libms)."""
+    import polars as pl
+
+    from vlm_eden_dataset_etl_ray.functions.relational import (
+        auto_join, grouped_count)
+
+    n_docs = ds.count()
+
+    def _explode(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t.select([id_col, text_col]))
+        ex = df.with_columns(pl.col(text_col).str.split(sep)) \
+            .explode(text_col).rename({text_col: "term"})
+        return ex.to_arrow().cast(
+            pa.schema([(id_col, t.schema.field(id_col).type),
+                       ("term", pa.string())]))
+
+    tok = ds.map_batches(_explode, batch_format="pyarrow", zero_copy_batch=True)
+    tf = grouped_count(tok, [id_col, "term"], "tf", cardinality="high")
+    # every tf row is one DISTINCT (doc, term) pair, so df re-aggregates tf
+    df_t = grouped_count(tf.select_columns(["term"]), ["term"], "df",
+                         cardinality="high").map_batches(
+        lambda t: t.rename_columns(["__term", "df"]),
+        batch_format="pyarrow", zero_copy_batch=True)
+    joined = auto_join(tf, df_t, "term", "__term", how="inner")
+
+    def _score(t: pa.Table) -> pa.Table:
+        tfv = t.column("tf").to_numpy(zero_copy_only=False).astype(np.float64)
+        dfv = t.column("df").to_numpy(zero_copy_only=False).astype(np.float64)
+        score = np.round(tfv * np.log(np.float64(n_docs) / dfv), round_to)
+        return pa.table({
+            id_col: t.column(id_col), "term": t.column("term"),
+            "tf": t.column("tf"), "tfidf": pa.array(score, pa.float64()),
+        })
+
+    return joined.map_batches(_score, batch_format="pyarrow",
+                              zero_copy_batch=True)
