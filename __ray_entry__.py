@@ -1117,13 +1117,20 @@ def q_user_order_full_join(sf_dir):
     from vlm_eden_dataset_etl_ray.functions.relational import grouped_count, hash_join
     from vlm_eden_dataset_etl_ray.sources.parquet import read_table
 
+    # materialize the (tiny, key-sized) aggregate sides once: hash_join
+    # resolves each side's schema, which would otherwise re-execute the
+    # full upstream groupby a second time when the join itself runs.
+    # cardinality stays "low" (per-batch partial + tree combine): the key
+    # spaces are user/customer-sized, so the full groupby shuffle of
+    # "high" costs 4× more than the partial path on the 8M-row side
     ev = grouped_count(_events(sf_dir, columns=["user_id"]), ["user_id"],
-                       "n_events", cardinality="high")
+                       "n_events").materialize()
     buyers = read_table(sf_dir, "orders", columns=["o_custkey"]).map_batches(
         lambda t: t.rename_columns(["buyer_id"]),
         batch_format="pyarrow", zero_copy_batch=True)
-    bo = grouped_count(buyers, ["buyer_id"], "n_orders", cardinality="high")
-    return hash_join(ev, bo, "user_id", "buyer_id", how="full")
+    bo = grouped_count(buyers, ["buyer_id"], "n_orders").materialize()
+    return hash_join(ev, bo, "user_id", "buyer_id", how="full",
+                     bytes_hint=(ev.size_bytes() or 0) + (bo.size_bytes() or 0))
 
 
 def q_order_price_ntile(sf_dir):
