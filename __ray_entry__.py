@@ -1053,6 +1053,28 @@ def q_tokens_replay_synthetic(sf_dir):
     return lake.snapshot(lake_dir).select(["doc_id", "lsn", "n_tok", "source"])
 
 
+def q_ivm_event_type_stats(sf_dir):
+    """Incremental view maintenance: the derived events changelog replays
+    in THREE out-of-order epochs; a (source → count, Σn_tok) view is
+    folded forward per epoch from key-restricted old/new snapshot diffs —
+    never re-aggregated from the full lake. The returned view must equal
+    the oracle's aggregate over the final LWW state."""
+    from vlm_eden_dataset_etl_ray.pipelines.cdc import (
+        EVENTS_REPLAY_SPEC, derive_changelog, scratch_dir)
+    from vlm_eden_dataset_etl_ray.views import (
+        ViewSpec, apply_epoch_with_views, read_view)
+
+    work = scratch_dir("ivm_replay_")
+    files = derive_changelog(sf_dir, os.path.join(work, "chg"))
+    lake_dir, vroot = os.path.join(work, "lake"), os.path.join(work, "views")
+    vs = [ViewSpec(name="by_source", group_cols=["source"],
+                   count_alias="n", sum_cols={"n_tok": "total_tok"})]
+    for i in (1, 0, 2):  # deliberately out of order
+        apply_epoch_with_views(lake_dir, files[i::3], vs, vroot,
+                               spec=EVENTS_REPLAY_SPEC)
+    return read_view(vroot, "by_source")
+
+
 def q_tfidf_docs(sf_dir):
     """TF-IDF relevance weights per (doc, term): explode → tf → df →
     planner join → vectorized score (round(4) both sides; np.round
@@ -1253,6 +1275,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_gaps": q_event_gaps,
         "rollup_event_counts": q_rollup_event_counts,
         "user_order_full_join": q_user_order_full_join,
+        "ivm_event_type_stats": q_ivm_event_type_stats,
         "tfidf_docs": q_tfidf_docs,
         "event_session_ids": q_event_session_ids,
         "cube_order_counts": q_cube_order_counts,
@@ -1654,6 +1677,21 @@ def oracle_sql() -> dict[str, str]:
                        partition by user_id order by ts, event_id)) as bigint)
                        as gap_us
             from events
+        """,
+        "ivm_event_type_stats": """
+            with chg as (
+                select event_id as lsn,
+                       case when event_type = 'error' then 'delete' else 'upsert' end as op,
+                       'doc' || cast(user_id as varchar) as doc_id,
+                       cast(floor(value * 100) as bigint) as n_tok,
+                       event_type as source
+                from events),
+            latest as (
+                select * from chg
+                qualify row_number() over (partition by doc_id order by lsn desc) = 1),
+            live as (select * from latest where op <> 'delete')
+            select source, count(*) as n, cast(sum(n_tok) as bigint) as total_tok
+            from live group by source
         """,
         "tfidf_docs": """
             with tok as (select doc_id,

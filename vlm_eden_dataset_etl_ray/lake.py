@@ -149,18 +149,22 @@ def _output_schema(m: mf.Manifest, spec: TableSpec, columns, live_only,
     return target
 
 
-def _scan_items(m: mf.Manifest) -> list[dict]:
+def _scan_items(m: mf.Manifest, pids=None) -> list[dict]:
     """Work items: one per partition, or one per STRIPE for partitions whose
     manifest records a split layout. A stripe's task reads its own base
     file(s) plus the partition's deltas (delta files span stripes and are
     filtered by the stripe hash at read time — deltas are the small
     between-compactions fraction, the LSM read-amplification tradeoff).
     ``vers`` parallels ``files`` with each file's written-at schema version
-    (drop/re-add masking input)."""
+    (drop/re-add masking input). ``pids`` restricts to those partitions
+    (key-restricted reads prune partitions they cannot touch)."""
     items: list[dict] = []
+    want = None if pids is None else set(int(p) for p in pids)
     for pid in sorted(m.partitions):
         st = m.partitions[pid]
         if not m.files(pid):
+            continue
+        if want is not None and pid not in want:
             continue
         fver = st.file_versions(m.schema_version)
         k = max(1, st.stripe_count)
@@ -189,6 +193,7 @@ def scan(
     manifest: mf.Manifest | None = None,
     predicate=None,
     asof_epoch: int | None = None,
+    pids=None,
 ) -> rd.Dataset:
     """Streaming merge-on-read scan of the latest committed snapshot.
 
@@ -196,7 +201,10 @@ def scan(
     stream with backpressure as usual. ``predicate`` is a function
     ``pa.Table -> pa.BooleanArray`` applied AFTER the LWW merge (filtering
     before the merge would resurrect older row versions). ``asof_epoch``
-    time-travels to that committed epoch's snapshot (must not be vacuumed)."""
+    time-travels to that committed epoch's snapshot (must not be vacuumed).
+    ``pids`` restricts to those hash partitions — the pruning a
+    key-restricted read uses (keys hash to partitions, so partitions
+    outside the key set cannot hold a matching row)."""
     if manifest is None and asof_epoch is not None:
         manifest = mf.load(lake_dir, asof_epoch)
     m = manifest or mf.latest(lake_dir)
@@ -216,7 +224,7 @@ def scan(
     exclude = set(reg.current_drops()) if reg else None
     activations = reg.column_activations() if reg else None
     out_schema = _output_schema(m, spec, columns, live_only, exclude=exclude)
-    items = _scan_items(m)
+    items = _scan_items(m, pids=pids)
     if not items:
         return rd.from_items([])
     ds = work_items_dataset(items)
