@@ -1053,6 +1053,21 @@ def q_tokens_replay_synthetic(sf_dir):
     return lake.snapshot(lake_dir).select(["doc_id", "lsn", "n_tok", "source"])
 
 
+def q_kmeans_embedding_clusters(sf_dir):
+    """Distributed Lloyd's k-means over the embedding table (broadcast
+    centroids, streamed per-batch partial sums, O(k·d) driver state per
+    pass) + nearest-centroid labeling. Deterministic (fixed seed/iters);
+    rows-only check — iterative fitting has no SQL twin."""
+    from vlm_eden_dataset_etl_ray.functions.knn import kmeans_assign, kmeans_fit
+    from vlm_eden_dataset_etl_ray.sources.parquet import read_table
+
+    emb = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    emb = emb.materialize()  # fit streams k passes; assign reads once more
+    cent = kmeans_fit(emb, "embedding", n_clusters=8, iters=4)
+    return kmeans_assign(emb, cent, "embedding").select_columns(
+        ["vec_id", "cluster"])
+
+
 def q_ivm_event_type_stats(sf_dir):
     """Incremental view maintenance: the derived events changelog replays
     in THREE out-of-order epochs; a (source → count, Σn_tok) view is
@@ -1275,6 +1290,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_gaps": q_event_gaps,
         "rollup_event_counts": q_rollup_event_counts,
         "user_order_full_join": q_user_order_full_join,
+        "kmeans_embedding_clusters": q_kmeans_embedding_clusters,
         "ivm_event_type_stats": q_ivm_event_type_stats,
         "tfidf_docs": q_tfidf_docs,
         "event_session_ids": q_event_session_ids,

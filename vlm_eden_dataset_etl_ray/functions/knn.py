@@ -366,3 +366,97 @@ def pca_project(
             out_col, pa.array(list(proj), pa.list_(pa.float64())))
 
     return ds.map_batches(_proj, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def kmeans_fit(
+    ds: rd.Dataset,
+    vec_col: str = "embedding",
+    n_clusters: int = 8,
+    iters: int = 5,
+    sample_frac: float = 0.25,
+    seed: int = 5,
+) -> np.ndarray:
+    """Distributed Lloyd's k-means over the FULL dataset (where
+    :func:`kmeans_lite` refines only a driver-side sample): deterministic
+    sampled init, then each iteration broadcasts the (k, d) centroids and
+    streams one pass of per-batch partials — (cluster, per-dim sum, count)
+    — so driver state is O(blocks · k · d) scalars per pass and the data
+    never aggregates anywhere. Empty clusters keep their previous
+    centroid. Returns raw (un-normalized) centroids, Euclidean
+    assignment — the corpus-clustering convention (topic balance,
+    curriculum bucketing), vs the cosine/IVF codebook of kmeans_lite."""
+    sample = _as_matrix(
+        pa.concat_tables(
+            ds.random_sample(sample_frac, seed=seed)
+            .select_columns([vec_col])
+            .iter_batches(batch_format="pyarrow", batch_size=None)
+        ).column(vec_col)
+    )
+    if len(sample) < n_clusters:
+        raise ValueError(f"sample of {len(sample)} rows < k={n_clusters}")
+    rng = np.random.default_rng(seed)
+    cent = sample[rng.choice(len(sample), n_clusters, replace=False)].copy()
+
+    vecs = ds.select_columns([vec_col]).materialize()  # k passes, read once
+
+    for _ in range(iters):
+        ref = ray.put(cent)
+
+        def _partial(t: pa.Table) -> pa.Table:
+            c = ray.get(ref)
+            m = _as_matrix(t.column(vec_col))
+            if m.size == 0:
+                return pa.table({"cluster": pa.array([], pa.int64()),
+                                 "vsum": pa.array([], pa.list_(pa.float64())),
+                                 "n": pa.array([], pa.int64())})
+            # Euclidean assignment via the expanded form: argmin ||x-c||² =
+            # argmax (x·c − ||c||²/2) — one matmul per batch
+            scores = m @ c.T - 0.5 * np.einsum("ij,ij->i", c, c)
+            assign = np.argmax(scores, axis=1)
+            ks, sums, ns = [], [], []
+            for ci in np.unique(assign):
+                pts = m[assign == ci]
+                ks.append(int(ci)); sums.append(pts.sum(axis=0).tolist())
+                ns.append(len(pts))
+            return pa.table({"cluster": pa.array(ks, pa.int64()),
+                             "vsum": pa.array(sums, pa.list_(pa.float64())),
+                             "n": pa.array(ns, pa.int64())})
+
+        parts = pa.concat_tables(
+            vecs.map_batches(_partial, batch_format="pyarrow")
+            .iter_batches(batch_format="pyarrow", batch_size=None))
+        nxt = cent.copy()
+        ks = parts.column("cluster").to_numpy(zero_copy_only=False)
+        ns = parts.column("n").to_numpy(zero_copy_only=False)
+        sums = _as_matrix(parts.column("vsum"))
+        for ci in range(n_clusters):
+            sel = ks == ci
+            tot = ns[sel].sum()
+            if tot:
+                # deterministic reduction: blocks summed in sorted-cluster
+                # order via the stable boolean mask
+                nxt[ci] = sums[sel].sum(axis=0) / tot
+        cent = nxt
+    return cent
+
+
+def kmeans_assign(
+    ds: rd.Dataset,
+    centroids: np.ndarray,
+    vec_col: str = "embedding",
+    out_col: str = "cluster",
+) -> rd.Dataset:
+    """Label every row with its nearest (Euclidean) centroid — broadcast
+    once, one matmul per batch."""
+    ref = ray.put(np.asarray(centroids, dtype=np.float64))
+
+    def _assign(t: pa.Table) -> pa.Table:
+        c = ray.get(ref)
+        m = _as_matrix(t.column(vec_col))
+        if m.size == 0:
+            return t.append_column(out_col, pa.array([], pa.int64()))
+        scores = m @ c.T - 0.5 * np.einsum("ij,ij->i", c, c)
+        return t.append_column(
+            out_col, pa.array(np.argmax(scores, axis=1).astype(np.int64)))
+
+    return ds.map_batches(_assign, batch_format="pyarrow", zero_copy_batch=True)
