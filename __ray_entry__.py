@@ -1053,6 +1053,24 @@ def q_tokens_replay_synthetic(sf_dir):
     return lake.snapshot(lake_dir).select(["doc_id", "lsn", "n_tok", "source"])
 
 
+def q_events_building_bloom_join(sf_dir):
+    """Bloom-prefiltered selective join: the BUILDING-segment customer
+    keys fold into a broadcast bitset; non-matching events drop BEFORE
+    the join's shuffle moves them (false positives survive the filter and
+    die in the join, so results are exactly the plain join's)."""
+    from vlm_eden_dataset_etl_ray.functions.relational import (
+        auto_join, bloom_semi_filter)
+    from vlm_eden_dataset_etl_ray.sources.parquet import read_table
+
+    ev = _events(sf_dir, columns=["event_id", "user_id"])
+    bcust = read_table(
+        sf_dir, "customer", columns=["c_custkey", "c_name", "c_mktsegment"],
+        filter=(pc.field("c_mktsegment") == "BUILDING"))
+    bcust = bcust.materialize()
+    lean = bloom_semi_filter(ev, bcust, "user_id", "c_custkey")
+    return auto_join(lean, bcust, "user_id", "c_custkey", how="inner")
+
+
 def q_kmeans_embedding_clusters(sf_dir):
     """Distributed Lloyd's k-means over the embedding table (broadcast
     centroids, streamed per-batch partial sums, O(k·d) driver state per
@@ -1290,6 +1308,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_gaps": q_event_gaps,
         "rollup_event_counts": q_rollup_event_counts,
         "user_order_full_join": q_user_order_full_join,
+        "events_building_bloom_join": q_events_building_bloom_join,
         "kmeans_embedding_clusters": q_kmeans_embedding_clusters,
         "ivm_event_type_stats": q_ivm_event_type_stats,
         "tfidf_docs": q_tfidf_docs,
@@ -1693,6 +1712,12 @@ def oracle_sql() -> dict[str, str]:
                        partition by user_id order by ts, event_id)) as bigint)
                        as gap_us
             from events
+        """,
+        "events_building_bloom_join": """
+            select e.event_id, e.user_id,
+                   c.c_custkey, c.c_name, c.c_mktsegment
+            from events e join customer c on e.user_id = c.c_custkey
+            where c.c_mktsegment = 'BUILDING'
         """,
         "ivm_event_type_stats": """
             with chg as (

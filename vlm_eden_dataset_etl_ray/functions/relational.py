@@ -588,6 +588,73 @@ def auto_join(
     return left.map_batches(_bj, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def bloom_semi_filter(
+    left: rd.Dataset,
+    right: rd.Dataset,
+    left_on: str,
+    right_on: str,
+    n_bits: int = 1 << 23,
+    n_hashes: int = 4,
+) -> rd.Dataset:
+    """Bloom-filter pre-filter for selective joins: drop left rows whose
+    key CANNOT appear on the right before the join's shuffle moves them.
+    At 100 TB this is the difference between shuffling the corpus and
+    shuffling the matching fraction (+ the bloom false positives — the
+    surviving superset joins exactly as before, so results are identical).
+
+    The filter is built distributed: each right batch folds its key
+    hashes into a ``n_bits`` bitset partial (numpy packbits layout,
+    ``n_bits/8`` bytes); partials OR together on the driver — O(blocks ×
+    n_bits/8) transfer once, 1 MiB per partial at the default size — then
+    broadcast once via ``ray.put``. Probes use double hashing
+    (h1 + i·h2) from two seeds of the engine's stable string hash. FPR ≈
+    (1 − e^(−kn/m))^k — ~2% at 1M keys with the defaults; size ``n_bits``
+    ≈ 10× the expected distinct right keys for ~1%."""
+    from vlm_eden_dataset_etl_ray.functions.hashing import hash_strings
+
+    nb = int(n_bits)
+
+    def _indexes(keys) -> np.ndarray:
+        if not (pa.types.is_string(keys.type) or pa.types.is_large_string(keys.type)):
+            keys = keys.cast(pa.string())
+        h1 = hash_strings(keys, seed=11)
+        h2 = hash_strings(keys, seed=29) | np.uint64(1)  # odd → full cycle
+        idx = np.empty((n_hashes, len(h1)), dtype=np.uint64)
+        for i in range(n_hashes):
+            idx[i] = (h1 + np.uint64(i) * h2) % np.uint64(nb)
+        return idx.reshape(-1)
+
+    def _partial_bits(t: pa.Table) -> pa.Table:
+        bits = np.zeros(nb // 8, dtype=np.uint8)
+        if t.num_rows:
+            idx = _indexes(t.column(right_on).combine_chunks())
+            np.bitwise_or.at(bits, (idx // 8).astype(np.int64),
+                             np.left_shift(1, (idx % 8).astype(np.uint8)).astype(np.uint8))
+        return pa.table({"bits": pa.array([bits.tobytes()], pa.binary())})
+
+    parts = right.select_columns([right_on]).map_batches(
+        _partial_bits, batch_format="pyarrow")
+    acc = np.zeros(nb // 8, dtype=np.uint8)
+    for b in parts.iter_batches(batch_format="pyarrow", batch_size=None):
+        for buf in b.column("bits").to_pylist():
+            acc |= np.frombuffer(buf, dtype=np.uint8)
+    bits_ref = ray.put(acc)
+
+    def _filter(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t
+        bits = ray.get(bits_ref)
+        idx = _indexes(t.column(left_on).combine_chunks()) \
+            .reshape(n_hashes, t.num_rows)
+        hit = np.ones(t.num_rows, dtype=bool)
+        for i in range(n_hashes):
+            hit &= (bits[(idx[i] // 8).astype(np.int64)]
+                    >> (idx[i] % 8).astype(np.uint8)) & 1 == 1
+        return t.filter(pa.array(hit))
+
+    return left.map_batches(_filter, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def histogram_counts(
     ds: rd.Dataset,
     col: str,
