@@ -61,6 +61,9 @@ BENCH_QUERIES = [
     "user_order_full_join",
     "cube_order_counts",
     "value_histogram",
+    "tfidf_docs",
+    "events_building_bloom_join",
+    "kmeans_embedding_clusters",
 ]
 
 

@@ -116,3 +116,32 @@ def test_scan_pids_pruning(tmp_path):
         full.column("doc_id").combine_chunks(), 32) if int(v) in set(some)))
     assert rows == exp
     assert 0 < rows < full.num_rows
+
+
+def test_lake_lookup_point_reads(tmp_path):
+    p = cl.ChangelogParams(n_docs=120, n_events=900, n_shards=4)
+    files = cl.write_changelog(str(tmp_path / "chg"), p)
+    lake_dir = str(tmp_path / "lake")
+    apply.apply_epoch(lake_dir, files)
+    full = lake.snapshot(lake_dir)
+    want = full.column("doc_id").to_pylist()[:5] + ["no-such-doc"]
+    got = lake.lookup(lake_dir, want, columns=["doc_id", "lsn", "n_tok"])
+    assert got.num_rows == 5
+    assert got.column_names == ["doc_id", "lsn", "n_tok"]
+    by_id = {r["doc_id"]: r for r in full.to_pylist()}
+    for r in got.to_pylist():
+        assert r["lsn"] == by_id[r["doc_id"]]["lsn"]
+    assert lake.lookup(lake_dir, []).num_rows == 0
+    # a tombstoned key is absent from a live lookup
+    import pyarrow.parquet as pq
+    dead = got.column("doc_id")[0].as_py()
+    f = str(tmp_path / "del.parquet")
+    pq.write_table(pa.table({
+        "lsn": pa.array([10**9], pa.int64()), "op": pa.array(["delete"]),
+        "schema_ver": pa.array([1], pa.int32()),
+        "doc_id": pa.array([dead]),
+        "tokens": pa.array([[0]], pa.list_(pa.int32())),
+        "n_tok": pa.array([0], pa.int32()), "source": pa.array(["x"]),
+    }), f)
+    apply.apply_epoch(lake_dir, [f])
+    assert lake.lookup(lake_dir, [dead]).num_rows == 0

@@ -290,7 +290,10 @@ def tfidf(
                        ("term", pa.string())]))
 
     tok = ds.map_batches(_explode, batch_format="pyarrow", zero_copy_batch=True)
-    tf = grouped_count(tok, [id_col, "term"], "tf", cardinality="high")
+    # tf has TWO consumers (df derivation + the score join) — materialize
+    # once so the explode+groupby doesn't execute twice
+    tf = grouped_count(tok, [id_col, "term"], "tf",
+                       cardinality="high").materialize()
     # every tf row is one DISTINCT (doc, term) pair, so df re-aggregates tf
     df_t = grouped_count(tf.select_columns(["term"]), ["term"], "df",
                          cardinality="high").map_batches(

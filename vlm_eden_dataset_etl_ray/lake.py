@@ -244,6 +244,46 @@ def scan(
     )
 
 
+def lookup(
+    lake_dir: str,
+    keys,
+    *,
+    spec: TableSpec = TOKENS_SPEC,
+    columns: list[str] | None = None,
+    live_only: bool = True,
+    manifest: mf.Manifest | None = None,
+) -> pa.Table:
+    """Point reads: the current row(s) for ``keys`` (list / Arrow array).
+
+    The reference serves "give me doc X" from Postgres by primary key;
+    here keys hash to their partitions, ONLY those partitions merge-on-
+    read (``scan(pids=…)``), and a vectorized ``is_in`` keeps the asked
+    rows — work scales with the touched partitions, result with
+    ``len(keys)``. Returns a driver-side table sorted by key (bounded by
+    the ask, so driver-safe by construction)."""
+    from vlm_eden_dataset_etl_ray.functions.hashing import partition_ids
+
+    karr = keys if isinstance(keys, (pa.Array, pa.ChunkedArray)) else pa.array(keys)
+    if isinstance(karr, pa.ChunkedArray):
+        karr = karr.combine_chunks()
+    if len(karr) == 0:
+        return pa.table({})
+    pids = sorted(set(partition_ids(karr, spec.num_partitions).tolist()))
+    ds = scan(lake_dir, spec=spec, columns=columns, live_only=live_only,
+              manifest=manifest, pids=pids)
+
+    def _keep(t: pa.Table) -> pa.Table:
+        return t.filter(pc.is_in(t.column(spec.key), value_set=karr))
+
+    ds = ds.map_batches(_keep, batch_format="pyarrow", zero_copy_batch=True)
+    batches = list(ds.iter_batches(batch_format="pyarrow", batch_size=None))
+    if not batches:
+        return pa.table({})
+    target = union_schemas([b.schema for b in batches])
+    t = pa.concat_tables(sch.unify_table(b, target) for b in batches)
+    return t.sort_by(spec.key) if spec.key in t.column_names else t
+
+
 def snapshot(lake_dir: str, **kwargs) -> pa.Table:
     """Driver-side materialized snapshot (tests / small lakes only)."""
     ds = scan(lake_dir, **kwargs)
