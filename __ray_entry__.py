@@ -111,6 +111,16 @@ def q_cdc_drop_readd_evolution(sf_dir):
     return replay_events_drop_readd(sf_dir)
 
 
+def q_cdc_change_feed_events(sf_dir):
+    """CDC output side: 3-epoch replay then lake.change_feed over epochs
+    2-3 — per changed key, range-LWW state + _change_type (upsert/delete).
+    Reads ONLY the range's delta files (O(changes), partition-parallel,
+    no shuffle)."""
+    from vlm_eden_dataset_etl_ray.pipelines.cdc import replay_events_change_feed
+
+    return replay_events_change_feed(sf_dir)
+
+
 def q_pricing_summary(sf_dir):
     from vlm_eden_dataset_etl_ray.functions.relational import grouped_agg
     from vlm_eden_dataset_etl_ray.sources.parquet import read_table
@@ -1262,6 +1272,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "cdc_replay_events": q_cdc_replay_events,
         "cdc_drop_readd_evolution": q_cdc_drop_readd_evolution,
+        "cdc_change_feed_events": q_cdc_change_feed_events,
         "pricing_summary": q_pricing_summary,
         "latest_event_per_user": q_latest_event_per_user,
         "watermark_filter_events": q_watermark_filter_events,
@@ -1376,6 +1387,21 @@ def oracle_sql() -> dict[str, str]:
                    case when lsn >= (select m - least(400, m // 10) from mx)
                         then source else null end as source
             from latest where op <> 'delete'
+        """,
+        "cdc_change_feed_events": """
+            with mx as (select max(event_id) as m from events),
+            chg as (
+                select event_id as lsn,
+                       case when event_type = 'error' then 'delete' else 'upsert' end as op,
+                       'doc' || cast(user_id as varchar) as doc_id,
+                       cast(floor(value * 100) as bigint) as n_tok,
+                       event_type as source
+                from events where event_id > (select m // 3 from mx)),
+            latest as (
+                select * from chg
+                qualify row_number() over (partition by doc_id order by lsn desc) = 1)
+            select doc_id, lsn, n_tok, source, op as "_change_type"
+            from latest
         """,
         "pricing_summary": """
             select l_returnflag, l_linestatus,

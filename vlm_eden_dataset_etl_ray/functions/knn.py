@@ -394,8 +394,25 @@ def kmeans_fit(
     )
     if len(sample) < n_clusters:
         raise ValueError(f"sample of {len(sample)} rows < k={n_clusters}")
+    # Canonicalize the sample's ROW ORDER before seeding: iter_batches
+    # delivers blocks in completion order (preserve_order is off for
+    # throughput), so index-based seeding off the arrival order would make
+    # the fit depend on task scheduling. Lexicographic row order is a pure
+    # function of the sampled SET.
+    sample = sample[np.lexsort(sample.T[::-1])]
     rng = np.random.default_rng(seed)
-    cent = sample[rng.choice(len(sample), n_clusters, replace=False)].copy()
+    # k-means++ seeding (Arthur & Vassilvitskii 2007) on the driver-side
+    # sample: D²-weighted picks spread the k seeds across the data's modes,
+    # where a uniform pick can seed one cluster twice and permanently merge
+    # two true clusters (Lloyd's cannot split a merged pair).
+    cent = sample[[int(rng.integers(len(sample)))]].copy()
+    d2 = ((sample - cent[0]) ** 2).sum(axis=1)
+    for _ in range(1, n_clusters):
+        tot = float(d2.sum())
+        idx = (int(rng.integers(len(sample))) if tot <= 0.0
+               else int(rng.choice(len(sample), p=d2 / tot)))
+        cent = np.vstack([cent, sample[idx]])
+        d2 = np.minimum(d2, ((sample - sample[idx]) ** 2).sum(axis=1))
 
     vecs = ds.select_columns([vec_col]).materialize()  # k passes, read once
 

@@ -297,6 +297,126 @@ def snapshot(lake_dir: str, **kwargs) -> pa.Table:
     return t.sort_by(spec.key) if spec.key in t.column_names else t
 
 
+def _feed_read(batch: pa.Table, spec: TableSpec, columns, schema: pa.Schema,
+               activations=None, exclude=None):
+    """One task per partition: LWW-merge the partition's IN-RANGE delta
+    files (tombstones kept) and label each surviving row with its CDC
+    change type."""
+    read_cols = columns
+    if columns and spec.op_col not in columns:
+        read_cols = list(columns) + [spec.op_col]
+    for row in batch.to_pylist():
+        files = list(row["files"])
+        if not files:
+            continue
+        vers = row.get("vers") or []
+        t = merge_partition_files(
+            files, spec, columns=read_cols, live_only=False,
+            file_versions=dict(zip(files, vers)) if vers else None,
+            activations=activations, exclude=exclude,
+        )
+        if spec.op_col in t.column_names:
+            is_del = pc.equal(t.column(spec.op_col), pa.scalar(spec.delete_op))
+            ct = pc.if_else(pc.fill_null(is_del, False),
+                            pa.scalar("delete"), pa.scalar("upsert"))
+        else:
+            ct = pa.nulls(t.num_rows, pa.string())
+            ct = pc.fill_null(ct, "upsert")
+        t = t.append_column("_change_type", ct)
+        if columns:
+            t = t.select(list(columns) + ["_change_type"])
+        yield sch.unify_table(t, schema)
+
+
+def change_feed(
+    lake_dir: str,
+    from_epoch: int = 0,
+    to_epoch: int | None = None,
+    *,
+    spec: TableSpec = TOKENS_SPEC,
+    columns: list[str] | None = None,
+) -> rd.Dataset:
+    """Net row-level changes between two committed snapshots — the lake's
+    CDC *output* side (Delta Lake's change-data-feed shape; the reference
+    only ever re-reads full tables downstream).
+
+    Returns a Dataset of one row per key that received at least one record
+    in epochs ``(from_epoch, to_epoch]``, carrying that key's LWW-merged
+    state over the range plus ``_change_type``: ``'delete'`` when the
+    winning record is a tombstone, else ``'upsert'``. Cost is O(range
+    deltas), never O(lake): files added per epoch are attributed by
+    DIFFING consecutive retained manifests' delta lists (file paths encode
+    a staging epoch, but a rebased commit may relabel them —
+    apply.py's publish-race note — so the manifest diff is authoritative),
+    and only those files are read, partition-parallel with no shuffle
+    (files are already key-partitioned, and max-LSN LWW over just the
+    range records is exact — it commutes with the full-history merge).
+
+    Retention contract (same as Delta CDF): the manifests for
+    ``from_epoch`` (when > 0) and the range epochs must not be vacuumed,
+    and range delta files must not have been vacuumed after a compaction
+    folded them into base. ``from_epoch=0`` means "since lake creation":
+    the earliest retained manifest's base files count as added too.
+    Compaction manifests inside the range add no rows (they rewrite);
+    they only advance the diff baseline.
+    """
+    epochs = mf.list_epochs(lake_dir)
+    if not epochs:
+        return rd.from_items([])
+    if to_epoch is None:
+        to_epoch = epochs[-1]
+    if from_epoch > to_epoch:
+        raise ValueError(f"from_epoch {from_epoch} > to_epoch {to_epoch}")
+    if from_epoch > 0 and from_epoch not in epochs:
+        raise ValueError(
+            f"change_feed needs the manifest for from_epoch={from_epoch}; "
+            f"retained epochs are {epochs} (vacuumed past the feed start)")
+    if to_epoch not in epochs:
+        raise ValueError(f"to_epoch {to_epoch} is not a committed epoch of {lake_dir}")
+    prev = mf.load(lake_dir, from_epoch) if from_epoch > 0 else None
+    per_pid: dict[int, list[str]] = {}
+    vers: dict[str, int] = {}
+    for e in [e for e in epochs if from_epoch < e <= to_epoch]:
+        m = mf.load(lake_dir, e)
+        if m.kind != "compaction":
+            for pid, st in m.partitions.items():
+                pst = prev.partitions.get(pid) if prev is not None else None
+                seen = set(pst.deltas) if pst is not None else set()
+                new = [f for f in st.deltas if f not in seen]
+                if prev is None:
+                    new = list(st.base) + new
+                if new:
+                    fv = st.file_versions(m.schema_version)
+                    per_pid.setdefault(pid, []).extend(new)
+                    vers.update({f: fv[f] for f in new})
+        prev = m
+    if not per_pid:
+        return rd.from_items([])
+    from vlm_eden_dataset_etl_ray.state.registry import SchemaRegistryState
+
+    reg = SchemaRegistryState.load_readonly(lake_dir)
+    exclude = set(reg.current_drops()) if reg else None
+    activations = reg.column_activations() if reg else None
+    schemas = [fsio.read_parquet_schema(f) for fs in per_pid.values() for f in fs]
+    base_schema = union_schemas(schemas)
+    if exclude:
+        base_schema = pa.schema([f for f in base_schema if f.name not in exclude])
+    if columns:
+        base_schema = pa.schema([base_schema.field(c) for c in columns])
+    out_schema = base_schema.append(pa.field("_change_type", pa.string()))
+    items = [{"pid": pid, "stripe": 0, "n_stripes": 1, "files": fs,
+              "vers": [vers[f] for f in fs]}
+             for pid, fs in sorted(per_pid.items())]
+    ds = work_items_dataset(items)
+    return ds.map_batches(
+        _feed_read,
+        fn_kwargs={"spec": spec, "columns": columns, "schema": out_schema,
+                   "activations": activations or None, "exclude": exclude or None},
+        batch_size=1,
+        batch_format="pyarrow",
+    )
+
+
 def training_stream(
     lake_dir: str,
     *,

@@ -284,6 +284,48 @@ def replay_events_drop_readd(
     )
 
 
+def replay_events_change_feed(
+    sf_dir: str,
+    workdir: str | None = None,
+) -> rd.Dataset:
+    """The CDC *output* side: replay the events-derived changelog in THREE
+    epochs (lsn terciles), then emit :func:`lake.change_feed` over epochs
+    2–3 — one row per key changed after the first snapshot, carrying its
+    range-LWW state plus ``_change_type`` ∈ {upsert, delete}.
+
+    The reference's downstream consumers re-read whole Postgres tables;
+    the feed reads ONLY the range's delta files (O(changes), no shuffle).
+    DuckDB twin: LWW window over ``event_id > max/3`` in
+    ``__ray_entry__.oracle_sql``."""
+    import hashlib
+
+    workdir = workdir or scratch_dir("events_feed_")
+    lake_dir = os.path.join(workdir, "lake")
+    shutil.rmtree(lake_dir, ignore_errors=True)
+    mx = _events_max_lsn(sf_dir)
+    cuts = [(0, mx // 3 + 1), (mx // 3 + 1, 2 * mx // 3 + 1), (2 * mx // 3 + 1, mx + 1)]
+
+    def _phase(t: pa.Table, *, lo: int, hi: int) -> pa.Table:
+        ev = t.column("event_id")
+        m = pc.and_(pc.greater_equal(ev, lo), pc.less(ev, hi))
+        return _derive_batch(t.filter(m), with_tokens=False)
+
+    for lo, hi in cuts:
+        ds = read_table(sf_dir, "events",
+                        columns=["event_id", "user_id", "event_type", "value"])
+        ds = ds.map_batches(_phase, fn_kwargs={"lo": lo, "hi": hi},
+                            batch_format="pyarrow", zero_copy_batch=True)
+        epoch_id = hashlib.sha256(
+            f"events_feed:{os.path.abspath(sf_dir)}:{lo}:{hi}".encode()
+        ).hexdigest()[:16]
+        apply_mod.apply_epoch_dataset(lake_dir, ds, epoch_id=epoch_id,
+                                      spec=EVENTS_REPLAY_SPEC)
+    return lake_mod.change_feed(
+        lake_dir, from_epoch=1, to_epoch=3, spec=EVENTS_REPLAY_SPEC,
+        columns=["doc_id", "lsn", "n_tok", "source"],
+    )
+
+
 def replay_events(
     sf_dir: str,
     workdir: str | None = None,
