@@ -121,6 +121,30 @@ def q_cdc_change_feed_events(sf_dir):
     return replay_events_change_feed(sf_dir)
 
 
+def q_event_value_tier_counts(sf_dir):
+    """Keyless broadcast interval join: bucket events into fixed value
+    tiers (the curriculum-bucketing shape), then count + exact integer-
+    cent sums per tier. Tier table rides the object store once; no
+    shuffle."""
+    from vlm_eden_dataset_etl_ray.functions.relational import (
+        broadcast_interval_join, grouped_agg)
+
+    tiers = pa.table({
+        "tier": pa.array(["t1", "t2", "t3", "t4", "t5"]),
+        "lo": pa.array([0.0, 15.0, 35.0, 70.0, 150.0]),
+        "hi": pa.array([15.0, 35.0, 70.0, 150.0, 1000.0]),
+    })
+    ds = _events(sf_dir, columns=["event_id", "value"])
+    ds = broadcast_interval_join(ds, tiers, "value")
+
+    def _cents(t: pa.Table) -> pa.Table:
+        c = np.floor(t.column("value").to_numpy(zero_copy_only=False) * 100)
+        return t.append_column("cents", pa.array(c.astype(np.int64)))
+
+    ds = ds.map_batches(_cents, batch_format="pyarrow", zero_copy_batch=True)
+    return grouped_agg(ds, ["tier"], sums={"cents": "cents"}, counts="n_events")
+
+
 def q_pricing_summary(sf_dir):
     from vlm_eden_dataset_etl_ray.functions.relational import grouped_agg
     from vlm_eden_dataset_etl_ray.sources.parquet import read_table
@@ -1273,6 +1297,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_replay_events": q_cdc_replay_events,
         "cdc_drop_readd_evolution": q_cdc_drop_readd_evolution,
         "cdc_change_feed_events": q_cdc_change_feed_events,
+        "event_value_tier_counts": q_event_value_tier_counts,
         "pricing_summary": q_pricing_summary,
         "latest_event_per_user": q_latest_event_per_user,
         "watermark_filter_events": q_watermark_filter_events,
@@ -1402,6 +1427,16 @@ def oracle_sql() -> dict[str, str]:
                 qualify row_number() over (partition by doc_id order by lsn desc) = 1)
             select doc_id, lsn, n_tok, source, op as "_change_type"
             from latest
+        """,
+        "event_value_tier_counts": """
+            select t.tier,
+                   cast(sum(cast(floor(e.value * 100) as bigint)) as bigint) as cents,
+                   count(*) as n_events
+            from events e
+            join (values ('t1', 0.0, 15.0), ('t2', 15.0, 35.0), ('t3', 35.0, 70.0),
+                         ('t4', 70.0, 150.0), ('t5', 150.0, 1000.0)) as t(tier, lo, hi)
+              on e.value >= t.lo and e.value < t.hi
+            group by t.tier
         """,
         "pricing_summary": """
             select l_returnflag, l_linestatus,

@@ -829,6 +829,74 @@ def range_join(
     return joined.map_batches(_range, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def broadcast_interval_join(
+    ds: rd.Dataset,
+    intervals: pa.Table,
+    on_col: str,
+    start_col: str = "lo",
+    end_col: str = "hi",
+    closed: str = "left",
+) -> rd.Dataset:
+    """KEYLESS interval join against a small broadcast interval table —
+    the bucketing shape training pipelines use (length / quality / value
+    tiers for curriculum buckets), where :func:`range_join` covers the
+    keyed shape. Inner semantics: each left row joins every interval with
+    ``start <= v < end`` (``closed='both'`` makes the end inclusive).
+
+    The interval table rides the object store once (``ray.put``); no
+    shuffle. Two vectorized per-batch paths: NON-OVERLAPPING intervals
+    (checked once, driver-side, after sorting by start) map each value to
+    its unique interval via one ``searchsorted`` — O(B log m); overlapping
+    intervals fall back to a dense (B × m) membership mask — fine for the
+    tens-of-tiers broadcast tables this is for, and guarded so a
+    mistakenly-large interval table fails loudly instead of allocating
+    gigabytes."""
+    if intervals.num_rows == 0:
+        raise ValueError("empty interval table")
+    if intervals.num_rows > 10_000:
+        raise ValueError(
+            f"{intervals.num_rows} intervals: broadcast_interval_join is for "
+            "small broadcast tier tables; use range_join (keyed) for large sides")
+    iv = intervals.sort_by(start_col)
+    starts = iv.column(start_col).to_numpy(zero_copy_only=False).astype(np.float64)
+    ends = iv.column(end_col).to_numpy(zero_copy_only=False).astype(np.float64)
+    if np.any(ends < starts):
+        raise ValueError("interval with end < start")
+    right_inc = closed == "both"
+    # non-overlap ⇔ each start ≥ previous end (> when ends are inclusive)
+    if right_inc:
+        disjoint = bool(np.all(starts[1:] > ends[:-1]))
+    else:
+        disjoint = bool(np.all(starts[1:] >= ends[:-1]))
+    payload = ray.put(iv)
+
+    def _join(t: pa.Table) -> pa.Table:
+        ivt = ray.get(payload)
+        v = t.column(on_col).to_numpy(zero_copy_only=False).astype(np.float64)
+        if disjoint:
+            # candidate = last interval whose start <= v; nulls (NaN) and
+            # out-of-range values land outside their candidate's [lo, hi)
+            cand = np.searchsorted(starts, v, side="right") - 1
+            cc = np.clip(cand, 0, len(starts) - 1)
+            inside = ends[cc] >= v if right_inc else ends[cc] > v
+            ok = (cand >= 0) & inside & ~np.isnan(v)
+            li = np.nonzero(ok)[0]
+            ri = cc[li]
+        else:
+            m = (v[:, None] >= starts[None, :])
+            m &= (v[:, None] <= ends[None, :]) if right_inc else (v[:, None] < ends[None, :])
+            m &= ~np.isnan(v)[:, None]
+            li, ri = np.nonzero(m)
+        out = t.take(pa.array(li, pa.int64()))
+        rt = ivt.take(pa.array(ri, pa.int64()))
+        for name in rt.column_names:
+            if name not in out.column_names:
+                out = out.append_column(name, rt.column(name))
+        return out
+
+    return ds.map_batches(_join, batch_format="pyarrow", zero_copy_batch=True)
+
+
 # ---------------------------------------------------------------------------
 # As-of join — an operator Ray Data lacks natively. Small right side →
 # broadcast + pd.merge_asof per batch (no shuffle). Both-sides-large →
