@@ -145,6 +145,15 @@ def q_event_value_tier_counts(sf_dir):
     return grouped_agg(ds, ["tier"], sums={"cents": "cents"}, counts="n_events")
 
 
+def q_zone_map_window_scan(sf_dir):
+    """Zone-map data skipping: append lake in 3 lsn-tercile epochs, scan
+    the middle tercile via stats_filter — 2/3 of the files are pruned
+    from the manifest's per-file min/max before any data is read."""
+    from vlm_eden_dataset_etl_ray.pipelines.cdc import replay_events_zone_map_scan
+
+    return replay_events_zone_map_scan(sf_dir)
+
+
 def q_pricing_summary(sf_dir):
     from vlm_eden_dataset_etl_ray.functions.relational import grouped_agg
     from vlm_eden_dataset_etl_ray.sources.parquet import read_table
@@ -1298,6 +1307,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_drop_readd_evolution": q_cdc_drop_readd_evolution,
         "cdc_change_feed_events": q_cdc_change_feed_events,
         "event_value_tier_counts": q_event_value_tier_counts,
+        "zone_map_window_scan": q_zone_map_window_scan,
         "pricing_summary": q_pricing_summary,
         "latest_event_per_user": q_latest_event_per_user,
         "watermark_filter_events": q_watermark_filter_events,
@@ -1437,6 +1447,16 @@ def oracle_sql() -> dict[str, str]:
                          ('t4', 70.0, 150.0), ('t5', 150.0, 1000.0)) as t(tier, lo, hi)
               on e.value >= t.lo and e.value < t.hi
             group by t.tier
+        """,
+        "zone_map_window_scan": """
+            with mx as (select max(event_id) as m from events)
+            select 'doc' || cast(user_id as varchar) as doc_id,
+                   event_id as lsn,
+                   cast(floor(value * 100) as bigint) as n_tok,
+                   event_type as source
+            from events
+            where event_id between (select m // 3 + 1 from mx)
+                               and (select 2 * m // 3 from mx)
         """,
         "pricing_summary": """
             select l_returnflag, l_linestatus,

@@ -173,8 +173,34 @@ _META_SCHEMA = pa.schema(
         ("min_lsn", pa.int64()),
         ("max_lsn", pa.int64()),
         ("tombstones", pa.int64()),
+        ("stats", pa.string()),  # JSON zone map: {column: [min, max]}
     ]
 )
+
+def file_stats_json(t: pa.Table) -> str:
+    """Zone-map entry for one written file: min/max per numeric / temporal
+    column (temporal normalized to int64 — epoch micros for timestamps —
+    so the JSON manifest stays type-free; readers normalize their probe
+    bounds the same way). Columns that are all-null, non-primitive, or
+    string are skipped — an absent entry means "must read"."""
+    import json as _json
+
+    out: dict[str, list] = {}
+    for name in t.column_names:
+        typ = t.schema.field(name).type
+        col = t.column(name)
+        if pa.types.is_temporal(typ):
+            col = col.cast(pa.int64())
+        elif not (pa.types.is_integer(typ) or pa.types.is_floating(typ)):
+            continue
+        mm = pc.min_max(col)
+        lo, hi = mm["min"].as_py(), mm["max"].as_py()
+        if lo is None or hi is None:
+            continue
+        out[name] = [lo, hi]
+    return _json.dumps(out)
+
+
 
 
 #: Fixed Arrow schema for per-partition work-item datasets. from_items with
@@ -226,6 +252,7 @@ def _write_partition_delta(group: pa.Table, spec: TableSpec, staging_dir: str) -
             "min_lsn": [pc.min(lsns).as_py()],
             "max_lsn": [pc.max(lsns).as_py()],
             "tombstones": [int(tomb)],
+            "stats": [file_stats_json(t)],
         },
         schema=_META_SCHEMA,
     )
@@ -380,6 +407,7 @@ def _merge_slices_and_write(batch: pa.Table, spec: TableSpec, staging_dir: str) 
                 "bytes": nbytes,
                 "min_lsn": pc.min(lsns).as_py(), "max_lsn": pc.max(lsns).as_py(),
                 "tombstones": int(tomb),
+                "stats": file_stats_json(t),
             }
         )
     return pa.Table.from_pylist(out, schema=_META_SCHEMA)
@@ -570,6 +598,10 @@ def _stage_and_commit(
                                 ] * len(st.base)
             st.deltas.append(r["path"])
             st.delta_vers.append(schema_version)
+            if r.get("stats"):
+                import json as _json
+
+                st.file_stats[r["path"]] = _json.loads(r["stats"])
             st.rows += int(r["rows"])
             st.bytes += int(r["bytes"])
             st.watermark_lsn = max(st.watermark_lsn, int(r["max_lsn"]))

@@ -184,6 +184,49 @@ def _scan_items(m: mf.Manifest, pids=None) -> list[dict]:
     return items
 
 
+def _stats_bound(v):
+    """Normalize a probe bound the way ``apply.file_stats_json`` normalizes
+    recorded values (temporal → int64 epoch micros)."""
+    import datetime
+
+    if isinstance(v, (datetime.datetime, datetime.date)):
+        return pa.scalar(v).cast(pa.timestamp("us")).cast(pa.int64()).as_py()
+    return v
+
+
+def _apply_stats_filter(m: mf.Manifest, spec: TableSpec, items: list[dict],
+                        stats_filter: tuple, predicate):
+    """Zone-map pruning of scan work items + the exact residual predicate.
+    Returns (pruned items, composed predicate)."""
+    col, lo, hi = stats_filter
+    lo_n, hi_n = _stats_bound(lo), _stats_bound(hi)
+
+    def _intersects(pid: int, f: str) -> bool:
+        st = m.partitions[pid].file_stats.get(f, {}).get(col)
+        return st is None or not (st[1] < lo_n or st[0] > hi_n)
+
+    pruned: list[dict] = []
+    for it in items:
+        keep = [(f, v) for f, v in zip(it["files"], it["vers"])
+                if _intersects(int(it["pid"]), f)]
+        if not keep:
+            continue  # no file of this key-disjoint unit can hold a match
+        if spec.mode == "append" and len(keep) < len(it["files"]):
+            it = {**it, "files": [f for f, _ in keep], "vers": [v for _, v in keep]}
+        pruned.append(it)
+
+    def _exact(t: pa.Table, _prev=predicate) -> pa.ChunkedArray:
+        c = t.column(col)
+        ok = pc.and_kleene(pc.greater_equal(c, pa.scalar(lo)),
+                           pc.less_equal(c, pa.scalar(hi)))
+        ok = pc.fill_null(ok, False)
+        if _prev is not None:
+            ok = pc.and_(ok, _prev(t))
+        return ok
+
+    return pruned, _exact
+
+
 def scan(
     lake_dir: str,
     *,
@@ -194,6 +237,7 @@ def scan(
     predicate=None,
     asof_epoch: int | None = None,
     pids=None,
+    stats_filter: tuple | None = None,
 ) -> rd.Dataset:
     """Streaming merge-on-read scan of the latest committed snapshot.
 
@@ -204,7 +248,20 @@ def scan(
     time-travels to that committed epoch's snapshot (must not be vacuumed).
     ``pids`` restricts to those hash partitions — the pruning a
     key-restricted read uses (keys hash to partitions, so partitions
-    outside the key set cannot hold a matching row)."""
+    outside the key set cannot hold a matching row).
+
+    ``stats_filter=(col, lo, hi)`` — inclusive range — is the ZONE-MAP
+    path: files whose recorded min/max (``PartitionState.file_stats``,
+    written with every delta/compaction) cannot intersect the range are
+    skipped before any data is read, then the exact range predicate is
+    still applied post-merge, so the result equals a plain filter. Skip
+    granularity follows merge correctness: an UPSERT table drops only a
+    whole work item (a key-disjoint partition/stripe — skipping one of a
+    partition's files could resurrect an older version of a key whose
+    newest record was pruned), while an APPEND table drops individual
+    files. Files with no recorded stats are always read. The realistic
+    win is time-ordered columns (watermark / recent-window reads touch
+    only recent epochs' files)."""
     if manifest is None and asof_epoch is not None:
         manifest = mf.load(lake_dir, asof_epoch)
     m = manifest or mf.latest(lake_dir)
@@ -225,6 +282,14 @@ def scan(
     activations = reg.column_activations() if reg else None
     out_schema = _output_schema(m, spec, columns, live_only, exclude=exclude)
     items = _scan_items(m, pids=pids)
+    if stats_filter is not None:
+        if columns and stats_filter[0] not in columns:
+            raise ValueError(
+                f"stats_filter column {stats_filter[0]!r} must be in the "
+                f"projection {columns} (the exact residual filter runs on "
+                "the projected batch)")
+        items, predicate = _apply_stats_filter(
+            m, spec, items, stats_filter, predicate)
     if not items:
         return rd.from_items([])
     ds = work_items_dataset(items)
@@ -655,6 +720,8 @@ def compact(
             path = fsio.join(base_dir, f"part-{pid:05d}{suffix}.parquet")
             nbytes = fsio.write_parquet(path, t)  # stable name, direct write
             wm = pc.max(t.column(spec.order)).as_py() if t.num_rows else -1
+            from vlm_eden_dataset_etl_ray.apply import file_stats_json
+
             rows.append(
                 {
                     "pid": pid,
@@ -664,12 +731,13 @@ def compact(
                     "rows": t.num_rows,
                     "bytes": nbytes,
                     "watermark_lsn": -1 if wm is None else int(wm),
+                    "stats": file_stats_json(t),
                 }
             )
         return pa.Table.from_pylist(rows, schema=pa.schema(
             [("pid", pa.int64()), ("stripe", pa.int64()), ("n_stripes", pa.int64()),
              ("path", pa.string()), ("rows", pa.int64()), ("bytes", pa.int64()),
-             ("watermark_lsn", pa.int64())]))
+             ("watermark_lsn", pa.int64()), ("stats", pa.string())]))
 
     items: list[dict] = []
     for pid in sorted(m.partitions):
@@ -696,6 +764,8 @@ def compact(
     ds = work_items_dataset(items)
     meta = ds.map_batches(_compact_one, batch_size=1, batch_format="pyarrow").take_all()
 
+    import json as _json
+
     by_pid: dict[int, list[dict]] = {}
     for r in meta:
         by_pid.setdefault(int(r["pid"]), []).append(r)
@@ -716,6 +786,8 @@ def compact(
             stripe_count=k,
             base_stripes=[int(r["stripe"]) for r in rows_] if k > 1 else [0] * len(rows_),
             base_vers=[m.schema_version] * len(rows_),
+            file_stats={r["path"]: _json.loads(r["stats"])
+                        for r in rows_ if r.get("stats")},
         )
     lineage_ids, lineage_inputs = mf.cumulative_lineage(lake_dir, m)
     out = mf.Manifest(

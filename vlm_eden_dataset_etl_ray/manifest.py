@@ -56,6 +56,13 @@ class PartitionState:
     # per-stripe read filters them by the stripe hash).
     stripe_count: int = 1
     base_stripes: list[int] = field(default_factory=list)
+    # Zone maps: per-file column min/max for data skipping, keyed by file
+    # path → {column: [min, max]} (numeric / temporal-as-int64 columns only,
+    # recorded at write time). Partition-granularity pruning for upsert
+    # tables (a whole key-disjoint unit may be skipped without breaking the
+    # LWW merge), file-granularity for append tables. Optional: absent
+    # entries mean "must read".
+    file_stats: dict[str, dict[str, list]] = field(default_factory=dict)
     # Schema version each file was WRITTEN at (parallel to base / deltas).
     # Drop+re-add evolution needs this at merge-on-read: a column re-added
     # at version v is a fresh generation, so files written before v must
@@ -73,6 +80,7 @@ class PartitionState:
             "bytes": self.bytes,
             "watermark_lsn": self.watermark_lsn,
             "applied_lsn_ranges": self.applied_lsn_ranges,
+            "file_stats": self.file_stats,
             "stripe_count": self.stripe_count,
             "base_stripes": self.base_stripes,
             "base_vers": self.base_vers,
@@ -85,6 +93,8 @@ class PartitionState:
             pid=d["pid"], base=list(d["base"]), deltas=list(d["deltas"]),
             rows=d["rows"], bytes=d["bytes"], watermark_lsn=d["watermark_lsn"],
             applied_lsn_ranges=[list(r) for r in d["applied_lsn_ranges"]],
+            file_stats={k: {c: list(v) for c, v in st.items()}
+                        for k, st in d.get("file_stats", {}).items()},
             stripe_count=int(d.get("stripe_count", 1)),
             base_stripes=[int(x) for x in d.get("base_stripes", [])],
             base_vers=[int(x) for x in d.get("base_vers", [])],

@@ -284,6 +284,47 @@ def replay_events_drop_readd(
     )
 
 
+def replay_events_zone_map_scan(
+    sf_dir: str,
+    workdir: str | None = None,
+) -> rd.Dataset:
+    """Zone-map data skipping end-to-end: replay the events changelog into
+    an APPEND lake in THREE lsn-tercile epochs (each epoch's delta files
+    carry a tight per-file lsn min/max in the manifest), then
+    ``scan(stats_filter=(lsn, mid-tercile))`` — two thirds of the lake's
+    files are skipped before any data is read, and the exact residual
+    filter makes the result equal a plain WHERE. DuckDB twin: a BETWEEN
+    over the derived rows."""
+    import hashlib
+
+    workdir = workdir or scratch_dir("events_zonemap_")
+    lake_dir = os.path.join(workdir, "lake")
+    shutil.rmtree(lake_dir, ignore_errors=True)
+    mx = _events_max_lsn(sf_dir)
+    cuts = [(0, mx // 3 + 1), (mx // 3 + 1, 2 * mx // 3 + 1), (2 * mx // 3 + 1, mx + 1)]
+
+    def _phase(t: pa.Table, *, lo: int, hi: int) -> pa.Table:
+        ev = t.column("event_id")
+        m = pc.and_(pc.greater_equal(ev, lo), pc.less(ev, hi))
+        return _derive_batch(t.filter(m), with_tokens=False)
+
+    for lo, hi in cuts:
+        ds = read_table(sf_dir, "events",
+                        columns=["event_id", "user_id", "event_type", "value"])
+        ds = ds.map_batches(_phase, fn_kwargs={"lo": lo, "hi": hi},
+                            batch_format="pyarrow", zero_copy_batch=True)
+        epoch_id = hashlib.sha256(
+            f"events_zonemap:{os.path.abspath(sf_dir)}:{lo}:{hi}".encode()
+        ).hexdigest()[:16]
+        apply_mod.apply_epoch_dataset(lake_dir, ds, epoch_id=epoch_id,
+                                      spec=EVENTS_APPEND_SPEC)
+    return lake_mod.scan(
+        lake_dir, spec=EVENTS_APPEND_SPEC,
+        columns=["doc_id", "lsn", "n_tok", "source"],
+        stats_filter=("lsn", mx // 3 + 1, 2 * mx // 3),
+    )
+
+
 def replay_events_change_feed(
     sf_dir: str,
     workdir: str | None = None,
