@@ -154,6 +154,35 @@ def q_zone_map_window_scan(sf_dir):
     return replay_events_zone_map_scan(sf_dir)
 
 
+def q_lineitem_measures_unpivot(sf_dir):
+    """Wide -> long (UNPIVOT/melt) over the lineitem measures, then
+    min/max/count per measure via mergeable per-batch partials. No
+    shuffle anywhere: melt is a per-batch projection, the combine is one
+    reporting-grade task."""
+    from vlm_eden_dataset_etl_ray.functions.relational import (
+        grouped_min_max_count, unpivot)
+    from vlm_eden_dataset_etl_ray.sources.parquet import read_table
+
+    ds = read_table(sf_dir, "lineitem",
+                    columns=["l_orderkey", "l_linenumber", "l_quantity",
+                             "l_extendedprice", "l_discount"])
+    long = unpivot(ds, ["l_orderkey", "l_linenumber"],
+                   ["l_quantity", "l_extendedprice", "l_discount"])
+    return grouped_min_max_count(long, ["variable"], "value")
+
+
+def q_order_date_dense_rank(sf_dir):
+    """dense_rank() over (order by o_orderdate) — the duplicate-tolerant
+    global-ordering window (row_number requires unique keys): one
+    distributed sort, O(blocks) driver metadata with boundary-merge
+    accounting, vectorized in-block run cumsum."""
+    from vlm_eden_dataset_etl_ray.functions.windows import global_dense_rank
+    from vlm_eden_dataset_etl_ray.sources.parquet import read_table
+
+    ds = read_table(sf_dir, "orders", columns=["o_orderkey", "o_orderdate"])
+    return global_dense_rank(ds, ["o_orderdate"], out_col="drank")
+
+
 def q_pricing_summary(sf_dir):
     from vlm_eden_dataset_etl_ray.functions.relational import grouped_agg
     from vlm_eden_dataset_etl_ray.sources.parquet import read_table
@@ -1308,6 +1337,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_change_feed_events": q_cdc_change_feed_events,
         "event_value_tier_counts": q_event_value_tier_counts,
         "zone_map_window_scan": q_zone_map_window_scan,
+        "lineitem_measures_unpivot": q_lineitem_measures_unpivot,
+        "order_date_dense_rank": q_order_date_dense_rank,
         "pricing_summary": q_pricing_summary,
         "latest_event_per_user": q_latest_event_per_user,
         "watermark_filter_events": q_watermark_filter_events,
@@ -1457,6 +1488,25 @@ def oracle_sql() -> dict[str, str]:
             from events
             where event_id between (select m // 3 + 1 from mx)
                                and (select 2 * m // 3 from mx)
+        """,
+        "lineitem_measures_unpivot": """
+            select variable, min(value) as vmin, max(value) as vmax,
+                   count(*) as n
+            from (
+                select l_orderkey, l_linenumber, 'l_quantity' as variable,
+                       l_quantity as value from lineitem
+                union all
+                select l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice
+                from lineitem
+                union all
+                select l_orderkey, l_linenumber, 'l_discount', l_discount
+                from lineitem)
+            group by variable
+        """,
+        "order_date_dense_rank": """
+            select o_orderkey, o_orderdate,
+                   cast(dense_rank() over (order by o_orderdate) as bigint) as drank
+            from orders
         """,
         "pricing_summary": """
             select l_returnflag, l_linestatus,

@@ -1,0 +1,90 @@
+"""unpivot (wide→long) and global dense_rank vs DuckDB oracles."""
+
+import duckdb
+import numpy as np
+import pyarrow as pa
+
+import ray.data as rd
+
+from vlm_eden_dataset_etl_ray.functions.relational import (
+    grouped_min_max_count, unpivot)
+from vlm_eden_dataset_etl_ray.functions.windows import global_dense_rank
+
+
+def _collect(ds, sort_cols):
+    t = pa.concat_tables(ds.iter_batches(batch_format="pyarrow", batch_size=None))
+    return t.sort_by([(c, "ascending") for c in sort_cols])
+
+
+def test_unpivot_matches_union_all_oracle():
+    rng = np.random.default_rng(7)
+    t = pa.table({
+        "id": pa.array(np.arange(1000, dtype=np.int64)),
+        "qty": pa.array(rng.integers(0, 50, 1000)),
+        "price": pa.array(np.round(rng.uniform(1, 9, 1000), 2)),
+    })
+    got = _collect(unpivot(rd.from_arrow(t).repartition(5), ["id"],
+                           ["qty", "price"]), ["id", "variable"])
+    con = duckdb.connect(); con.register("t", t)
+    exp = con.execute("""
+        select id, 'price' as variable, price as value from t
+        union all select id, 'qty', cast(qty as double) from t
+        order by id, variable""").fetch_arrow_table()
+    assert got.column("variable").to_pylist() == exp.column("variable").to_pylist()
+    assert got.column("value").to_pylist() == exp.column("value").to_pylist()
+    # grouped stats over the long form
+    agg = _collect(grouped_min_max_count(
+        unpivot(rd.from_arrow(t), ["id"], ["qty", "price"]),
+        ["variable"], "value"), ["variable"])
+    exp2 = con.execute("""
+        select variable, min(value) as vmin, max(value) as vmax,
+               count(*) as n
+        from (select 'qty' as variable, cast(qty as double) as value from t
+              union all select 'price', price from t)
+        group by variable order by variable""").fetch_arrow_table()
+    for c in ("variable", "vmin", "vmax", "n"):
+        assert agg.column(c).to_pylist() == exp2.column(c).to_pylist(), c
+
+
+def _dense_oracle(t, cols, desc=False):
+    con = duckdb.connect(); con.register("t", t)
+    order = ", ".join(f"{c} {'desc' if desc else ''}" for c in cols)
+    return con.execute(
+        f"""select rid, dense_rank() over (order by {order}) as dr
+            from t order by rid""").fetch_arrow_table()
+
+
+def test_dense_rank_heavy_duplicates_span_blocks():
+    rng = np.random.default_rng(5)
+    # few distinct keys over many rows → every block boundary lands inside
+    # a key run
+    t = pa.table({
+        "rid": pa.array(np.arange(6000, dtype=np.int64)),
+        "k": pa.array(rng.integers(0, 7, 6000)),
+    })
+    ds = global_dense_rank(rd.from_arrow(t).repartition(11), ["k"], "dr")
+    got = _collect(ds, ["rid"])
+    exp = _dense_oracle(t, ["k"])
+    assert got.column("dr").to_pylist() == exp.column("dr").to_pylist()
+
+
+def test_dense_rank_multi_column_descending():
+    rng = np.random.default_rng(9)
+    t = pa.table({
+        "rid": pa.array(np.arange(2000, dtype=np.int64)),
+        "a": pa.array(rng.integers(0, 4, 2000)),
+        "b": pa.array(rng.choice(["x", "y", "z"], 2000)),
+    })
+    ds = global_dense_rank(rd.from_arrow(t).repartition(7), ["a", "b"], "dr",
+                           descending=True)
+    got = _collect(ds, ["rid"])
+    exp = _dense_oracle(t, ["a", "b"], desc=True)
+    assert got.column("dr").to_pylist() == exp.column("dr").to_pylist()
+
+
+def test_dense_rank_all_one_key():
+    t = pa.table({"rid": pa.array(np.arange(500, dtype=np.int64)),
+                  "k": pa.array(np.zeros(500, dtype=np.int64))})
+    got = _collect(global_dense_rank(rd.from_arrow(t).repartition(6), ["k"]),
+                   ["rid"])
+    assert set(got.column("dense_rank").to_pylist()) == {1}

@@ -829,6 +829,66 @@ def range_join(
     return joined.map_batches(_range, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def unpivot(
+    ds: rd.Dataset,
+    id_cols: list[str],
+    value_cols: list[str],
+    var_name: str = "variable",
+    value_name: str = "value",
+) -> rd.Dataset:
+    """Wide → long (SQL UNPIVOT / pandas melt): each input row becomes
+    ``len(value_cols)`` rows of (id_cols…, variable, value). Pure per-batch
+    projection + concat — no shuffle, no driver pass. Value columns are
+    cast to one common type, resolved once from the schema driver-side
+    (identical types kept; mixed numerics → float64; anything else →
+    string)."""
+    schema = ds.schema()
+    types = [schema.base_schema.field(c).type for c in value_cols]
+    if all(t == types[0] for t in types):
+        vt = types[0]
+    elif all(pa.types.is_integer(t) or pa.types.is_floating(t) for t in types):
+        vt = pa.float64()
+    else:
+        vt = pa.string()
+
+    def _melt(t: pa.Table) -> pa.Table:
+        pieces = []
+        for c in value_cols:
+            cols = {k: t.column(k) for k in id_cols}
+            cols[var_name] = pa.array(np.full(t.num_rows, c, dtype=object),
+                                      pa.string())
+            cols[value_name] = t.column(c).cast(vt)
+            pieces.append(pa.table(cols))
+        return pa.concat_tables(pieces)
+
+    return ds.map_batches(_melt, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def grouped_min_max_count(
+    ds: rd.Dataset,
+    keys: list[str],
+    value_col: str,
+    aliases: tuple[str, str, str] = ("vmin", "vmax", "n"),
+) -> rd.Dataset:
+    """min/max/count per group — mergeable partials per batch (min of mins,
+    max of maxes, sum of counts), final combine in one task (reporting-
+    grade key spaces, same contract as :func:`grouped_agg`)."""
+    lo, hi, n = aliases
+
+    def _partial(t: pa.Table) -> pa.Table:
+        g = t.group_by(keys).aggregate(
+            [(value_col, "min"), (value_col, "max"), ([], "count_all")])
+        return g.rename_columns(keys + [lo, hi, n])
+
+    def _combine(t: pa.Table) -> pa.Table:
+        g = t.group_by(keys).aggregate([(lo, "min"), (hi, "max"), (n, "sum")])
+        return g.rename_columns(keys + [lo, hi, n])
+
+    parts = ds.map_batches(_partial, batch_format="pyarrow")
+    return _single_block(parts).map_batches(
+        _combine, batch_format="pyarrow", batch_size=None)
+
+
 def broadcast_interval_join(
     ds: rd.Dataset,
     intervals: pa.Table,

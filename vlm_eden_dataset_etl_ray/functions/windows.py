@@ -157,6 +157,90 @@ def ntile(
                                  batch_size=None)
 
 
+def _last_tuple(t: pa.Table, order_by: list[str]) -> tuple:
+    return tuple(t.column(c)[-1].as_py() for c in order_by)
+
+
+def _key_changes(t: pa.Table, order_by: list[str]) -> np.ndarray:
+    """Boolean[n-1]: row i+1 starts a new key run (any order column
+    differs from row i). Rows are already sorted."""
+    neq = np.zeros(max(0, t.num_rows - 1), dtype=bool)
+    for c in order_by:
+        a = t.column(c).to_numpy(zero_copy_only=False)
+        neq |= a[1:] != a[:-1]
+    return neq
+
+
+def global_dense_rank(
+    ds: rd.Dataset,
+    order_by: list[str],
+    out_col: str = "dense_rank",
+    descending: bool | list[bool] = False,
+) -> rd.Dataset:
+    """``dense_rank() over (order by ...)`` — the DUPLICATE-tolerant member
+    of the global-ordering family (row_number demands a unique ordering;
+    dense_rank exists precisely because keys repeat). Same distributed
+    shape: one sort, O(blocks) driver metadata, in-block assignment.
+
+    Per sorted block the driver sees (first_key, last_key, n_distinct);
+    blocks order by (first, last) — globally sorted blocks have
+    non-overlapping key ranges except at the endpoints, so that tuple
+    recovers the true block sequence even when several blocks share a
+    first key. The rank of block i's first key is then
+    ``r_i = r_{i-1} + D_{i-1} − (first_i == last_{i-1})`` (a key spanning
+    a block boundary must not count twice), and the driver broadcasts
+    first_key → rank — well-defined under collisions because dense rank
+    is a function of the key VALUE. In-block ranks are a vectorized
+    run-boundary cumsum. Keys must be non-null/non-NaN (same contract as
+    the rest of the family)."""
+    desc = [descending] * len(order_by) if isinstance(descending, bool) \
+        else list(descending)
+    sorted_ds = ds.sort(order_by, descending=descending).materialize()
+
+    def _summ(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"__first": pa.array([], pa.binary()),
+                             "__last": pa.array([], pa.binary()),
+                             "__d": pa.array([], pa.int64())})
+        d = 1 + int(_key_changes(t, order_by).sum())
+        return pa.table({
+            "__first": pa.array([pickle.dumps(_first_tuple(t, order_by))]),
+            "__last": pa.array([pickle.dumps(_last_tuple(t, order_by))]),
+            "__d": pa.array([d], pa.int64())})
+
+    rows = sorted_ds.map_batches(
+        _summ, batch_format="pyarrow", batch_size=None).take_all()
+    summ = [(pickle.loads(r["__first"]), pickle.loads(r["__last"]), int(r["__d"]))
+            for r in rows]
+
+    def _order_key(entry):
+        first, last, _ = entry
+        return tuple(_Rev(v) if d else v for v, d in zip(first, desc)) + \
+            tuple(_Rev(v) if d else v for v, d in zip(last, desc))
+
+    summ.sort(key=_order_key)
+    ranks: dict[tuple, int] = {}
+    r = 1
+    prev_last = None
+    for first, last, d in summ:
+        if prev_last is not None and first == prev_last:
+            r -= 1  # key spans the block boundary: don't count it twice
+        ranks.setdefault(first, r)
+        r += d
+        prev_last = last
+    ranks_ref = ray.put(ranks)
+
+    def _assign(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t.append_column(out_col, pa.array([], pa.int64()))
+        base = ray.get(ranks_ref)[_first_tuple(t, order_by)]
+        local = np.concatenate([[0], np.cumsum(_key_changes(t, order_by))])
+        return t.append_column(out_col, pa.array(base + local, pa.int64()))
+
+    return sorted_ds.map_batches(_assign, batch_format="pyarrow",
+                                 batch_size=None)
+
+
 def exact_quantiles(
     ds: rd.Dataset,
     col: str,
