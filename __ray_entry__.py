@@ -183,6 +183,30 @@ def q_order_date_dense_rank(sf_dir):
     return global_dense_rank(ds, ["o_orderdate"], out_col="drank")
 
 
+def q_order_priority_rank(sf_dir):
+    """rank() + percent_rank() over a 5-distinct-value ordering — every
+    block boundary lands inside a tie run (the carry-over case). One sort;
+    percent derives from rank and the metadata row count (no second
+    pass)."""
+    import os as _os
+
+    import pyarrow.parquet as _pq
+
+    from vlm_eden_dataset_etl_ray.functions.windows import global_rank
+    from vlm_eden_dataset_etl_ray.sources.parquet import read_table
+
+    ds = read_table(sf_dir, "orders", columns=["o_orderkey", "o_orderpriority"])
+    ds = global_rank(ds, ["o_orderpriority"], out_col="r")
+    total = _pq.ParquetFile(_os.path.join(sf_dir, "orders.parquet")).metadata.num_rows
+
+    def _pct(t: pa.Table) -> pa.Table:
+        r = t.column("r").to_numpy(zero_copy_only=False)
+        return t.append_column(
+            "pr", pa.array((r - 1) / max(total - 1, 1), pa.float64()))
+
+    return ds.map_batches(_pct, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def q_pricing_summary(sf_dir):
     from vlm_eden_dataset_etl_ray.functions.relational import grouped_agg
     from vlm_eden_dataset_etl_ray.sources.parquet import read_table
@@ -1339,6 +1363,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "zone_map_window_scan": q_zone_map_window_scan,
         "lineitem_measures_unpivot": q_lineitem_measures_unpivot,
         "order_date_dense_rank": q_order_date_dense_rank,
+        "order_priority_rank": q_order_priority_rank,
         "pricing_summary": q_pricing_summary,
         "latest_event_per_user": q_latest_event_per_user,
         "watermark_filter_events": q_watermark_filter_events,
@@ -1506,6 +1531,12 @@ def oracle_sql() -> dict[str, str]:
         "order_date_dense_rank": """
             select o_orderkey, o_orderdate,
                    cast(dense_rank() over (order by o_orderdate) as bigint) as drank
+            from orders
+        """,
+        "order_priority_rank": """
+            select o_orderkey, o_orderpriority,
+                   cast(rank() over (order by o_orderpriority) as bigint) as r,
+                   percent_rank() over (order by o_orderpriority) as pr
             from orders
         """,
         "pricing_summary": """

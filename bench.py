@@ -64,6 +64,11 @@ BENCH_QUERIES = [
     "tfidf_docs",
     "events_building_bloom_join",
     "kmeans_embedding_clusters",
+    # round-3 continuation: zone maps, interval join, long-form ops
+    "zone_map_window_scan",
+    "event_value_tier_counts",
+    "lineitem_measures_unpivot",
+    "order_date_dense_rank",
 ]
 
 

@@ -88,3 +88,57 @@ def test_dense_rank_all_one_key():
     got = _collect(global_dense_rank(rd.from_arrow(t).repartition(6), ["k"]),
                    ["rid"])
     assert set(got.column("dense_rank").to_pylist()) == {1}
+
+
+def _rank_oracle(t, cols, percent=False, desc=False):
+    con = duckdb.connect(); con.register("t", t)
+    fn = "percent_rank()" if percent else "rank()"
+    order = ", ".join(f"{c} {'desc' if desc else ''}" for c in cols)
+    return con.execute(
+        f"""select rid, {fn} over (order by {order}) as r
+            from t order by rid""").fetch_arrow_table()
+
+
+def test_rank_heavy_duplicates_span_blocks():
+    from vlm_eden_dataset_etl_ray.functions.windows import global_rank
+
+    rng = np.random.default_rng(13)
+    t = pa.table({
+        "rid": pa.array(np.arange(6000, dtype=np.int64)),
+        "k": pa.array(rng.integers(0, 7, 6000)),
+    })
+    got = _collect(global_rank(rd.from_arrow(t).repartition(11), ["k"], "r"),
+                   ["rid"])
+    exp = _rank_oracle(t, ["k"])
+    assert got.column("r").to_pylist() == exp.column("r").to_pylist()
+
+
+def test_percent_rank_multi_column_descending():
+    from vlm_eden_dataset_etl_ray.functions.windows import global_rank
+
+    rng = np.random.default_rng(17)
+    t = pa.table({
+        "rid": pa.array(np.arange(3000, dtype=np.int64)),
+        "a": pa.array(rng.integers(0, 5, 3000)),
+        "b": pa.array(rng.choice(["x", "y"], 3000)),
+    })
+    got = _collect(global_rank(rd.from_arrow(t).repartition(9), ["a", "b"],
+                               "r", descending=True, percent=True), ["rid"])
+    exp = _rank_oracle(t, ["a", "b"], percent=True, desc=True)
+    assert np.allclose(got.column("r").to_numpy(), exp.column("r").to_numpy())
+
+
+def test_rank_single_key_and_unique_keys():
+    from vlm_eden_dataset_etl_ray.functions.windows import global_rank
+
+    one = pa.table({"rid": pa.array(np.arange(400, dtype=np.int64)),
+                    "k": pa.array(np.zeros(400, dtype=np.int64))})
+    got = _collect(global_rank(rd.from_arrow(one).repartition(5), ["k"], "r"),
+                   ["rid"])
+    assert set(got.column("r").to_pylist()) == {1}
+    uniq = pa.table({"rid": pa.array(np.arange(300, dtype=np.int64)),
+                     "k": pa.array(np.random.default_rng(1).permutation(300))})
+    got2 = _collect(global_rank(rd.from_arrow(uniq).repartition(4), ["k"], "r"),
+                    ["rid"])
+    exp2 = _rank_oracle(uniq, ["k"])
+    assert got2.column("r").to_pylist() == exp2.column("r").to_pylist()

@@ -241,6 +241,95 @@ def global_dense_rank(
                                  batch_size=None)
 
 
+def global_rank(
+    ds: rd.Dataset,
+    order_by: list[str],
+    out_col: str = "rank",
+    descending: bool | list[bool] = False,
+    percent: bool = False,
+) -> rd.Dataset:
+    """``rank() over (order by ...)`` (gaps after ties); ``percent=True``
+    yields ``percent_rank()`` = (rank−1)/(N−1) instead. Same one-sort
+    O(blocks)-driver shape as :func:`global_dense_rank`.
+
+    rank(key) = 1 + global row index where the key's RUN starts, so per
+    block the driver additionally tracks the trailing-run length: a block
+    whose first key continues the previous block's last run inherits that
+    run's start instead of its own row offset. Within a block, each row's
+    rank is the block row offset + its run-start index (vectorized
+    max-accumulate), except the first run, which uses the driver-computed
+    carry-over. Two blocks can share a first key only when every earlier
+    one is single-key (globally sorted ranges overlap at endpoints only),
+    so the per-first-key maps stay well-defined: the rank of a first key
+    is a function of the key, and the row-offset map's last writer is the
+    only block with more than one run."""
+    desc = [descending] * len(order_by) if isinstance(descending, bool) \
+        else list(descending)
+    sorted_ds = ds.sort(order_by, descending=descending).materialize()
+
+    def _summ(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"__first": pa.array([], pa.binary()),
+                             "__last": pa.array([], pa.binary()),
+                             "__n": pa.array([], pa.int64()),
+                             "__tail": pa.array([], pa.int64())})
+        changes = _key_changes(t, order_by)
+        starts = np.nonzero(changes)[0]
+        tail = t.num_rows - (int(starts[-1]) + 1) if len(starts) else t.num_rows
+        return pa.table({
+            "__first": pa.array([pickle.dumps(_first_tuple(t, order_by))]),
+            "__last": pa.array([pickle.dumps(_last_tuple(t, order_by))]),
+            "__n": pa.array([t.num_rows], pa.int64()),
+            "__tail": pa.array([tail], pa.int64())})
+
+    rows = sorted_ds.map_batches(
+        _summ, batch_format="pyarrow", batch_size=None).take_all()
+    summ = [(pickle.loads(r["__first"]), pickle.loads(r["__last"]),
+             int(r["__n"]), int(r["__tail"])) for r in rows]
+
+    def _order_key(entry):
+        first, last = entry[0], entry[1]
+        return tuple(_Rev(v) if d else v for v, d in zip(first, desc)) + \
+            tuple(_Rev(v) if d else v for v, d in zip(last, desc))
+
+    summ.sort(key=_order_key)
+    first_rank: dict[tuple, int] = {}
+    block_offset: dict[tuple, int] = {}
+    rows_before = 0
+    prev_last = None
+    run_start = 0  # global row index where prev_last's run began
+    total = sum(n for _, _, n, _ in summ)
+    for first, last, n, tail in summ:
+        merges = prev_last is not None and first == prev_last
+        first_rank.setdefault(first, (run_start if merges else rows_before) + 1)
+        block_offset[first] = rows_before  # last writer = the multi-run block
+        if not (merges and first == last):
+            run_start = rows_before + n - tail
+        rows_before += n
+        prev_last = last
+    maps_ref = ray.put((first_rank, block_offset))
+
+    def _assign(t: pa.Table) -> pa.Table:
+        typ = pa.float64() if percent else pa.int64()
+        if t.num_rows == 0:
+            return t.append_column(out_col, pa.array([], typ))
+        franks, offsets = ray.get(maps_ref)
+        first = _first_tuple(t, order_by)
+        n = t.num_rows
+        is_start = np.concatenate([[True], _key_changes(t, order_by)])
+        local_start = np.maximum.accumulate(
+            np.where(is_start, np.arange(n, dtype=np.int64), 0))
+        rank = offsets[first] + local_start + 1
+        rank[local_start == 0] = franks[first]  # first run may carry over
+        if percent:
+            out = (rank - 1) / max(total - 1, 1)
+            return t.append_column(out_col, pa.array(out.astype(np.float64)))
+        return t.append_column(out_col, pa.array(rank, pa.int64()))
+
+    return sorted_ds.map_batches(_assign, batch_format="pyarrow",
+                                 batch_size=None)
+
+
 def exact_quantiles(
     ds: rd.Dataset,
     col: str,
