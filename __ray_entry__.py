@@ -207,6 +207,42 @@ def q_order_priority_rank(sf_dir):
     return ds.map_batches(_pct, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def q_lineitem_urgent_semijoin(sf_dir):
+    """Large x large SEMI join without a broadcast: lineitem ⋉ urgent
+    orders — only left rows and the right side's distinct keys shuffle —
+    then a grouped count."""
+    from vlm_eden_dataset_etl_ray.functions.relational import (
+        grouped_count, hash_semi_join)
+    from vlm_eden_dataset_etl_ray.sources.parquet import read_table
+
+    import os as _os
+
+    li = read_table(sf_dir, "lineitem", columns=["l_orderkey", "l_returnflag"])
+    urgent = read_table(sf_dir, "orders", columns=["o_orderkey", "o_orderpriority"],
+                        filter=(pc.field("o_orderpriority") == "1-URGENT"))
+    hint = _os.path.getsize(_os.path.join(sf_dir, "lineitem.parquet"))
+    kept = hash_semi_join(li, urgent, "l_orderkey", "o_orderkey", bytes_hint=hint)
+    return grouped_count(kept, ["l_returnflag"], alias="n")
+
+
+def q_customers_no_orders_antijoin(sf_dir):
+    """Large x large ANTI join (NOT EXISTS): customers with no URGENT
+    order, counted per market segment."""
+    from vlm_eden_dataset_etl_ray.functions.relational import (
+        grouped_count, hash_semi_join)
+    from vlm_eden_dataset_etl_ray.sources.parquet import read_table
+
+    cust = read_table(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
+    orders = read_table(sf_dir, "orders", columns=["o_custkey", "o_orderpriority"],
+                        filter=(pc.field("o_orderpriority") == "1-URGENT"))
+    import os as _os
+
+    hint = _os.path.getsize(_os.path.join(sf_dir, "customer.parquet"))
+    kept = hash_semi_join(cust, orders, "c_custkey", "o_custkey", anti=True,
+                          bytes_hint=hint)
+    return grouped_count(kept, ["c_mktsegment"], alias="n")
+
+
 def q_pricing_summary(sf_dir):
     from vlm_eden_dataset_etl_ray.functions.relational import grouped_agg
     from vlm_eden_dataset_etl_ray.sources.parquet import read_table
@@ -1364,6 +1400,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_measures_unpivot": q_lineitem_measures_unpivot,
         "order_date_dense_rank": q_order_date_dense_rank,
         "order_priority_rank": q_order_priority_rank,
+        "lineitem_urgent_semijoin": q_lineitem_urgent_semijoin,
+        "customers_no_orders_antijoin": q_customers_no_orders_antijoin,
         "pricing_summary": q_pricing_summary,
         "latest_event_per_user": q_latest_event_per_user,
         "watermark_filter_events": q_watermark_filter_events,
@@ -1538,6 +1576,22 @@ def oracle_sql() -> dict[str, str]:
                    cast(rank() over (order by o_orderpriority) as bigint) as r,
                    percent_rank() over (order by o_orderpriority) as pr
             from orders
+        """,
+        "lineitem_urgent_semijoin": """
+            select l_returnflag, count(*) as n
+            from lineitem l
+            where exists (select 1 from orders o
+                          where o.o_orderkey = l.l_orderkey
+                            and o.o_orderpriority = '1-URGENT')
+            group by l_returnflag
+        """,
+        "customers_no_orders_antijoin": """
+            select c_mktsegment, count(*) as n
+            from customer c
+            where not exists (select 1 from orders o
+                              where o.o_custkey = c.c_custkey
+                                and o.o_orderpriority = '1-URGENT')
+            group by c_mktsegment
         """,
         "pricing_summary": """
             select l_returnflag, l_linestatus,

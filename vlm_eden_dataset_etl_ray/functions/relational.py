@@ -528,6 +528,76 @@ def hash_join(
     return both.groupby("__bucket").map_groups(_join_bucket, batch_format="pyarrow")
 
 
+def hash_semi_join(
+    left: rd.Dataset,
+    right: rd.Dataset,
+    left_on: str,
+    right_on: str,
+    anti: bool = False,
+    num_buckets: int | None = None,
+    bytes_hint: int | None = None,
+    target_bucket_bytes: int = 256 * 1024 * 1024,
+) -> rd.Dataset:
+    """Large×large SEMI (EXISTS) / ANTI (NOT EXISTS) join — the scalable
+    complement of :func:`broadcast_membership_filter` (which requires the
+    id set to fit the object store as one driver-built payload). Only the
+    LEFT rows and the right side's DISTINCT KEYS travel through the
+    exchange: the right payload never shuffles, and per-batch dedup
+    pre-reduces the key stream before it moves. Per bucket, a vectorized
+    ``is_in`` keeps (semi) or drops (anti) left rows.
+
+    SQL null semantics: a null left key matches nothing — excluded from
+    the semi result, INCLUDED in the anti result (NOT EXISTS holds)."""
+    from vlm_eden_dataset_etl_ray import schema as sch_mod
+    from vlm_eden_dataset_etl_ray.functions.hashing import hash_strings
+
+    if num_buckets is None:
+        num_buckets = _auto_buckets(bytes_hint, target_bucket_bytes)
+    ls = pa.schema(list(zip(left.schema().names, left.schema().types)))
+    left_cols = list(ls.names)
+    key_marker = "__semi_key"
+    if key_marker in left_cols:
+        raise ValueError(f"left side may not carry a {key_marker!r} column")
+    target = pa.schema(list(ls) + [pa.field(key_marker, pa.string())])
+
+    def _bucket_of(k: pa.ChunkedArray) -> pa.Array:
+        if not (pa.types.is_string(k.type) or pa.types.is_large_string(k.type)):
+            k = k.cast(pa.string())
+        return pa.array((hash_strings(k) % np.uint64(num_buckets)).astype(np.int32))
+
+    def _tag_left(t: pa.Table) -> pa.Table:
+        b = _bucket_of(t.column(left_on))
+        t = sch_mod.unify_table(t, target)
+        return t.append_column("__bucket", b)
+
+    def _tag_right(t: pa.Table) -> pa.Table:
+        k = t.column(right_on)
+        if not (pa.types.is_string(k.type) or pa.types.is_large_string(k.type)):
+            k = k.cast(pa.string())
+        k = pc.unique(k.combine_chunks() if isinstance(k, pa.ChunkedArray) else k)
+        k = k.drop_null()
+        out = pa.table({key_marker: k})
+        out = sch_mod.unify_table(out, target)
+        return out.append_column("__bucket", _bucket_of(out.column(key_marker)))
+
+    lt = left.map_batches(_tag_left, batch_format="pyarrow", zero_copy_batch=True)
+    rt = right.select_columns([right_on]).map_batches(
+        _tag_right, batch_format="pyarrow", zero_copy_batch=True)
+
+    def _filter_bucket(g: pa.Table) -> pa.Table:
+        keys = g.column(key_marker).drop_null()
+        l = g.filter(pc.is_null(g.column(key_marker))).select(left_cols)
+        lk = l.column(left_on)
+        if not (pa.types.is_string(lk.type) or pa.types.is_large_string(lk.type)):
+            lk = lk.cast(pa.string())
+        hit = pc.fill_null(pc.is_in(lk, value_set=keys.combine_chunks()), False)
+        return l.filter(pc.invert(hit) if anti else hit)
+
+    both = lt.union(rt)
+    return both.groupby("__bucket").map_groups(
+        _filter_bucket, batch_format="pyarrow")
+
+
 def auto_join(
     left: rd.Dataset,
     right: rd.Dataset,
