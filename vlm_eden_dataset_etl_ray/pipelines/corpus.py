@@ -99,10 +99,12 @@ def prepare_corpus(
     kept = labels.map_batches(
         lambda t: t.filter(t.column("is_kept")).select([id_col]),
         batch_format="pyarrow", zero_copy_batch=True)
-    from vlm_eden_dataset_etl_ray.functions.relational import hash_join
-    # ds is materialized above → size_bytes() is free; kept is id-only and
-    # strictly smaller, so the corpus side dominates the bucket count
-    ds = hash_join(ds, kept.map_batches(
+    from vlm_eden_dataset_etl_ray.functions.relational import auto_join
+    # kept is id-only and strictly smaller than the corpus: the planner
+    # broadcasts it (one object-store ship, no shuffle) until it outgrows
+    # the broadcast budget, then falls back to the bucketed join with the
+    # corpus bytes as the hint (ds is materialized → size_bytes() is free)
+    ds = auto_join(ds, kept.map_batches(
         lambda t: t.rename_columns(["__keep_id"]), batch_format="pyarrow"),
         id_col, "__keep_id", how="inner", bytes_hint=ds.size_bytes() or None)
     ds = ds.map_batches(lambda t: t.drop_columns(["__keep_id"]),
