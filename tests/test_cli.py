@@ -43,3 +43,15 @@ def test_cli_roundtrip(tmp_path):
 
     sc = _run("scan", "--lake", lake, "--out", out, "--columns", "doc_id,n_tok")
     assert sc["files"] > 0
+
+    fd = _run("feed", "--lake", lake, "--out", str(tmp_path / "feed"),
+              "--from", "0")
+    assert fd["files"] > 0
+    import pyarrow.parquet as pq
+    ft = pq.read_table(str(tmp_path / "feed"))
+    assert "_change_type" in ft.column_names and ft.num_rows > 0
+
+    some_key = ft.column("doc_id")[0].as_py()
+    lk = _run("lookup", "--lake", lake, "--keys", some_key,
+              "--columns", "doc_id,n_tok")
+    assert lk["rows"] and lk["rows"][0]["doc_id"] == some_key

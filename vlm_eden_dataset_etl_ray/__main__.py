@@ -7,6 +7,8 @@
     python -m vlm_eden_dataset_etl_ray status  --lake L
     python -m vlm_eden_dataset_etl_ray metrics --lake L [--last N]
     python -m vlm_eden_dataset_etl_ray scan    --lake L --out DIR [--columns a,b]
+    python -m vlm_eden_dataset_etl_ray feed    --lake L --out DIR --from N [--to M]
+    python -m vlm_eden_dataset_etl_ray lookup  --lake L --keys k1,k2
     python -m vlm_eden_dataset_etl_ray gen     --out DIR --events N [--docs N] ...
 
 Cron scheduling stays external (systemd timer / cron / `ray job submit`
@@ -127,6 +129,31 @@ def cmd_scan(args) -> dict:
     return {"out": args.out, "files": n}
 
 
+def cmd_feed(args) -> dict:
+    """Change-data-feed export: the net per-key changes in epochs
+    (from, to] written as parquet for a downstream consumer."""
+    from vlm_eden_dataset_etl_ray import lake
+
+    _ray_session()
+    cols = args.columns.split(",") if args.columns else None
+    ds = lake.change_feed(args.lake, from_epoch=args.from_epoch,
+                          to_epoch=args.to_epoch, columns=cols)
+    os.makedirs(args.out, exist_ok=True)
+    ds.write_parquet(args.out)
+    return {"out": args.out,
+            "files": sum(1 for f in os.listdir(args.out) if f.endswith(".parquet"))}
+
+
+def cmd_lookup(args) -> dict:
+    """Point read: current row(s) for the given keys, printed as JSON."""
+    from vlm_eden_dataset_etl_ray import lake
+
+    _ray_session()
+    cols = args.columns.split(",") if args.columns else None
+    t = lake.lookup(args.lake, args.keys.split(","), columns=cols)
+    return {"rows": t.to_pylist()}
+
+
 def cmd_gen(args) -> dict:
     from vlm_eden_dataset_etl_ray import changelog as cl
 
@@ -163,6 +190,13 @@ def main(argv=None) -> int:
                                    "--last": {"type": int, "default": 0}})
     add("scan", cmd_scan, **{"--lake": {"required": True}, "--out": {"required": True},
                              "--columns": {"default": None}})
+    add("feed", cmd_feed, **{"--lake": {"required": True}, "--out": {"required": True},
+                             "--from": {"type": int, "default": 0, "dest": "from_epoch"},
+                             "--to": {"type": int, "default": None, "dest": "to_epoch"},
+                             "--columns": {"default": None}})
+    add("lookup", cmd_lookup, **{"--lake": {"required": True},
+                                 "--keys": {"required": True},
+                                 "--columns": {"default": None}})
     add("gen", cmd_gen, **{"--out": {"required": True},
                            "--events": {"type": int, "default": 10000},
                            "--docs": {"type": int, "default": None},
