@@ -184,7 +184,7 @@ def q_order_date_dense_rank(sf_dir):
 
 
 def q_order_priority_rank(sf_dir):
-    """rank() + percent_rank() over a 5-distinct-value ordering — every
+    """rank() + cume_dist() + percent_rank() over a 5-distinct-value ordering — every
     block boundary lands inside a tie run (the carry-over case). One sort;
     percent derives from rank and the metadata row count (no second
     pass)."""
@@ -195,8 +195,11 @@ def q_order_priority_rank(sf_dir):
     from vlm_eden_dataset_etl_ray.functions.windows import global_rank
     from vlm_eden_dataset_etl_ray.sources.parquet import read_table
 
+    from vlm_eden_dataset_etl_ray.functions.windows import global_cume_dist
+
     ds = read_table(sf_dir, "orders", columns=["o_orderkey", "o_orderpriority"])
     ds = global_rank(ds, ["o_orderpriority"], out_col="r")
+    ds = global_cume_dist(ds, ["o_orderpriority"], out_col="cd", presorted=True)
     total = _pq.ParquetFile(_os.path.join(sf_dir, "orders.parquet")).metadata.num_rows
 
     def _pct(t: pa.Table) -> pa.Table:
@@ -1574,6 +1577,7 @@ def oracle_sql() -> dict[str, str]:
         "order_priority_rank": """
             select o_orderkey, o_orderpriority,
                    cast(rank() over (order by o_orderpriority) as bigint) as r,
+                   cume_dist() over (order by o_orderpriority) as cd,
                    percent_rank() over (order by o_orderpriority) as pr
             from orders
         """,

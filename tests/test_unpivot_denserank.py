@@ -142,3 +142,42 @@ def test_rank_single_key_and_unique_keys():
                     ["rid"])
     exp2 = _rank_oracle(uniq, ["k"])
     assert got2.column("r").to_pylist() == exp2.column("r").to_pylist()
+
+
+def test_cume_dist_heavy_duplicates_span_blocks():
+    from vlm_eden_dataset_etl_ray.functions.windows import global_cume_dist
+
+    rng = np.random.default_rng(23)
+    t = pa.table({
+        "rid": pa.array(np.arange(6000, dtype=np.int64)),
+        "k": pa.array(rng.integers(0, 6, 6000)),
+    })
+    got = _collect(global_cume_dist(rd.from_arrow(t).repartition(13), ["k"],
+                                    "cd"), ["rid"])
+    con = duckdb.connect(); con.register("t", t)
+    exp = con.execute("""select rid, cume_dist() over (order by k) as cd
+                         from t order by rid""").fetch_arrow_table()
+    assert np.allclose(got.column("cd").to_numpy(), exp.column("cd").to_numpy())
+
+
+def test_cume_dist_multi_column_descending_and_single_key():
+    from vlm_eden_dataset_etl_ray.functions.windows import global_cume_dist
+
+    rng = np.random.default_rng(29)
+    t = pa.table({
+        "rid": pa.array(np.arange(2500, dtype=np.int64)),
+        "a": pa.array(rng.integers(0, 4, 2500)),
+        "b": pa.array(rng.choice(["p", "q", "r"], 2500)),
+    })
+    got = _collect(global_cume_dist(rd.from_arrow(t).repartition(9),
+                                    ["a", "b"], "cd", descending=True), ["rid"])
+    con = duckdb.connect(); con.register("t", t)
+    exp = con.execute("""select rid, cume_dist() over (order by a desc, b desc)
+                         as cd from t order by rid""").fetch_arrow_table()
+    assert np.allclose(got.column("cd").to_numpy(), exp.column("cd").to_numpy())
+
+    one = pa.table({"rid": pa.array(np.arange(300, dtype=np.int64)),
+                    "k": pa.array(np.zeros(300, dtype=np.int64))})
+    got1 = _collect(global_cume_dist(rd.from_arrow(one).repartition(5), ["k"],
+                                     "cd"), ["rid"])
+    assert set(got1.column("cd").to_pylist()) == {1.0}

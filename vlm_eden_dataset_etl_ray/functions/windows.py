@@ -330,6 +330,107 @@ def global_rank(
                                  batch_size=None)
 
 
+def global_cume_dist(
+    ds: rd.Dataset,
+    order_by: list[str],
+    out_col: str = "cume_dist",
+    descending: bool | list[bool] = False,
+    presorted: bool = False,
+) -> rd.Dataset:
+    """``cume_dist() over (order by ...)`` = (# rows ≤ current key) / N —
+    the run-END counterpart of :func:`global_rank` (which uses run
+    starts). Summaries additionally carry the HEAD-run length; a reverse
+    pass over the ordered block summaries resolves the end of any run
+    that spans forward across block boundaries (a run chains while a
+    block is single-key and the next block starts with the same key).
+    Both broadcast maps are keyed by first-row key and stay well-defined
+    under collisions: the first-run end is a function of the key value,
+    and the row-offset map's last writer is the only multi-run block.
+    ``presorted=True`` skips the sort when the input already carries this
+    exact ordering (e.g. the output of :func:`global_rank` on the same
+    keys) — the summary pass orders blocks by key VALUE, so correctness
+    never depends on block arrival order."""
+    desc = [descending] * len(order_by) if isinstance(descending, bool) \
+        else list(descending)
+    sorted_ds = (ds if presorted
+                 else ds.sort(order_by, descending=descending)).materialize()
+
+    def _summ(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"__first": pa.array([], pa.binary()),
+                             "__last": pa.array([], pa.binary()),
+                             "__n": pa.array([], pa.int64()),
+                             "__head": pa.array([], pa.int64())})
+        changes = _key_changes(t, order_by)
+        starts = np.nonzero(changes)[0]
+        head = int(starts[0]) + 1 if len(starts) else t.num_rows
+        return pa.table({
+            "__first": pa.array([pickle.dumps(_first_tuple(t, order_by))]),
+            "__last": pa.array([pickle.dumps(_last_tuple(t, order_by))]),
+            "__n": pa.array([t.num_rows], pa.int64()),
+            "__head": pa.array([head], pa.int64())})
+
+    rows = sorted_ds.map_batches(
+        _summ, batch_format="pyarrow", batch_size=None).take_all()
+    summ = [(pickle.loads(r["__first"]), pickle.loads(r["__last"]),
+             int(r["__n"]), int(r["__head"])) for r in rows]
+
+    def _order_key(entry):
+        first, last = entry[0], entry[1]
+        return tuple(_Rev(v) if d else v for v, d in zip(first, desc)) + \
+            tuple(_Rev(v) if d else v for v, d in zip(last, desc))
+
+    summ.sort(key=_order_key)
+    total = sum(n for _, _, n, _ in summ)
+    k = len(summ)
+    rows_before = [0] * k
+    for i in range(1, k):
+        rows_before[i] = rows_before[i - 1] + summ[i - 1][2]
+    # reverse pass: e[i] = global END (exclusive) of the run containing
+    # block i's FIRST row; chains forward while block i is single-key and
+    # block i+1 starts with the same key
+    e = [0] * k
+    for i in range(k - 1, -1, -1):
+        first, last, n, head = summ[i]
+        if head == n and i + 1 < k and summ[i + 1][0] == first:
+            e[i] = e[i + 1]
+        else:
+            e[i] = rows_before[i] + head
+    first_end: dict[tuple, int] = {}
+    last_end: dict[tuple, int] = {}
+    block_offset: dict[tuple, int] = {}
+    for i, (first, last, n, head) in enumerate(summ):
+        first_end.setdefault(first, e[i])
+        block_offset[first] = rows_before[i]  # last writer = multi-run block
+        merges_next = i + 1 < k and summ[i + 1][0] == last
+        last_end[first] = e[i + 1] if merges_next else rows_before[i] + n
+    maps_ref = ray.put((first_end, last_end, block_offset, total))
+
+    def _assign(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t.append_column(out_col, pa.array([], pa.float64()))
+        fe, le, offs, tot = ray.get(maps_ref)
+        first = _first_tuple(t, order_by)
+        n = t.num_rows
+        changes = _key_changes(t, order_by)
+        # local run END (exclusive) per row: rows at a boundary know their
+        # end; a reversed min-accumulate propagates it back through the run
+        is_end = np.concatenate([changes, [True]])
+        nxt = np.where(is_end, np.arange(1, n + 1, dtype=np.int64), n + 1)
+        rev = nxt[::-1].copy()
+        np.minimum.accumulate(rev, out=rev)
+        local_end = rev[::-1]
+        end = offs[first] + local_end
+        end[local_end == local_end[0]] = fe[first]  # first run may chain on
+        last_run = (local_end == n) & (local_end != local_end[0])
+        end[last_run] = le[first]                   # last run may chain on
+        out = end.astype(np.float64) / tot
+        return t.append_column(out_col, pa.array(out, pa.float64()))
+
+    return sorted_ds.map_batches(_assign, batch_format="pyarrow",
+                                 batch_size=None)
+
+
 def exact_quantiles(
     ds: rd.Dataset,
     col: str,
