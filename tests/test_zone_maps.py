@@ -127,3 +127,28 @@ def test_stats_filter_requires_projected_column(tmp_path):
         assert "projection" in str(e)
     else:
         raise AssertionError("expected ValueError")
+
+
+def test_date32_bounds_compare_in_days(tmp_path):
+    """date32 zone maps record DAYS; a datetime.date probe must normalize
+    to days too (a micros probe would never prune and, worse, could
+    mis-prune)."""
+    spec = TableSpec(name="zm_d", key="doc_id", order="lsn", num_partitions=2,
+                     envelope=())
+    base = datetime.date(2024, 1, 1)
+    days = [base + datetime.timedelta(days=i) for i in range(30)]
+    t = pa.table({
+        "lsn": pa.array(np.arange(30, dtype=np.int64)),
+        "op": pa.array(["upsert"] * 30),
+        "doc_id": pa.array([f"k{i}" for i in range(30)]),
+        "d": pa.array(days, pa.date32()),
+    })
+    lake_dir = str(tmp_path / "zm_d")
+    apply.apply_epoch_dataset(lake_dir, rd.from_arrow(t), epoch_id="zm_d", spec=spec)
+    lo, hi = base + datetime.timedelta(days=5), base + datetime.timedelta(days=9)
+    got = _rows(lake.scan(lake_dir, spec=spec, stats_filter=("d", lo, hi)))
+    assert got.num_rows == 5
+    # out-of-range prunes everything
+    far = base + datetime.timedelta(days=1000)
+    assert _rows(lake.scan(lake_dir, spec=spec,
+                           stats_filter=("d", far, far))).num_rows == 0

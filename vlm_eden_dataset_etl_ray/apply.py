@@ -190,7 +190,11 @@ def file_stats_json(t: pa.Table) -> str:
         typ = t.schema.field(name).type
         col = t.column(name)
         if pa.types.is_temporal(typ):
-            col = col.cast(pa.int64())
+            try:
+                col = col.cast(pa.int64())
+            except pa.ArrowNotImplementedError:
+                # 32-bit-backed temporal (date32/time32) casts via int32
+                col = col.cast(pa.int32()).cast(pa.int64())
         elif not (pa.types.is_integer(typ) or pa.types.is_floating(typ)):
             continue
         mm = pc.min_max(col)

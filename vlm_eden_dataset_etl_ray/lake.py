@@ -184,22 +184,28 @@ def _scan_items(m: mf.Manifest, pids=None) -> list[dict]:
     return items
 
 
-def _stats_bound(v):
+def _stats_bound(v, typ: pa.DataType | None):
     """Normalize a probe bound the way ``apply.file_stats_json`` normalizes
-    recorded values (temporal → int64 epoch micros)."""
-    import datetime
-
-    if isinstance(v, (datetime.datetime, datetime.date)):
-        return pa.scalar(v).cast(pa.timestamp("us")).cast(pa.int64()).as_py()
+    recorded values: the value is first brought to the COLUMN's own type,
+    then temporal types cast to their int64 representation — so a date32
+    bound compares in DAYS and a timestamp bound in its own unit, exactly
+    matching what the write path recorded."""
+    if typ is not None and pa.types.is_temporal(typ):
+        arr = pa.array([v], typ)
+        try:
+            return arr.cast(pa.int64())[0].as_py()
+        except pa.ArrowNotImplementedError:
+            return arr.cast(pa.int32()).cast(pa.int64())[0].as_py()
     return v
 
 
 def _apply_stats_filter(m: mf.Manifest, spec: TableSpec, items: list[dict],
-                        stats_filter: tuple, predicate):
+                        stats_filter: tuple, predicate,
+                        col_type: pa.DataType | None = None):
     """Zone-map pruning of scan work items + the exact residual predicate.
     Returns (pruned items, composed predicate)."""
     col, lo, hi = stats_filter
-    lo_n, hi_n = _stats_bound(lo), _stats_bound(hi)
+    lo_n, hi_n = _stats_bound(lo, col_type), _stats_bound(hi, col_type)
 
     def _intersects(pid: int, f: str) -> bool:
         st = m.partitions[pid].file_stats.get(f, {}).get(col)
@@ -288,8 +294,10 @@ def scan(
                 f"stats_filter column {stats_filter[0]!r} must be in the "
                 f"projection {columns} (the exact residual filter runs on "
                 "the projected batch)")
+        ctyp = (out_schema.field(stats_filter[0]).type
+                if out_schema.get_field_index(stats_filter[0]) >= 0 else None)
         items, predicate = _apply_stats_filter(
-            m, spec, items, stats_filter, predicate)
+            m, spec, items, stats_filter, predicate, col_type=ctyp)
     if not items:
         return rd.from_items([])
     ds = work_items_dataset(items)
