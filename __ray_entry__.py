@@ -1022,6 +1022,22 @@ def q_lang_id_docs(sf_dir):
     return lang_id(ds).select_columns(["doc_id", "lang", "lang_pred"])
 
 
+def q_knn_sq_topk(sf_dir):
+    """ANN over int8-scalar-quantized embeddings (4x smaller vectors;
+    rows-only: approximate by design, recall vs the float baseline
+    asserted in pytest). fit -> encode -> search, all streaming."""
+    from vlm_eden_dataset_etl_ray.functions.knn import knn_sq, sq_encode, sq_fit
+    from vlm_eden_dataset_etl_ray.sources.parquet import read_small, read_table
+
+    emb = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    queries = read_small(sf_dir, "embeddings", columns=["vec_id", "embedding"],
+                         filter=(pc.field("vec_id") < 8))
+    params = sq_fit(emb, "embedding")
+    enc = sq_encode(emb, params)
+    out = knn_sq(enc, queries, params, k=5)
+    return out.map_batches(lambda t: _round_col(t, "cosine", 4), batch_format="pyarrow")
+
+
 def q_knn_ivf_topk(sf_dir):
     from vlm_eden_dataset_etl_ray.functions.knn import knn_ivf
     from vlm_eden_dataset_etl_ray.sources.parquet import read_small, read_table
@@ -1481,6 +1497,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_token_counts": q_bpe_token_counts,
         "approx_value_quantiles": q_approx_value_quantiles,
         "knn_lsh_topk": q_knn_lsh_topk,
+        "knn_sq_topk": q_knn_sq_topk,
     }
 
 

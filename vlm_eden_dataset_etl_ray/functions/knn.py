@@ -121,6 +121,115 @@ def knn_brute_force(
     )
 
 
+def sq_fit(ds: rd.Dataset, vec_col: str = "embedding") -> dict:
+    """Fit int8 scalar quantization: per-dimension [lo, hi] over the full
+    dataset via mergeable per-batch min/max partials — the driver combines
+    one (2, d) row per block. Returns {"lo", "hi"} float64 arrays."""
+    def _part(t: pa.Table) -> pa.Table:
+        m = _as_matrix(t.column(vec_col))
+        if m.size == 0:
+            return pa.table({"lo": pa.array([], pa.list_(pa.float64())),
+                             "hi": pa.array([], pa.list_(pa.float64()))})
+        return pa.table({"lo": pa.array([m.min(axis=0).tolist()]),
+                         "hi": pa.array([m.max(axis=0).tolist()])})
+
+    rows = ds.select_columns([vec_col]).map_batches(
+        _part, batch_format="pyarrow", zero_copy_batch=True).take_all()
+    if not rows:
+        raise ValueError("sq_fit: empty dataset")
+    lo = np.min([r["lo"] for r in rows], axis=0).astype(np.float64)
+    hi = np.max([r["hi"] for r in rows], axis=0).astype(np.float64)
+    return {"lo": lo, "hi": hi}
+
+
+def sq_encode(
+    ds: rd.Dataset,
+    params: dict,
+    vec_col: str = "embedding",
+    out_col: str = "sq_code",
+    keep_float: bool = False,
+) -> rd.Dataset:
+    """Encode ``list<float>`` embeddings to uint8 codes (4× smaller at
+    rest and in the object store — the storage/shuffle win that makes
+    billion-vector corpora workable). Per-dim affine:
+    ``code = round((v − lo) · 255 / (hi − lo))``; constant dims encode 0."""
+    lo, hi = np.asarray(params["lo"]), np.asarray(params["hi"])
+    span = np.where(hi > lo, hi - lo, 1.0)
+    scale = 255.0 / span
+    d = len(lo)
+
+    def _enc(t: pa.Table) -> pa.Table:
+        m = _as_matrix(t.column(vec_col))
+        c = np.clip(np.rint((m - lo) * scale), 0, 255).astype(np.uint8)
+        codes = pa.FixedSizeListArray.from_arrays(
+            pa.array(c.reshape(-1), pa.uint8()), d)
+        t = t.append_column(out_col, codes)
+        return t if keep_float else t.drop_columns([vec_col])
+
+    return ds.map_batches(_enc, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def sq_decode_matrix(col, params: dict) -> np.ndarray:
+    """uint8 code column → reconstructed float matrix (worker-side)."""
+    lo, hi = np.asarray(params["lo"]), np.asarray(params["hi"])
+    span = np.where(hi > lo, hi - lo, 1.0)
+    c = _as_matrix(col)
+    return c * (span / 255.0) + lo
+
+
+def knn_sq(
+    ds: rd.Dataset,
+    queries: pa.Table,
+    params: dict,
+    id_col: str = "vec_id",
+    code_col: str = "sq_code",
+    qvec_col: str = "embedding",
+    k: int = 5,
+    exclude_self: bool = True,
+) -> rd.Dataset:
+    """Brute-force cosine top-k over SQ8-encoded vectors: queries stay
+    float (broadcast once), each batch's codes decode vectorized and score
+    through the same matmul/partial-top-k/tree-reduce shape as
+    :func:`knn_brute_force`. Quantization error only perturbs NEAR-TIED
+    neighbors — recall vs the float baseline is asserted in tests."""
+    qids = queries.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+    qmat = _normalize(_as_matrix(queries.column(qvec_col)))
+    qref = ray.put((qids, qmat))
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        m = _normalize(sq_decode_matrix(batch.column(code_col), params))
+        qids_, qmat_ = ray.get(qref)
+        sims = qmat_ @ m.T
+        q_out, n_out, c_out = [], [], []
+        for qi, qid in enumerate(qids_):
+            row = sims[qi]
+            mask = ids != qid if exclude_self else slice(None)
+            cand_ids, cand = ids[mask], row[mask]
+            if cand.size == 0:
+                continue
+            kk = min(k, cand.size)
+            top = np.argpartition(-cand, kk - 1)[:kk]
+            q_out.extend([int(qid)] * kk)
+            n_out.extend(cand_ids[top].astype(np.int64))
+            c_out.extend(cand[top])
+        return pa.table({"query_id": pa.array(q_out, pa.int64()),
+                         "neighbor_id": pa.array(n_out, pa.int64()),
+                         "cosine": pa.array(c_out, pa.float64())})
+
+    partial = ds.map_batches(_partial, batch_format="pyarrow", zero_copy_batch=True)
+
+    def _combine(t: pa.Table) -> pa.Table:
+        pieces = []
+        for qid in np.unique(t.column("query_id").to_numpy(zero_copy_only=False)):
+            g = t.filter(pc.equal(t.column("query_id"), int(qid)))
+            pieces.append(_final_topk(g, k))
+        return pa.concat_tables(pieces) if pieces else t
+
+    return partial.repartition(1).map_batches(
+        _combine, batch_format="pyarrow", batch_size=None)
+
+
 def label_centroids(
     ds: rd.Dataset, label_col: str = "label", vec_col: str = "embedding"
 ) -> rd.Dataset:
