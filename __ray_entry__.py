@@ -1038,6 +1038,22 @@ def q_knn_sq_topk(sf_dir):
     return out.map_batches(lambda t: _round_col(t, "cosine", 4), batch_format="pyarrow")
 
 
+def q_knn_pq_topk(sf_dir):
+    """ANN over product-quantized embeddings via asymmetric-distance
+    lookup tables (rows-only: approximate by design; ADC machinery
+    verified bit-exact against a numpy reference in pytest)."""
+    from vlm_eden_dataset_etl_ray.functions.knn import knn_pq, pq_encode, pq_fit
+    from vlm_eden_dataset_etl_ray.sources.parquet import read_small, read_table
+
+    emb = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    queries = read_small(sf_dir, "embeddings", columns=["vec_id", "embedding"],
+                         filter=(pc.field("vec_id") < 8))
+    params = pq_fit(emb, "embedding", m=4, k=64, sample_frac=0.5)
+    enc = pq_encode(emb, params)
+    out = knn_pq(enc, queries, params, k=5)
+    return out.map_batches(lambda t: _round_col(t, "cosine", 4), batch_format="pyarrow")
+
+
 def q_knn_ivf_topk(sf_dir):
     from vlm_eden_dataset_etl_ray.functions.knn import knn_ivf
     from vlm_eden_dataset_etl_ray.sources.parquet import read_small, read_table
@@ -1498,6 +1514,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "approx_value_quantiles": q_approx_value_quantiles,
         "knn_lsh_topk": q_knn_lsh_topk,
         "knn_sq_topk": q_knn_sq_topk,
+        "knn_pq_topk": q_knn_pq_topk,
     }
 
 

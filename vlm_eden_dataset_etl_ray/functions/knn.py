@@ -230,6 +230,157 @@ def knn_sq(
         _combine, batch_format="pyarrow", batch_size=None)
 
 
+def _lloyd_euclidean(sample: np.ndarray, k: int, iters: int = 10,
+                     seed: int = 7) -> np.ndarray:
+    """Driver-side Euclidean Lloyd's on a bounded sample — the PQ subspace
+    codebook trainer (kmeans_lite is cosine-normalized; PQ reconstructs
+    raw coordinates, so its codebooks must stay unnormalized)."""
+    rng = np.random.default_rng(seed)
+    k = min(k, len(sample))
+    cent = sample[rng.choice(len(sample), k, replace=False)].copy()
+    for _ in range(iters):
+        d2 = ((sample[:, None, :] - cent[None, :, :]) ** 2).sum(-1)
+        assign = d2.argmin(axis=1)
+        for c in range(k):
+            pts = sample[assign == c]
+            if len(pts):
+                cent[c] = pts.mean(axis=0)
+    return cent
+
+
+def pq_fit(
+    ds: rd.Dataset,
+    vec_col: str = "embedding",
+    m: int = 4,
+    k: int = 256,
+    sample_frac: float = 0.25,
+    seed: int = 7,
+) -> dict:
+    """Fit product quantization: split the d dims into ``m`` contiguous
+    subspaces and train a ``k``-entry Euclidean codebook per subspace on a
+    driver-side sample (order-canonicalized, so the fit is deterministic
+    under block-arrival reordering). Storage per vector drops from
+    d×8 bytes to m bytes + one float32 norm — 8–32× depending on (d, m)."""
+    sample = _as_matrix(
+        pa.concat_tables(
+            ds.random_sample(sample_frac, seed=seed)
+            .select_columns([vec_col])
+            .iter_batches(batch_format="pyarrow", batch_size=None)
+        ).column(vec_col))
+    if len(sample) < k:
+        raise ValueError(f"sample of {len(sample)} rows < k={k}")
+    d = sample.shape[1]
+    if d % m:
+        raise ValueError(f"dims {d} not divisible by m={m}")
+    sample = sample[np.lexsort(sample.T[::-1])]
+    sub = d // m
+    books = np.stack([
+        _lloyd_euclidean(sample[:, s * sub:(s + 1) * sub], k, seed=seed + s)
+        for s in range(m)])
+    return {"codebooks": books, "m": m, "d": d}
+
+
+def pq_encode(
+    ds: rd.Dataset,
+    params: dict,
+    vec_col: str = "embedding",
+    out_col: str = "pq_code",
+    norm_col: str = "vec_norm",
+    keep_float: bool = False,
+) -> rd.Dataset:
+    """Encode vectors to per-subspace nearest-codeword ids (uint8) plus a
+    float32 norm (cosine needs the true magnitude — ADC reconstructs only
+    the inner product). Vectorized per batch: one ‖x‖²−2xCᵀ+‖C‖² argmin
+    per subspace."""
+    books = np.asarray(params["codebooks"])
+    m, sub = books.shape[0], books.shape[2]
+    bref = ray.put(books)
+
+    def _enc(t: pa.Table) -> pa.Table:
+        x = _as_matrix(t.column(vec_col))
+        bks = ray.get(bref)
+        codes = np.empty((len(x), m), dtype=np.uint8)
+        for s in range(m):
+            xs = x[:, s * sub:(s + 1) * sub]
+            cs = bks[s]
+            d2 = (xs * xs).sum(1, keepdims=True) - 2.0 * (xs @ cs.T) \
+                + (cs * cs).sum(1)
+            codes[:, s] = d2.argmin(axis=1).astype(np.uint8)
+        t = t.append_column(out_col, pa.FixedSizeListArray.from_arrays(
+            pa.array(codes.reshape(-1), pa.uint8()), m))
+        t = t.append_column(norm_col, pa.array(
+            np.linalg.norm(x, axis=1).astype(np.float32)))
+        return t if keep_float else t.drop_columns([vec_col])
+
+    return ds.map_batches(_enc, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def knn_pq(
+    ds: rd.Dataset,
+    queries: pa.Table,
+    params: dict,
+    id_col: str = "vec_id",
+    code_col: str = "pq_code",
+    norm_col: str = "vec_norm",
+    qvec_col: str = "embedding",
+    k: int = 5,
+    exclude_self: bool = True,
+) -> rd.Dataset:
+    """Asymmetric-distance (ADC) cosine top-k over PQ codes: each query
+    precomputes an (m, k) lookup table of subvector·codeword dot products
+    ONCE, then every candidate scores as m table lookups — no
+    reconstruction, no matmul over raw vectors. Same partial-top-k /
+    tree-reduce shape as the float baseline."""
+    books = np.asarray(params["codebooks"])
+    m = books.shape[0]
+    sub = books.shape[2]
+    qids = queries.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+    qmat = _normalize(_as_matrix(queries.column(qvec_col)))
+    luts = np.stack([
+        np.stack([qmat[qi, s * sub:(s + 1) * sub] @ books[s].T
+                  for s in range(m)])
+        for qi in range(len(qids))])  # (nq, m, k)
+    qref = ray.put((qids, luts))
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        codes = _as_matrix(batch.column(code_col)).astype(np.int64)
+        norms = np.maximum(
+            batch.column(norm_col).to_numpy(zero_copy_only=False), 1e-12)
+        qids_, luts_ = ray.get(qref)
+        ip = np.zeros((len(qids_), len(ids)))
+        for s in range(m):
+            ip += luts_[:, s, :][:, codes[:, s]]
+        sims = ip / norms
+        q_out, n_out, c_out = [], [], []
+        for qi, qid in enumerate(qids_):
+            row = sims[qi]
+            mask = ids != qid if exclude_self else slice(None)
+            cand_ids, cand = ids[mask], row[mask]
+            if cand.size == 0:
+                continue
+            kk = min(k, cand.size)
+            top = np.argpartition(-cand, kk - 1)[:kk]
+            q_out.extend([int(qid)] * kk)
+            n_out.extend(cand_ids[top].astype(np.int64))
+            c_out.extend(cand[top])
+        return pa.table({"query_id": pa.array(q_out, pa.int64()),
+                         "neighbor_id": pa.array(n_out, pa.int64()),
+                         "cosine": pa.array(c_out, pa.float64())})
+
+    partial = ds.map_batches(_partial, batch_format="pyarrow", zero_copy_batch=True)
+
+    def _combine(t: pa.Table) -> pa.Table:
+        pieces = []
+        for qid in np.unique(t.column("query_id").to_numpy(zero_copy_only=False)):
+            g = t.filter(pc.equal(t.column("query_id"), int(qid)))
+            pieces.append(_final_topk(g, k))
+        return pa.concat_tables(pieces) if pieces else t
+
+    return partial.repartition(1).map_batches(
+        _combine, batch_format="pyarrow", batch_size=None)
+
+
 def label_centroids(
     ds: rd.Dataset, label_col: str = "label", vec_col: str = "embedding"
 ) -> rd.Dataset:
