@@ -1054,6 +1054,45 @@ def q_knn_pq_topk(sf_dir):
     return out.map_batches(lambda t: _round_col(t, "cosine", 4), batch_format="pyarrow")
 
 
+def q_pack_token_blocks(sf_dir):
+    """Sequence packing (GPT-style concat) of the documents' hashed-word
+    token ids into 512-token training blocks (rows-only: block layout is
+    engine-defined; conservation/boundary invariants asserted in pytest).
+    The query pins the corpus into one batch so its output is
+    deterministic — the operator itself is a per-batch streaming
+    transform."""
+    from vlm_eden_dataset_etl_ray.functions.hashing import hash_strings
+    from vlm_eden_dataset_etl_ray.functions.packing import pack_sequences
+    from vlm_eden_dataset_etl_ray.sources.parquet import read_table
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def _tokenize(t: pa.Table) -> pa.Table:
+        words = pc.split_pattern_regex(pc.utf8_lower(t.column("text")), r"\s+")
+        words = words.combine_chunks() if isinstance(words, pa.ChunkedArray) else words
+        flat = words.flatten()
+        ids = (hash_strings(np.asarray(flat.to_pylist(), dtype=object))
+               % np.uint64(50257)).astype(np.int32)
+        toks = pa.ListArray.from_arrays(words.offsets, pa.array(ids, pa.int32()))
+        return pa.table({"doc_id": t.column("doc_id").combine_chunks(),
+                         "tokens": toks})
+
+    ds = ds.repartition(1).map_batches(_tokenize, batch_format="pyarrow",
+                                       zero_copy_batch=True)
+    packed = pack_sequences(ds, block_size=512)
+
+    def _stats(t: pa.Table) -> pa.Table:
+        starts = t.column("doc_starts")
+        n_docs = pa.array(
+            np.diff(starts.combine_chunks().offsets.to_numpy(
+                zero_copy_only=False)).astype(np.int64))
+        heads = pc.list_element(t.column("block"), 0)
+        return pa.table({"n_real": t.column("n_real"),
+                         "n_docs": n_docs, "head": heads})
+
+    return packed.map_batches(_stats, batch_format="pyarrow")
+
+
 def q_knn_ivf_topk(sf_dir):
     from vlm_eden_dataset_etl_ray.functions.knn import knn_ivf
     from vlm_eden_dataset_etl_ray.sources.parquet import read_small, read_table
@@ -1515,6 +1554,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_lsh_topk": q_knn_lsh_topk,
         "knn_sq_topk": q_knn_sq_topk,
         "knn_pq_topk": q_knn_pq_topk,
+        "pack_token_blocks": q_pack_token_blocks,
     }
 
 
