@@ -76,3 +76,27 @@ def test_greedy_rejects_oversized_doc():
         assert "exceeds block_size" in str(e)
     else:
         raise AssertionError("expected oversized-doc error")
+
+
+def test_training_stream_emits_packed_blocks(tmp_path):
+    """lake → loader path: training_stream(pack_block_size=…) yields
+    fixed-width blocks whose real-token total equals the live corpus."""
+    from vlm_eden_dataset_etl_ray import apply, changelog as cl, lake
+
+    p = cl.ChangelogParams(n_docs=60, n_events=400, schema_change_at=10**9,
+                           n_shards=2)
+    files = cl.write_changelog(str(tmp_path / "chg"), p)
+    lake_dir = str(tmp_path / "lake")
+    apply.apply_epoch(lake_dir, files)
+    live = lake.snapshot(lake_dir)
+    total = int(np.sum([len(x) for x in live.column("tokens").to_pylist()]))
+
+    seen = 0
+    for b in lake.training_stream(lake_dir, pack_block_size=64,
+                                  batch_size=8, local_shuffle_buffer=32):
+        blocks = b.column("block").to_pylist()
+        assert all(len(x) == 64 for x in blocks)
+        seen += int(np.sum(b.column("n_real").to_numpy(zero_copy_only=False)))
+    # concat mode drops only the final partial chunk per scan block
+    assert 0 <= total - seen < 64 * live.num_rows
+    assert seen > 0

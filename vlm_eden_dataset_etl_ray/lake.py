@@ -498,15 +498,28 @@ def training_stream(
     batch_size: int = 1024,
     shuffle_seed: int | None = 0,
     local_shuffle_buffer: int = 16384,
+    pack_block_size: int | None = None,
+    pack_mode: str = "concat",
+    sep_id: int | None = None,
 ):
     """Consume the converged lake as a stream of training batches: merge-on-
     read scan → randomized block order → windowed local shuffle →
     ``iter_batches``. This is the end-consumer path for the tokenized
     sequences (epoch-level global `random_shuffle` would be an extra
     all-to-all; block-order + buffer shuffling is the streaming-friendly
-    approximation training loaders use)."""
+    approximation training loaders use).
+
+    ``pack_block_size`` inserts :func:`functions.packing.pack_sequences`
+    after the scan, so the stream yields fixed-width training BLOCKS
+    (``block``/``n_real``/``doc_starts``) instead of per-document rows —
+    the full lake-to-loader path."""
     ds = scan(lake_dir, spec=spec, columns=columns or [spec.key, "tokens", "n_tok"])
     ds = ds.randomize_block_order(seed=shuffle_seed)
+    if pack_block_size:
+        from vlm_eden_dataset_etl_ray.functions.packing import pack_sequences
+
+        ds = pack_sequences(ds, "tokens", block_size=pack_block_size,
+                            mode=pack_mode, sep_id=sep_id)
     return ds.iter_batches(
         batch_size=batch_size,
         batch_format="pyarrow",
