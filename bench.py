@@ -69,6 +69,9 @@ BENCH_QUERIES = [
     "event_value_tier_counts",
     "lineitem_measures_unpivot",
     "order_date_dense_rank",
+    "knn_sq_topk",
+    "pack_token_blocks",
+    "lineitem_urgent_semijoin",
 ]
 
 
