@@ -1464,6 +1464,132 @@ def q_rolling_min_order_price(sf_dir):
     return out.select_columns(["o_custkey", "o_orderkey", "o_totalprice", "rmin"])
 
 
+def q_lineitem_moment_stats(sf_dir):
+    """Grouped second moments in one pass: per return flag, the sample
+    stddev/variance of quantity and the sample covariance/correlation of
+    (quantity, extendedprice) — mergeable raw-moment partials (six doubles
+    per batch-group) combined once; rounded to stay inside double error vs
+    the SQL engine's streaming formulas."""
+    from vlm_eden_dataset_etl_ray.functions.stats import grouped_moments
+    from vlm_eden_dataset_etl_ray.sources.parquet import read_table
+
+    li = read_table(sf_dir, "lineitem",
+                    columns=["l_returnflag", "l_quantity", "l_extendedprice"])
+    out = grouped_moments(li, ["l_returnflag"], "l_quantity",
+                          y="l_extendedprice")
+    out = out.map_batches(
+        lambda t: t.drop_columns(["mean_x"]), batch_format="pyarrow")
+    for c, nd in [("var_x", 4), ("std_x", 4), ("covar_xy", 4), ("corr_xy", 6)]:
+        out = out.map_batches(_round_col, fn_kwargs={"col": c, "ndigits": nd},
+                              batch_format="pyarrow")
+    return out
+
+
+def q_mode_event_type_per_user(sf_dir):
+    """Grouped mode with a deterministic tie-break: each user's most
+    frequent event type (ties → lexicographically smallest), as two
+    composed shuffles over collapsed counts."""
+    from vlm_eden_dataset_etl_ray.functions.stats import mode_per_key
+
+    ds = _events(sf_dir, columns=["user_id", "event_type"])
+    return mode_per_key(ds, "user_id", "event_type",
+                        alias="mode_type", count_alias="mode_n",
+                        cardinality="high")
+
+
+def q_daily_event_type_entropy(sf_dir):
+    """Shannon entropy (bits) of the event-type mix per day — the data
+    collapses to distinct (day, type) counts before anything shuffles."""
+    from vlm_eden_dataset_etl_ray.functions.stats import grouped_entropy
+
+    ds = _events(sf_dir, columns=["ts", "event_type"])
+
+    def _day(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "d": t.column("ts").cast(pa.date32()),
+            "event_type": t.column("event_type"),
+        })
+
+    days = ds.map_batches(_day, batch_format="pyarrow", zero_copy_batch=True)
+    out = grouped_entropy(days, ["d"], "event_type", alias="entropy_bits")
+    return out.map_batches(_round_col,
+                           fn_kwargs={"col": "entropy_bits", "ndigits": 4},
+                           batch_format="pyarrow")
+
+
+def q_priority_revenue_share(sf_dir):
+    """Ratio-to-report window (x / sum(x) over ()): each order priority's
+    share of total order value. The share fold runs on the post-aggregate
+    reporting rows, not the data."""
+    from vlm_eden_dataset_etl_ray.functions.relational import grouped_agg
+    from vlm_eden_dataset_etl_ray.functions.stats import with_share_of_total
+    from vlm_eden_dataset_etl_ray.sources.parquet import read_table
+
+    orders = read_table(sf_dir, "orders",
+                        columns=["o_orderpriority", "o_totalprice"])
+    rev = grouped_agg(orders, ["o_orderpriority"],
+                      sums={"o_totalprice": "revenue"})
+    out = with_share_of_total(rev, "revenue", alias="share_frac")
+    out = out.map_batches(_round_col, fn_kwargs={"col": "revenue", "ndigits": 2},
+                          batch_format="pyarrow")
+    return out.map_batches(_round_col,
+                           fn_kwargs={"col": "share_frac", "ndigits": 6},
+                           batch_format="pyarrow")
+
+
+def q_user_value_moving_avg(sf_dir):
+    """RANGE-frame moving aggregate: per user, the mean event value over a
+    trailing 24-hour window (peers of the current timestamp included, per
+    SQL RANGE semantics). Prefix sums + binary search inside each group —
+    no per-row loop."""
+    from vlm_eden_dataset_etl_ray.functions.stats import moving_avg_range
+
+    ds = _events(sf_dir, columns=["event_id", "user_id", "ts", "value"])
+
+    def _cents(t: pa.Table) -> pa.Table:
+        v = np.round(t.column("value").to_numpy(zero_copy_only=False) * 100)
+        return t.drop_columns(["value"]).append_column(
+            "cents", pa.array(v.astype(np.int64), pa.int64()))
+
+    cents = ds.map_batches(_cents, batch_format="pyarrow", zero_copy_batch=True)
+    out = moving_avg_range(cents, "user_id", "ts", "cents",
+                           window=24 * 3600 * 1_000_000, alias=None,
+                           sum_alias="msum_cents", count_alias="mcnt")
+    return out.select_columns(["event_id", "user_id", "msum_cents", "mcnt"])
+
+
+def q_orders_profile(sf_dir):
+    """ANALYZE-style table profile: per column, null count, exact distinct
+    count, and min/max (string-rendered). Null/min/max fold via scalar
+    partials; each exact distinct is one single-column shuffle."""
+    from vlm_eden_dataset_etl_ray.functions.stats import profile_columns
+    from vlm_eden_dataset_etl_ray.sources.parquet import read_table
+
+    orders = read_table(sf_dir, "orders",
+                        columns=["o_orderkey", "o_custkey", "o_orderstatus",
+                                 "o_orderpriority", "o_orderdate"])
+    return profile_columns(orders, ["o_orderkey", "o_custkey",
+                                    "o_orderstatus", "o_orderpriority",
+                                    "o_orderdate"])
+
+
+def q_customers_only_recent_orders(sf_dir):
+    """Whole-row EXCEPT DISTINCT: customer keys that ordered, minus those
+    that ordered before 1997 — rows collapse to per-batch distincts before
+    the one groupby decides membership."""
+    import datetime
+
+    from vlm_eden_dataset_etl_ray.functions.relational import distinct_set_op
+    from vlm_eden_dataset_etl_ray.sources.parquet import read_table
+
+    all_c = read_table(sf_dir, "orders", columns=["o_custkey"])
+    early = read_table(
+        sf_dir, "orders", columns=["o_custkey", "o_orderdate"],
+        filter=(pc.field("o_orderdate") < datetime.datetime(1997, 1, 1)),
+    ).select_columns(["o_custkey"])
+    return distinct_set_op(all_c, early, "except")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "cdc_replay_events": q_cdc_replay_events,
@@ -1471,6 +1597,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_change_feed_events": q_cdc_change_feed_events,
         "event_value_tier_counts": q_event_value_tier_counts,
         "zone_map_window_scan": q_zone_map_window_scan,
+        "lineitem_moment_stats": q_lineitem_moment_stats,
+        "mode_event_type_per_user": q_mode_event_type_per_user,
+        "daily_event_type_entropy": q_daily_event_type_entropy,
+        "priority_revenue_share": q_priority_revenue_share,
+        "user_value_moving_avg": q_user_value_moving_avg,
+        "orders_profile": q_orders_profile,
+        "customers_only_recent_orders": q_customers_only_recent_orders,
         "lineitem_measures_unpivot": q_lineitem_measures_unpivot,
         "order_date_dense_rank": q_order_date_dense_rank,
         "order_priority_rank": q_order_priority_rank,
@@ -2158,5 +2291,73 @@ def oracle_sql() -> dict[str, str]:
         "top10_orders": """
             select o_orderkey, o_totalprice from orders
             order by o_totalprice desc limit 10
+        """,
+        "lineitem_moment_stats": """
+            select l_returnflag,
+                   cast(count(*) as bigint) as n,
+                   round(var_samp(l_quantity), 4) as var_x,
+                   round(stddev_samp(l_quantity), 4) as std_x,
+                   round(covar_samp(l_quantity, l_extendedprice), 4) as covar_xy,
+                   round(corr(l_quantity, l_extendedprice), 6) as corr_xy
+            from lineitem group by l_returnflag
+        """,
+        "mode_event_type_per_user": """
+            select user_id, event_type as mode_type,
+                   cast(n as bigint) as mode_n
+            from (select user_id, event_type, count(*) as n from events
+                  group by user_id, event_type)
+            qualify row_number() over (
+                partition by user_id order by n desc, event_type asc) = 1
+        """,
+        "daily_event_type_entropy": """
+            select cast(ts as date) as d,
+                   round(entropy(event_type), 4) as entropy_bits
+            from events group by cast(ts as date)
+        """,
+        "priority_revenue_share": """
+            select o_orderpriority,
+                   round(sum(o_totalprice), 2) as revenue,
+                   round(sum(o_totalprice) / sum(sum(o_totalprice)) over (), 6)
+                       as share_frac
+            from orders group by o_orderpriority
+        """,
+        "user_value_moving_avg": """
+            select event_id, user_id,
+                   cast(sum(cast(round(value * 100) as bigint)) over (
+                       partition by user_id order by ts
+                       range between interval 24 hours preceding
+                             and current row) as bigint) as msum_cents,
+                   cast(count(*) over (
+                       partition by user_id order by ts
+                       range between interval 24 hours preceding
+                             and current row) as bigint) as mcnt
+            from events
+        """,
+        "orders_profile": """
+            select 'o_orderkey' as column, cast(count(*) filter (o_orderkey is null) as bigint) as n_nulls,
+                   cast(count(distinct o_orderkey) as bigint) as n_distinct,
+                   cast(min(o_orderkey) as varchar) as min_str, cast(max(o_orderkey) as varchar) as max_str from orders
+            union all
+            select 'o_custkey', cast(count(*) filter (o_custkey is null) as bigint),
+                   cast(count(distinct o_custkey) as bigint),
+                   cast(min(o_custkey) as varchar), cast(max(o_custkey) as varchar) from orders
+            union all
+            select 'o_orderstatus', cast(count(*) filter (o_orderstatus is null) as bigint),
+                   cast(count(distinct o_orderstatus) as bigint),
+                   cast(min(o_orderstatus) as varchar), cast(max(o_orderstatus) as varchar) from orders
+            union all
+            select 'o_orderpriority', cast(count(*) filter (o_orderpriority is null) as bigint),
+                   cast(count(distinct o_orderpriority) as bigint),
+                   cast(min(o_orderpriority) as varchar), cast(max(o_orderpriority) as varchar) from orders
+            union all
+            select 'o_orderdate', cast(count(*) filter (o_orderdate is null) as bigint),
+                   cast(count(distinct o_orderdate) as bigint),
+                   cast(min(o_orderdate) as varchar), cast(max(o_orderdate) as varchar) from orders
+        """,
+        "customers_only_recent_orders": """
+            select distinct o_custkey from orders
+            except
+            select distinct o_custkey from orders
+            where o_orderdate < timestamp '1997-01-01'
         """,
     }

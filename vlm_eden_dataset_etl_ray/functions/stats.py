@@ -1,0 +1,355 @@
+"""Statistical aggregates and profiling operators.
+
+Reference parity: the reference's reporting views compute grouped averages
+and counts in SQL (e.g. queries/fact_studies.py aggregates); this module
+carries the *statistical* aggregate family a training-data pipeline needs on
+top of that — streaming variance/covariance/correlation, mode, entropy,
+share-of-total, range-frame moving averages, and a whole-table profiler.
+
+Every aggregate here is expressed as a MERGEABLE per-batch partial followed
+by one combine, so nothing materializes the input and group count — not row
+count — bounds the shuffle.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data as rd
+
+from .relational import _single_block, grouped_count, top1_per_key
+
+# ---------------------------------------------------------------------------
+# Grouped moments: var/stddev (sample), covariance, Pearson correlation.
+# ---------------------------------------------------------------------------
+
+
+def grouped_moments(
+    ds: rd.Dataset,
+    keys: list[str],
+    x: str,
+    y: str | None = None,
+    cardinality: str = "low",
+) -> rd.Dataset:
+    """Grouped second-moment statistics: ``n, mean_x, var_x, std_x`` (sample
+    variance / stddev) and, when ``y`` is given, ``covar_xy, corr_xy``
+    (sample covariance / Pearson correlation).
+
+    Shape: one pass computes per-batch raw-moment partials (n, Σx, Σx²
+    [, Σy, Σy², Σxy]) — six doubles per (batch, group) — which combine by
+    plain addition, then a tiny final derives the statistics. ``cardinality``
+    follows :func:`grouped_count`: "low" tree-reduces partials in one task
+    (reporting-grade key spaces), "high" shuffles via groupby. Raw moments
+    trade a little precision for mergeability; callers comparing against SQL
+    engines should round (4 decimals is safely inside double error for
+    TPC-H-magnitude data).
+    """
+    cols = [x] + ([y] if y else [])
+
+    def _partial(t: pa.Table) -> pa.Table:
+        xt = t.column(x).to_numpy(zero_copy_only=False).astype(np.float64)
+        data = {"__x": xt, "__x2": xt * xt}
+        if y:
+            yt = t.column(y).to_numpy(zero_copy_only=False).astype(np.float64)
+            data.update({"__y": yt, "__y2": yt * yt, "__xy": xt * yt})
+        g = (
+            pa.table({**{k: t.column(k) for k in keys}, **data})
+            .group_by(keys)
+            .aggregate([(c, "sum") for c in data] + [([], "count_all")])
+        )
+        return g.rename_columns(keys + [f"__s{c}" for c in data] + ["__n"])
+
+    moment_cols = ["__s__x", "__s__x2"] + (["__s__y", "__s__y2", "__s__xy"] if y else [])
+
+    def _combine(t: pa.Table) -> pa.Table:
+        g = t.group_by(keys).aggregate(
+            [(c, "sum") for c in moment_cols] + [("__n", "sum")]
+        )
+        g = g.rename_columns(keys + moment_cols + ["__n"])
+        n = g.column("__n").to_numpy(zero_copy_only=False).astype(np.float64)
+        sx = g.column("__s__x").to_numpy(zero_copy_only=False)
+        sx2 = g.column("__s__x2").to_numpy(zero_copy_only=False)
+        mean = sx / n
+        with np.errstate(invalid="ignore", divide="ignore"):
+            var = np.where(n > 1, (sx2 - sx * sx / n) / (n - 1), np.nan)
+            var = np.maximum(var, 0.0)  # clamp negative float residue
+            std = np.sqrt(var)
+        out = {k: g.column(k) for k in keys}
+        out["n"] = pa.array(n.astype(np.int64), pa.int64())
+        out["mean_x"] = pa.array(mean, pa.float64())
+        out["var_x"] = pa.array(var, pa.float64())
+        out["std_x"] = pa.array(std, pa.float64())
+        if y:
+            sy = g.column("__s__y").to_numpy(zero_copy_only=False)
+            sy2 = g.column("__s__y2").to_numpy(zero_copy_only=False)
+            sxy = g.column("__s__xy").to_numpy(zero_copy_only=False)
+            with np.errstate(invalid="ignore", divide="ignore"):
+                cov = np.where(n > 1, (sxy - sx * sy / n) / (n - 1), np.nan)
+                vary = np.where(n > 1, (sy2 - sy * sy / n) / (n - 1), np.nan)
+                corr = cov / np.sqrt(var * np.maximum(vary, 0.0))
+            out["covar_xy"] = pa.array(cov, pa.float64())
+            out["corr_xy"] = pa.array(corr, pa.float64())
+        return pa.table(out)
+
+    partial = ds.select_columns(keys + cols).map_batches(
+        _partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    if cardinality == "low":
+        return _single_block(partial).map_batches(
+            _combine, batch_format="pyarrow", batch_size=None
+        )
+    # high-cardinality: shuffle-combine the partials, then derive per block
+    from ray.data.aggregate import Sum
+
+    agg = partial.groupby(keys).aggregate(
+        *[Sum(c, alias_name=c) for c in moment_cols + ["__n"]]
+    )
+    return agg.map_batches(
+        lambda t: _combine(t), batch_format="pyarrow"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Mode (most frequent value) per key, deterministic tie-break.
+# ---------------------------------------------------------------------------
+
+
+def mode_per_key(
+    ds: rd.Dataset,
+    key: str,
+    value: str,
+    alias: str = "mode_value",
+    count_alias: str = "mode_n",
+    cardinality: str = "high",
+) -> rd.Dataset:
+    """Most frequent ``value`` per ``key`` (SQL ``mode()``), ties broken by
+    the smallest value for determinism. Two composed shuffles, both on
+    collapsed data: grouped counts over (key, value) — per-batch partials,
+    so a hot pair leaves each batch once — then top-1 per key ordered by
+    (count desc, value asc). Nothing wider than the distinct pair set moves.
+    """
+    counts = grouped_count(ds, [key, value], alias="__n", cardinality=cardinality)
+    best = top1_per_key(
+        ds=counts,
+        key=key,
+        order_by=[("__n", "descending"), (value, "ascending")],
+        cardinality=cardinality,
+    )
+
+    def _shape(t: pa.Table) -> pa.Table:
+        return pa.table({
+            key: t.column(key),
+            alias: t.column(value),
+            count_alias: t.column("__n").cast(pa.int64()),
+        })
+
+    return best.map_batches(_shape, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# ---------------------------------------------------------------------------
+# Shannon entropy of a value distribution per key (DuckDB entropy(): log2).
+# ---------------------------------------------------------------------------
+
+
+def grouped_entropy(
+    ds: rd.Dataset,
+    keys: list[str],
+    value: str,
+    alias: str = "entropy",
+    cardinality: str = "low",
+) -> rd.Dataset:
+    """Shannon entropy (bits, log2 — SQL ``entropy()``) of the ``value``
+    distribution within each key group. One pass collapses the data to
+    distinct (keys, value) counts via mergeable partials; the entropy fold
+    then runs over that tiny table grouped by ``keys``.
+    """
+    counts = grouped_count(ds, keys + [value], alias="__n", cardinality=cardinality)
+
+    def _fold(g: pa.Table) -> pa.Table:
+        n = g.column("__n").to_numpy(zero_copy_only=False).astype(np.float64)
+        p = n / n.sum()
+        h = float(-(p * np.log2(p)).sum())
+        out = {k: g.column(k).slice(0, 1) for k in keys}
+        out[alias] = pa.array([h], pa.float64())
+        return pa.table(out)
+
+    return counts.groupby(keys[0] if len(keys) == 1 else keys).map_groups(
+        _fold, batch_format="pyarrow"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Ratio-to-report: share of each group in the grand total.
+# ---------------------------------------------------------------------------
+
+
+def with_share_of_total(
+    ds: rd.Dataset,
+    value_col: str,
+    alias: str = "share",
+) -> rd.Dataset:
+    """Append ``value / sum(value) over ()`` to an (already aggregated,
+    reporting-grade) dataset. The input is a post-aggregate result — group
+    count rows, not data rows — so a single-block fold is the honest plan;
+    do NOT point this at raw data (aggregate first).
+    """
+
+    def _fold(t: pa.Table) -> pa.Table:
+        v = t.column(value_col).to_numpy(zero_copy_only=False).astype(np.float64)
+        return t.append_column(alias, pa.array(v / v.sum(), pa.float64()))
+
+    return _single_block(ds).map_batches(
+        _fold, batch_format="pyarrow", batch_size=None
+    )
+
+
+# ---------------------------------------------------------------------------
+# Range-frame moving aggregate (SQL RANGE BETWEEN ... PRECEDING AND CURRENT
+# ROW) — peers of the current row are IN the frame, per SQL range semantics.
+# ---------------------------------------------------------------------------
+
+
+def moving_avg_range(
+    ds: rd.Dataset,
+    key: str,
+    order_col: str,
+    value_col: str,
+    window: int,
+    alias: str | None = "moving_avg",
+    sum_alias: str | None = None,
+    count_alias: str | None = None,
+) -> rd.Dataset:
+    """Per-key moving average over a RANGE frame: for each row, the mean of
+    ``value_col`` across all rows of the same key whose ``order_col`` lies
+    in ``[cur - window, cur]`` — including the current row's order-value
+    peers, matching SQL ``RANGE BETWEEN window PRECEDING AND CURRENT ROW``.
+
+    ``window`` is expressed in the order column's PHYSICAL integer unit
+    (days for date32, the timestamp's unit otherwise). One groupby shuffle
+    co-locates each key; inside the group a prefix sum + two binary searches
+    per row make the fold O(n log n), vectorized — no per-row Python loop.
+
+    ``sum_alias``/``count_alias`` additionally emit the frame's sum and row
+    count; with an integer ``value_col`` the sum is computed exactly in
+    int64 (the oracle-stable path — a float average can land exactly on a
+    rounding tie, where engines legitimately differ by one ULP).
+    """
+
+    def _per_group(g: pa.Table) -> pa.Table:
+        order_arr = g.column(order_col)
+        if pa.types.is_date32(order_arr.type):
+            ints = order_arr.cast(pa.int32()).cast(pa.int64())
+        else:
+            ints = order_arr.cast(pa.int64())
+        o = ints.to_numpy(zero_copy_only=False)
+        idx = np.argsort(o, kind="stable")
+        g = g.take(pa.array(idx))
+        o = o[idx]
+        v = g.column(value_col).to_numpy(zero_copy_only=False)
+        exact_int = np.issubdtype(v.dtype, np.integer)
+        acc = v if exact_int else v.astype(np.float64)
+        prefix = np.concatenate([
+            np.zeros(1, dtype=np.int64 if exact_int else np.float64),
+            np.cumsum(acc),
+        ])
+        lo = np.searchsorted(o, o - window, side="left")
+        hi = np.searchsorted(o, o, side="right")  # include peers
+        cnt = hi - lo
+        wsum = prefix[hi] - prefix[lo]
+        if alias is not None:
+            avg = wsum.astype(np.float64) / cnt
+            g = g.append_column(alias, pa.array(avg, pa.float64()))
+        if sum_alias is not None:
+            g = g.append_column(
+                sum_alias,
+                pa.array(wsum, pa.int64() if exact_int else pa.float64()))
+        if count_alias is not None:
+            g = g.append_column(count_alias,
+                                pa.array(cnt.astype(np.int64), pa.int64()))
+        return g
+
+    return ds.groupby(key).map_groups(_per_group, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Table profiler: per-column nulls / exact distinct / min / max.
+# ---------------------------------------------------------------------------
+
+
+def profile_columns(ds: rd.Dataset, cols: list[str]) -> pa.Table:
+    """ANALYZE-style column profile: for each named column, its null count,
+    exact distinct count (nulls excluded, SQL count(distinct) semantics) and
+    min/max rendered as strings (int/date/string columns render identically
+    across engines; avoid floats here).
+
+    Scale shape: null/min/max fold via per-batch partials (three scalars per
+    batch per column, tree-reduced); the exact distinct count is, per column,
+    a local-distinct partial followed by one groupby over that single pruned
+    column — the only shuffles, each no wider than the column's distinct set.
+    Output is a tiny driver-side table (one row per profiled column).
+    """
+
+    def _fmt(v) -> str | None:
+        return None if v is None else str(v)
+
+    rows = []
+    for c in cols:
+        col_ds = ds.select_columns([c])
+
+        # partials keep min/max in the column's ORIGINAL type (string-typed
+        # partials would compare lexicographically in the combine — '9377'
+        # beats '14999'); formatting happens once, on the final scalar.
+        def _partial(t: pa.Table, c=c) -> pa.Table:
+            arr = t.column(c)
+            typ = t.schema.field(c).type
+            return pa.table({
+                "__nulls": pa.array([arr.null_count], pa.int64()),
+                "__min": pa.array([pc.min(arr).as_py()], typ),
+                "__max": pa.array([pc.max(arr).as_py()], typ),
+            })
+
+        partial = col_ds.map_batches(
+            _partial, batch_format="pyarrow", zero_copy_batch=True
+        )
+        folded = list(
+            _single_block(partial)
+            .map_batches(
+                lambda t: pa.table({
+                    "__nulls": pa.array([pc.sum(t.column("__nulls")).as_py() or 0],
+                                        pa.int64()),
+                    "__min": pa.array([pc.min(t.column("__min")).as_py()],
+                                      t.schema.field("__min").type),
+                    "__max": pa.array([pc.max(t.column("__max")).as_py()],
+                                      t.schema.field("__max").type),
+                }),
+                batch_format="pyarrow", batch_size=None,
+            )
+            .iter_batches(batch_format="pyarrow", batch_size=None)
+        )[0]
+
+        def _local_distinct(t: pa.Table, c=c) -> pa.Table:
+            return t.filter(pc.is_valid(t.column(c))).group_by([c]).aggregate([])
+
+        n_distinct = (
+            col_ds.map_batches(_local_distinct, batch_format="pyarrow",
+                               zero_copy_batch=True)
+            .groupby(c)
+            .map_groups(lambda g: g.slice(0, 1), batch_format="pyarrow")
+            .count()
+        )
+        rows.append({
+            "column": c,
+            "n_nulls": folded.column("__nulls")[0].as_py(),
+            "n_distinct": int(n_distinct),
+            "min_str": _fmt(folded.column("__min")[0].as_py()),
+            "max_str": _fmt(folded.column("__max")[0].as_py()),
+        })
+
+    return pa.table({
+        "column": pa.array([r["column"] for r in rows], pa.string()),
+        "n_nulls": pa.array([r["n_nulls"] for r in rows], pa.int64()),
+        "n_distinct": pa.array([r["n_distinct"] for r in rows], pa.int64()),
+        "min_str": pa.array([r["min_str"] for r in rows], pa.string()),
+        "max_str": pa.array([r["max_str"] for r in rows], pa.string()),
+    })
