@@ -1590,6 +1590,98 @@ def q_customers_only_recent_orders(sf_dir):
     return distinct_set_op(all_c, early, "except")
 
 
+def q_order_price_quantiles_by_priority(sf_dir):
+    """Grouped interpolated quantiles (percentile_cont): p25/p50/p75 of
+    order value per priority — one co-locating shuffle, vectorized
+    in-group quantile fold."""
+    from vlm_eden_dataset_etl_ray.functions.stats import grouped_quantiles
+    from vlm_eden_dataset_etl_ray.sources.parquet import read_table
+
+    orders = read_table(sf_dir, "orders",
+                        columns=["o_orderpriority", "o_totalprice"])
+    out = grouped_quantiles(orders, ["o_orderpriority"], "o_totalprice",
+                            [0.25, 0.5, 0.75], aliases=["q25", "q50", "q75"])
+    for c in ["q25", "q50", "q75"]:
+        out = out.map_batches(_round_col, fn_kwargs={"col": c, "ndigits": 4},
+                              batch_format="pyarrow")
+    return out
+
+
+def q_props_key_stats(sf_dir):
+    """Semi-structured extraction: pull the integer ``k`` out of the JSON
+    props string (compiled JSONPath kernel, no per-row json.loads), then
+    aggregate it per event type — exact int64 both sides."""
+    from vlm_eden_dataset_etl_ray.functions.relational import grouped_agg
+    from vlm_eden_dataset_etl_ray.functions.text import json_extract
+
+    ds = _events(sf_dir, columns=["event_type", "props"])
+    ext = json_extract(ds, "props", "$.k", "k", out_type=pa.int64())
+    return grouped_agg(ext, ["event_type"], sums={"k": "sum_k"},
+                       counts="n_events")
+
+
+def q_user_first_events_path(sf_dir):
+    """Ordered string aggregation with a shuffle-bounding partial top-k:
+    each user's first 8 event types in time order, joined with '>'."""
+    from vlm_eden_dataset_etl_ray.functions.relational import string_agg_ordered
+
+    ds = _events(sf_dir, columns=["user_id", "ts", "event_id", "event_type"])
+    return string_agg_ordered(
+        ds, "user_id", "event_type",
+        order_by=[("ts", "ascending"), ("event_id", "ascending")],
+        alias="path", sep=">", limit=8)
+
+
+def q_priority_status_grid(sf_dir):
+    """Dense reporting grid: cross join of the distinct priority and status
+    dimensions (broadcast cartesian), left-joined with the grouped counts
+    and zero-filled — combos that never occur still appear."""
+    import ray.data as rd
+
+    from vlm_eden_dataset_etl_ray.functions.relational import (
+        broadcast_cross_join, broadcast_left_join, distinct_values,
+        grouped_count)
+    from vlm_eden_dataset_etl_ray.sources.parquet import read_table
+
+    orders = read_table(sf_dir, "orders",
+                        columns=["o_orderpriority", "o_orderstatus"])
+    prios = sorted(distinct_values(orders, "o_orderpriority").to_pylist())
+    stats_ = sorted(distinct_values(orders, "o_orderstatus").to_pylist())
+    grid = broadcast_cross_join(
+        rd.from_arrow(pa.table({"o_orderpriority": prios})),
+        pa.table({"o_orderstatus": stats_}))
+
+    counts = _collect(grouped_count(orders,
+                                    ["o_orderpriority", "o_orderstatus"],
+                                    alias="n"))
+    ckey = pc.binary_join_element_wise(
+        counts.column("o_orderpriority").cast(pa.string()),
+        counts.column("o_orderstatus").cast(pa.string()), "|")
+    counts = counts.append_column("__k", ckey)
+
+    def _with_key(t: pa.Table) -> pa.Table:
+        k = pc.binary_join_element_wise(
+            t.column("o_orderpriority").cast(pa.string()),
+            t.column("o_orderstatus").cast(pa.string()), "|")
+        return t.append_column("__k", k)
+
+    keyed = grid.map_batches(_with_key, batch_format="pyarrow",
+                             zero_copy_batch=True)
+    joined = broadcast_left_join(keyed, counts, "__k", "__k",
+                                 take_columns=["n"])
+
+    def _fill(t: pa.Table) -> pa.Table:
+        n = pc.coalesce(t.column("n"), pa.scalar(0, pa.int64()))
+        return pa.table({
+            "o_orderpriority": t.column("o_orderpriority"),
+            "o_orderstatus": t.column("o_orderstatus"),
+            "n": n.cast(pa.int64()),
+        })
+
+    return joined.map_batches(_fill, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "cdc_replay_events": q_cdc_replay_events,
@@ -1604,6 +1696,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_value_moving_avg": q_user_value_moving_avg,
         "orders_profile": q_orders_profile,
         "customers_only_recent_orders": q_customers_only_recent_orders,
+        "order_price_quantiles_by_priority": q_order_price_quantiles_by_priority,
+        "props_key_stats": q_props_key_stats,
+        "user_first_events_path": q_user_first_events_path,
+        "priority_status_grid": q_priority_status_grid,
         "lineitem_measures_unpivot": q_lineitem_measures_unpivot,
         "order_date_dense_rank": q_order_date_dense_rank,
         "order_priority_rank": q_order_priority_rank,
@@ -2359,5 +2455,37 @@ def oracle_sql() -> dict[str, str]:
             except
             select distinct o_custkey from orders
             where o_orderdate < timestamp '1997-01-01'
+        """,
+        "order_price_quantiles_by_priority": """
+            select o_orderpriority,
+                   round(quantile_cont(o_totalprice, 0.25), 4) as q25,
+                   round(quantile_cont(o_totalprice, 0.50), 4) as q50,
+                   round(quantile_cont(o_totalprice, 0.75), 4) as q75
+            from orders group by o_orderpriority
+        """,
+        "props_key_stats": """
+            select event_type,
+                   cast(sum(cast(json_extract_string(props, '$.k') as bigint))
+                        as bigint) as sum_k,
+                   cast(count(*) as bigint) as n_events
+            from events group by event_type
+        """,
+        "user_first_events_path": """
+            select user_id, string_agg(event_type, '>' order by ts, event_id)
+                       as path
+            from (select * from events
+                  qualify row_number() over (
+                      partition by user_id order by ts, event_id) <= 8)
+            group by user_id
+        """,
+        "priority_status_grid": """
+            select p.o_orderpriority, s.o_orderstatus,
+                   cast(coalesce(c.n, 0) as bigint) as n
+            from (select distinct o_orderpriority from orders) p
+            cross join (select distinct o_orderstatus from orders) s
+            left join (select o_orderpriority, o_orderstatus, count(*) n
+                       from orders group by 1, 2) c
+              on p.o_orderpriority = c.o_orderpriority
+             and s.o_orderstatus = c.o_orderstatus
         """,
     }

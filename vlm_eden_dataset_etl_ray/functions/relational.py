@@ -1457,3 +1457,81 @@ def running_sum(
         return g.append_column(alias, pa.array(np.cumsum(vals)))
 
     return ds.groupby(key).map_groups(_per_group, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Ordered string aggregation: string_agg(value, sep ORDER BY order_cols).
+# ---------------------------------------------------------------------------
+
+
+def string_agg_ordered(
+    ds: rd.Dataset,
+    key: str,
+    value: str,
+    order_by: list[tuple[str, str]],
+    alias: str,
+    sep: str = ",",
+    limit: int | None = None,
+) -> rd.Dataset:
+    """Per-key ordered concatenation — ``string_agg(value, sep ORDER BY
+    ...)``. Unlike :func:`string_agg_distinct` (set semantics, value-sorted)
+    this preserves the caller's ordering, so the fold needs the rows
+    co-located: when ``limit`` is set, a per-batch partial top-k bounds what
+    shuffles (≤limit rows per key per batch); otherwise all key rows move —
+    the honest cost of an order-dependent aggregate. The in-group sort +
+    join is vectorized (arrow take + polars list join).
+    """
+    import polars as pl
+
+    cols = [key, value] + [c for c, _ in order_by
+                           if c not in (key, value)]
+    src = ds.select_columns(cols)
+    if limit is not None:
+        src = ds.select_columns(cols).map_batches(
+            _topk_reduce,
+            fn_kwargs={"key": key, "order_by": order_by, "k": limit},
+            batch_format="pyarrow", zero_copy_batch=True,
+        )
+
+    def _fold(g: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(g, sort_keys=order_by)
+        g = g.take(idx)
+        if limit is not None:
+            g = g.slice(0, limit)
+        vals = g.column(value).cast(pa.string())
+        joined = pl.from_arrow(vals.combine_chunks()).str.join(sep).to_arrow()
+        return pa.table({key: g.column(key).slice(0, 1),
+                         alias: joined.cast(pa.string())})
+
+    return src.groupby(key).map_groups(_fold, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Cross join (cartesian product), small-side broadcast.
+# ---------------------------------------------------------------------------
+
+
+def broadcast_cross_join(ds: rd.Dataset, small: pa.Table) -> rd.Dataset:
+    """Cartesian product of a dataset with a SMALL in-memory table: the
+    small side ships once via the object store (closure capture of one
+    ``ray.put``-backed table) and each batch repeats against it with arrow
+    take — no shuffle, output |batch|×|small| rows per batch. The dense-grid
+    reporting pattern (dimension scaffold × facts); refuse big small sides
+    upstream."""
+    small_ref = ray.put(small)
+
+    def _cross(t: pa.Table) -> pa.Table:
+        s = ray.get(small_ref)
+        n, m = t.num_rows, s.num_rows
+        if n == 0 or m == 0:
+            cols = {c: t.column(c).slice(0, 0) for c in t.column_names}
+            cols.update({c: s.column(c).slice(0, 0) for c in s.column_names})
+            return pa.table(cols)
+        left = t.take(pa.array(np.repeat(np.arange(n, dtype=np.int64), m)))
+        right = s.take(pa.array(np.tile(np.arange(m, dtype=np.int64), n)))
+        cols = {c: left.column(c) for c in left.column_names}
+        cols.update({c: right.column(c) for c in right.column_names})
+        return pa.table(cols)
+
+    return ds.map_batches(_cross, batch_format="pyarrow",
+                          zero_copy_batch=True)

@@ -273,6 +273,43 @@ def moving_avg_range(
 
 
 # ---------------------------------------------------------------------------
+# Grouped interpolated quantiles (SQL percentile_cont / quantile_cont).
+# ---------------------------------------------------------------------------
+
+
+def grouped_quantiles(
+    ds: rd.Dataset,
+    keys: list[str],
+    value: str,
+    qs: list[float],
+    aliases: list[str] | None = None,
+) -> rd.Dataset:
+    """Exact interpolated quantiles per group (``percentile_cont`` — linear
+    interpolation, numpy's and DuckDB's shared formula). Quantiles are not
+    mergeable, so this is the honest one-shuffle plan: groupby co-locates
+    each key, the in-group fold is a vectorized sort + ``np.quantile``.
+    Use the sketch path (:mod:`.sketches` centroid quantiles) when groups
+    outgrow a worker.
+    """
+    aliases = aliases or [f"q{int(q * 100)}" for q in qs]
+    if len(aliases) != len(qs):
+        raise ValueError("aliases must parallel qs")
+
+    def _fold(g: pa.Table) -> pa.Table:
+        v = np.sort(g.column(value).to_numpy(zero_copy_only=False)
+                    .astype(np.float64))
+        out = {k: g.column(k).slice(0, 1) for k in keys}
+        quants = np.quantile(v, qs)
+        for a, qv in zip(aliases, quants):
+            out[a] = pa.array([float(qv)], pa.float64())
+        return pa.table(out)
+
+    return ds.select_columns(keys + [value]).groupby(
+        keys[0] if len(keys) == 1 else keys
+    ).map_groups(_fold, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
 # Table profiler: per-column nulls / exact distinct / min / max.
 # ---------------------------------------------------------------------------
 

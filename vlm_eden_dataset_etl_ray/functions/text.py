@@ -312,3 +312,33 @@ def tfidf(
 
     return joined.map_batches(_score, batch_format="pyarrow",
                               zero_copy_batch=True)
+
+
+# ---------------------------------------------------------------------------
+# Semi-structured extraction: JSON path → typed column (events.props shape).
+# ---------------------------------------------------------------------------
+
+
+def json_extract(
+    ds: rd.Dataset,
+    json_col: str,
+    path: str,
+    out_col: str,
+    out_type: pa.DataType | None = None,
+) -> rd.Dataset:
+    """Extract a JSONPath value from a JSON-string column into a new column
+    (SQL ``json_extract_string(col, path)``). Vectorized via polars'
+    compiled JSON path kernel — no per-row Python json.loads. Non-matching
+    or null inputs yield null; pass ``out_type`` to cast the extracted
+    string (e.g. ``pa.int64()``).
+    """
+    import polars as pl
+
+    def _ext(t: pa.Table) -> pa.Table:
+        s = pl.from_arrow(t.column(json_col).combine_chunks())
+        ext = s.str.json_path_match(path).to_arrow().cast(pa.string())
+        if out_type is not None:
+            ext = ext.cast(out_type)
+        return t.append_column(out_col, ext)
+
+    return ds.map_batches(_ext, batch_format="pyarrow", zero_copy_batch=True)
