@@ -427,6 +427,16 @@ def q_daily_event_counts_with_deleted(sf_dir):
     return grouped_count(ds, ["event_date", "event_type"], "n_events")
 
 
+def q_user_daily_gapfill(sf_dir):
+    """Date-spine densification: every calendar day between each user's
+    first and last event, zero-filled where no events occurred."""
+    from vlm_eden_dataset_etl_ray.functions.temporal import gap_fill_daily
+
+    ds = _events(sf_dir, columns=["ts", "user_id"])
+    return gap_fill_daily(ds, keys=["user_id"], ts_col="ts",
+                          day_alias="day", count_alias="n_events")
+
+
 _TZS = ("America/New_York", "Europe/Paris", "Asia/Tokyo", "Australia/Sydney",
         "America/Los_Angeles", "Asia/Kolkata", "UTC")
 
@@ -1717,6 +1727,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "brand_revenue": q_brand_revenue,
         "daily_event_counts": q_daily_event_counts,
         "daily_event_counts_with_deleted": q_daily_event_counts_with_deleted,
+        "user_daily_gapfill": q_user_daily_gapfill,
         "monthly_order_priority_counts": q_monthly_order_priority_counts,
         "tz_local_daily_counts": q_tz_local_daily_counts,
         "normalized_documents": q_normalized_documents,
@@ -1963,6 +1974,20 @@ def oracle_sql() -> dict[str, str]:
         "daily_event_counts_with_deleted": """
             select cast(ts as date) as event_date, event_type, count(*) as n_events
             from events group by 1, 2
+        """,
+        "user_daily_gapfill": """
+            with c as (
+                select user_id, cast(ts as date) as day, count(*) as n_events
+                from events group by 1, 2
+            ), span as (
+                select user_id, min(day) as mn, max(day) as mx from c group by 1
+            ), spine as (
+                select user_id,
+                       cast(unnest(generate_series(mn, mx, interval 1 day)) as date) as day
+                from span
+            )
+            select s.user_id, s.day, coalesce(c.n_events, 0) as n_events
+            from spine s left join c using (user_id, day)
         """,
         "monthly_order_priority_counts": """
             select date_trunc('month', o_orderdate) as order_month, o_orderpriority,

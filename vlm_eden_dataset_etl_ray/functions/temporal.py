@@ -83,6 +83,55 @@ def explode_hopping_windows(
     return ds.map_batches(_explode, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def gap_fill_daily(
+    ds: rd.Dataset,
+    keys: list[str],
+    ts_col: str,
+    day_alias: str = "day",
+    count_alias: str = "n_events",
+    cardinality: str = "high",
+) -> rd.Dataset:
+    """Per-key daily date-spine densification: one output row for EVERY
+    calendar day between each key's first and last event, with days that
+    have no events filled with a zero count (the `generate_series` +
+    LEFT JOIN gap-fill shape reporting layers need on top of the
+    reference's A2-style daily count views).
+
+    Scale shape: the data pass is :func:`grouped_count` over
+    ``keys + [day]`` (mergeable per-batch partials — raw rows never
+    shuffle), then one groupby on the collapsed counts co-locates each
+    key and a vectorized fold scatters the observed counts into an
+    ``np.arange`` spine. Output size is bounded by keys x date-range,
+    never by event count; a key's spine must fit a worker (it is
+    date-range-bounded, not data-bounded).
+    """
+    from .relational import grouped_count
+
+    def _to_day(t: pa.Table) -> pa.Table:
+        cols = {k: t.column(k) for k in keys}
+        cols[day_alias] = t.column(ts_col).cast(pa.date32())
+        return pa.table(cols)
+
+    days = ds.select_columns(keys + [ts_col]).map_batches(
+        _to_day, batch_format="pyarrow", zero_copy_batch=True)
+    counts = grouped_count(days, keys + [day_alias], alias="__n",
+                           cardinality=cardinality)
+
+    def _fill(g: pa.Table) -> pa.Table:
+        d = g.column(day_alias).cast(pa.int32()).to_numpy(zero_copy_only=False)
+        n = g.column("__n").to_numpy(zero_copy_only=False)
+        spine = np.arange(d.min(), d.max() + 1, dtype=np.int32)
+        filled = np.zeros(len(spine), dtype=np.int64)
+        filled[d - d.min()] = n
+        out = {k: pa.repeat(g.column(k)[0], len(spine)) for k in keys}
+        out[day_alias] = pa.array(spine, pa.int32()).cast(pa.date32())
+        out[count_alias] = pa.array(filled, pa.int64())
+        return pa.table(out)
+
+    return counts.groupby(keys[0] if len(keys) == 1 else keys).map_groups(
+        _fill, batch_format="pyarrow")
+
+
 def with_local_date(
     ds: rd.Dataset, ts_col: str, tz_col: str, alias: str = "local_date",
     assume: str = "UTC",
