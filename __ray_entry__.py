@@ -1209,6 +1209,77 @@ def q_stratified_sample_docs(sf_dir):
     return stratified_sample(ds, "lang", {"en": 0.25}, "doc_id", default_frac=1.0)
 
 
+def q_quota_sample_docs(sf_dir):
+    """Per-group document quota: at most 20 docs per language, selected by
+    a SQL-reproducible deterministic hash priority — bounds any one group's
+    contribution to a training mix."""
+    from vlm_eden_dataset_etl_ray.functions.sampling import quota_sample
+    from vlm_eden_dataset_etl_ray.sources.parquet import read_table
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "lang", "source"])
+    out = quota_sample(ds, "lang", "doc_id", cap=20, seed=7)
+    return out.select_columns(["doc_id", "lang", "source"])
+
+
+def q_temperature_resample_docs(sf_dir):
+    """Temperature-based mixture resampling (alpha=0.5): group shares
+    follow n^alpha, flattening the language distribution — the standard
+    multilingual-corpus balancing move. Deterministic hash threshold, so
+    oracle-exact."""
+    from vlm_eden_dataset_etl_ray.functions.sampling import temperature_resample
+    from vlm_eden_dataset_etl_ray.sources.parquet import read_table
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "lang"])
+    return temperature_resample(ds, "lang", "doc_id", alpha=0.5, seed=3)
+
+
+def q_repetition_stats_docs(sf_dir):
+    """Gopher-style within-document repetition quality metrics: top-n-gram
+    and duplicate-n-gram fractions for n=2,3."""
+    from vlm_eden_dataset_etl_ray.functions.text import repetition_stats
+    from vlm_eden_dataset_etl_ray.sources.parquet import read_table
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return repetition_stats(ds).select_columns(
+        ["doc_id", "top2gram_frac", "dup2gram_frac",
+         "top3gram_frac", "dup3gram_frac"])
+
+
+def q_frequent_ngrams_docs(sf_dir):
+    """Corpus-wide repeated-passage discovery: every word 5-gram occurring
+    in >= 3 distinct documents, with its document frequency."""
+    from vlm_eden_dataset_etl_ray.functions.contamination import frequent_ngrams
+    from vlm_eden_dataset_etl_ray.sources.parquet import read_table
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return frequent_ngrams(ds, n=5, min_docs=3)
+
+
+def q_tar_shard_roundtrip(sf_dir):
+    """Training-loader handoff: write documents as WebDataset-style tar
+    shards, read them back, and return the reconstructed samples — the
+    oracle proves the sink+source preserve every (key, text) pair."""
+    import shutil
+    import tempfile
+
+    from vlm_eden_dataset_etl_ray.sinks.tar_shards import (
+        read_tar_shards, write_tar_shards)
+    from vlm_eden_dataset_etl_ray.sources.parquet import read_table
+
+    out_dir = tempfile.mkdtemp(prefix="tar_shards_", dir="/tmp")
+    try:
+        ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+        write_tar_shards(ds, out_dir, "doc_id", {"text": "txt"},
+                         rows_per_shard=128)
+        back = read_tar_shards(out_dir, {"txt": "text"}, key_col="key")
+        import pyarrow as _pa
+        batches = list(back.iter_batches(batch_format="pyarrow",
+                                         batch_size=None))
+        return _pa.concat_tables(batches).select(["key", "text"])
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
+
+
 def q_frame_sample_meta(sf_dir):
     """Multimodal frame-sampling plumbing: payload → one row per sampled
     frame with typed metadata (stub kernel, oracle-expressible; the
@@ -1784,6 +1855,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tokens_replay_synthetic": q_tokens_replay_synthetic,
         "train_test_split": q_train_test_split,
         "stratified_sample_docs": q_stratified_sample_docs,
+        "quota_sample_docs": q_quota_sample_docs,
+        "temperature_resample_docs": q_temperature_resample_docs,
+        "repetition_stats_docs": q_repetition_stats_docs,
+        "frequent_ngrams_docs": q_frequent_ngrams_docs,
+        "tar_shard_roundtrip": q_tar_shard_roundtrip,
         "contamination_flags": q_contamination_flags,
         "frame_sample_meta": q_frame_sample_meta,
         "corpus_prep": q_corpus_prep,
@@ -2207,6 +2283,61 @@ def oracle_sql() -> dict[str, str]:
                        '\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b', '<PHONE>', 'g'),
                        '\\b\\d{3}-\\d{2}-\\d{4}\\b', '<SSN>', 'g') as clean
             from documents
+        """,
+        "quota_sample_docs": """
+            select doc_id, lang, source from (
+                select *, ((doc_id + 7) * 2654435761) % 4294967296 as prio
+                from documents)
+            qualify row_number() over (partition by lang
+                                       order by prio, doc_id) <= 20
+        """,
+        "temperature_resample_docs": """
+            with c as (select lang, count(*) as n from documents group by 1),
+            m as (select max(pow(n, -0.5)) as mx from c),
+            rate as (select lang, floor(pow(n, -0.5)/mx*1e9)/1e9 as rr
+                     from c, m)
+            select d.doc_id, d.lang from documents d join rate using(lang)
+            where ((d.doc_id+3)*2654435761)%4294967296 < floor(rr*4294967296)
+        """,
+        "repetition_stats_docs": """
+            with words as (select doc_id, string_split(text,' ') as w
+                           from documents),
+            g2 as (select doc_id, array_to_string(w[i:i+1],' ') as g
+                   from words cross join unnest(generate_series(1,
+                        greatest(len(w)-1,0))) as t(i)),
+            c2 as (select doc_id, g, count(*) cnt from g2 group by 1,2),
+            p2 as (select doc_id,
+                          max(cnt)/cast(sum(cnt) as double) as top2gram_frac,
+                          sum(cnt-1)/cast(sum(cnt) as double) as dup2gram_frac
+                   from c2 group by 1),
+            g3 as (select doc_id, array_to_string(w[i:i+2],' ') as g
+                   from words cross join unnest(generate_series(1,
+                        greatest(len(w)-2,0))) as t(i)),
+            c3 as (select doc_id, g, count(*) cnt from g3 group by 1,2),
+            p3 as (select doc_id,
+                          max(cnt)/cast(sum(cnt) as double) as top3gram_frac,
+                          sum(cnt-1)/cast(sum(cnt) as double) as dup3gram_frac
+                   from c3 group by 1)
+            select d.doc_id,
+                   coalesce(p2.top2gram_frac, 0.0) as top2gram_frac,
+                   coalesce(p2.dup2gram_frac, 0.0) as dup2gram_frac,
+                   coalesce(p3.top3gram_frac, 0.0) as top3gram_frac,
+                   coalesce(p3.dup3gram_frac, 0.0) as dup3gram_frac
+            from documents d left join p2 using(doc_id)
+                             left join p3 using(doc_id)
+        """,
+        "frequent_ngrams_docs": """
+            with words as (select doc_id, string_split(text,' ') as w
+                           from documents),
+            grams as (select doc_id, array_to_string(w[i:i+4],' ') as g
+                      from words cross join unnest(generate_series(1,
+                           greatest(len(w)-4,0))) as t(i)),
+            dg as (select distinct doc_id, g from grams)
+            select g as gram, count(*) as n_docs from dg
+            group by 1 having count(*) >= 3
+        """,
+        "tar_shard_roundtrip": """
+            select cast(doc_id as varchar) as key, text from documents
         """,
         "contamination_flags": """
             with words as (select doc_id, string_split(text, ' ') as w

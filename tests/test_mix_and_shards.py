@@ -1,0 +1,132 @@
+"""Round-3 additions: quota / temperature sampling, repetition metrics,
+frequent n-grams, and the tar-shard training sink."""
+
+import numpy as np
+import pyarrow as pa
+
+import ray.data as rd
+
+from vlm_eden_dataset_etl_ray.functions.contamination import frequent_ngrams
+from vlm_eden_dataset_etl_ray.functions.sampling import (
+    quota_sample, temperature_rates, temperature_resample)
+from vlm_eden_dataset_etl_ray.functions.text import repetition_stats
+from vlm_eden_dataset_etl_ray.sinks.tar_shards import (
+    read_tar_shards, write_tar_shards)
+
+
+def _docs(n=200, langs=("en",) * 6 + ("de", "fr")):
+    return pa.table({
+        "doc_id": pa.array(range(n), pa.int64()),
+        "lang": pa.array([langs[i % len(langs)] for i in range(n)]),
+        "text": pa.array([f"w{i % 7} w{(i + 1) % 5} w{i % 7} end" for i in range(n)]),
+    })
+
+
+def _collect(ds):
+    batches = list(ds.iter_batches(batch_format="pyarrow", batch_size=None))
+    return pa.concat_tables(batches) if batches else pa.table({})
+
+
+def test_quota_cap_and_determinism():
+    t = _docs()
+    ds = rd.from_arrow(t).repartition(7)
+    out = _collect(quota_sample(ds, "lang", "doc_id", cap=10, seed=1))
+    import collections
+    by_lang = collections.Counter(out.column("lang").to_pylist())
+    assert all(v <= 10 for v in by_lang.values())
+    assert by_lang["de"] == 10 and by_lang["fr"] == 10  # 25 available each
+    # reshard-stable: different partitioning, identical selection
+    out2 = _collect(quota_sample(rd.from_arrow(t).repartition(2),
+                                 "lang", "doc_id", cap=10, seed=1))
+    assert sorted(out.column("doc_id").to_pylist()) == \
+        sorted(out2.column("doc_id").to_pylist())
+    # different seed → different selection (overwhelmingly likely)
+    out3 = _collect(quota_sample(ds, "lang", "doc_id", cap=10, seed=2))
+    assert sorted(out.column("doc_id").to_pylist()) != \
+        sorted(out3.column("doc_id").to_pylist())
+
+
+def test_temperature_rates_shape():
+    rates = temperature_rates({"en": 900, "de": 100, "fr": 25}, alpha=0.5)
+    assert rates["fr"] == 1.0  # rarest group is never downsampled
+    assert rates["fr"] > rates["de"] > rates["en"]
+    # alpha=1 → no resampling at all
+    flat = temperature_rates({"en": 900, "de": 100}, alpha=1.0)
+    assert flat == {"en": 1.0, "de": 1.0}
+
+
+def test_temperature_resample_flattens():
+    t = _docs(800)
+    out = _collect(temperature_resample(
+        rd.from_arrow(t), "lang", "doc_id", alpha=0.5, seed=0))
+    import collections
+    before = collections.Counter(t.column("lang").to_pylist())
+    after = collections.Counter(out.column("lang").to_pylist())
+    # dominant group's share must shrink toward the flat distribution
+    assert after["en"] / len(out) < before["en"] / len(t)
+    # rarest groups kept in full (rate 1.0)
+    assert after["de"] == before["de"] and after["fr"] == before["fr"]
+
+
+def test_repetition_stats_values():
+    t = pa.table({
+        "doc_id": pa.array([0, 1, 2], pa.int64()),
+        "text": pa.array(["a b a b a b",   # "a b" 3x of 5 bigrams
+                          "x y z w",        # all bigrams unique
+                          "q"]),            # shorter than any n-gram
+    })
+    out = _collect(repetition_stats(rd.from_arrow(t))).sort_by("doc_id")
+    top2 = out.column("top2gram_frac").to_pylist()
+    dup2 = out.column("dup2gram_frac").to_pylist()
+    assert abs(top2[0] - 3 / 5) < 1e-12 and abs(dup2[0] - 3 / 5) < 1e-12
+    assert top2[1] == 1 / 3 and dup2[1] == 0.0
+    assert top2[2] == 0.0 and dup2[2] == 0.0
+
+
+def test_frequent_ngrams_threshold():
+    t = pa.table({
+        "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+        "text": pa.array(["the quick brown fox jumps",
+                          "the quick brown fox sleeps",
+                          "the quick brown fox swims",
+                          "a different sentence entirely here"]),
+    })
+    out = _collect(frequent_ngrams(rd.from_arrow(t), n=4, min_docs=3))
+    got = dict(zip(out.column("gram").to_pylist(),
+                   out.column("n_docs").to_pylist()))
+    assert got == {"the quick brown fox": 3}
+    # within-doc repeats count once per doc
+    t2 = pa.table({"doc_id": pa.array([0, 1], pa.int64()),
+                   "text": pa.array(["p q p q p q", "p q p q"])})
+    out2 = _collect(frequent_ngrams(rd.from_arrow(t2), n=2, min_docs=2))
+    got2 = dict(zip(out2.column("gram").to_pylist(),
+                    out2.column("n_docs").to_pylist()))
+    assert got2["p q"] == 2
+
+
+def test_tar_shard_roundtrip_with_binary(tmp_path):
+    out_dir = str(tmp_path / "shards")
+    t = pa.table({
+        "doc_id": pa.array([0, 1, 2], pa.int64()),
+        "text": pa.array(["hello", "wörld", ""]),
+        "blob": pa.array([b"\x00\x01", b"", None], pa.binary()),
+    })
+    meta = write_tar_shards(rd.from_arrow(t), out_dir, "doc_id",
+                            {"text": "txt", "blob": "bin"}, rows_per_shard=2)
+    assert meta.num_rows >= 1
+    assert int(pa.compute.sum(meta.column("n_members")).as_py()) == 3
+    back = _collect(read_tar_shards(out_dir, {"txt": "text"}))
+    back = back.sort_by("key")
+    assert back.column("key").to_pylist() == ["0", "1", "2"]
+    assert back.column("text").to_pylist() == ["hello", "wörld", ""]
+
+
+def test_tar_shard_names_are_content_derived(tmp_path):
+    a, b = str(tmp_path / "a"), str(tmp_path / "b")
+    t = pa.table({"doc_id": pa.array([5, 6], pa.int64()),
+                  "text": pa.array(["x", "y"])})
+    m1 = write_tar_shards(rd.from_arrow(t), a, "doc_id", {"text": "txt"})
+    m2 = write_tar_shards(rd.from_arrow(t), b, "doc_id", {"text": "txt"})
+    import os
+    assert [os.path.basename(p) for p in m1.column("path").to_pylist()] == \
+        [os.path.basename(p) for p in m2.column("path").to_pylist()]

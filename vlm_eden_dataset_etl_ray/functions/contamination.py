@@ -105,3 +105,66 @@ def decontaminate(
         return t.filter(pc.invert(t.column("__contam"))).drop_columns(["__contam"])
 
     return flagged.map_batches(_drop, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def frequent_ngrams(
+    ds: rd.Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+    min_docs: int = 3,
+    sep: str = " ",
+) -> rd.Dataset:
+    """Corpus-wide repeated-passage detection: every word ``n``-gram (as
+    TEXT, not a hash) that occurs in at least ``min_docs`` distinct
+    documents, with its document frequency — the discovery side of
+    boilerplate removal (find the hot passages first, then strip or
+    down-weight the documents carrying them).
+
+    Scale shape: each batch emits its DISTINCT (doc, gram) pairs — a
+    document lives entirely inside one row, so per-batch distinct IS global
+    distinct — then one high-cardinality mergeable grouped count on the
+    gram string and a streamed threshold filter. Only distinct grams cross
+    the exchange; the quadratic all-pairs shape never appears."""
+    import polars as pl
+
+    from vlm_eden_dataset_etl_ray.functions.relational import grouped_count
+
+    def _grams(t: pa.Table) -> pa.Table:
+        texts = t.column(text_col)
+        s = pl.from_arrow(
+            texts if isinstance(texts, pa.Array) else texts.combine_chunks())
+        ids = t.column(id_col).to_numpy(zero_copy_only=False)
+        ex = (
+            pl.DataFrame({"doc": np.repeat(ids, 1), "w": s.str.split(sep)})
+            .explode("w")
+        )
+        # rolling n-gram strings: concat of the next n words, valid only
+        # where all n words belong to one document (rows are doc-major)
+        doc = ex.get_column("doc")
+        parts = [ex.get_column("w").shift(-j) for j in range(n)]
+        gram = parts[0]
+        for p in parts[1:]:
+            gram = gram + sep + p
+        valid = (doc.shift(-(n - 1)) == doc).fill_null(False)
+        out = (
+            pl.DataFrame({"doc": doc, "gram": gram})
+            .filter(valid)
+            .unique(subset=["doc", "gram"])
+        )
+        return pa.table({"doc": out.get_column("doc").to_arrow(),
+                         "gram": out.get_column("gram").to_arrow()
+                         .cast(pa.string())})
+
+    pairs = ds.select_columns([id_col, text_col]).map_batches(
+        _grams, batch_format="pyarrow", zero_copy_batch=True)
+    counts = grouped_count(pairs.select_columns(["gram"]), ["gram"],
+                           alias="n_docs", cardinality="high")
+
+    def _thresh(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        return t.filter(pc.greater_equal(t.column("n_docs"),
+                                         pa.scalar(min_docs, pa.int64())))
+
+    return counts.map_batches(_thresh, batch_format="pyarrow",
+                              zero_copy_batch=True)

@@ -44,6 +44,115 @@ def hash_sample(ds: rd.Dataset, key_col: str, frac: float, seed: int = 0) -> rd.
     return ds.map_batches(_f, batch_format="pyarrow", zero_copy_batch=True)
 
 
+_KNUTH = np.uint64(2654435761)
+_MOD32 = np.uint64(2**32)
+
+
+def _int_priority(t: pa.Table, id_col: str, seed: int) -> np.ndarray:
+    """Knuth multiplicative hash of an INTEGER id, mod 2^32 — deliberately
+    simple enough to be reproduced exactly in ANSI SQL
+    (``((id + seed) * 2654435761) % 4294967296``), so quota/temperature
+    sampling decisions stay oracle-checkable end to end. The seed is added
+    BEFORE the multiply so it scrambles the ordering rather than shifting
+    every priority by the same constant."""
+    ids = t.column(id_col).cast(pa.int64()).to_numpy(zero_copy_only=False)
+    with np.errstate(over="ignore"):
+        return ((ids.astype(np.uint64) + np.uint64(seed)) * _KNUTH) % _MOD32
+
+
+def quota_sample(
+    ds: rd.Dataset,
+    group_col: str,
+    id_col: str,
+    cap: int,
+    seed: int = 0,
+    cardinality: str = "low",
+) -> rd.Dataset:
+    """Keep at most ``cap`` rows per group, chosen by deterministic
+    hash-priority — the per-source/per-language document quota used to
+    bound any one group's contribution to a training mix. Selection is a
+    pure function of the row id, so the same quota lands on every re-run
+    and resharding.
+
+    Scale shape: rides :func:`relational.topk_per_key` — per-batch partial
+    top-``cap`` (≤ cap rows per group leave each batch, skew-proof), then a
+    tree or shuffle reduce by ``cardinality``. Raw rows beyond cap-per-group
+    never cross the exchange."""
+    from vlm_eden_dataset_etl_ray.functions.relational import topk_per_key
+
+    def _prio(t: pa.Table) -> pa.Table:
+        pr = _int_priority(t, id_col, seed).astype(np.int64)
+        return t.append_column("__prio", pa.array(pr))
+
+    with_p = ds.map_batches(_prio, batch_format="pyarrow", zero_copy_batch=True)
+    out = topk_per_key(
+        with_p, group_col,
+        [("__prio", "ascending"), (id_col, "ascending")], cap,
+        cardinality=cardinality,
+    )
+    return out.map_batches(
+        lambda t: t.drop_columns(["__prio"]),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+
+
+def temperature_rates(
+    counts: dict[str, int], alpha: float,
+) -> dict[str, float]:
+    """Per-group keep rates for temperature-based mixture resampling
+    (multilingual-corpus balancing: sample group g proportional to
+    ``n_g^alpha``, ``alpha<1`` flattens the distribution). The largest
+    effective rate is scaled to 1.0 so the pipeline only ever *down*samples;
+    rates are floored to 9 decimals so a SQL oracle computing the same
+    formula lands on bit-identical thresholds."""
+    if not counts:
+        return {}
+    if not 0.0 <= alpha <= 1.0:
+        raise ValueError("alpha must be in [0, 1]")
+    w = {g: float(n) ** (alpha - 1.0) for g, n in counts.items() if n > 0}
+    mx = max(w.values())
+    return {g: np.floor(v / mx * 1e9) / 1e9 for g, v in w.items()}
+
+
+def temperature_resample(
+    ds: rd.Dataset,
+    group_col: str,
+    id_col: str,
+    alpha: float,
+    seed: int = 0,
+) -> rd.Dataset:
+    """Temperature-sample a corpus so group shares follow ``n_g^alpha``:
+    two passes — a mergeable grouped count (tiny result to the driver; the
+    group space is languages/sources, bounded), then a streamed hash-
+    threshold filter with the per-group rate table broadcast into every
+    task. No shuffle touches the payload."""
+    from vlm_eden_dataset_etl_ray.functions.relational import grouped_count
+
+    cnt_rows = grouped_count(
+        ds.select_columns([group_col]), [group_col], alias="n",
+    ).take_all()  # bounded: one row per group
+    rates = temperature_rates(
+        {r[group_col]: int(r["n"]) for r in cnt_rows}, alpha)
+
+    groups = pa.array(list(rates.keys()))
+    # hash values are < 2^32, so a full-rate threshold of exactly 2^32
+    # (which uint64 holds) keeps every row — matching SQL's
+    # `hash < floor(1.0 * 4294967296)` without an off-by-one clamp
+    thr = np.array(
+        [int(np.floor(r * float(2**32))) for r in rates.values()] + [0],
+        dtype=np.uint64,
+    )
+
+    def _keep(t: pa.Table) -> pa.Table:
+        idx = pc.index_in(t.column(group_col), value_set=groups)
+        idx_np = pc.fill_null(idx, len(thr) - 1).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        keep = _int_priority(t, id_col, seed) < thr[idx_np]
+        return t.filter(pa.array(keep))
+
+    return ds.map_batches(_keep, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def stratified_sample(
     ds: rd.Dataset,
     strata_col: str,

@@ -342,3 +342,59 @@ def json_extract(
         return t.append_column(out_col, ext)
 
     return ds.map_batches(_ext, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# ---------------------------------------------------------------------------
+# Within-document repetition metrics (Gopher-style quality rules).
+# ---------------------------------------------------------------------------
+
+
+def repetition_stats(
+    ds: rd.Dataset,
+    text_col: str = "text",
+    sep: str = " ",
+    ns: tuple[int, ...] = (2, 3),
+) -> rd.Dataset:
+    """Per-document n-gram repetition metrics — the Gopher repetition
+    quality rules (Rae et al. 2021 §A1.1): for each n in ``ns``, the
+    fraction of the document's word n-grams occupied by its single most
+    frequent n-gram (``top{n}gram_frac``) and the fraction of n-gram
+    occurrences that are duplicates of an earlier identical n-gram
+    (``dup{n}gram_frac``). High values mark boilerplate / generated spam.
+
+    Vectorized: one polars word-explode per batch, rolling uint64 n-gram
+    hashes (same kernel as decontamination), then two grouped folds over
+    (row, gram) — no per-row Python. Documents shorter than n words score
+    0.0. Embarrassingly parallel, no shuffle."""
+    import polars as pl
+
+    from vlm_eden_dataset_etl_ray.functions.contamination import (
+        _ngram_hashes, _word_table)
+
+    def _stats(t: pa.Table) -> pa.Table:
+        rows, hashes = _word_table(t.column(text_col), sep)
+        out = dict(zip(t.column_names, t.columns))
+        for n in ns:
+            wrow, whash = _ngram_hashes(rows, hashes, n)
+            top = np.zeros(t.num_rows, dtype=np.float64)
+            dup = np.zeros(t.num_rows, dtype=np.float64)
+            if len(whash):
+                per = (
+                    pl.DataFrame({"row": wrow, "g": whash})
+                    .group_by(["row", "g"]).len()
+                    .group_by("row")
+                    .agg(
+                        pl.col("len").max().alias("mx"),
+                        pl.col("len").sum().alias("tot"),
+                        (pl.col("len") - 1).sum().alias("extra"),
+                    )
+                )
+                r = per.get_column("row").to_numpy()
+                tot = per.get_column("tot").to_numpy().astype(np.float64)
+                top[r] = per.get_column("mx").to_numpy() / tot
+                dup[r] = per.get_column("extra").to_numpy() / tot
+            out[f"top{n}gram_frac"] = pa.array(top)
+            out[f"dup{n}gram_frac"] = pa.array(dup)
+        return pa.table(out)
+
+    return ds.map_batches(_stats, batch_format="pyarrow", zero_copy_batch=True)
