@@ -567,6 +567,19 @@ def q_embedding_near_dup_pairs(sf_dir):
     return embedding_near_dup(emb, "vec_id", "embedding", COSINE_T)
 
 
+def q_embedding_near_dup_bucketed(sf_dir):
+    """IVF-bucketed near-dup pairs — the scale path for the all-pairs
+    baseline above. Rows-only by design (recall < 1.0 by construction);
+    recall vs brute force is asserted in pytest."""
+    from vlm_eden_dataset_etl_ray.functions.dedup import (
+        embedding_near_dup_bucketed)
+    from vlm_eden_dataset_etl_ray.sources.parquet import read_table
+
+    emb = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return embedding_near_dup_bucketed(emb, "vec_id", "embedding", COSINE_T,
+                                       n_clusters=8, n_probe=3)
+
+
 def q_embedding_centroids(sf_dir):
     from vlm_eden_dataset_etl_ray.functions.knn import label_centroids
     from vlm_eden_dataset_etl_ray.sources.parquet import read_table
@@ -1207,6 +1220,26 @@ def q_stratified_sample_docs(sf_dir):
 
     ds = read_table(sf_dir, "documents", columns=["doc_id", "lang"])
     return stratified_sample(ds, "lang", {"en": 0.25}, "doc_id", default_frac=1.0)
+
+
+def q_trailing_event_counts(sf_dir):
+    """Time-RANGE window frame: events per user in the trailing hour
+    (RANGE BETWEEN interval PRECEDING AND CURRENT ROW, peers included) —
+    the rate-limiting / burst-detection window a rows-frame can't express."""
+    from vlm_eden_dataset_etl_ray.functions.windows import trailing_time_count
+
+    ds = _events(sf_dir, columns=["event_id", "user_id", "ts"])
+    return trailing_time_count(ds, "user_id", "ts", window_s=3600)
+
+
+def q_regex_extract_docs(sf_dir):
+    """Regex capture-group extraction (regexp_extract twin): second
+    whitespace-delimited token of each document."""
+    from vlm_eden_dataset_etl_ray.functions.text import regex_extract
+    from vlm_eden_dataset_etl_ray.sources.parquet import read_table
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return regex_extract(ds, "text", r"^(\S+) (\S+)", 2, "second_word")
 
 
 def q_quota_sample_docs(sf_dir):
@@ -1856,6 +1889,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "train_test_split": q_train_test_split,
         "stratified_sample_docs": q_stratified_sample_docs,
         "quota_sample_docs": q_quota_sample_docs,
+        "trailing_event_counts": q_trailing_event_counts,
+        "regex_extract_docs": q_regex_extract_docs,
+        "embedding_near_dup_bucketed": q_embedding_near_dup_bucketed,
         "temperature_resample_docs": q_temperature_resample_docs,
         "repetition_stats_docs": q_repetition_stats_docs,
         "frequent_ngrams_docs": q_frequent_ngrams_docs,
@@ -2282,6 +2318,19 @@ def oracle_sql() -> dict[str, str]:
                        '<EMAIL>', 'g'),
                        '\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b', '<PHONE>', 'g'),
                        '\\b\\d{3}-\\d{2}-\\d{4}\\b', '<SSN>', 'g') as clean
+            from documents
+        """,
+        "trailing_event_counts": """
+            select event_id, user_id, ts,
+                   count(*) over (partition by user_id order by ts
+                       range between interval 3600 seconds preceding
+                       and current row) as n_trailing
+            from events
+        """,
+        "regex_extract_docs": """
+            select doc_id, text,
+                   nullif(regexp_extract(text, '^(\S+) (\S+)', 2), '')
+                       as second_word
             from documents
         """,
         "quota_sample_docs": """

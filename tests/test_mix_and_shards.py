@@ -130,3 +130,53 @@ def test_tar_shard_names_are_content_derived(tmp_path):
     import os
     assert [os.path.basename(p) for p in m1.column("path").to_pylist()] == \
         [os.path.basename(p) for p in m2.column("path").to_pylist()]
+
+
+def test_trailing_time_count_peers_and_units():
+    from vlm_eden_dataset_etl_ray.functions.windows import trailing_time_count
+    # second-precision input (unit normalization) with duplicate timestamps
+    ts = pa.array([0, 10, 10, 3600, 3620, 7300], pa.timestamp("s"))
+    t = pa.table({"k": pa.array([1] * 6, pa.int64()), "ts": ts,
+                  "eid": pa.array(range(6), pa.int64())})
+    out = _collect(trailing_time_count(rd.from_arrow(t), "k", "ts", 3600))
+    got = dict(zip(out.column("eid").to_pylist(),
+                   out.column("n_trailing").to_pylist()))
+    # peers at t=10 see each other (SQL RANGE frame semantics)
+    assert got[1] == 3 and got[2] == 3
+    assert got[0] == 1
+    assert got[3] == 4          # 0,10,10,3600 within [0, 3600]
+    assert got[4] == 2          # only 3600,3620 within [20, 3620]
+    assert got[5] == 1          # only 7300 within [3700, 7300]
+
+
+def test_regex_extract_non_matching_is_null():
+    from vlm_eden_dataset_etl_ray.functions.text import regex_extract
+    t = pa.table({"text": pa.array(["one two three", "single", None])})
+    out = _collect(regex_extract(rd.from_arrow(t), "text",
+                                 r"^(\S+) (\S+)", 2, "w2"))
+    assert out.column("w2").to_pylist() == ["two", None, None]
+
+
+def test_embedding_near_dup_bucketed_recall():
+    from vlm_eden_dataset_etl_ray.functions.dedup import (
+        embedding_near_dup, embedding_near_dup_bucketed)
+    rng = np.random.default_rng(0)
+    base = rng.normal(size=(120, 16))
+    # 30 near-dup twins: tiny perturbations of the first 30 vectors
+    twins = base[:30] + rng.normal(scale=0.01, size=(30, 16))
+    mat = np.vstack([base, twins])
+    t = pa.table({"vec_id": pa.array(range(len(mat)), pa.int64()),
+                  "embedding": pa.array(list(mat), pa.list_(pa.float32()))})
+    ds = rd.from_arrow(t).repartition(4)
+    exact = embedding_near_dup(ds, "vec_id", "embedding", 0.95)
+    approx = _collect(embedding_near_dup_bucketed(
+        rd.from_arrow(t).repartition(4), "vec_id", "embedding", 0.95,
+        n_clusters=6, n_probe=3, sample_frac=1.0))
+    exact_pairs = set(zip(exact.column("vec_a").to_pylist(),
+                          exact.column("vec_b").to_pylist()))
+    approx_pairs = set(zip(approx.column("vec_a").to_pylist(),
+                           approx.column("vec_b").to_pylist()))
+    assert len(exact_pairs) >= 25  # the construction produced real pairs
+    assert approx_pairs <= exact_pairs  # no false positives (exact cosine)
+    recall = len(approx_pairs & exact_pairs) / len(exact_pairs)
+    assert recall >= 0.9, recall

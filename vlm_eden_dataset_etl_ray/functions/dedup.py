@@ -535,3 +535,86 @@ def embedding_near_dup(
         _block, batch_size=1, batch_format="pyarrow"
     )
     return pa.concat_tables(res.iter_batches(batch_format="pyarrow", batch_size=None))
+
+
+def embedding_near_dup_bucketed(
+    ds: rd.Dataset,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.95,
+    n_clusters: int = 16,
+    n_probe: int = 2,
+    sample_frac: float = 0.25,
+    max_cell: int = 200_000,
+    seed: int = 5,
+) -> rd.Dataset:
+    """Embedding near-duplicate pairs at scale: the IVF-bucketed path that
+    replaces :func:`embedding_near_dup`'s O(n²) broadcast baseline.
+
+    Each vector is assigned to its ``n_probe`` nearest coarse cells
+    (multi-assignment: a pair is found when the two vectors share ANY
+    cell — near-dups are nearly identical vectors, so their top cells
+    almost always coincide; recall is asserted against brute force in
+    pytest). Within-cell comparison is one vectorized matmul per cell
+    group; duplicate pairs discovered via different probes collapse in a
+    distinct-pair groupby. Approximate by construction (recall < 1.0);
+    cost drops from O(n²) to O(Σ cell²) with cells ~n·probe/k.
+
+    A cell larger than ``max_cell`` raises: at that point raise
+    ``n_clusters`` (cells shrink ~linearly) rather than letting one task
+    go quadratic — the same documented lever as minhash's ``max_bucket``."""
+    from vlm_eden_dataset_etl_ray.functions.knn import (
+        _as_matrix, _normalize, kmeans_lite)
+
+    sample = _as_matrix(
+        pa.concat_tables(
+            ds.random_sample(sample_frac, seed=seed)
+            .select_columns([vec_col])
+            .iter_batches(batch_format="pyarrow", batch_size=None)
+        ).column(vec_col))
+    cents = kmeans_lite(sample, n_clusters, seed=seed)
+    cents_ref = ray.put(cents)
+
+    def _assign(t: pa.Table) -> pa.Table:
+        c = ray.get(cents_ref)
+        m = _normalize(_as_matrix(t.column(vec_col)))
+        sims = m @ c.T  # (n, k)
+        probes = np.argsort(-sims, axis=1)[:, :n_probe]  # top cells per row
+        n = len(m)
+        idx = np.repeat(np.arange(n), n_probe)
+        return pa.table({
+            "cell": pa.array(probes.ravel().astype(np.int64)),
+            id_col: t.column(id_col).take(pa.array(idx)),
+            vec_col: t.column(vec_col).take(pa.array(idx)),
+        })
+
+    assigned = ds.select_columns([id_col, vec_col]).map_batches(
+        _assign, batch_format="pyarrow", zero_copy_batch=True)
+
+    def _cell_pairs(g: pa.Table) -> pa.Table:
+        if g.num_rows > max_cell:
+            raise ValueError(
+                f"embedding_near_dup_bucketed: cell of {g.num_rows} rows "
+                f"exceeds max_cell={max_cell}; raise n_clusters")
+        ids = g.column(id_col).to_numpy(zero_copy_only=False)
+        m = _normalize(_as_matrix(g.column(vec_col)))
+        sims = m @ m.T
+        iu, ju = np.nonzero(np.triu(sims >= threshold, k=1))
+        a, b = ids[iu], ids[ju]
+        swap = a > b  # canonical (min, max) ordering regardless of cell order
+        a2 = np.where(swap, b, a)
+        b2 = np.where(swap, a, b)
+        return pa.table({
+            "vec_a": pa.array(a2, pa.int64()),
+            "vec_b": pa.array(b2, pa.int64()),
+            "cosine": pa.array(np.round(sims[iu, ju], 4), pa.float64()),
+        })
+
+    cand = assigned.groupby("cell").map_groups(
+        _cell_pairs, batch_format="pyarrow")
+    # a pair found via two different shared cells appears twice — collapse
+    return (cand.groupby(["vec_a", "vec_b"])
+            .min("cosine")
+            .map_batches(
+                lambda t: t.rename_columns(["vec_a", "vec_b", "cosine"]),
+                batch_format="pyarrow"))

@@ -398,3 +398,24 @@ def repetition_stats(
         return pa.table(out)
 
     return ds.map_batches(_stats, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def regex_extract(
+    ds: rd.Dataset,
+    col: str,
+    pattern: str,
+    group: int,
+    out_col: str,
+) -> rd.Dataset:
+    """Extract one regex capture group into a new column (SQL
+    ``regexp_extract(col, pattern, group)``). Vectorized via polars'
+    compiled Rust-regex kernel — the pattern compiles once per batch call,
+    never per row. Non-matching or null inputs yield null."""
+    import polars as pl
+
+    def _ext(t: pa.Table) -> pa.Table:
+        s = pl.from_arrow(t.column(col).combine_chunks())
+        got = s.str.extract(pattern, group).to_arrow().cast(pa.string())
+        return t.append_column(out_col, got)
+
+    return ds.map_batches(_ext, batch_format="pyarrow", zero_copy_batch=True)

@@ -532,3 +532,35 @@ def rolling_min(
         return g.append_column(alias, pa.array(rmin, pa.float64()))
 
     return ds.groupby(key).map_groups(_per_group, batch_format="pyarrow")
+
+
+def trailing_time_count(
+    ds: rd.Dataset,
+    key: str,
+    ts_col: str,
+    window_s: int,
+    alias: str = "n_trailing",
+) -> rd.Dataset:
+    """Time-RANGE window frame: ``count(*) over (partition by key order by
+    ts RANGE BETWEEN interval window_s seconds PRECEDING AND CURRENT ROW)``
+    — the trailing-rate metric (events per key in the last hour) that a
+    rows-based frame cannot express. SQL RANGE frames include all PEERS of
+    the current row (equal timestamps), which the two binary searches below
+    reproduce exactly.
+
+    One groupby shuffle co-locates each key; inside the group the frame
+    math is two vectorized ``searchsorted`` passes over the sorted
+    timestamps — O(n log n) per group, no per-row loop."""
+
+    def _per_group(g: pa.Table) -> pa.Table:
+        # normalize the physical unit before integer window arithmetic
+        ts = g.column(ts_col).cast(pa.timestamp("us"))
+        order = pc.sort_indices(ts)
+        g = g.take(order)
+        us = g.column(ts_col).cast(pa.timestamp("us")).cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        lo = np.searchsorted(us, us - window_s * 1_000_000, side="left")
+        hi = np.searchsorted(us, us, side="right")
+        return g.append_column(alias, pa.array(hi - lo, pa.int64()))
+
+    return ds.groupby(key).map_groups(_per_group, batch_format="pyarrow")
