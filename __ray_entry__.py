@@ -1242,6 +1242,29 @@ def q_regex_extract_docs(sf_dir):
     return regex_extract(ds, "text", r"^(\S+) (\S+)", 2, "second_word")
 
 
+def q_unigram_doc_scores(sf_dir):
+    """Unigram-LM perplexity proxy: per-document mean -ln p(token) under
+    the corpus unigram model — the cheap quality-filter score."""
+    from vlm_eden_dataset_etl_ray.functions.text import unigram_logprob_score
+    from vlm_eden_dataset_etl_ray.sources.parquet import read_table
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return unigram_logprob_score(ds).select_columns(
+        ["doc_id", "logprob_score"])
+
+
+def q_winsorized_order_prices(sf_dir):
+    """Quantile winsorization: order prices clipped to their exact
+    [p01, p99] discrete quantiles (one distributed sort, streamed clip)."""
+    from vlm_eden_dataset_etl_ray.functions.windows import winsorize
+    from vlm_eden_dataset_etl_ray.sources.parquet import read_table
+
+    ds = read_table(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
+    out = winsorize(ds, "o_totalprice", 0.01, 0.99, tiebreak="o_orderkey",
+                    alias="price_w")
+    return out.select_columns(["o_orderkey", "price_w"])
+
+
 def q_quota_sample_docs(sf_dir):
     """Per-group document quota: at most 20 docs per language, selected by
     a SQL-reproducible deterministic hash priority — bounds any one group's
@@ -1889,6 +1912,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "train_test_split": q_train_test_split,
         "stratified_sample_docs": q_stratified_sample_docs,
         "quota_sample_docs": q_quota_sample_docs,
+        "unigram_doc_scores": q_unigram_doc_scores,
+        "winsorized_order_prices": q_winsorized_order_prices,
         "trailing_event_counts": q_trailing_event_counts,
         "regex_extract_docs": q_regex_extract_docs,
         "embedding_near_dup_bucketed": q_embedding_near_dup_bucketed,
@@ -2332,6 +2357,25 @@ def oracle_sql() -> dict[str, str]:
                    nullif(regexp_extract(text, '^(\S+) (\S+)', 2), '')
                        as second_word
             from documents
+        """,
+        "unigram_doc_scores": """
+            with tok as (select doc_id, unnest(string_split(text, ' ')) as term
+                         from documents),
+            tf as (select term, count(*) as c from tok group by 1),
+            n as (select cast(count(*) as double) as n from tok)
+            select t.doc_id,
+                   round(-avg(ln(cast(tf.c as double) / n.n)), 4)
+                       as logprob_score
+            from tok t join tf using(term) cross join n
+            group by t.doc_id
+        """,
+        "winsorized_order_prices": """
+            with q as (select quantile_disc(o_totalprice, 0.01) as lo,
+                              quantile_disc(o_totalprice, 0.99) as hi
+                       from orders)
+            select o_orderkey,
+                   least(greatest(o_totalprice, lo), hi) as price_w
+            from orders, q
         """,
         "quota_sample_docs": """
             select doc_id, lang, source from (

@@ -180,3 +180,39 @@ def test_embedding_near_dup_bucketed_recall():
     assert approx_pairs <= exact_pairs  # no false positives (exact cosine)
     recall = len(approx_pairs & exact_pairs) / len(exact_pairs)
     assert recall >= 0.9, recall
+
+
+def test_winsorize_clips_both_tails():
+    from vlm_eden_dataset_etl_ray.functions.windows import winsorize
+    vals = list(range(1, 101))  # 1..100
+    t = pa.table({"id": pa.array(range(100), pa.int64()),
+                  "v": pa.array([float(x) for x in vals])})
+    out = _collect(winsorize(rd.from_arrow(t).repartition(5), "v",
+                             0.05, 0.95, tiebreak="id", alias="w"))
+    w = out.column("w").to_pylist()
+    assert min(w) == 5.0 and max(w) == 95.0  # quantile_disc cut points
+    assert sorted(w)[50] == sorted(vals)[50]  # interior untouched
+
+
+def test_unigram_fit_apply_and_oov():
+    import pytest as _pytest
+    from vlm_eden_dataset_etl_ray.functions.text import (
+        unigram_fit, unigram_logprob_score, unigram_score)
+    train = pa.table({"doc_id": pa.array([0, 1], pa.int64()),
+                      "text": pa.array(["a a a b", "a b b c"])})
+    scored = _collect(unigram_logprob_score(rd.from_arrow(train)))
+    s = dict(zip(scored.column("doc_id").to_pylist(),
+                 scored.column("logprob_score").to_pylist()))
+    # doc 1 carries the rarer tokens -> higher surprise
+    assert s[1] > s[0] > 0
+    # cross-corpus: OOV raises without a policy, scores with one
+    vocab = unigram_fit(rd.from_arrow(train))
+    other = rd.from_arrow(pa.table({"doc_id": pa.array([9], pa.int64()),
+                                    "text": pa.array(["zzz qqq"])}))
+    with _pytest.raises(Exception):
+        _collect(unigram_score(other, vocab))
+    got = _collect(unigram_score(
+        rd.from_arrow(pa.table({"doc_id": pa.array([9], pa.int64()),
+                                "text": pa.array(["zzz qqq"])})),
+        vocab, oov_logp=10.0))
+    assert got.column("logprob_score").to_pylist() == [10.0]

@@ -419,3 +419,98 @@ def regex_extract(
         return t.append_column(out_col, got)
 
     return ds.map_batches(_ext, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# ---------------------------------------------------------------------------
+# Unigram-LM document scoring (perplexity-proxy quality filter).
+# ---------------------------------------------------------------------------
+
+
+def unigram_fit(
+    ds: rd.Dataset,
+    text_col: str = "text",
+    sep: str = " ",
+):
+    """Fit a corpus unigram LM: one mergeable grouped term count, returned
+    as a broadcast-ready polars (term, -ln p) table. VOCABULARY-sized —
+    bounded by the token vocabulary, not the corpus, which is why a
+    unigram-LM broadcast works at 100 TB where a bigram table would not."""
+    import polars as pl
+
+    from vlm_eden_dataset_etl_ray.functions.relational import grouped_count
+
+    def _explode(t: pa.Table) -> pa.Table:
+        s = pl.from_arrow(t.column(text_col).combine_chunks())
+        terms = s.str.split(sep).explode()
+        return pa.table({"term": terms.to_arrow().cast(pa.string())})
+
+    counts = pa.concat_tables(
+        grouped_count(
+            ds.select_columns([text_col]).map_batches(
+                _explode, batch_format="pyarrow", zero_copy_batch=True),
+            ["term"], alias="c", cardinality="high",
+        ).iter_batches(batch_format="pyarrow", batch_size=None))
+    total = float(pc.sum(counts.column("c")).as_py())
+    return pl.DataFrame({
+        "term": pl.from_arrow(counts.column("term").combine_chunks()),
+        "logp": -np.log(
+            counts.column("c").to_numpy(zero_copy_only=False) / total),
+    })
+
+
+def unigram_score(
+    ds: rd.Dataset,
+    vocab,
+    text_col: str = "text",
+    sep: str = " ",
+    alias: str = "logprob_score",
+    oov_logp: float | None = None,
+) -> rd.Dataset:
+    """Score documents under a fitted unigram LM (see :func:`unigram_fit`):
+    per-document mean -ln p(token), the classic cheap perplexity proxy for
+    quality filtering. The vocab table ships once via ``ray.put``; scoring
+    streams (polars explode -> hash join -> per-row mean), rounded to 4
+    decimals so a SQL twin lands on identical values. ``oov_logp`` scores
+    out-of-vocabulary tokens when applying the LM to a DIFFERENT corpus;
+    by default an OOV token raises."""
+    import polars as pl
+
+    import ray
+    vocab_ref = ray.put(vocab)
+
+    def _score(t: pa.Table) -> pa.Table:
+        v = ray.get(vocab_ref)
+        s = pl.from_arrow(t.column(text_col).combine_chunks())
+        ex = (
+            pl.DataFrame({"row": np.arange(t.num_rows, dtype=np.int64),
+                          "term": s.str.split(sep)})
+            .explode("term")
+            .join(v, on="term", how="left")
+        )
+        miss = ex.get_column("logp").is_null()
+        if miss.any():
+            if oov_logp is None:
+                raise ValueError(
+                    "unigram_score: out-of-vocabulary token; pass "
+                    "oov_logp to score a corpus the LM was not fit on")
+            ex = ex.with_columns(pl.col("logp").fill_null(oov_logp))
+        per = ex.group_by("row").agg(pl.col("logp").mean())
+        score = np.zeros(t.num_rows, dtype=np.float64)
+        score[per.get_column("row").to_numpy()] = \
+            per.get_column("logp").to_numpy()
+        return t.append_column(alias, pa.array(np.round(score, 4)))
+
+    return ds.map_batches(_score, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def unigram_logprob_score(
+    ds: rd.Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep: str = " ",
+    alias: str = "logprob_score",
+) -> rd.Dataset:
+    """Fit-and-score convenience: unigram LM fit on ``ds`` itself, then
+    every document scored under it (self-scoring cannot hit OOV)."""
+    vocab = unigram_fit(ds, text_col, sep)
+    return unigram_score(ds, vocab, text_col, sep, alias)

@@ -564,3 +564,34 @@ def trailing_time_count(
         return g.append_column(alias, pa.array(hi - lo, pa.int64()))
 
     return ds.groupby(key).map_groups(_per_group, batch_format="pyarrow")
+
+
+def winsorize(
+    ds: rd.Dataset,
+    col: str,
+    lo_q: float,
+    hi_q: float,
+    tiebreak: str,
+    alias: str | None = None,
+) -> rd.Dataset:
+    """Clip a column to its [lo_q, hi_q] exact discrete quantiles — the
+    outlier-taming step before numeric features feed a model. One
+    distributed sort computes both cut points (:func:`exact_quantiles`,
+    ``quantile_disc`` semantics); the clip itself is a streamed
+    element-wise min/max, no second shuffle and no float arithmetic, so
+    results hash-match a SQL twin exactly."""
+    q = exact_quantiles(ds, col, [lo_q, hi_q], tiebreak)
+    by_q = dict(zip(q.column("q").to_pylist(), q.column("value").to_pylist()))
+    lo, hi = by_q[lo_q], by_q[hi_q]
+    out = alias or col
+
+    def _clip(t: pa.Table) -> pa.Table:
+        c = t.column(col)
+        clipped = pc.min_element_wise(
+            pc.max_element_wise(c, pa.scalar(lo, c.type)),
+            pa.scalar(hi, c.type))
+        if out in t.column_names:
+            return t.set_column(t.column_names.index(out), out, clipped)
+        return t.append_column(out, clipped)
+
+    return ds.map_batches(_clip, batch_format="pyarrow", zero_copy_batch=True)
