@@ -1265,6 +1265,16 @@ def q_winsorized_order_prices(sf_dir):
     return out.select_columns(["o_orderkey", "price_w"])
 
 
+def q_event_value_zscores(sf_dir):
+    """Per-user z-score standardization of event values (mergeable
+    sum/sumsq/count partials -> planner join-back -> streamed normalize)."""
+    from vlm_eden_dataset_etl_ray.functions.relational import zscore_normalize
+
+    ds = _events(sf_dir, columns=["event_id", "user_id", "value"])
+    out = zscore_normalize(ds, "user_id", "value")
+    return out.select_columns(["event_id", "user_id", "zscore"])
+
+
 def q_quota_sample_docs(sf_dir):
     """Per-group document quota: at most 20 docs per language, selected by
     a SQL-reproducible deterministic hash priority — bounds any one group's
@@ -1912,6 +1922,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "train_test_split": q_train_test_split,
         "stratified_sample_docs": q_stratified_sample_docs,
         "quota_sample_docs": q_quota_sample_docs,
+        "event_value_zscores": q_event_value_zscores,
         "unigram_doc_scores": q_unigram_doc_scores,
         "winsorized_order_prices": q_winsorized_order_prices,
         "trailing_event_counts": q_trailing_event_counts,
@@ -2376,6 +2387,13 @@ def oracle_sql() -> dict[str, str]:
             select o_orderkey,
                    least(greatest(o_totalprice, lo), hi) as price_w
             from orders, q
+        """,
+        "event_value_zscores": """
+            select event_id, user_id,
+                   round((value - avg(value) over (partition by user_id))
+                         / nullif(stddev_pop(value) over (partition by user_id),
+                                  0), 4) as zscore
+            from events
         """,
         "quota_sample_docs": """
             select doc_id, lang, source from (

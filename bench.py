@@ -72,6 +72,15 @@ BENCH_QUERIES = [
     "knn_sq_topk",
     "pack_token_blocks",
     "lineitem_urgent_semijoin",
+    # round-3 tail: mixture sampling, repetition QC, time-range windows
+    "quota_sample_docs",
+    "temperature_resample_docs",
+    "repetition_stats_docs",
+    "frequent_ngrams_docs",
+    "trailing_event_counts",
+    "unigram_doc_scores",
+    "winsorized_order_prices",
+    "user_daily_gapfill",
 ]
 
 

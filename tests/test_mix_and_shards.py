@@ -216,3 +216,19 @@ def test_unigram_fit_apply_and_oov():
                                 "text": pa.array(["zzz qqq"])})),
         vocab, oov_logp=10.0))
     assert got.column("logprob_score").to_pylist() == [10.0]
+
+
+def test_zscore_constant_group_is_null():
+    from vlm_eden_dataset_etl_ray.functions.relational import zscore_normalize
+    t = pa.table({"k": pa.array([1, 1, 1, 2, 2], pa.int64()),
+                  "v": pa.array([2.0, 4.0, 6.0, 5.0, 5.0])})
+    out = _collect(zscore_normalize(rd.from_arrow(t), "k", "v")).sort_by(
+        [("k", "ascending"), ("v", "ascending")])
+    z = out.column("zscore").to_pylist()
+    # group 1: mean 4, stddev_pop sqrt(8/3)
+    import math
+    sd = math.sqrt(8 / 3)
+    assert abs(z[0] - round(-2 / sd, 4)) < 1e-9
+    assert abs(z[2] - round(2 / sd, 4)) < 1e-9
+    # constant group → null, not inf
+    assert z[3] is None and z[4] is None

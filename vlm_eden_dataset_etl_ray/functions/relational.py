@@ -1535,3 +1535,51 @@ def broadcast_cross_join(ds: rd.Dataset, small: pa.Table) -> rd.Dataset:
 
     return ds.map_batches(_cross, batch_format="pyarrow",
                           zero_copy_batch=True)
+
+
+def zscore_normalize(
+    ds: rd.Dataset,
+    key: str,
+    value_col: str,
+    alias: str = "zscore",
+    bytes_hint: int | None = None,
+) -> rd.Dataset:
+    """Per-group z-score standardization ((v − mean_g)/stddev_pop_g, the
+    feature-normalization step before numeric columns feed a model),
+    rounded to 4 decimals to absorb summation-order float noise vs a SQL
+    window twin. A constant group (stddev 0) yields null, matching
+    ``nullif(stddev_pop(...), 0)``.
+
+    Scale shape: mergeable sum/sum-of-squares/count partials collapse the
+    payload to one stats row per group BEFORE any exchange; the stats side
+    then joins back through the :func:`auto_join` planner (broadcast while
+    group count is small, partitioned hash join when it is not)."""
+
+    def _sq(t: pa.Table) -> pa.Table:
+        v = t.column(value_col).cast(pa.float64())
+        return pa.table({key: t.column(key), "__v": v,
+                         "__v2": pc.multiply(v, v)})
+
+    stats = grouped_agg(
+        ds.map_batches(_sq, batch_format="pyarrow", zero_copy_batch=True),
+        [key], sums={"__v": "__s", "__v2": "__sq"}, counts="__n",
+        cardinality="high",
+    )
+    joined = auto_join(ds, stats, key, key, bytes_hint=bytes_hint)
+
+    def _z(t: pa.Table) -> pa.Table:
+        v = t.column(value_col).cast(pa.float64()).to_numpy(zero_copy_only=False)
+        s = t.column("__s").to_numpy(zero_copy_only=False)
+        sq = t.column("__sq").to_numpy(zero_copy_only=False)
+        n = t.column("__n").to_numpy(zero_copy_only=False).astype(np.float64)
+        mean = s / n
+        var = np.maximum(sq / n - mean * mean, 0.0)
+        std = np.sqrt(var)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            z = np.round((v - mean) / std, 4)
+        out = t.drop_columns(["__s", "__sq", "__n"])
+        return out.append_column(
+            alias, pa.array(np.where(std == 0, np.nan, z), pa.float64(),
+                            mask=(std == 0)))
+
+    return joined.map_batches(_z, batch_format="pyarrow", zero_copy_batch=True)
