@@ -1321,6 +1321,39 @@ def q_frequent_ngrams_docs(sf_dir):
     return frequent_ngrams(ds, n=5, min_docs=3)
 
 
+def q_user_value_mad(sf_dir):
+    """Robust per-user dispersion QC: exact median, MAD, and the count of
+    robust outliers (|v - med| > 3·1.4826·MAD) — one groupby shuffle,
+    two vectorized median passes in the in-group fold."""
+    from vlm_eden_dataset_etl_ray.functions.stats import grouped_mad
+
+    ds = _events(sf_dir, columns=["user_id", "value"])
+    return grouped_mad(ds, ["user_id"], "value", z=3.0)
+
+
+def q_fuzzy_part_names(sf_dir):
+    """Fuzzy catalog dedup: pairs of DISTINCT part names within the same
+    brand at Levenshtein distance <= 2. Quadratic only in the per-block
+    distinct-name vocabulary (collapsed first); the DP kernel is
+    vectorized across pairs."""
+    from vlm_eden_dataset_etl_ray.functions.fuzzy import fuzzy_value_pairs
+    from vlm_eden_dataset_etl_ray.sources.parquet import read_table
+
+    ds = read_table(sf_dir, "part", columns=["p_brand", "p_name"])
+    return fuzzy_value_pairs(ds, ["p_brand"], "p_name", max_dist=2,
+                             left_alias="name_a", right_alias="name_b")
+
+
+def q_term_postings(sf_dir):
+    """Inverted index over the corpus: per term with df >= 5, the document
+    frequency and the first 20 sorted doc ids (capped posting list)."""
+    from vlm_eden_dataset_etl_ray.functions.text import inverted_postings
+    from vlm_eden_dataset_etl_ray.sources.parquet import read_table
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return inverted_postings(ds, min_df=5, cap=20)
+
+
 def q_tar_shard_roundtrip(sf_dir):
     """Training-loader handoff: write documents as WebDataset-style tar
     shards, read them back, and return the reconstructed samples — the
@@ -1923,6 +1956,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stratified_sample_docs": q_stratified_sample_docs,
         "quota_sample_docs": q_quota_sample_docs,
         "event_value_zscores": q_event_value_zscores,
+        "user_value_mad": q_user_value_mad,
+        "fuzzy_part_names": q_fuzzy_part_names,
+        "term_postings": q_term_postings,
         "unigram_doc_scores": q_unigram_doc_scores,
         "winsorized_order_prices": q_winsorized_order_prices,
         "trailing_event_counts": q_trailing_event_counts,
@@ -2394,6 +2430,42 @@ def oracle_sql() -> dict[str, str]:
                          / nullif(stddev_pop(value) over (partition by user_id),
                                   0), 4) as zscore
             from events
+        """,
+        "user_value_mad": """
+            with m as (
+                select user_id, median(value) as med
+                from events group by user_id
+            ), d as (
+                select e.user_id, m.med, abs(e.value - m.med) as dev
+                from events e join m using (user_id)
+            ), s as (
+                select user_id, any_value(med) as med, median(dev) as mad
+                from d group by user_id
+            )
+            select s.user_id, round(s.med, 4) as med, round(s.mad, 4) as mad,
+                   count(*) filter (d.dev > 3 * 1.4826 * s.mad) as n_outliers
+            from d join s using (user_id)
+            group by s.user_id, s.med, s.mad
+        """,
+        "fuzzy_part_names": """
+            with d as (select distinct p_brand, p_name from part)
+            select a.p_brand, a.p_name as name_a, b.p_name as name_b,
+                   levenshtein(a.p_name, b.p_name) as dist
+            from d a join d b
+              on a.p_brand = b.p_brand and a.p_name < b.p_name
+            where abs(length(a.p_name) - length(b.p_name)) <= 2
+              and levenshtein(a.p_name, b.p_name) <= 2
+        """,
+        "term_postings": """
+            with td as (
+                select distinct doc_id,
+                       unnest(string_split(text, ' ')) as term
+                from documents
+            )
+            select term, count(*) as df,
+                   array_to_string(
+                       (array_agg(doc_id order by doc_id))[1:20], ',') as postings
+            from td group by term having count(*) >= 5
         """,
         "quota_sample_docs": """
             select doc_id, lang, source from (

@@ -1,0 +1,106 @@
+"""Round-3 tail operators: vectorized Levenshtein / fuzzy value pairs,
+grouped MAD, inverted-index postings."""
+
+import duckdb
+import numpy as np
+import pyarrow as pa
+
+import ray.data as rd
+
+from vlm_eden_dataset_etl_ray.functions.fuzzy import (
+    fuzzy_value_pairs, levenshtein_batch)
+from vlm_eden_dataset_etl_ray.functions.stats import grouped_mad
+from vlm_eden_dataset_etl_ray.functions.text import inverted_postings
+
+
+def _collect(ds):
+    return pa.concat_tables(ds.iter_batches(batch_format="pyarrow",
+                                            batch_size=None))
+
+
+def _lev_ref(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j - 1] + (ca != cb), prev[j] + 1,
+                           cur[j - 1] + 1))
+        prev = cur
+    return prev[len(b)]
+
+
+def test_levenshtein_batch_matches_scalar_dp():
+    rng = np.random.default_rng(11)
+    alpha = list("abcde")
+    pairs = []
+    for _ in range(200):
+        la, lb = rng.integers(0, 12, 2)
+        pairs.append(("".join(rng.choice(alpha, la)),
+                      "".join(rng.choice(alpha, lb))))
+    pairs += [("", ""), ("", "abc"), ("abc", ""), ("same", "same"),
+              ("kitten", "sitting"), ("flaw", "lawn"), ("é∂ü", "e∂u")]
+    a = [p[0] for p in pairs]
+    b = [p[1] for p in pairs]
+    got = levenshtein_batch(a, b)
+    exp = np.array([_lev_ref(x, y) for x, y in pairs])
+    assert np.array_equal(got, exp)
+
+
+def test_fuzzy_value_pairs_blocked_and_deduped():
+    t = pa.table({
+        "blk": pa.array(["x", "x", "x", "x", "y", "y"]),
+        "name": pa.array(["red widget", "red widgit", "red widget",
+                          "blue thing", "red widgit", "red widget"]),
+    })
+    out = _collect(fuzzy_value_pairs(
+        rd.from_arrow(t).repartition(3), ["blk"], "name", max_dist=2,
+        left_alias="a", right_alias="b"))
+    rows = sorted(zip(out.column("blk").to_pylist(),
+                      out.column("a").to_pylist(),
+                      out.column("b").to_pylist(),
+                      out.column("dist").to_pylist()))
+    # each block reports the distinct near pair exactly once, a < b
+    assert rows == [("x", "red widget", "red widgit", 1),
+                    ("y", "red widget", "red widgit", 1)]
+
+
+def test_grouped_mad_medians_and_outliers():
+    # group a: median 3, MAD 1; 100 is an outlier (97 > 3*1.4826*1)
+    t = pa.table({
+        "g": pa.array(["a"] * 5 + ["b"] * 2),
+        "v": pa.array([1.0, 2.0, 3.0, 4.0, 100.0, 7.0, 7.0]),
+    })
+    out = _collect(grouped_mad(rd.from_arrow(t).repartition(2), ["g"], "v"))
+    d = {g: (m, md, n) for g, m, md, n in zip(
+        out.column("g").to_pylist(), out.column("med").to_pylist(),
+        out.column("mad").to_pylist(), out.column("n_outliers").to_pylist())}
+    assert d["a"] == (3.0, 1.0, 1)
+    # constant group: MAD 0, nothing exceeds 0-width band
+    assert d["b"] == (7.0, 0.0, 0)
+
+
+def test_inverted_postings_cap_min_df_and_cross_batch_dedup():
+    # "hot" appears in every doc (df 5, capped at 3 ids); "rare" in one
+    docs = pa.table({
+        "doc_id": pa.array(list(range(5)), pa.int64()),
+        "text": pa.array(["hot rare", "hot hot", "hot", "hot", "hot"]),
+    })
+    out = _collect(inverted_postings(
+        rd.from_arrow(docs).repartition(3), min_df=2, cap=3))
+    d = {t: (df, p) for t, df, p in zip(out.column("term").to_pylist(),
+                                        out.column("df").to_pylist(),
+                                        out.column("postings").to_pylist())}
+    assert d == {"hot": (5, "0,1,2")}  # df counts DISTINCT docs; cap trims
+
+    con = duckdb.connect()
+    con.register("documents", docs)
+    exp = con.execute("""
+        with td as (select distinct doc_id,
+                           unnest(string_split(text, ' ')) as term
+                    from documents)
+        select term, count(*) as df,
+               array_to_string((array_agg(doc_id order by doc_id))[1:3],
+                               ',') as postings
+        from td group by term having count(*) >= 2
+    """).fetchall()
+    assert {r[0]: (r[1], r[2]) for r in exp} == d

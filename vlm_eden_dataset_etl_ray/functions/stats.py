@@ -310,6 +310,51 @@ def grouped_quantiles(
 
 
 # ---------------------------------------------------------------------------
+# Robust dispersion: median absolute deviation + outlier count per group.
+# ---------------------------------------------------------------------------
+
+
+def grouped_mad(
+    ds: rd.Dataset,
+    keys: list[str],
+    value: str,
+    z: float = 3.0,
+    ndigits: int = 4,
+) -> rd.Dataset:
+    """Per-group robust dispersion: exact median, MAD
+    (``median(abs(v - median))``), and the count of robust outliers —
+    rows with ``abs(v - median) > z * 1.4826 * MAD`` (1.4826 scales MAD
+    to the stddev of a normal). The training-data QC primitive for
+    flagging corrupt numeric features that a mean/stddev z-score misses
+    when the corruption itself inflates the stddev.
+
+    Shape: one groupby shuffle co-locates each key; the in-group fold is
+    two vectorized ``np.median`` passes plus one comparison — no second
+    exchange for the deviation median because the group is already in
+    hand. Medians are not mergeable, so this is the honest one-shuffle
+    plan (group size, not row count, bounds a worker); use the centroid
+    quantile sketch when groups outgrow a worker.
+    """
+    scale = z * 1.4826
+
+    def _fold(g: pa.Table) -> pa.Table:
+        v = g.column(value).to_numpy(zero_copy_only=False).astype(np.float64)
+        med = float(np.median(v))
+        dev = np.abs(v - med)
+        mad = float(np.median(dev))
+        n_out = int((dev > scale * mad).sum())
+        out = {k: g.column(k).slice(0, 1) for k in keys}
+        out["med"] = pa.array([round(med, ndigits)], pa.float64())
+        out["mad"] = pa.array([round(mad, ndigits)], pa.float64())
+        out["n_outliers"] = pa.array([n_out], pa.int64())
+        return pa.table(out)
+
+    return ds.select_columns(keys + [value]).groupby(
+        keys[0] if len(keys) == 1 else keys
+    ).map_groups(_fold, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
 # Table profiler: per-column nulls / exact distinct / min / max.
 # ---------------------------------------------------------------------------
 

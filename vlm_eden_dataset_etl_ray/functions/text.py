@@ -154,6 +154,57 @@ def fingerprint(ds: rd.Dataset, text_col: str = "text") -> rd.Dataset:
     return ds.map_batches(_fp, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def inverted_postings(
+    ds: rd.Dataset,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_df: int = 1,
+    cap: int = 20,
+) -> rd.Dataset:
+    """Inverted index build: term → document frequency + a CAPPED sorted
+    posting list (first ``cap`` doc ids, comma-joined). The retrieval-side
+    artifact of a corpus pipeline (lookup which documents contain a term)
+    with the cap as the scale contract: a stopword's posting list is
+    bounded at ``cap`` ids, so no group's output exceeds a few hundred
+    bytes no matter how hot the term.
+
+    Shape: vectorized explode (polars split+explode) with an IN-BATCH
+    (term, doc) dedup, a mergeable distinct pass collapsing global
+    duplicates, then one groupby(term) fold — the only full exchange moves
+    distinct (term, doc_id) pairs, never text.
+    """
+    from .relational import grouped_count
+
+    def _explode(t: pa.Table) -> pa.Table:
+        e = (
+            pl.from_arrow(t.select([id_col, text_col]))
+            .with_columns(pl.col(text_col).str.split(" "))
+            .explode(text_col)
+            .rename({text_col: "term"})
+            .unique()
+        ).to_arrow()
+        return pa.table({id_col: e.column(id_col),
+                         "term": e.column("term").cast(pa.string())})
+
+    pairs = ds.select_columns([id_col, text_col]).map_batches(
+        _explode, batch_format="pyarrow", zero_copy_batch=True)
+    distinct = grouped_count(pairs, ["term", id_col], alias="__n",
+                             cardinality="high").drop_columns(["__n"])
+
+    def _fold(g: pa.Table) -> pa.Table:
+        ids = np.sort(g.column(id_col).to_numpy(zero_copy_only=False))
+        df = len(ids)
+        n_keep = 1 if df >= min_df else 0
+        postings = ",".join(str(int(x)) for x in ids[:cap]) if n_keep else ""
+        return pa.table({
+            "term": g.column("term").slice(0, n_keep),
+            "df": pa.array([df][:n_keep], pa.int64()),
+            "postings": pa.array([postings][:n_keep], pa.string()),
+        })
+
+    return distinct.groupby("term").map_groups(_fold, batch_format="pyarrow")
+
+
 def deterministic_split(
     ds: rd.Dataset, key_col: str, test_frac: float = 0.1, seed: int = 0,
     out_col: str = "split",
