@@ -324,7 +324,12 @@ def tfidf(
     planner (vocabulary-sized → broadcast; falls back to shuffle if not).
     The score is rounded to ``round_to`` decimals on both engine and
     oracle sides (np.round bit-matches SQL round; ln may differ by 1 ulp
-    across libms)."""
+    across libms).
+
+    Precondition: ``id_col`` is unique (one row per document). That makes
+    tf computable entirely IN-BATCH — a (doc, term) pair can never span
+    batches — so the exploded token stream never shuffles; the only
+    exchange is the vocabulary-sized df aggregation."""
     import polars as pl
 
     from vlm_eden_dataset_etl_ray.functions.relational import (
@@ -332,19 +337,24 @@ def tfidf(
 
     n_docs = ds.count()
 
-    def _explode(t: pa.Table) -> pa.Table:
+    def _tf(t: pa.Table) -> pa.Table:
         df = pl.from_arrow(t.select([id_col, text_col]))
-        ex = df.with_columns(pl.col(text_col).str.split(sep)) \
-            .explode(text_col).rename({text_col: "term"})
-        return ex.to_arrow().cast(
-            pa.schema([(id_col, t.schema.field(id_col).type),
-                       ("term", pa.string())]))
+        g = (
+            df.with_columns(pl.col(text_col).str.split(sep))
+            .explode(text_col)
+            .group_by([id_col, text_col])
+            .len(name="tf")
+        ).to_arrow()
+        return pa.table({
+            id_col: g.column(id_col).cast(t.schema.field(id_col).type),
+            "term": g.column(text_col).cast(pa.string()),
+            "tf": g.column("tf").cast(pa.int64()),
+        })
 
-    tok = ds.map_batches(_explode, batch_format="pyarrow", zero_copy_batch=True)
     # tf has TWO consumers (df derivation + the score join) — materialize
-    # once so the explode+groupby doesn't execute twice
-    tf = grouped_count(tok, [id_col, "term"], "tf",
-                       cardinality="high").materialize()
+    # once so the explode+count doesn't execute twice
+    tf = ds.map_batches(_tf, batch_format="pyarrow",
+                        zero_copy_batch=True).materialize()
     # every tf row is one DISTINCT (doc, term) pair, so df re-aggregates tf
     df_t = grouped_count(tf.select_columns(["term"]), ["term"], "df",
                          cardinality="high").map_batches(
