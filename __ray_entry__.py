@@ -1379,6 +1379,31 @@ def q_tar_shard_roundtrip(sf_dir):
         shutil.rmtree(out_dir, ignore_errors=True)
 
 
+def q_orc_roundtrip(sf_dir):
+    """Warehouse-interchange handoff: write documents as ORC files (one
+    per block), read them back with column projection pushed into the
+    stripe reader, and return the reconstructed rows — the oracle proves
+    sink+source preserve every row and the projection prunes correctly."""
+    import shutil
+    import tempfile
+
+    from vlm_eden_dataset_etl_ray.sources.orc import (
+        read_orc_table, write_orc_table)
+    from vlm_eden_dataset_etl_ray.sources.parquet import read_table
+
+    out_dir = tempfile.mkdtemp(prefix="orc_rt_", dir="/tmp")
+    try:
+        ds = read_table(sf_dir, "documents",
+                        columns=["doc_id", "lang", "source", "n_chars"])
+        write_orc_table(ds, out_dir)
+        back = read_orc_table(out_dir, columns=["doc_id", "lang", "n_chars"])
+        batches = list(back.iter_batches(batch_format="pyarrow",
+                                         batch_size=None))
+        return pa.concat_tables(batches)
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
+
+
 def q_frame_sample_meta(sf_dir):
     """Multimodal frame-sampling plumbing: payload → one row per sampled
     frame with typed metadata (stub kernel, oracle-expressible; the
@@ -1959,6 +1984,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_value_mad": q_user_value_mad,
         "fuzzy_part_names": q_fuzzy_part_names,
         "term_postings": q_term_postings,
+        "orc_roundtrip": q_orc_roundtrip,
         "unigram_doc_scores": q_unigram_doc_scores,
         "winsorized_order_prices": q_winsorized_order_prices,
         "trailing_event_counts": q_trailing_event_counts,
@@ -2455,6 +2481,9 @@ def oracle_sql() -> dict[str, str]:
               on a.p_brand = b.p_brand and a.p_name < b.p_name
             where abs(length(a.p_name) - length(b.p_name)) <= 2
               and levenshtein(a.p_name, b.p_name) <= 2
+        """,
+        "orc_roundtrip": """
+            select doc_id, lang, n_chars from documents
         """,
         "term_postings": """
             with td as (
