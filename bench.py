@@ -81,6 +81,11 @@ BENCH_QUERIES = [
     "unigram_doc_scores",
     "winsorized_order_prices",
     "user_daily_gapfill",
+    # round-3 tail 2: robust stats, fuzzy matching, retrieval artifacts
+    "event_value_zscores",
+    "user_value_mad",
+    "fuzzy_part_names",
+    "term_postings",
 ]
 
 
