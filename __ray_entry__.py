@@ -1253,6 +1253,22 @@ def q_unigram_doc_scores(sf_dir):
         ["doc_id", "logprob_score"])
 
 
+def q_dsir_selected_docs(sf_dir):
+    """DSIR importance selection (Xie et al. 2023): score every document by
+    its mean per-token log ratio ln p_en-target / ln p_corpus and keep the
+    docs that look more English-target-like than the corpus average. Both
+    LMs are vocabulary-sized broadcasts; scoring streams."""
+    from vlm_eden_dataset_etl_ray.functions.text import dsir_score
+    from vlm_eden_dataset_etl_ray.sources.parquet import read_table
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "lang", "text"])
+    target = read_table(sf_dir, "documents", columns=["lang", "text"],
+                        filter=(pc.field("lang") == "en"))
+    out = dsir_score(ds, target)
+    out = out.filter(expr="dsir_score > 0")
+    return out.select_columns(["doc_id", "lang", "dsir_score"])
+
+
 def q_winsorized_order_prices(sf_dir):
     """Quantile winsorization: order prices clipped to their exact
     [p01, p99] discrete quantiles (one distributed sort, streamed clip)."""
@@ -1982,6 +1998,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quota_sample_docs": q_quota_sample_docs,
         "event_value_zscores": q_event_value_zscores,
         "user_value_mad": q_user_value_mad,
+        "dsir_selected_docs": q_dsir_selected_docs,
         "fuzzy_part_names": q_fuzzy_part_names,
         "term_postings": q_term_postings,
         "orc_roundtrip": q_orc_roundtrip,
@@ -2441,6 +2458,33 @@ def oracle_sql() -> dict[str, str]:
                        as logprob_score
             from tok t join tf using(term) cross join n
             group by t.doc_id
+        """,
+        "dsir_selected_docs": """
+            with tok as (select doc_id,
+                                unnest(string_split(text, ' ')) as term
+                         from documents),
+            tgt_tok as (select t.term from tok t
+                        join documents d using (doc_id)
+                        where d.lang = 'en'),
+            ctf as (select term, count(*) as c from tok group by 1),
+            cn as (select cast(count(*) as double) as n from tok),
+            ttf as (select term, count(*) as c from tgt_tok group by 1),
+            tn as (select cast(count(*) as double) as n from tgt_tok),
+            ratio as (
+                select ctf.term,
+                       -ln(cast(ctf.c as double) / cn.n)
+                       - coalesce(-ln(cast(ttf.c as double) / tn.n), 15.0)
+                           as ratio
+                from ctf cross join cn
+                left join ttf on ctf.term = ttf.term
+                cross join tn
+            )
+            select t.doc_id, any_value(d.lang) as lang,
+                   round(avg(r.ratio), 4) as dsir_score
+            from tok t join ratio r using (term)
+            join documents d using (doc_id)
+            group by t.doc_id
+            having round(avg(r.ratio), 4) > 0
         """,
         "winsorized_order_prices": """
             with q as (select quantile_disc(o_totalprice, 0.01) as lo,

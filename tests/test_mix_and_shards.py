@@ -232,3 +232,27 @@ def test_zscore_constant_group_is_null():
     assert abs(z[2] - round(2 / sd, 4)) < 1e-9
     # constant group → null, not inf
     assert z[3] is None and z[4] is None
+
+
+def test_dsir_score_prefers_target_like_docs():
+    from vlm_eden_dataset_etl_ray.functions.text import dsir_score
+    docs = pa.table({
+        "doc_id": pa.array([0, 1, 2], pa.int64()),
+        "lang": pa.array(["en", "en", "zh"]),
+        "text": pa.array(["alpha beta alpha", "alpha beta beta",
+                          "zeta eta zeta eta"]),
+    })
+    ds = rd.from_arrow(docs)
+    target = ds.filter(expr="lang == 'en'")
+    out = _collect(dsir_score(ds, target)).sort_by("doc_id")
+    s = out.column("dsir_score").to_pylist()
+    # en docs: every token more frequent in target than corpus -> positive
+    assert s[0] > 0 and s[1] > 0
+    # zh doc: tokens absent from target -> OOV penalty -> strongly negative
+    assert s[2] < 0
+    # score = mean(ln p_t - ln p_c); check doc 0 by hand:
+    import math
+    # target tokens: alpha x3, beta x3 (n=6); corpus adds zeta/eta (n=10)
+    exp0 = (2 * (math.log(3 / 6) - math.log(3 / 10))
+            + (math.log(3 / 6) - math.log(3 / 10))) / 3
+    assert abs(s[0] - round(exp0, 4)) < 1e-9

@@ -575,3 +575,58 @@ def unigram_logprob_score(
     every document scored under it (self-scoring cannot hit OOV)."""
     vocab = unigram_fit(ds, text_col, sep)
     return unigram_score(ds, vocab, text_col, sep, alias)
+
+
+def dsir_score(
+    ds: rd.Dataset,
+    target: rd.Dataset,
+    text_col: str = "text",
+    sep: str = " ",
+    alias: str = "dsir_score",
+    oov_logp: float = 15.0,
+) -> rd.Dataset:
+    """Data selection via importance resampling (DSIR, Xie et al. 2023,
+    arXiv:2302.03169), unigram feature space: score every corpus document
+    by its mean per-token log importance ratio
+    ``ln p_target(tok) − ln p_corpus(tok)`` — positive means the document
+    looks more like the target domain than the raw corpus average. The
+    standard published recipe for targeting a pretraining mixture at a
+    domain using only cheap n-gram statistics.
+
+    Shape: both unigram LMs are VOCABULARY-sized (see :func:`unigram_fit`)
+    and merge into one term → ratio table broadcast once via ``ray.put``;
+    scoring streams per batch (polars explode → hash join → mean), so
+    corpus size never concentrates anywhere. Tokens absent from the target
+    vocabulary score ``-oov_logp`` relative (an OOV penalty); tokens absent
+    from the corpus LM cannot occur when the corpus LM is fit on ``ds``
+    itself. Scores round to 4 decimals for SQL-twin comparability.
+    """
+    import polars as pl
+
+    import ray
+
+    tgt = unigram_fit(target, text_col, sep).rename({"logp": "t_neglogp"})
+    cor = unigram_fit(ds, text_col, sep).rename({"logp": "c_neglogp"})
+    # log ratio = ln p_t - ln p_c = c_neglogp - t_neglogp (logp is -ln p)
+    ratio = cor.join(tgt, on="term", how="left").with_columns(
+        (pl.col("c_neglogp") - pl.col("t_neglogp").fill_null(oov_logp))
+        .alias("ratio")
+    ).select(["term", "ratio"])
+    ratio_ref = ray.put(ratio)
+
+    def _score(t: pa.Table) -> pa.Table:
+        v = ray.get(ratio_ref)
+        s = pl.from_arrow(t.column(text_col).combine_chunks())
+        ex = (
+            pl.DataFrame({"row": np.arange(t.num_rows, dtype=np.int64),
+                          "term": s.str.split(sep)})
+            .explode("term")
+            .join(v, on="term", how="left")
+        )
+        per = ex.group_by("row").agg(pl.col("ratio").mean())
+        score = np.zeros(t.num_rows, dtype=np.float64)
+        score[per.get_column("row").to_numpy()] = \
+            per.get_column("ratio").to_numpy()
+        return t.append_column(alias, pa.array(np.round(score, 4)))
+
+    return ds.map_batches(_score, batch_format="pyarrow", zero_copy_batch=True)
