@@ -1269,6 +1269,68 @@ def q_dsir_selected_docs(sf_dir):
     return out.select_columns(["doc_id", "lang", "dsir_score"])
 
 
+def q_late_events_per_user(sf_dir):
+    """Late-arrival audit over the event stream (event_id = delivery
+    order): per user, rows arriving behind the event-time high-watermark
+    and the worst skew — the metric that sizes a windowing lateness
+    policy over a CDC feed."""
+    from vlm_eden_dataset_etl_ray.functions.windows import out_of_order_stats
+
+    ds = _events(sf_dir, columns=["user_id", "event_id", "ts"])
+    return out_of_order_stats(ds, "user_id", "event_id", "ts")
+
+
+def q_shipping_priority(sf_dir):
+    """TPC-H Q3 shape: revenue of the top 10 still-shipping orders for
+    BUILDING-segment customers — semi-join (customer keys never carry
+    payload), planner-bucketed fact join, mergeable revenue partials,
+    global top-k."""
+    import datetime
+
+    from vlm_eden_dataset_etl_ray.functions.relational import (
+        auto_join, grouped_agg, hash_semi_join)
+    from vlm_eden_dataset_etl_ray.sources.parquet import read_table
+
+    cutoff = datetime.datetime(2001, 6, 1)
+    cust = read_table(sf_dir, "customer",
+                      columns=["c_custkey", "c_mktsegment"],
+                      filter=(pc.field("c_mktsegment") == "BUILDING"))
+    cust = cust.select_columns(["c_custkey"])
+    orders = read_table(sf_dir, "orders",
+                        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+                        filter=(pc.field("o_orderdate") < cutoff))
+    li = read_table(sf_dir, "lineitem",
+                    columns=["l_orderkey", "l_extendedprice", "l_discount",
+                             "l_shipdate"],
+                    filter=(pc.field("l_shipdate") > cutoff))
+    orders = hash_semi_join(orders, cust, "o_custkey", "c_custkey")
+
+    def _rev(t: pa.Table) -> pa.Table:
+        rev = pc.multiply(
+            t.column("l_extendedprice"),
+            pc.subtract(pa.scalar(1.0), t.column("l_discount")))
+        return pa.table({"l_orderkey": t.column("l_orderkey"),
+                         "__rev": rev})
+
+    li = li.map_batches(_rev, batch_format="pyarrow", zero_copy_batch=True)
+    joined = auto_join(li, orders, "l_orderkey", "o_orderkey")
+    agg = grouped_agg(joined, ["l_orderkey", "o_orderdate"],
+                      sums={"__rev": "revenue"}, cardinality="high")
+
+    def _round(t: pa.Table) -> pa.Table:
+        t = t.set_column(
+            t.column_names.index("revenue"), "revenue",
+            pc.round(t.column("revenue"), ndigits=2))
+        return t.set_column(  # file stores [s]; SQL engines read timestamps as [us]
+            t.column_names.index("o_orderdate"), "o_orderdate",
+            t.column("o_orderdate").cast(pa.timestamp("us")))
+
+    agg = agg.map_batches(_round, batch_format="pyarrow",
+                          zero_copy_batch=True)
+    return agg.sort(["revenue", "l_orderkey"],
+                    descending=[True, False]).limit(10)
+
+
 def q_winsorized_order_prices(sf_dir):
     """Quantile winsorization: order prices clipped to their exact
     [p01, p99] discrete quantiles (one distributed sort, streamed clip)."""
@@ -1999,6 +2061,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_value_zscores": q_event_value_zscores,
         "user_value_mad": q_user_value_mad,
         "dsir_selected_docs": q_dsir_selected_docs,
+        "late_events_per_user": q_late_events_per_user,
+        "shipping_priority": q_shipping_priority,
         "fuzzy_part_names": q_fuzzy_part_names,
         "term_postings": q_term_postings,
         "orc_roundtrip": q_orc_roundtrip,
@@ -2458,6 +2522,34 @@ def oracle_sql() -> dict[str, str]:
                        as logprob_score
             from tok t join tf using(term) cross join n
             group by t.doc_id
+        """,
+        "late_events_per_user": """
+            with w as (
+                select user_id, ts,
+                       max(ts) over (partition by user_id order by event_id
+                                     rows between unbounded preceding
+                                     and 1 preceding) as prev_max
+                from events)
+            select user_id, count(*) as n,
+                   count(*) filter (ts < prev_max) as n_late,
+                   round(coalesce(
+                       max(epoch(prev_max - ts)) filter (ts < prev_max),
+                       0.0), 3) as max_skew_s
+            from w group by user_id
+        """,
+        "shipping_priority": """
+            select l_orderkey, o_orderdate,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2)
+                       as revenue
+            from lineitem
+            join orders on l_orderkey = o_orderkey
+            where o_custkey in (select c_custkey from customer
+                                where c_mktsegment = 'BUILDING')
+              and o_orderdate < timestamp '2001-06-01'
+              and l_shipdate > timestamp '2001-06-01'
+            group by l_orderkey, o_orderdate
+            order by revenue desc, l_orderkey
+            limit 10
         """,
         "dsir_selected_docs": """
             with tok as (select doc_id,

@@ -177,3 +177,27 @@ def test_session_ids_matches_duckdb_and_counts():
     for row in got.select(["u", "session_id"]).to_pylist():
         mx[row["u"]] = max(mx[row["u"]], row["session_id"])
     assert dict(mx) == counts
+
+
+def test_out_of_order_stats_counts_and_skew():
+    import pyarrow as pa
+    import ray.data as rd
+
+    from vlm_eden_dataset_etl_ray.functions.windows import out_of_order_stats
+
+    ts = pa.array([100, 50, 100, 200, 10, 20, 30], pa.timestamp("s"))
+    t = pa.table({
+        "k": pa.array(["a"] * 5 + ["b"] * 2),
+        "seq": pa.array([1, 2, 3, 4, 5, 1, 2], pa.int64()),
+        "ts": ts,
+    })
+    out = pa.concat_tables(
+        out_of_order_stats(rd.from_arrow(t).repartition(3), "k", "seq", "ts")
+        .iter_batches(batch_format="pyarrow", batch_size=None)).sort_by("k")
+    rows = {k: (n, nl, s) for k, n, nl, s in zip(
+        out.column("k").to_pylist(), out.column("n").to_pylist(),
+        out.column("n_late").to_pylist(), out.column("max_skew_s").to_pylist())}
+    # a: 50 is 50s behind wm=100; 100 EQUALS wm (not late); 10 is 190s behind
+    assert rows["a"] == (5, 2, 190.0)
+    # b: monotone -> nothing late
+    assert rows["b"] == (2, 0, 0.0)

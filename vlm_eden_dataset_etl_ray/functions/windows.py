@@ -566,6 +566,47 @@ def trailing_time_count(
     return ds.groupby(key).map_groups(_per_group, batch_format="pyarrow")
 
 
+def out_of_order_stats(
+    ds: rd.Dataset,
+    key: str,
+    seq_col: str,
+    ts_col: str,
+) -> rd.Dataset:
+    """Late-arrival audit for an out-of-order stream: per key, the total
+    row count, how many rows arrived LATE (event time below the running
+    max of everything already delivered — ``ts < max(ts) over (partition
+    by key order by seq rows unbounded preceding .. 1 preceding)``), and
+    the worst skew in seconds (how far behind the high-watermark a late
+    row was). This is the metric that sizes a watermark/allowed-lateness
+    policy for windowed aggregation over a CDC feed.
+
+    One groupby shuffle co-locates each key; in-group the running max is
+    one vectorized ``np.maximum.accumulate`` over delivery order.
+    """
+
+    def _per_group(g: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(g, sort_keys=[(seq_col, "ascending")])
+        g = g.take(idx)
+        # normalize the physical unit before integer arithmetic
+        us = g.column(ts_col).cast(pa.timestamp("us")).cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        runmax = np.maximum.accumulate(us)
+        prev = np.empty_like(runmax)
+        prev[0] = np.iinfo(np.int64).min
+        prev[1:] = runmax[:-1]
+        late = us < prev
+        skew = float((prev[late] - us[late]).max() / 1e6) if late.any() else 0.0
+        return pa.table({
+            key: g.column(key).slice(0, 1),
+            "n": pa.array([g.num_rows], pa.int64()),
+            "n_late": pa.array([int(late.sum())], pa.int64()),
+            "max_skew_s": pa.array([round(skew, 3)], pa.float64()),
+        })
+
+    return ds.select_columns([key, seq_col, ts_col]).groupby(key).map_groups(
+        _per_group, batch_format="pyarrow")
+
+
 def winsorize(
     ds: rd.Dataset,
     col: str,
