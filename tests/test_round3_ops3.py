@@ -104,3 +104,19 @@ def test_inverted_postings_cap_min_df_and_cross_batch_dedup():
         from td group by term having count(*) >= 2
     """).fetchall()
     assert {r[0]: (r[1], r[2]) for r in exp} == d
+
+
+def test_fuzzy_and_postings_tolerate_nulls():
+    t = pa.table({
+        "blk": pa.array(["x", "x", "x"]),
+        "name": pa.array(["abc", None, "abd"]),
+    })
+    out = _collect(fuzzy_value_pairs(rd.from_arrow(t), ["blk"], "name", 1,
+                                     left_alias="a", right_alias="b"))
+    assert out.num_rows == 1  # (abc, abd); the null row is ignored
+
+    docs = pa.table({"doc_id": pa.array([1, 2], pa.int64()),
+                     "text": pa.array(["w w", None])})
+    p = _collect(inverted_postings(rd.from_arrow(docs), min_df=1, cap=5))
+    assert p.column("term").to_pylist() == ["w"]
+    assert p.column("df").to_pylist() == [1]

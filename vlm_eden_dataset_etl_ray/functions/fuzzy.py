@@ -90,7 +90,9 @@ def fuzzy_value_pairs(
                            cardinality="high").drop_columns(["__n"])
 
     def _pairs(g: pa.Table) -> pa.Table:
-        vals = sorted(set(g.column(value_col).to_pylist()))
+        # nulls can't fuzzy-match anything; drop before pairing
+        vals = sorted({v for v in g.column(value_col).to_pylist()
+                       if v is not None})
         m = len(vals)
         lens = np.array([len(v) for v in vals], dtype=np.int64)
         ia, ib = np.triu_indices(m, k=1)

@@ -181,6 +181,7 @@ def inverted_postings(
             .with_columns(pl.col(text_col).str.split(" "))
             .explode(text_col)
             .rename({text_col: "term"})
+            .drop_nulls("term")  # null text rows index nothing
             .unique()
         ).to_arrow()
         return pa.table({id_col: e.column(id_col),
