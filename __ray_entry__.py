@@ -1269,6 +1269,16 @@ def q_dsir_selected_docs(sf_dir):
     return out.select_columns(["doc_id", "lang", "dsir_score"])
 
 
+def q_chunked_documents(sf_dir):
+    """Context-window chunking: every document split into 32-token windows
+    overlapping by 8 — vectorized per-batch flat-map, no shuffle."""
+    from vlm_eden_dataset_etl_ray.functions.text import chunk_documents
+    from vlm_eden_dataset_etl_ray.sources.parquet import read_table
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return chunk_documents(ds, chunk_tokens=32, overlap=8)
+
+
 def q_late_events_per_user(sf_dir):
     """Late-arrival audit over the event stream (event_id = delivery
     order): per user, rows arriving behind the event-time high-watermark
@@ -2062,6 +2072,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_value_mad": q_user_value_mad,
         "dsir_selected_docs": q_dsir_selected_docs,
         "late_events_per_user": q_late_events_per_user,
+        "chunked_documents": q_chunked_documents,
         "shipping_priority": q_shipping_priority,
         "fuzzy_part_names": q_fuzzy_part_names,
         "term_postings": q_term_postings,
@@ -2522,6 +2533,21 @@ def oracle_sql() -> dict[str, str]:
                        as logprob_score
             from tok t join tf using(term) cross join n
             group by t.doc_id
+        """,
+        "chunked_documents": """
+            with w as (
+                select doc_id, string_split(text, ' ') as wl
+                from documents
+            ), s as (
+                select doc_id, wl,
+                       unnest(range(0, greatest(len(wl) - 8, 1), 24))
+                           as start
+                from w
+            )
+            select doc_id, cast(start // 24 as bigint) as chunk_id,
+                   array_to_string(wl[start + 1 : start + 32], ' ')
+                       as chunk_text
+            from s
         """,
         "late_events_per_user": """
             with w as (

@@ -120,3 +120,26 @@ def test_fuzzy_and_postings_tolerate_nulls():
     p = _collect(inverted_postings(rd.from_arrow(docs), min_df=1, cap=5))
     assert p.column("term").to_pylist() == ["w"]
     assert p.column("df").to_pylist() == [1]
+
+
+def test_chunk_documents_windows_and_edges():
+    from vlm_eden_dataset_etl_ray.functions.text import chunk_documents
+
+    docs = pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": pa.array(["a b c d e f g", "x", None]),
+    })
+    out = _collect(chunk_documents(rd.from_arrow(docs), chunk_tokens=4,
+                                   overlap=2)).sort_by(
+        [("doc_id", "ascending"), ("chunk_id", "ascending")])
+    rows = list(zip(out.column("doc_id").to_pylist(),
+                    out.column("chunk_id").to_pylist(),
+                    out.column("chunk_text").to_pylist()))
+    # doc 1: n=7, step=2, starts 0,2,4 -> windows of 4 (last is short)
+    assert rows == [(1, 0, "a b c d"), (1, 1, "c d e f"), (1, 2, "e f g"),
+                    (2, 0, "x")]  # short doc -> exactly one chunk
+    # null text -> no chunks (doc 3 absent)
+
+    import pytest
+    with pytest.raises(ValueError):
+        chunk_documents(rd.from_arrow(docs), chunk_tokens=4, overlap=4)

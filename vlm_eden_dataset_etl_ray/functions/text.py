@@ -578,6 +578,58 @@ def unigram_logprob_score(
     return unigram_score(ds, vocab, text_col, sep, alias)
 
 
+def chunk_documents(
+    ds: rd.Dataset,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 64,
+    overlap: int = 16,
+    sep: str = " ",
+) -> rd.Dataset:
+    """Split long documents into fixed-size token windows with overlap —
+    the context-length preprocessing step before embedding or training on
+    documents longer than a model's window. Chunk starts are
+    ``0, step, 2·step, …`` with ``step = chunk_tokens − overlap``, emitted
+    while ``start < max(n_tokens − overlap, 1)`` (so every document yields
+    at least one chunk and no chunk is wholly contained in its
+    predecessor).
+
+    Pure per-batch flat-map (rows out ≥ rows in), fully vectorized in
+    polars (split → per-row start ranges → explode → list slice → join);
+    no shuffle, no state. Null texts produce no chunks.
+    """
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be smaller than chunk_tokens")
+    step = chunk_tokens - overlap
+    import polars as pl
+
+    def _chunk(t: pa.Table) -> pa.Table:
+        out = (
+            pl.from_arrow(t.select([id_col, text_col]))
+            .drop_nulls(text_col)
+            .with_columns(__wl=pl.col(text_col).str.split(sep))
+            .with_columns(__n=pl.col("__wl").list.len().cast(pl.Int64))
+            .with_columns(__start=pl.int_ranges(
+                0, pl.max_horizontal(pl.col("__n") - overlap, 1), step))
+            .explode("__start")
+            .with_columns(
+                chunk_id=(pl.col("__start") // step).cast(pl.Int64),
+                chunk_text=pl.col("__wl")
+                .list.slice(pl.col("__start"), chunk_tokens)
+                .list.join(sep),
+            )
+            .select([id_col, "chunk_id", "chunk_text"])
+        ).to_arrow()
+        return pa.table({
+            id_col: out.column(id_col).cast(t.schema.field(id_col).type),
+            "chunk_id": out.column("chunk_id"),
+            "chunk_text": out.column("chunk_text").cast(pa.string()),
+        })
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        _chunk, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def dsir_score(
     ds: rd.Dataset,
     target: rd.Dataset,
