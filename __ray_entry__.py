@@ -415,6 +415,59 @@ def q_daily_event_counts(sf_dir):
     return grouped_count(ds, ["event_date", "event_type"], "n_events")
 
 
+def q_daily_unique_users(sf_dir):
+    """Windowed distinct aggregation: exact unique users per day. Two-level
+    mergeable plan: per-batch distinct (day, user) partials collapse
+    duplicates before the exchange, the second level counts pairs per day
+    — only distinct pairs ever shuffle."""
+    from vlm_eden_dataset_etl_ray.functions.relational import grouped_count
+
+    ds = _events(sf_dir, columns=["ts", "user_id"])
+
+    def _date(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "event_date", t.column("ts").cast(pa.date32())).drop_columns(["ts"])
+
+    ds = ds.map_batches(_date, batch_format="pyarrow", zero_copy_batch=True)
+    pairs = grouped_count(ds, ["event_date", "user_id"], "__n",
+                          cardinality="high").drop_columns(["__n"])
+    return grouped_count(pairs, ["event_date"], "n_users")
+
+
+def q_daily_event_growth(sf_dir):
+    """Day-over-day growth report: daily event counts + percent change vs
+    the previous day (lag over a global ordering). The lag runs as a
+    single-block fold over the POST-AGGREGATE day table — group count
+    rows, not event rows — the honest plan for a reporting tail."""
+    from vlm_eden_dataset_etl_ray.functions.relational import (
+        _single_block, grouped_count)
+
+    ds = _events(sf_dir, columns=["ts"])
+
+    def _date(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "event_date", t.column("ts").cast(pa.date32())).drop_columns(["ts"])
+
+    daily = grouped_count(
+        ds.map_batches(_date, batch_format="pyarrow", zero_copy_batch=True),
+        ["event_date"], "n")
+
+    def _growth(t: pa.Table) -> pa.Table:
+        t = t.take(pc.sort_indices(t, sort_keys=[("event_date", "ascending")]))
+        n = t.column("n").to_numpy(zero_copy_only=False).astype(np.float64)
+        prev = np.empty_like(n)
+        prev[0] = np.nan
+        prev[1:] = n[:-1]
+        with np.errstate(invalid="ignore", divide="ignore"):
+            growth = np.round((n - prev) / prev, 4)
+        return t.append_column(
+            "growth", pa.array(growth, pa.float64(),
+                               mask=np.isnan(growth)))
+
+    return _single_block(daily).map_batches(
+        _growth, batch_format="pyarrow", batch_size=None)
+
+
 def q_daily_event_counts_with_deleted(sf_dir):
     from vlm_eden_dataset_etl_ray.functions.relational import grouped_count
 
@@ -2073,6 +2126,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dsir_selected_docs": q_dsir_selected_docs,
         "late_events_per_user": q_late_events_per_user,
         "chunked_documents": q_chunked_documents,
+        "daily_unique_users": q_daily_unique_users,
+        "daily_event_growth": q_daily_event_growth,
         "shipping_priority": q_shipping_priority,
         "fuzzy_part_names": q_fuzzy_part_names,
         "term_postings": q_term_postings,
@@ -2533,6 +2588,20 @@ def oracle_sql() -> dict[str, str]:
                        as logprob_score
             from tok t join tf using(term) cross join n
             group by t.doc_id
+        """,
+        "daily_unique_users": """
+            select cast(ts as date) as event_date,
+                   count(distinct user_id) as n_users
+            from events group by 1
+        """,
+        "daily_event_growth": """
+            with d as (select cast(ts as date) as event_date,
+                              count(*) as n
+                       from events group by 1)
+            select event_date, n,
+                   round((cast(n as double) - lag(n) over (order by event_date))
+                         / lag(n) over (order by event_date), 4) as growth
+            from d
         """,
         "chunked_documents": """
             with w as (
