@@ -953,6 +953,18 @@ def q_top10_orders(sf_dir):
 # ---- non-SQL-expressible (rows-only driver check) -------------------------
 
 
+def q_user_value_ema(sf_dir):
+    """Per-user exponential moving average of event values (pandas
+    ewm(adjust=False) semantics) — sequential recurrence evaluated as a
+    vectorized segment-wise closed form; not SQL-expressible (rows-only
+    check; exactness vs pandas covered in pytest)."""
+    from vlm_eden_dataset_etl_ray.functions.windows import ewm_mean
+
+    ds = _events(sf_dir, columns=["event_id", "user_id", "ts", "value"])
+    out = ewm_mean(ds, "user_id", ["ts", "event_id"], "value", alpha=0.2)
+    return out.select_columns(["event_id", "user_id", "ema"])
+
+
 def q_asof_latest_order(sf_dir):
     """As-of join: each event matched to the user's latest order at or
     before the event time (right side deduped to max o_orderkey per
@@ -2127,6 +2139,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "late_events_per_user": q_late_events_per_user,
         "chunked_documents": q_chunked_documents,
         "daily_unique_users": q_daily_unique_users,
+        "user_value_ema": q_user_value_ema,
         "daily_event_growth": q_daily_event_growth,
         "shipping_priority": q_shipping_priority,
         "fuzzy_part_names": q_fuzzy_part_names,

@@ -201,3 +201,34 @@ def test_out_of_order_stats_counts_and_skew():
     assert rows["a"] == (5, 2, 190.0)
     # b: monotone -> nothing late
     assert rows["b"] == (2, 0, 0.0)
+
+
+def test_ewm_mean_matches_pandas():
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pytest
+    import ray.data as rd
+
+    from vlm_eden_dataset_etl_ray.functions.windows import ewm_mean
+
+    rng = np.random.default_rng(3)
+    n = 1000  # spans several closed-form segments
+    t = pa.table({
+        "k": pa.array(rng.choice(["a", "b"], n)),
+        "seq": pa.array(np.arange(n, dtype=np.int64)),
+        "v": pa.array(np.round(rng.uniform(-100, 100, n), 3)),
+    })
+    df = t.to_pandas()  # already in seq order
+    for alpha in (0.03, 0.3, 0.97, 1.0):
+        out = pa.concat_tables(
+            ewm_mean(rd.from_arrow(t).repartition(4), "k", ["seq"], "v",
+                     alpha).iter_batches(batch_format="pyarrow",
+                                         batch_size=None)).sort_by("seq")
+        got = out.column("ema").to_numpy(zero_copy_only=False)
+        exp = df.groupby("k")["v"].transform(
+            lambda s: s.ewm(alpha=alpha, adjust=False).mean()).to_numpy()
+        assert np.allclose(got, exp, atol=5e-6), alpha
+
+    with pytest.raises(ValueError):
+        ewm_mean(rd.from_arrow(t), "k", ["seq"], "v", 0.0)

@@ -566,6 +566,62 @@ def trailing_time_count(
     return ds.groupby(key).map_groups(_per_group, batch_format="pyarrow")
 
 
+def ewm_mean(
+    ds: rd.Dataset,
+    key: str,
+    order_cols: list[str],
+    value_col: str,
+    alpha: float,
+    alias: str = "ema",
+) -> rd.Dataset:
+    """Per-key exponential moving average (``pandas ewm(alpha,
+    adjust=False)`` semantics: ``ema_t = α·v_t + (1−α)·ema_{t−1}``,
+    seeded with the first value) — the streaming-feature smoother that a
+    rows/range frame cannot express in SQL.
+
+    One groupby shuffle co-locates each key; in-group the sequential
+    recurrence is evaluated SEGMENT-WISE with the closed form
+    ``ema_t = (1−α)^t·ema_0 + α·Σ v_j·(1−α)^{t−j}`` — a vectorized
+    cumulative sum per 256-row segment (the bounded exponent keeps
+    ``(1−α)^{-j}`` inside double range for any α ≥ 1e-3), carrying one
+    scalar across segments. O(n) work, O(n/256) python iterations.
+    """
+    if not 0.0 < alpha <= 1.0:
+        raise ValueError("alpha must be in (0, 1]")
+    beta = 1.0 - alpha
+    # segment length bounded so β^{-(seg−1)} stays inside double range
+    seg_len = 256 if beta == 0.0 else max(
+        1, min(256, int(300.0 / -np.log10(beta)) if beta < 1.0 else 256))
+
+    def _per_group(g: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(
+            g, sort_keys=[(c, "ascending") for c in order_cols])
+        g = g.take(idx)
+        v = g.column(value_col).to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        n = len(v)
+        out = np.empty(n, dtype=np.float64)
+        if n:
+            out[0] = carry = v[0]
+        start = 1
+        while start < n:
+            seg = v[start:start + seg_len]
+            m = len(seg)
+            if beta == 0.0:  # α = 1: EMA is the value itself
+                out[start:start + m] = seg
+            else:
+                # e_j = β^{j+1}·carry + α·Σ_{i≤j} β^{j−i}·seg_i, j=0..m−1
+                w = beta ** np.arange(1, m + 1, dtype=np.float64)
+                binv = beta ** -np.arange(m, dtype=np.float64)
+                cs = np.cumsum(seg * binv)
+                out[start:start + m] = w * carry + (alpha / beta) * w * cs
+            carry = out[start + m - 1]
+            start += m
+        return g.append_column(alias, pa.array(np.round(out, 6)))
+
+    return ds.groupby(key).map_groups(_per_group, batch_format="pyarrow")
+
+
 def out_of_order_stats(
     ds: rd.Dataset,
     key: str,
