@@ -953,6 +953,46 @@ def q_top10_orders(sf_dir):
 # ---- non-SQL-expressible (rows-only driver check) -------------------------
 
 
+def q_bpe_merge_table(sf_dir):
+    """BPE tokenizer training (Sennrich 2016): 30 merges learned over the
+    corpus. Distributed work = ONE mergeable word count (vocabulary-sized
+    output); the merge loop runs driver-side over that tiny table, like
+    every production tokenizer trainer. Deterministic tie-breaks make the
+    result layout-independent (rows-only; serial-oracle equivalence in
+    pytest)."""
+    from vlm_eden_dataset_etl_ray.functions.bpe import bpe_train
+    from vlm_eden_dataset_etl_ray.sources.parquet import read_table
+
+    ds = read_table(sf_dir, "documents", columns=["text"])
+    merges = bpe_train(ds, n_merges=30)
+    return pa.table({
+        "rank": pa.array(range(len(merges)), pa.int64()),
+        "left": pa.array([a for a, _ in merges], pa.string()),
+        "right": pa.array([b for _, b in merges], pa.string()),
+    })
+
+
+def q_bpe_token_counts_docs(sf_dir):
+    """Apply a trained BPE vocabulary: per document, its subword count —
+    actor-pool encoding stage with per-actor merge ranks and a distinct-word
+    cache (rows-only; encode/train consistency in pytest)."""
+    from vlm_eden_dataset_etl_ray.functions.bpe import bpe_encode, bpe_train
+    from vlm_eden_dataset_etl_ray.sources.parquet import read_table
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    merges = bpe_train(ds, n_merges=30)
+    enc = bpe_encode(ds, merges)
+
+    def _n(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": t.column("doc_id"),
+            "n_bpe": pc.list_value_length(t.column("bpe_tokens"))
+            .cast(pa.int64()),
+        })
+
+    return enc.map_batches(_n, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def q_user_value_ema(sf_dir):
     """Per-user exponential moving average of event values (pandas
     ewm(adjust=False) semantics) — sequential recurrence evaluated as a
@@ -2140,6 +2180,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "chunked_documents": q_chunked_documents,
         "daily_unique_users": q_daily_unique_users,
         "user_value_ema": q_user_value_ema,
+        "bpe_merge_table": q_bpe_merge_table,
+        "bpe_token_counts_docs": q_bpe_token_counts_docs,
         "daily_event_growth": q_daily_event_growth,
         "shipping_priority": q_shipping_priority,
         "fuzzy_part_names": q_fuzzy_part_names,
