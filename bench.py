@@ -86,6 +86,13 @@ BENCH_QUERIES = [
     "user_value_mad",
     "fuzzy_part_names",
     "term_postings",
+    # round-3 tail 3/4: domain targeting, chunking, BPE, Q3, EMA
+    "dsir_selected_docs",
+    "chunked_documents",
+    "shipping_priority",
+    "daily_unique_users",
+    "user_value_ema",
+    "bpe_merge_table",
 ]
 
 
