@@ -1374,6 +1374,17 @@ def q_dsir_selected_docs(sf_dir):
     return out.select_columns(["doc_id", "lang", "dsir_score"])
 
 
+def q_blocklist_flags(sf_dir):
+    """Safety filtering: flag documents containing ANY blocklisted token
+    (exact word match, broadcast list, vectorized per-batch check)."""
+    from vlm_eden_dataset_etl_ray.functions.text import blocklist_flag
+    from vlm_eden_dataset_etl_ray.sources.parquet import read_table
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    out = blocklist_flag(ds, ["scan", "spill"])
+    return out.select_columns(["doc_id", "blocked"])
+
+
 def q_chunked_documents(sf_dir):
     """Context-window chunking: every document split into 32-token windows
     overlapping by 8 — vectorized per-batch flat-map, no shuffle."""
@@ -2178,6 +2189,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dsir_selected_docs": q_dsir_selected_docs,
         "late_events_per_user": q_late_events_per_user,
         "chunked_documents": q_chunked_documents,
+        "blocklist_flags": q_blocklist_flags,
         "daily_unique_users": q_daily_unique_users,
         "user_value_ema": q_user_value_ema,
         "bpe_merge_table": q_bpe_merge_table,
@@ -2643,6 +2655,13 @@ def oracle_sql() -> dict[str, str]:
                        as logprob_score
             from tok t join tf using(term) cross join n
             group by t.doc_id
+        """,
+        "blocklist_flags": """
+            select doc_id,
+                   exists (select 1
+                           from unnest(string_split(text, ' ')) as u(t)
+                           where u.t in ('scan', 'spill')) as blocked
+            from documents
         """,
         "daily_unique_users": """
             select cast(ts as date) as event_date,

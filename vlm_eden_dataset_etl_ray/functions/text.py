@@ -578,6 +578,36 @@ def unigram_logprob_score(
     return unigram_score(ds, vocab, text_col, sep, alias)
 
 
+def blocklist_flag(
+    ds: rd.Dataset,
+    blocklist: list[str],
+    text_col: str = "text",
+    sep: str = " ",
+    alias: str = "blocked",
+) -> rd.Dataset:
+    """Safety/boilerplate filtering: flag documents containing ANY
+    blocklisted token (exact word match — the pattern a substring regex
+    cannot do safely at scale without word boundaries). The blocklist
+    ships once inside the closure (list-sized, like every broadcast side);
+    the check is one vectorized polars ``split → is_in → any`` per batch —
+    no shuffle, no state."""
+    import polars as pl
+
+    blocked = pl.Series("b", sorted(set(blocklist)))
+
+    def _flag(t: pa.Table) -> pa.Table:
+        s = pl.from_arrow(t.column(text_col).combine_chunks())
+        hit = (
+            s.str.split(sep)
+            .list.eval(pl.element().is_in(blocked))
+            .list.any()
+            .fill_null(False)
+        )
+        return t.append_column(alias, hit.to_arrow().cast(pa.bool_()))
+
+    return ds.map_batches(_flag, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def chunk_documents(
     ds: rd.Dataset,
     id_col: str = "doc_id",
