@@ -145,3 +145,22 @@ def test_migrate_idempotent(tmp_path):
     assert st.migrate(DROPPED) == 2
     assert st.migrate(DROPPED) == 2
     assert st.current_drops() == {"source": 2}
+
+
+def test_schema_history_reports_deltas(tmp_path):
+    import pyarrow as pa
+
+    from vlm_eden_dataset_etl_ray.state.registry import (
+        SchemaRegistryState, schema_history)
+
+    lake = str(tmp_path / "lake")
+    st = SchemaRegistryState(lake)
+    base = st.schema()
+    st.register(2, pa.schema(list(base) + [pa.field("extra", pa.float64())]))
+    st.migrate(pa.schema([f for f in st.schema() if f.name != "extra"]))
+    h = schema_history(lake)
+    assert h.column("version").to_pylist() == [1, 2, 3]
+    assert h.column("added").to_pylist()[1] == "extra"
+    assert h.column("dropped").to_pylist()[2] == "extra"
+    # a fresh driver sees the same history (persisted, actor-free read)
+    assert schema_history(lake).equals(h)

@@ -221,3 +221,33 @@ def make_registry_actor(lake_dir: str | None = None,
     Actor = ray.remote(num_cpus=0)(SchemaRegistryState)
     return Actor.options(name=f"schema-registry-{digest}",
                          get_if_exists=True).remote(lake_dir, seed_versions)
+
+
+def schema_history(lake_dir: str) -> pa.Table:
+    """Audit table of the lake's schema evolution: one row per registered
+    version with its column list and the delta (added / dropped names) vs
+    the previous version — the surface an operator checks before and after
+    a migration. Reads the persisted snapshots directly (no actor needed:
+    history is immutable once written)."""
+    state = SchemaRegistryState(lake_dir)
+    versions = sorted(state._versions)
+    rows = {"version": [], "n_fields": [], "columns": [], "added": [],
+            "dropped": []}
+    prev: pa.Schema | None = None
+    for v in versions:
+        s = state._versions[v]
+        names = list(s.names)
+        pnames = list(prev.names) if prev is not None else []
+        rows["version"].append(v)
+        rows["n_fields"].append(len(names))
+        rows["columns"].append(",".join(names))
+        rows["added"].append(",".join(n for n in names if n not in pnames))
+        rows["dropped"].append(",".join(n for n in pnames if n not in names))
+        prev = s
+    return pa.table({
+        "version": pa.array(rows["version"], pa.int64()),
+        "n_fields": pa.array(rows["n_fields"], pa.int64()),
+        "columns": pa.array(rows["columns"], pa.string()),
+        "added": pa.array(rows["added"], pa.string()),
+        "dropped": pa.array(rows["dropped"], pa.string()),
+    })
