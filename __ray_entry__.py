@@ -434,6 +434,24 @@ def q_daily_unique_users(sf_dir):
     return grouped_count(pairs, ["event_date"], "n_users")
 
 
+def q_daily_approx_unique_users(sf_dir):
+    """Sketch counterpart of daily_unique_users: per-day HLL distinct-user
+    estimates — one sketch per (batch, day), tree-merged; constant bytes
+    per day cross the exchange instead of distinct pairs (rows-only:
+    approximate by design; <5% accuracy pytest in test_sketches)."""
+    from vlm_eden_dataset_etl_ray.functions.sketches import approx_distinct
+
+    ds = _events(sf_dir, columns=["ts", "user_id"])
+
+    def _date(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "event_date", t.column("ts").cast(pa.date32()).cast(pa.string())
+        ).drop_columns(["ts"])
+
+    ds = ds.map_batches(_date, batch_format="pyarrow", zero_copy_batch=True)
+    return approx_distinct(ds, "user_id", group_by="event_date")
+
+
 def q_daily_event_growth(sf_dir):
     """Day-over-day growth report: daily event counts + percent change vs
     the previous day (lag over a global ordering). The lag runs as a
@@ -2191,6 +2209,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "chunked_documents": q_chunked_documents,
         "blocklist_flags": q_blocklist_flags,
         "daily_unique_users": q_daily_unique_users,
+        "daily_approx_unique_users": q_daily_approx_unique_users,
         "user_value_ema": q_user_value_ema,
         "bpe_merge_table": q_bpe_merge_table,
         "bpe_token_counts_docs": q_bpe_token_counts_docs,

@@ -110,3 +110,25 @@ def test_approx_heavy_hitters_match_exact_topk():
     est = np.array(got.column("approx_count").to_pylist())
     true = np.array(exact.column("n").to_pylist())
     assert (est >= true).all() and (est - true).max() / true.min() < 0.05
+
+
+def test_grouped_hll_daily_accuracy():
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from vlm_eden_dataset_etl_ray.functions.sketches import approx_distinct
+
+    rng = np.random.default_rng(9)
+    days = np.array(["d1", "d2", "d3"])[rng.integers(0, 3, 20000)]
+    users = rng.integers(0, 2000, 20000)
+    t = pa.table({"day": pa.array(days), "u": pa.array(users)})
+    got = approx_distinct(rd.from_arrow(t).repartition(8), "u",
+                          group_by="day")
+    import collections
+    exact = collections.defaultdict(set)
+    for d, u in zip(days, users):
+        exact[d].add(u)
+    for d, est in zip(got.column("day").to_pylist(),
+                      got.column("approx_distinct").to_pylist()):
+        assert abs(est - len(exact[d])) / len(exact[d]) < 0.05, (d, est)
