@@ -1011,6 +1011,16 @@ def q_bpe_token_counts_docs(sf_dir):
     return enc.map_batches(_n, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def q_user_value_trend(sf_dir):
+    """Per-user metric drift: least-squares slope/intercept of value
+    against within-user chronological rank (regr_slope/regr_intercept
+    twin; rank-x keeps the moments numerically exact)."""
+    from vlm_eden_dataset_etl_ray.functions.stats import grouped_trend
+
+    ds = _events(sf_dir, columns=["user_id", "ts", "event_id", "value"])
+    return grouped_trend(ds, "user_id", ["ts", "event_id"], "value")
+
+
 def q_user_value_ema(sf_dir):
     """Per-user exponential moving average of event values (pandas
     ewm(adjust=False) semantics) — sequential recurrence evaluated as a
@@ -2211,6 +2221,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "daily_unique_users": q_daily_unique_users,
         "daily_approx_unique_users": q_daily_approx_unique_users,
         "user_value_ema": q_user_value_ema,
+        "user_value_trend": q_user_value_trend,
         "bpe_merge_table": q_bpe_merge_table,
         "bpe_token_counts_docs": q_bpe_token_counts_docs,
         "daily_event_growth": q_daily_event_growth,
@@ -2674,6 +2685,17 @@ def oracle_sql() -> dict[str, str]:
                        as logprob_score
             from tok t join tf using(term) cross join n
             group by t.doc_id
+        """,
+        "user_value_trend": """
+            with r as (
+                select user_id, value,
+                       row_number() over (partition by user_id
+                                          order by ts, event_id) as x
+                from events)
+            select user_id, count(*) as n,
+                   round(regr_slope(value, x), 6) as slope,
+                   round(regr_intercept(value, x), 6) as intercept
+            from r group by user_id
         """,
         "blocklist_flags": """
             select doc_id,

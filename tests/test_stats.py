@@ -163,3 +163,25 @@ def test_profile_columns():
                          "min_str": "1", "max_str": "7"}
     assert rows["b"] == {"column": "b", "n_nulls": 2, "n_distinct": 2,
                          "min_str": "m", "max_str": "x"}
+
+
+def test_grouped_trend_slope_and_degenerate_group():
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from vlm_eden_dataset_etl_ray.functions.stats import grouped_trend
+
+    t = pa.table({
+        "k": pa.array(["a"] * 4 + ["b"]),
+        "seq": pa.array([1, 2, 3, 4, 1], pa.int64()),
+        "v": pa.array([2.0, 4.0, 6.0, 8.0, 5.0]),
+    })
+    out = pa.concat_tables(grouped_trend(
+        rd.from_arrow(t).repartition(3), "k", ["seq"], "v")
+        .iter_batches(batch_format="pyarrow", batch_size=None)).sort_by("k")
+    rows = {k: (n, s, i) for k, n, s, i in zip(
+        out.column("k").to_pylist(), out.column("n").to_pylist(),
+        out.column("slope").to_pylist(), out.column("intercept").to_pylist())}
+    assert rows["a"] == (4, 2.0, 0.0)      # perfect line y = 2x
+    assert rows["b"] == (1, None, None)    # single point: undefined, not inf

@@ -354,6 +354,54 @@ def grouped_mad(
     ).map_groups(_fold, batch_format="pyarrow")
 
 
+def grouped_trend(
+    ds: rd.Dataset,
+    key: str,
+    order_cols: list[str],
+    value: str,
+    ndigits: int = 6,
+) -> rd.Dataset:
+    """Per-key linear trend: least-squares slope and intercept of ``value``
+    against the row's 1-based CHRONOLOGICAL RANK within the key (``x =
+    row_number() over (partition by key order by ...)``) — the drift
+    detector for a metric series ("is this user's value trending up?").
+    Regressing on rank rather than raw epoch keeps x small, so the
+    centered-moment formula below is numerically exact where raw-moment
+    sums over epoch-microsecond x would cancel catastrophically.
+
+    One groupby shuffle; the in-group fold is the closed form
+    ``slope = Σ(x−x̄)(y−ȳ) / Σ(x−x̄)²`` — vectorized, stable, matching
+    SQL ``regr_slope``/``regr_intercept``. A single-row group (zero x
+    variance) yields null slope/intercept, matching SQL."""
+
+    def _fold(g: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(
+            g, sort_keys=[(c, "ascending") for c in order_cols])
+        y = g.take(idx).column(value).to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        n = len(y)
+        x = np.arange(1, n + 1, dtype=np.float64)
+        if n < 2:
+            slope = intercept = None
+        else:
+            xc = x - x.mean()
+            yc = y - y.mean()
+            slope = float(np.dot(xc, yc) / np.dot(xc, xc))
+            intercept = float(y.mean() - slope * x.mean())
+            slope = round(slope, ndigits)
+            intercept = round(intercept, ndigits)
+        return pa.table({
+            key: g.column(key).slice(0, 1),
+            "n": pa.array([n], pa.int64()),
+            "slope": pa.array([slope], pa.float64()),
+            "intercept": pa.array([intercept], pa.float64()),
+        })
+
+    return ds.select_columns(
+        [key, value] + [c for c in order_cols if c not in (key, value)]
+    ).groupby(key).map_groups(_fold, batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------------------
 # Table profiler: per-column nulls / exact distinct / min / max.
 # ---------------------------------------------------------------------------
