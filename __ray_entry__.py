@@ -471,6 +471,8 @@ def q_daily_event_growth(sf_dir):
         ["event_date"], "n")
 
     def _growth(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t.append_column("growth", pa.array([], pa.float64()))
         t = t.take(pc.sort_indices(t, sort_keys=[("event_date", "ascending")]))
         n = t.column("n").to_numpy(zero_copy_only=False).astype(np.float64)
         prev = np.empty_like(n)

@@ -143,3 +143,49 @@ def test_chunk_documents_windows_and_edges():
     import pytest
     with pytest.raises(ValueError):
         chunk_documents(rd.from_arrow(docs), chunk_tokens=4, overlap=4)
+
+
+def test_zscore_stable_under_large_mean():
+    from vlm_eden_dataset_etl_ray.functions.relational import zscore_normalize
+    # mean 1e8, stddev_pop ~0.816: the one-pass E[x^2]-mean^2 shortcut
+    # cancels to 0 here and silently nulls the group; two-pass must not
+    base = 1e8
+    t = pa.table({"k": pa.array([1] * 6, pa.int64()),
+                  "v": pa.array([base, base + 1, base + 2] * 2)})
+    out = _collect(zscore_normalize(rd.from_arrow(t).repartition(2),
+                                    "k", "v")).sort_by("v")
+    z = out.column("zscore").to_pylist()
+    assert None not in z
+    assert abs(z[0] - round(-1 / (2 / 3) ** 0.5, 4)) < 1e-9
+    assert abs(z[5] - round(1 / (2 / 3) ** 0.5, 4)) < 1e-9
+
+
+def test_orc_duplicate_content_blocks_all_land(tmp_path):
+    import os
+
+    from vlm_eden_dataset_etl_ray.sources.orc import (
+        read_orc_table, write_orc_table)
+
+    out = str(tmp_path / "orc")
+    t = pa.table({"k": pa.array([7] * 100, pa.int64())})
+    n = write_orc_table(rd.from_arrow(t).repartition(4), out)
+    assert n == len([f for f in os.listdir(out) if f.endswith(".orc")]) == 4
+    assert _collect(read_orc_table(out)).num_rows == 100
+
+
+def test_inverted_postings_string_ids():
+    docs = pa.table({"doc_id": pa.array(["u-b", "u-a"]),
+                     "text": pa.array(["w", "w"])})
+    out = _collect(inverted_postings(rd.from_arrow(docs), min_df=1, cap=5))
+    assert out.column("postings").to_pylist() == ["u-a,u-b"]  # lexicographic
+
+
+def test_tfidf_rejects_duplicate_doc_ids():
+    import pytest
+
+    from vlm_eden_dataset_etl_ray.functions.text import tfidf
+
+    docs = pa.table({"doc_id": pa.array([1, 1], pa.int64()),
+                     "text": pa.array(["a", "b"])})
+    with pytest.raises(Exception, match="one row per document"):
+        _collect(tfidf(rd.from_arrow(docs)))

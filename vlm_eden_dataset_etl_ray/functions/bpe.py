@@ -72,11 +72,10 @@ def bpe_train(
     for _ in range(n_merges):
         if not pair_counts:
             break
-        best = max(pair_counts.items(), key=lambda kv: (kv[1], kv[0][0], kv[0][1]))
-        # max() on (count, pair) breaks count ties by LARGEST pair; flip to
-        # smallest-lexicographic for the conventional deterministic order
-        top = best[1]
-        best = min((p for p, c in pair_counts.items() if c == top))
+        top = max(pair_counts.values())
+        # smallest-lexicographic pair among the most frequent: the
+        # conventional deterministic tie-break
+        best = min(p for p, c in pair_counts.items() if c == top)
         merges.append(best)
         new_vocab: dict[tuple[str, ...], int] = {}
         a, b = best

@@ -1550,34 +1550,50 @@ def zscore_normalize(
     window twin. A constant group (stddev 0) yields null, matching
     ``nullif(stddev_pop(...), 0)``.
 
-    Scale shape: mergeable sum/sum-of-squares/count partials collapse the
-    payload to one stats row per group BEFORE any exchange; the stats side
-    then joins back through the :func:`auto_join` planner (broadcast while
-    group count is small, partitioned hash join when it is not)."""
+    Scale shape: TWO passes of mergeable partials (means, then centered
+    squares) — the centered second pass is what keeps the variance
+    numerically exact when |mean| >> stddev, where the one-pass
+    ``E[x²]−mean²`` shortcut cancels catastrophically and silently nulls
+    out non-constant groups. Each pass collapses the payload to one stats
+    row per group before any exchange; stats join back through the
+    :func:`auto_join` planner (broadcast while group count is small,
+    partitioned hash join when it is not)."""
 
-    def _sq(t: pa.Table) -> pa.Table:
-        v = t.column(value_col).cast(pa.float64())
-        return pa.table({key: t.column(key), "__v": v,
-                         "__v2": pc.multiply(v, v)})
+    def _v(t: pa.Table) -> pa.Table:
+        return pa.table({key: t.column(key),
+                         "__v": t.column(value_col).cast(pa.float64())})
 
-    stats = grouped_agg(
-        ds.map_batches(_sq, batch_format="pyarrow", zero_copy_batch=True),
-        [key], sums={"__v": "__s", "__v2": "__sq"}, counts="__n",
-        cardinality="high",
+    means = grouped_agg(
+        ds.map_batches(_v, batch_format="pyarrow", zero_copy_batch=True),
+        [key], sums={"__v": "__s"}, counts="__n", cardinality="high",
     )
-    joined = auto_join(ds, stats, key, key, bytes_hint=bytes_hint)
+    with_mean = auto_join(ds, means, key, key, bytes_hint=bytes_hint)
+
+    def _centered_sq(t: pa.Table) -> pa.Table:
+        v = t.column(value_col).cast(pa.float64()).to_numpy(zero_copy_only=False)
+        s = t.column("__s").to_numpy(zero_copy_only=False)
+        n = t.column("__n").to_numpy(zero_copy_only=False).astype(np.float64)
+        d = v - s / n
+        return pa.table({key: t.column(key),
+                         "__d2": pa.array(d * d, pa.float64())})
+
+    var = grouped_agg(
+        with_mean.map_batches(_centered_sq, batch_format="pyarrow",
+                              zero_copy_batch=True),
+        [key], sums={"__d2": "__ss"}, cardinality="high",
+    )
+    joined = auto_join(with_mean, var, key, key, bytes_hint=bytes_hint)
 
     def _z(t: pa.Table) -> pa.Table:
         v = t.column(value_col).cast(pa.float64()).to_numpy(zero_copy_only=False)
         s = t.column("__s").to_numpy(zero_copy_only=False)
-        sq = t.column("__sq").to_numpy(zero_copy_only=False)
+        ss = t.column("__ss").to_numpy(zero_copy_only=False)
         n = t.column("__n").to_numpy(zero_copy_only=False).astype(np.float64)
         mean = s / n
-        var = np.maximum(sq / n - mean * mean, 0.0)
-        std = np.sqrt(var)
+        std = np.sqrt(ss / n)
         with np.errstate(divide="ignore", invalid="ignore"):
             z = np.round((v - mean) / std, 4)
-        out = t.drop_columns(["__s", "__sq", "__n"])
+        out = t.drop_columns(["__s", "__ss", "__n"])
         return out.append_column(
             alias, pa.array(np.where(std == 0, np.nan, z), pa.float64(),
                             mask=(std == 0)))

@@ -196,7 +196,9 @@ def inverted_postings(
         ids = np.sort(g.column(id_col).to_numpy(zero_copy_only=False))
         df = len(ids)
         n_keep = 1 if df >= min_df else 0
-        postings = ",".join(str(int(x)) for x in ids[:cap]) if n_keep else ""
+        # str(x), not str(int(x)): id_col is generic (UUID/URL ids are the
+        # norm in corpus pipelines); numpy int64 stringifies cleanly too
+        postings = ",".join(str(x) for x in ids[:cap]) if n_keep else ""
         return pa.table({
             "term": g.column("term").slice(0, n_keep),
             "df": pa.array([df][:n_keep], pa.int64()),
@@ -340,6 +342,10 @@ def tfidf(
 
     def _tf(t: pa.Table) -> pa.Table:
         df = pl.from_arrow(t.select([id_col, text_col]))
+        if df.get_column(id_col).n_unique() != len(df):
+            raise ValueError(
+                f"tfidf requires one row per document; duplicate {id_col} "
+                "values found in a batch (pre-aggregate rows per doc first)")
         g = (
             df.with_columns(pl.col(text_col).str.split(sep))
             .explode(text_col)
@@ -520,6 +526,48 @@ def unigram_fit(
     })
 
 
+def _mean_term_score(
+    ds: rd.Dataset,
+    table_ref,
+    score_col: str,
+    text_col: str,
+    sep: str,
+    alias: str,
+    fill_null: float | None,
+    raise_on_null: str | None = None,
+) -> rd.Dataset:
+    """Shared per-batch scoring shape for broadcast term→score tables:
+    explode tokens → left hash join → per-doc mean → scatter back (rows
+    with no tokens score 0). ``fill_null`` scores terms absent from the
+    table; when it is None and ``raise_on_null`` is set, a missing term
+    raises with that message."""
+    import polars as pl
+
+    import ray
+
+    def _score(t: pa.Table) -> pa.Table:
+        v = ray.get(table_ref)
+        s = pl.from_arrow(t.column(text_col).combine_chunks())
+        ex = (
+            pl.DataFrame({"row": np.arange(t.num_rows, dtype=np.int64),
+                          "term": s.str.split(sep)})
+            .explode("term")
+            .join(v, on="term", how="left")
+        )
+        if ex.get_column(score_col).is_null().any():
+            if fill_null is None:
+                raise ValueError(raise_on_null or
+                                 f"{score_col}: term missing from table")
+            ex = ex.with_columns(pl.col(score_col).fill_null(fill_null))
+        per = ex.group_by("row").agg(pl.col(score_col).mean())
+        score = np.zeros(t.num_rows, dtype=np.float64)
+        score[per.get_column("row").to_numpy()] = \
+            per.get_column(score_col).to_numpy()
+        return t.append_column(alias, pa.array(np.round(score, 4)))
+
+    return ds.map_batches(_score, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def unigram_score(
     ds: rd.Dataset,
     vocab,
@@ -535,34 +583,12 @@ def unigram_score(
     decimals so a SQL twin lands on identical values. ``oov_logp`` scores
     out-of-vocabulary tokens when applying the LM to a DIFFERENT corpus;
     by default an OOV token raises."""
-    import polars as pl
-
     import ray
-    vocab_ref = ray.put(vocab)
 
-    def _score(t: pa.Table) -> pa.Table:
-        v = ray.get(vocab_ref)
-        s = pl.from_arrow(t.column(text_col).combine_chunks())
-        ex = (
-            pl.DataFrame({"row": np.arange(t.num_rows, dtype=np.int64),
-                          "term": s.str.split(sep)})
-            .explode("term")
-            .join(v, on="term", how="left")
-        )
-        miss = ex.get_column("logp").is_null()
-        if miss.any():
-            if oov_logp is None:
-                raise ValueError(
-                    "unigram_score: out-of-vocabulary token; pass "
-                    "oov_logp to score a corpus the LM was not fit on")
-            ex = ex.with_columns(pl.col("logp").fill_null(oov_logp))
-        per = ex.group_by("row").agg(pl.col("logp").mean())
-        score = np.zeros(t.num_rows, dtype=np.float64)
-        score[per.get_column("row").to_numpy()] = \
-            per.get_column("logp").to_numpy()
-        return t.append_column(alias, pa.array(np.round(score, 4)))
-
-    return ds.map_batches(_score, batch_format="pyarrow", zero_copy_batch=True)
+    return _mean_term_score(
+        ds, ray.put(vocab), "logp", text_col, sep, alias, oov_logp,
+        raise_on_null="unigram_score: out-of-vocabulary token; pass "
+                      "oov_logp to score a corpus the LM was not fit on")
 
 
 def unigram_logprob_score(
@@ -695,21 +721,7 @@ def dsir_score(
         (pl.col("c_neglogp") - pl.col("t_neglogp").fill_null(oov_logp))
         .alias("ratio")
     ).select(["term", "ratio"])
-    ratio_ref = ray.put(ratio)
-
-    def _score(t: pa.Table) -> pa.Table:
-        v = ray.get(ratio_ref)
-        s = pl.from_arrow(t.column(text_col).combine_chunks())
-        ex = (
-            pl.DataFrame({"row": np.arange(t.num_rows, dtype=np.int64),
-                          "term": s.str.split(sep)})
-            .explode("term")
-            .join(v, on="term", how="left")
-        )
-        per = ex.group_by("row").agg(pl.col("ratio").mean())
-        score = np.zeros(t.num_rows, dtype=np.float64)
-        score[per.get_column("row").to_numpy()] = \
-            per.get_column("ratio").to_numpy()
-        return t.append_column(alias, pa.array(np.round(score, 4)))
-
-    return ds.map_batches(_score, batch_format="pyarrow", zero_copy_batch=True)
+    # corpus LM is fit on ds itself, so every term joins; fill_null=0.0 is
+    # an unreachable safety default for externally supplied corpora
+    return _mean_term_score(ds, ray.put(ratio), "ratio", text_col, sep,
+                            alias, fill_null=0.0)

@@ -54,28 +54,24 @@ def read_orc_table(path: str, columns=None) -> rd.Dataset:
 
 
 def write_orc_table(ds: rd.Dataset, out_dir: str) -> int:
-    """ORC sink: one ``part-*.orc`` file per block, named by content hash so
-    re-runs overwrite identically (resumable like the parquet sink). Returns
-    the number of files written."""
+    """ORC sink: one ``part-<index>.orc`` file per block, written by
+    parallel Ray tasks over the block refs. Index-based names make the
+    write re-run stable under the same block layout AND collision-free
+    when two blocks carry identical content (a content-hash name would
+    silently overwrite one with the other). Returns the number of files
+    written."""
+    import ray
 
-    def _write(batch: pa.Table) -> pa.Table:
-        import hashlib
-
+    @ray.remote
+    def _write(i: int, block: pa.Table) -> int:
         from pyarrow import orc
 
-        digest = hashlib.sha256()
-        for c in batch.column_names:
-            for ch in batch.column(c).chunks:
-                for buf in ch.buffers():
-                    if buf is not None:
-                        digest.update(buf)
-        name = f"part-{digest.hexdigest()[:16]}.orc"
-        fs, rel = fsio.resolve(fsio.join(out_dir, name))
+        fs, rel = fsio.resolve(fsio.join(out_dir, f"part-{i:05d}.orc"))
         with fs.open_output_stream(rel) as f:
-            orc.write_table(batch, f)
-        return pa.table({"path": pa.array([name], pa.string()),
-                         "rows": pa.array([batch.num_rows], pa.int64())})
+            orc.write_table(block, f)
+        return block.num_rows
 
     fsio.makedirs(out_dir)
-    written = ds.map_batches(_write, batch_format="pyarrow").count()
-    return int(written)
+    refs = ds.to_arrow_refs()
+    ray.get([_write.remote(i, r) for i, r in enumerate(refs)])
+    return len(refs)
