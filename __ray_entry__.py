@@ -613,6 +613,30 @@ def q_dedup_exact_documents(sf_dir):
     return exact_dedup(docs.union(dup), on=["text"], keep_by="doc_id").select_columns(cols)
 
 
+def q_span_dedup_documents(sf_dir):
+    """C4-style sub-document dedup: 3-word spans, global keep-first,
+    reassembled documents (docs made entirely of already-seen spans
+    vanish). Explode → keep-first top-1 on the span string → ordered
+    re-agg; three streaming stages, no driver state."""
+    from vlm_eden_dataset_etl_ray.functions.dedup import span_dedup
+    from vlm_eden_dataset_etl_ray.sources.parquet import read_table
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return span_dedup(docs, span_words=3)
+
+
+def q_debounced_events(sf_dir):
+    """Time-windowed dedup (debounce): drop an event arriving within 24 h
+    of its (user, type) predecessor — lag-predicate semantics, one
+    co-locating shuffle, vectorized in-group diff."""
+    from vlm_eden_dataset_etl_ray.functions.windows import debounce
+
+    ds = _events(sf_dir, columns=["event_id", "ts", "user_id",
+                                  "event_type", "value"])
+    return debounce(ds, ["user_id", "event_type"], "ts", 86400.0,
+                    order_cols=["ts", "event_id"])
+
+
 def q_ngram_jaccard_dupes(sf_dir):
     from vlm_eden_dataset_etl_ray.functions.dedup import ngram_jaccard_pairs
     from vlm_eden_dataset_etl_ray.sources.parquet import read_table
@@ -2164,6 +2188,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tenant_slug_schemas": q_tenant_slug_schemas,
         "calendar_dim": q_calendar_dim,
         "dedup_exact_documents": q_dedup_exact_documents,
+        "span_dedup_documents": q_span_dedup_documents,
+        "debounced_events": q_debounced_events,
         "ngram_jaccard_dupes": q_ngram_jaccard_dupes,
         "knn_cosine_topk": q_knn_cosine_topk,
         "embedding_near_dup_pairs": q_embedding_near_dup_pairs,
@@ -2503,6 +2529,32 @@ def oracle_sql() -> dict[str, str]:
                 select doc_id + 100000 as doc_id, text, lang, source, n_chars from documents)
             select doc_id, text, lang, source, n_chars from all_docs
             qualify row_number() over (partition by text order by doc_id) = 1
+        """,
+        "span_dedup_documents": """
+            with w as (select doc_id, string_split(text, ' ') as wl
+                       from documents),
+            s as (select doc_id, wl,
+                         unnest(range(0, greatest(len(wl), 1), 3)) as start
+                  from w),
+            sp as (select doc_id, cast(start // 3 as bigint) as span_no,
+                          array_to_string(wl[start + 1 : start + 3], ' ')
+                              as span_text
+                   from s),
+            keep as (select doc_id, span_no, span_text from (
+                select *, row_number() over (partition by span_text
+                                             order by doc_id, span_no) as rn
+                from sp) where rn = 1)
+            select doc_id, string_agg(span_text, ' ' order by span_no) as text
+            from keep group by doc_id
+        """,
+        "debounced_events": """
+            with w as (
+                select event_id, ts, user_id, event_type, value,
+                       lag(ts) over (partition by user_id, event_type
+                                     order by ts, event_id) as prev
+                from events)
+            select event_id, ts, user_id, event_type, value
+            from w where prev is null or epoch(ts - prev) > 86400
         """,
         "ngram_jaccard_dupes": f"""
             with t as (select doc_id, list_distinct(string_split(text, ' ')) w from documents)

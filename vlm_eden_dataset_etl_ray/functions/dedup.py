@@ -618,3 +618,55 @@ def embedding_near_dup_bucketed(
             .map_batches(
                 lambda t: t.rename_columns(["vec_a", "vec_b", "cosine"]),
                 batch_format="pyarrow"))
+
+
+# ---------------------------------------------------------------------------
+# Span-level (line-level) exact dedup, C4/CCNet style.
+# ---------------------------------------------------------------------------
+
+
+def span_dedup(
+    ds: rd.Dataset,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    span_words: int = 16,
+    sep: str = " ",
+) -> rd.Dataset:
+    """Sub-document exact dedup, the C4 recipe (Raffel et al. 2020,
+    arXiv:1910.10683 — "discard all but one of any three-sentence span
+    occurring more than once"; CCNet does the same per paragraph hash):
+    split every document into fixed non-overlapping ``span_words``-word
+    spans, keep only each distinct span's GLOBALLY FIRST occurrence
+    (ordered by ``(id_col, span position)``), and reassemble the surviving
+    spans into the cleaned document. Documents whose every span was seen
+    earlier vanish from the output.
+
+    Shape — three streaming stages, no driver state:
+
+    1. explode to ``(id, span_no, span_text)`` — per-batch vectorized
+       flat-map (:func:`..text.chunk_documents` with ``overlap=0``);
+    2. global keep-first per span — two-stage top-1 keyed on the span
+       STRING itself (exact; no hash-collision risk), one shuffle whose
+       payload is the spans, never the original documents;
+    3. reassemble — ordered string-agg per document, second shuffle on
+       the document id.
+
+    At 100 TB the shuffle key (short span text) is fine-grained and
+    uniform, so no salting is needed; stage 2's per-batch pre-reduce bounds
+    what a hot span (boilerplate) ships to one row per batch.
+    """
+    from vlm_eden_dataset_etl_ray.functions.relational import (
+        string_agg_ordered,
+        top1_per_key,
+    )
+    from vlm_eden_dataset_etl_ray.functions.text import chunk_documents
+
+    spans = chunk_documents(
+        ds, id_col=id_col, text_col=text_col,
+        chunk_tokens=span_words, overlap=0, sep=sep)
+    kept = top1_per_key(
+        spans, "chunk_text",
+        [(id_col, "ascending"), ("chunk_id", "ascending")])
+    return string_agg_ordered(
+        kept, id_col, "chunk_text",
+        [("chunk_id", "ascending")], alias=text_col, sep=sep)

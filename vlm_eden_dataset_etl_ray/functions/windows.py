@@ -692,3 +692,39 @@ def winsorize(
         return t.append_column(out, clipped)
 
     return ds.map_batches(_clip, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def debounce(
+    ds: rd.Dataset,
+    keys: list[str],
+    ts_col: str,
+    gap_seconds: float,
+    order_cols: list[str] | None = None,
+) -> rd.Dataset:
+    """Time-windowed dedup (debounce): within each ``keys`` partition, drop
+    a row when it falls within ``gap_seconds`` of the ROW BEFORE it in
+    ``order_cols`` order — the ``lag(ts)``-predicate shape (each row is
+    judged against its immediate predecessor, kept or not), NOT the greedy
+    keep-anchored chain. The CDC duplicate-suppression step for at-least-
+    once feeds that re-deliver the same logical event in a burst
+    (reference re-delivers via Celery retries, /root/reference/tasks.py).
+
+    One groupby shuffle co-locates each key partition; the in-group sort +
+    diff + filter is vectorized. Timestamps normalize to microseconds
+    before the gap arithmetic (s/ms/ns inputs behave identically). Include
+    a tiebreak id in ``order_cols`` for determinism; ties (diff 0) are
+    dropped.
+    """
+    order_cols = order_cols or [ts_col]
+
+    def _per_group(g: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(
+            g, sort_keys=[(c, "ascending") for c in order_cols])
+        g = g.take(idx)
+        us = (g.column(ts_col).cast(pa.timestamp("us")).cast(pa.int64())
+              .to_numpy(zero_copy_only=False))
+        keep = np.concatenate(
+            [[True], np.diff(us) > gap_seconds * 1_000_000])
+        return g.filter(pa.array(keep))
+
+    return ds.groupby(keys).map_groups(_per_group, batch_format="pyarrow")
