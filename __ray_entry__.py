@@ -637,6 +637,35 @@ def q_debounced_events(sf_dir):
                     order_cols=["ts", "event_id"])
 
 
+def q_funnel_conversion(sf_dir):
+    """Ordered funnel signup → view → purchase over the first 3 days:
+    users reaching each step with strict greedy-first-occurrence
+    semantics. Pre-shuffle type prune, one user co-location, masked-min
+    per step, tiny tree-reduced tail."""
+    from vlm_eden_dataset_etl_ray.functions.behavior import funnel_conversion
+
+    ds = _events(sf_dir, columns=["user_id", "event_type", "ts"])
+
+    def _window(t: pa.Table) -> pa.Table:
+        import datetime as _dt
+        return t.filter(pc.less(t.column("ts"),
+                                pa.scalar(_dt.datetime(2024, 1, 4))))
+
+    ds = ds.map_batches(_window, batch_format="pyarrow")
+    return funnel_conversion(ds, "user_id", "event_type", "ts",
+                             ["signup", "view", "purchase"])
+
+
+def q_cohort_retention(sf_dir):
+    """Weekly cohort retention grid: distinct users per (first-active
+    day, week offset). Per-batch distinct (user, day), one user
+    co-location, bounded grouped count."""
+    from vlm_eden_dataset_etl_ray.functions.behavior import cohort_retention
+
+    ds = _events(sf_dir, columns=["user_id", "ts"])
+    return cohort_retention(ds, "user_id", "ts", period_days=7)
+
+
 def q_ngram_jaccard_dupes(sf_dir):
     from vlm_eden_dataset_etl_ray.functions.dedup import ngram_jaccard_pairs
     from vlm_eden_dataset_etl_ray.sources.parquet import read_table
@@ -2190,6 +2219,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_exact_documents": q_dedup_exact_documents,
         "span_dedup_documents": q_span_dedup_documents,
         "debounced_events": q_debounced_events,
+        "funnel_conversion": q_funnel_conversion,
+        "cohort_retention": q_cohort_retention,
         "ngram_jaccard_dupes": q_ngram_jaccard_dupes,
         "knn_cosine_topk": q_knn_cosine_topk,
         "embedding_near_dup_pairs": q_embedding_near_dup_pairs,
@@ -2555,6 +2586,37 @@ def oracle_sql() -> dict[str, str]:
                 from events)
             select event_id, ts, user_id, event_type, value
             from w where prev is null or epoch(ts - prev) > 86400
+        """,
+        "funnel_conversion": """
+            with ev as (select user_id, event_type, ts from events
+                        where ts < timestamp '2024-01-04'),
+            s1 as (select user_id, min(ts) as t1 from ev
+                   where event_type = 'signup' group by user_id),
+            s2 as (select e.user_id, min(e.ts) as t2 from ev e
+                   join s1 using (user_id)
+                   where e.event_type = 'view' and e.ts > s1.t1
+                   group by e.user_id),
+            s3 as (select e.user_id, min(e.ts) as t3 from ev e
+                   join s2 using (user_id)
+                   where e.event_type = 'purchase' and e.ts > s2.t2
+                   group by e.user_id)
+            select cast(1 as bigint) as step, 'signup' as step_name,
+                   count(*) as n_users from s1
+            union all select 2, 'view', count(*) from s2
+            union all select 3, 'purchase', count(*) from s3
+        """,
+        "cohort_retention": """
+            with ud as (select distinct user_id, cast(ts as date) as d
+                        from events),
+            c as (select user_id, min(d) as cohort from ud
+                  group by user_id),
+            o as (select distinct ud.user_id, c.cohort,
+                         date_diff('day', c.cohort, ud.d) // 7
+                             as period_offset
+                  from ud join c using (user_id))
+            select cohort as cohort_day, period_offset,
+                   count(*) as n_users
+            from o group by 1, 2
         """,
         "ngram_jaccard_dupes": f"""
             with t as (select doc_id, list_distinct(string_split(text, ' ')) w from documents)
