@@ -637,6 +637,37 @@ def q_debounced_events(sf_dir):
                     order_cols=["ts", "event_id"])
 
 
+def q_incremental_dedup_documents(sf_dir):
+    """Cross-epoch incremental exact dedup: the corpus arrives as two
+    CDC epochs (split by doc_id); each epoch dedups against the
+    lake-backed seen-hash state committed by its predecessors. Epochs
+    ordered by doc_id make the incremental result equal the batch
+    keep-min-doc_id dedup, so the SQL twin is exact."""
+    import tempfile
+
+    from vlm_eden_dataset_etl_ray.pipelines.incremental_dedup import (
+        incremental_exact_dedup)
+    from vlm_eden_dataset_etl_ray.sources.parquet import read_table
+
+    from vlm_eden_dataset_etl_ray.pipelines.incremental_dedup import (
+        HASH_STATE_SPEC)
+    from dataclasses import replace
+
+    state = tempfile.mkdtemp(prefix="incdedup_", dir="/tmp")
+    spec = replace(HASH_STATE_SPEC, num_partitions=4)  # tiny test state
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    mid = 250  # documents doc_ids are 0-based sequential at every SF
+    e1 = docs.filter(expr=f"doc_id <= {mid}")
+    e2 = docs.filter(expr=f"doc_id > {mid}")
+    s1 = incremental_exact_dedup(state, e1, on=["text"],
+                                 keep_by="doc_id", epoch_id="e1",
+                                 spec=spec, join_buckets=4)
+    s2 = incremental_exact_dedup(state, e2, on=["text"],
+                                 keep_by="doc_id", epoch_id="e2",
+                                 spec=spec, join_buckets=4)
+    return s1.union(s2)
+
+
 def q_funnel_conversion(sf_dir):
     """Ordered funnel signup → view → purchase over the first 3 days:
     users reaching each step with strict greedy-first-occurrence
@@ -2221,6 +2252,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "debounced_events": q_debounced_events,
         "funnel_conversion": q_funnel_conversion,
         "cohort_retention": q_cohort_retention,
+        "incremental_dedup_documents": q_incremental_dedup_documents,
         "ngram_jaccard_dupes": q_ngram_jaccard_dupes,
         "knn_cosine_topk": q_knn_cosine_topk,
         "embedding_near_dup_pairs": q_embedding_near_dup_pairs,
@@ -2586,6 +2618,11 @@ def oracle_sql() -> dict[str, str]:
                 from events)
             select event_id, ts, user_id, event_type, value
             from w where prev is null or epoch(ts - prev) > 86400
+        """,
+        "incremental_dedup_documents": """
+            select doc_id, text from documents
+            qualify row_number() over (partition by text
+                                       order by doc_id) = 1
         """,
         "funnel_conversion": """
             with ev as (select user_id, event_type, ts from events

@@ -93,6 +93,11 @@ BENCH_QUERIES = [
     "daily_unique_users",
     "user_value_ema",
     "bpe_merge_table",
+    # round-3 tail 5: sub-document dedup, debounce, behavior analytics
+    "span_dedup_documents",
+    "debounced_events",
+    "funnel_conversion",
+    "cohort_retention",
 ]
 
 

@@ -1,0 +1,78 @@
+"""Cross-epoch incremental exact dedup with lake-backed seen-hash state."""
+
+import os
+
+import pyarrow as pa
+import pytest
+
+import ray.data as rd
+
+from vlm_eden_dataset_etl_ray.pipelines.incremental_dedup import (
+    incremental_exact_dedup,
+)
+
+
+def _collect(ds):
+    tables = list(ds.iter_batches(batch_format="pyarrow", batch_size=None))
+    if not tables:
+        return pa.table({"doc_id": pa.array([], pa.int64())})
+    return pa.concat_tables(tables)
+
+
+def _docs(ids, texts):
+    return rd.from_arrow(pa.table({"doc_id": ids, "text": texts}))
+
+
+def _run(state, ds, eid):
+    out = _collect(incremental_exact_dedup(
+        state, ds, on=["text"], keep_by="doc_id", epoch_id=eid))
+    return sorted(out.column("doc_id").to_pylist())
+
+
+def test_sequential_epochs_match_batch_dedup(tmp_path):
+    state = str(tmp_path / "state")
+    # epoch 1: "a" duplicated in-epoch -> keep min doc_id
+    assert _run(state, _docs([1, 2, 3], ["a", "b", "a"]), "e1") == [1, 2]
+    # epoch 2: "a", "b" seen in epoch 1 -> dropped; "c" new (dup in-epoch)
+    assert _run(state, _docs([4, 5, 6, 7], ["a", "c", "b", "c"]), "e2") == [5]
+    # epoch 3: everything seen -> empty epoch still commits its id
+    assert _run(state, _docs([8, 9], ["a", "c"]), "e3") == []
+    # epoch 4 after an empty epoch: new content still accepted
+    assert _run(state, _docs([10], ["d"]), "e4") == [10]
+
+
+def test_replay_same_epoch_id_reproduces_survivors(tmp_path):
+    state = str(tmp_path / "state")
+    e1 = _docs([1, 2], ["a", "b"])
+    e2 = _docs([3, 4], ["a", "c"])
+    assert _run(state, e1, "e1") == [1, 2]
+    assert _run(state, e2, "e2") == [4]
+    # replaying e2 must NOT anti-join against e2's own committed hashes
+    assert _run(state, e2, "e2") == [4]
+    # replaying e1 time-travels to the empty pre-e1 state
+    assert _run(state, e1, "e1") == [1, 2]
+    # state is unchanged by replays: a true new epoch still dedups
+    assert _run(state, _docs([5, 6], ["c", "e"]), "e3") == [6]
+
+
+def test_crash_resume_converges(tmp_path):
+    state = str(tmp_path / "state")
+    assert _run(state, _docs([1], ["a"]), "e1") == [1]
+    e2 = _docs([2, 3], ["a", "b"])
+    assert _run(state, e2, "e2") == [3]
+    # simulate a crash that lost e2's manifest commit, then re-run
+    mdir = os.path.join(state, "_manifests")
+    [os.remove(os.path.join(mdir, f)) for f in os.listdir(mdir)
+     if "2" in f and f.endswith(".json")]
+    assert _run(state, e2, "e2") == [3]
+    assert _run(state, _docs([4], ["b"]), "e3") == []
+
+
+def test_unknown_epoch_id_raises_on_vacuumed_history(tmp_path):
+    state = str(tmp_path / "state")
+    _run(state, _docs([1], ["a"]), "e1")
+    from vlm_eden_dataset_etl_ray.pipelines.incremental_dedup import (
+        _epoch_first_applied,
+    )
+    with pytest.raises(ValueError):
+        _epoch_first_applied(state, "nope")
