@@ -217,7 +217,16 @@ def _apply_stats_filter(m: mf.Manifest, spec: TableSpec, items: list[dict],
                 if _intersects(int(it["pid"]), f)]
         if not keep:
             continue  # no file of this key-disjoint unit can hold a match
-        if spec.mode == "append" and len(keep) < len(it["files"]):
+        # Per-FILE skipping is safe for append tables always, and for
+        # upsert tables exactly while the partition holds NO delta files:
+        # post-compaction every key lives in exactly one (cluster-sorted)
+        # base file, so skipping an out-of-range file cannot expose an
+        # older version elsewhere. Once deltas accumulate, an out-of-order
+        # straggler (older LSN in a newer delta) could win a merge whose
+        # newer base row was pruned — so fall back to all-or-nothing.
+        file_prunable = (spec.mode == "append"
+                         or not m.partitions[int(it["pid"])].deltas)
+        if file_prunable and len(keep) < len(it["files"]):
             it = {**it, "files": [f for f, _ in keep], "vers": [v for _, v in keep]}
         pruned.append(it)
 
@@ -261,11 +270,14 @@ def scan(
     written with every delta/compaction) cannot intersect the range are
     skipped before any data is read, then the exact range predicate is
     still applied post-merge, so the result equals a plain filter. Skip
-    granularity follows merge correctness: an UPSERT table drops only a
-    whole work item (a key-disjoint partition/stripe — skipping one of a
-    partition's files could resurrect an older version of a key whose
-    newest record was pruned), while an APPEND table drops individual
-    files. Files with no recorded stats are always read. The realistic
+    granularity follows merge correctness: an APPEND table drops
+    individual files; an UPSERT table drops individual files only while
+    the partition has NO deltas (post-compaction, keys unique per file —
+    the window ``compact(cluster_by=...)`` is built for) and otherwise
+    only a whole work item (a key-disjoint partition/stripe — skipping
+    one of a partition's files could let an out-of-order straggler in a
+    delta resurrect an older version of a key whose newest record was
+    pruned). Files with no recorded stats are always read. The realistic
     win is time-ordered columns (watermark / recent-window reads touch
     only recent epochs' files)."""
     if manifest is None and asof_epoch is not None:
@@ -678,6 +690,8 @@ def compact(
     spec: TableSpec = TOKENS_SPEC,
     stripe_target_bytes: int = 1 << 30,
     tombstone_watermark: int | None = None,
+    cluster_by: list[str] | None = None,
+    cluster_file_bytes: int = 128 << 20,
 ) -> mf.Manifest:
     """Fold each partition's base+deltas into fresh base files and commit a
     ``compaction`` manifest. Shuffle-free: one task per partition STRIPE.
@@ -701,7 +715,18 @@ def compact(
     target, not the partition's lifetime growth. When the stripe count is
     unchanged from the previous layout, each task reads only its own stripe
     file + deltas; a re-stripe (count changed — rare, geometric growth)
-    reads the whole partition per stripe with a stripe filter."""
+    reads the whole partition per stripe with a stripe filter.
+
+    Clustering (the Delta/Iceberg ``OPTIMIZE ... ZORDER``-lite): with
+    ``cluster_by`` each compacted stripe is SORTED by those columns and
+    split into ~``cluster_file_bytes`` files of contiguous key ranges, so
+    each file's zone map (min/max) covers a narrow slice and a later
+    ``scan(stats_filter=...)`` skips most files. File-level skipping on an
+    upsert table is only correct while the partition has NO delta files —
+    a straggler delta row with an older LSN could otherwise win a merge
+    whose newer base row was pruned — so the scan path prunes per-file
+    exactly in the post-compaction window and falls back to whole-item
+    pruning once deltas accumulate (see :func:`_apply_stats_filter`)."""
     m = mf.latest(lake_dir)
     if m is None:
         raise FileNotFoundError(f"no committed manifest under {lake_dir}")
@@ -719,7 +744,9 @@ def compact(
     base_dir = fsio.join(lake_dir, "base", f"epoch={epoch}")
     fsio.makedirs(base_dir)
 
-    def _compact_one(batch: pa.Table, spec=spec, base_dir=base_dir) -> pa.Table:
+    def _compact_one(batch: pa.Table, spec=spec, base_dir=base_dir,
+                     cluster_by=cluster_by,
+                     cluster_file_bytes=cluster_file_bytes) -> pa.Table:
         rows = []
         for row in batch.to_pylist():
             pid, files = int(row["pid"]), list(row["files"])
@@ -738,23 +765,42 @@ def compact(
                                     pa.scalar(tombstone_watermark))
                 t = t.filter(pc.invert(pc.and_kleene(is_del, old)))
             suffix = f"-s{s:03d}" if k > 1 else ""
-            path = fsio.join(base_dir, f"part-{pid:05d}{suffix}.parquet")
-            nbytes = fsio.write_parquet(path, t)  # stable name, direct write
-            wm = pc.max(t.column(spec.order)).as_py() if t.num_rows else -1
             from vlm_eden_dataset_etl_ray.apply import file_stats_json
 
-            rows.append(
-                {
-                    "pid": pid,
-                    "stripe": s,
-                    "n_stripes": k,
-                    "path": path,
-                    "rows": t.num_rows,
-                    "bytes": nbytes,
-                    "watermark_lsn": -1 if wm is None else int(wm),
-                    "stats": file_stats_json(t),
-                }
-            )
+            slices = [t]
+            if cluster_by and t.num_rows:
+                # cluster: sort the (key-unique) stripe by the zone-map
+                # columns, then cut into contiguous ranges so each file's
+                # min/max is narrow. In-memory nbytes approximates the
+                # parquet size well enough to pick the file count.
+                t = t.take(pc.sort_indices(
+                    t, sort_keys=[(c, "ascending") for c in cluster_by]))
+                n_files = max(1, -(-t.nbytes // cluster_file_bytes))
+                if n_files > 1:
+                    step = -(-t.num_rows // n_files)
+                    slices = [t.slice(i, step)
+                              for i in range(0, t.num_rows, step)]
+                else:
+                    slices = [t]
+            for j, sl in enumerate(slices):
+                cpart = f"-c{j:03d}" if len(slices) > 1 else ""
+                path = fsio.join(
+                    base_dir, f"part-{pid:05d}{suffix}{cpart}.parquet")
+                nbytes = fsio.write_parquet(path, sl)  # stable name
+                wm = (pc.max(sl.column(spec.order)).as_py()
+                      if sl.num_rows else -1)
+                rows.append(
+                    {
+                        "pid": pid,
+                        "stripe": s,
+                        "n_stripes": k,
+                        "path": path,
+                        "rows": sl.num_rows,
+                        "bytes": nbytes,
+                        "watermark_lsn": -1 if wm is None else int(wm),
+                        "stats": file_stats_json(sl),
+                    }
+                )
         return pa.Table.from_pylist(rows, schema=pa.schema(
             [("pid", pa.int64()), ("stripe", pa.int64()), ("n_stripes", pa.int64()),
              ("path", pa.string()), ("rows", pa.int64()), ("bytes", pa.int64()),
@@ -793,7 +839,7 @@ def compact(
     parts: dict[int, mf.PartitionState] = {}
     for pid, rows_ in by_pid.items():
         old = m.partitions[pid]
-        rows_.sort(key=lambda r: int(r["stripe"]))
+        rows_.sort(key=lambda r: (int(r["stripe"]), str(r["path"])))
         k = int(rows_[0]["n_stripes"])
         parts[pid] = mf.PartitionState(
             pid=pid,
