@@ -118,3 +118,59 @@ def test_unclustered_compaction_unchanged(tmp_path):
     assert all(len(st.base) == max(1, st.stripe_count)
                for st in m.partitions.values())
     assert _rows(lake.scan(lake_dir, spec=SPEC)) == before
+
+
+def test_morton_cluster_fn_prunes_both_dimensions(tmp_path):
+    import numpy as np
+
+    from vlm_eden_dataset_etl_ray.functions.hashing import morton_interleave
+
+    lake_dir = str(tmp_path / "zord")
+    rng = np.random.default_rng(3)
+    n = 4000
+    t = pa.table({
+        "lsn": pa.array(np.arange(n, dtype=np.int64)),
+        "op": pa.array(["upsert"] * n),
+        "doc_id": pa.array(np.char.add("d", np.arange(n).astype("U6"))),
+        "a": pa.array(rng.integers(0, 1024, n).astype(np.int64)),
+        "b": pa.array(rng.integers(0, 1024, n).astype(np.int64)),
+    })
+    apply.apply_epoch_dataset(lake_dir, rd.from_arrow(t), epoch_id="z:0",
+                              spec=SPEC)
+
+    def _zkey(tab: pa.Table):
+        return morton_interleave(
+            [tab.column("a").to_numpy(zero_copy_only=False),
+             tab.column("b").to_numpy(zero_copy_only=False)], bits=10)
+
+    lake.compact(lake_dir, spec=SPEC, cluster_fn=_zkey,
+                 cluster_file_bytes=8192)
+    m = mf.latest(lake_dir)
+    assert sum(len(st.base) for st in m.partitions.values()) >= 8
+
+    # a 2-D probe prunes on BOTH dimensions (each file covers a z-square)
+    probe = [("a", 0, 255), ("b", 0, 255)]
+    items = lake._scan_items(m)
+    step1, _ = lake._apply_stats_filter(m, SPEC, items, probe[0], None)
+    both, _ = lake._apply_stats_filter(m, SPEC, step1, probe[1], None)
+    n_total = sum(len(i["files"]) for i in items)
+    n_a = sum(len(i["files"]) for i in step1)
+    n_both = sum(len(i["files"]) for i in both)
+    assert n_a < n_total, "a-range pruned nothing"
+    assert n_both < n_a, "b-range pruned nothing beyond a"
+
+    # correctness: multi-range scan equals the plain double filter
+    got = lake.scan(lake_dir, spec=SPEC, columns=["lsn", "a", "b"],
+                    stats_filter=probe)
+    gt = pa.concat_tables(got.iter_batches(batch_format="pyarrow",
+                                           batch_size=None))
+    plain = lake.scan(lake_dir, spec=SPEC, columns=["lsn", "a", "b"])
+    pt = pa.concat_tables(plain.iter_batches(batch_format="pyarrow",
+                                             batch_size=None))
+    mask = pc.and_(
+        pc.and_(pc.greater_equal(pt.column("a"), pa.scalar(0)),
+                pc.less_equal(pt.column("a"), pa.scalar(255))),
+        pc.and_(pc.greater_equal(pt.column("b"), pa.scalar(0)),
+                pc.less_equal(pt.column("b"), pa.scalar(255))))
+    assert (sorted(gt.column("lsn").to_pylist())
+            == sorted(pt.filter(mask).column("lsn").to_pylist()))

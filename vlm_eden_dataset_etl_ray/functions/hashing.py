@@ -213,3 +213,27 @@ def _fingerprint() -> str:
 #: Fingerprint of the partition-hash implementation, recorded in manifests
 #: and validated on resume (see :func:`vlm_eden_dataset_etl_ray.apply.apply_epoch`).
 HASH_FN = _fingerprint()
+
+
+def morton_interleave(cols: list[np.ndarray], bits: int = 21) -> np.ndarray:
+    """Z-order (Morton) key: interleave the low ``bits`` bits of 2-4
+    non-negative integer arrays so that sorting by the result clusters
+    rows that are close in EVERY dimension — the multi-column analog of
+    a lexicographic sort, used with ``lake.compact(cluster_fn=...)`` so a
+    range probe on ANY of the interleaved columns prunes well (a
+    lexicographic cluster only serves its leading column). Values are
+    clamped into [0, 2^bits); pre-bucket wide domains (e.g. ``v >> 10``
+    or days-since-epoch) to spend the bits where the probes are.
+    ``len(cols) * bits`` must fit 64."""
+    n = len(cols)
+    if not 2 <= n <= 4:
+        raise ValueError("morton_interleave takes 2-4 columns")
+    if n * bits > 64:
+        raise ValueError(f"{n} cols x {bits} bits exceeds 64")
+    lim = np.uint64((1 << bits) - 1)
+    out = np.zeros(len(cols[0]), np.uint64)
+    for i, c in enumerate(cols):
+        v = np.minimum(np.maximum(c.astype(np.int64), 0).astype(np.uint64), lim)
+        for j in range(bits):
+            out |= ((v >> np.uint64(j)) & np.uint64(1)) << np.uint64(j * n + i)
+    return out

@@ -301,15 +301,20 @@ def scan(
     out_schema = _output_schema(m, spec, columns, live_only, exclude=exclude)
     items = _scan_items(m, pids=pids)
     if stats_filter is not None:
-        if columns and stats_filter[0] not in columns:
-            raise ValueError(
-                f"stats_filter column {stats_filter[0]!r} must be in the "
-                f"projection {columns} (the exact residual filter runs on "
-                "the projected batch)")
-        ctyp = (out_schema.field(stats_filter[0]).type
-                if out_schema.get_field_index(stats_filter[0]) >= 0 else None)
-        items, predicate = _apply_stats_filter(
-            m, spec, items, stats_filter, predicate, col_type=ctyp)
+        # one (col, lo, hi) range or a LIST of ranges ANDed together —
+        # the multi-dimensional probe shape z-order clustering serves
+        filters = ([stats_filter] if isinstance(stats_filter, tuple)
+                   else list(stats_filter))
+        for sf in filters:
+            if columns and sf[0] not in columns:
+                raise ValueError(
+                    f"stats_filter column {sf[0]!r} must be in the "
+                    f"projection {columns} (the exact residual filter runs "
+                    "on the projected batch)")
+            ctyp = (out_schema.field(sf[0]).type
+                    if out_schema.get_field_index(sf[0]) >= 0 else None)
+            items, predicate = _apply_stats_filter(
+                m, spec, items, sf, predicate, col_type=ctyp)
     if not items:
         return rd.from_items([])
     ds = work_items_dataset(items)
@@ -691,6 +696,7 @@ def compact(
     stripe_target_bytes: int = 1 << 30,
     tombstone_watermark: int | None = None,
     cluster_by: list[str] | None = None,
+    cluster_fn=None,
     cluster_file_bytes: int = 128 << 20,
 ) -> mf.Manifest:
     """Fold each partition's base+deltas into fresh base files and commit a
@@ -745,7 +751,7 @@ def compact(
     fsio.makedirs(base_dir)
 
     def _compact_one(batch: pa.Table, spec=spec, base_dir=base_dir,
-                     cluster_by=cluster_by,
+                     cluster_by=cluster_by, cluster_fn=cluster_fn,
                      cluster_file_bytes=cluster_file_bytes) -> pa.Table:
         rows = []
         for row in batch.to_pylist():
@@ -768,13 +774,21 @@ def compact(
             from vlm_eden_dataset_etl_ray.apply import file_stats_json
 
             slices = [t]
-            if cluster_by and t.num_rows:
+            if (cluster_by or cluster_fn is not None) and t.num_rows:
                 # cluster: sort the (key-unique) stripe by the zone-map
-                # columns, then cut into contiguous ranges so each file's
-                # min/max is narrow. In-memory nbytes approximates the
-                # parquet size well enough to pick the file count.
-                t = t.take(pc.sort_indices(
-                    t, sort_keys=[(c, "ascending") for c in cluster_by]))
+                # columns — or by a computed key (``cluster_fn(t)`` → array,
+                # e.g. a Morton interleave for multi-dimensional probes) —
+                # then cut into contiguous ranges so each file's min/max is
+                # narrow. In-memory nbytes approximates the parquet size
+                # well enough to pick the file count.
+                if cluster_fn is not None:
+                    import numpy as _np
+
+                    key = pa.array(_np.asarray(cluster_fn(t)))
+                    t = t.take(pc.sort_indices(key))
+                else:
+                    t = t.take(pc.sort_indices(
+                        t, sort_keys=[(c, "ascending") for c in cluster_by]))
                 n_files = max(1, -(-t.nbytes // cluster_file_bytes))
                 if n_files > 1:
                     step = -(-t.num_rows // n_files)
