@@ -138,3 +138,42 @@ def test_schema_evolution_chains_unify(ops):
         assert up.schema.equals(final)
         assert up.column("x").to_pylist() == [1, 2]
         assert up.column("k").to_pylist() == ["a", "b"]
+
+
+@given(st.lists(st.tuples(st.integers(0, (1 << 21) - 1),
+                          st.integers(0, (1 << 21) - 1)),
+                min_size=1, max_size=200))
+@settings(max_examples=100, deadline=None)
+def test_morton_interleave_is_bijective_in_range(pairs):
+    import numpy as np
+
+    from vlm_eden_dataset_etl_ray.functions.hashing import morton_interleave
+
+    a = np.array([p[0] for p in pairs], dtype=np.int64)
+    b = np.array([p[1] for p in pairs], dtype=np.int64)
+    z = morton_interleave([a, b], bits=21)
+    # de-interleave: even bits -> a, odd bits -> b
+    da = np.zeros(len(z), np.uint64)
+    db = np.zeros(len(z), np.uint64)
+    for j in range(21):
+        da |= ((z >> np.uint64(2 * j)) & np.uint64(1)) << np.uint64(j)
+        db |= ((z >> np.uint64(2 * j + 1)) & np.uint64(1)) << np.uint64(j)
+    assert da.astype(np.int64).tolist() == a.tolist()
+    assert db.astype(np.int64).tolist() == b.tolist()
+
+
+@given(st.integers(-5, 5), st.integers((1 << 10) - 3, (1 << 10) + 5))
+@settings(max_examples=50, deadline=None)
+def test_morton_clamps_out_of_range(lo_val, hi_val):
+    import numpy as np
+
+    from vlm_eden_dataset_etl_ray.functions.hashing import morton_interleave
+
+    a = np.array([lo_val, hi_val], dtype=np.int64)
+    b = np.array([0, 0], dtype=np.int64)
+    z = morton_interleave([a, b], bits=10)
+    lim = (1 << 10) - 1
+    ref = np.array([max(0, min(lo_val, lim)), max(0, min(hi_val, lim))],
+                   dtype=np.int64)
+    zr = morton_interleave([ref, b], bits=10)
+    assert z.tolist() == zr.tolist()
