@@ -134,3 +134,70 @@ def pack_sequences(
             "doc_starts": pa.array(starts_out, pa.list_(pa.int32()))})
 
     return ds.map_batches(_pack, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def length_bucketed_pad(
+    ds: rd.Dataset,
+    tokens_col: str = "tokens",
+    edges: tuple[int, ...] = (64, 128, 256, 512),
+    pad_id: int = 0,
+    out_col: str = "input_ids",
+) -> rd.Dataset:
+    """Length-bucketed padding — the batching shape that minimizes pad
+    waste when documents must NOT be split or concatenated (SFT /
+    evaluation, where :func:`pack_sequences` is wrong): each sequence pads
+    only to its BUCKET's width (smallest edge ≥ its length; sequences
+    longer than the last edge truncate to it), and rows come out grouped
+    by bucket so a loader slicing a batch sees contiguous same-width
+    runs. Compare padding everything to the global max — on a natural
+    length distribution bucketing cuts pad tokens several-fold.
+
+    Pure per-batch transform (sort-within-batch by bucket; no shuffle):
+    local bucketing is the standard loader-side pattern (a pooled bucket
+    iterator); a global sort by length would order the epoch and cost an
+    all-to-all. Output: ``bucket`` (int), ``width`` (int), ``out_col``
+    (list<int32>, padded/truncated to width), ``n_real``.
+    """
+    edges_arr = np.asarray(sorted(edges), dtype=np.int64)
+
+    def _bucketize(t: pa.Table) -> pa.Table:
+        flat, lens = _flat_tokens(t.column(tokens_col))
+        flat = flat.astype(np.int32, copy=False)
+        bucket = np.searchsorted(edges_arr, np.minimum(lens, edges_arr[-1]))
+        starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
+        out_b, out_w, out_nr, mats = [], [], [], []
+        # one dense scatter per PRESENT bucket (≤ len(edges) iterations);
+        # rows inside a bucket fill a (n × width) matrix vectorized
+        for b in np.unique(bucket):
+            idx = np.where(bucket == b)[0]
+            w = int(edges_arr[b])
+            ln = np.minimum(lens[idx], w).astype(np.int64)
+            mat = np.full((len(idx), w), pad_id, dtype=np.int32)
+            row_ids = np.repeat(np.arange(len(idx)), ln)
+            col_ids = np.arange(ln.sum()) - np.repeat(np.cumsum(ln) - ln, ln)
+            src = np.repeat(starts[idx], ln) + col_ids
+            mat[row_ids, col_ids] = flat[src]
+            mats.append(mat.ravel())
+            out_b.append(np.full(len(idx), b, np.int64))
+            out_w.append(np.full(len(idx), w, np.int64))
+            out_nr.append(ln.astype(np.int32))
+        if not mats:
+            return pa.table({
+                "bucket": pa.array([], pa.int64()),
+                "width": pa.array([], pa.int64()),
+                out_col: pa.array([], pa.list_(pa.int32())),
+                "n_real": pa.array([], pa.int32())})
+        widths = np.concatenate(out_w)
+        offs = np.concatenate([[0], np.cumsum(widths)]).astype(np.int64)
+        padded = pa.ListArray.from_arrays(
+            pa.array(offs, pa.int64()),
+            pa.array(np.concatenate(mats), pa.int32()))
+        return pa.table({
+            "bucket": pa.array(np.concatenate(out_b)),
+            "width": pa.array(widths),
+            out_col: padded,
+            "n_real": pa.array(np.concatenate(out_nr)),
+        })
+
+    return ds.map_batches(_bucketize, batch_format="pyarrow",
+                          zero_copy_batch=True)
