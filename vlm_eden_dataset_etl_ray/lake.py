@@ -388,10 +388,13 @@ def snapshot(lake_dir: str, **kwargs) -> pa.Table:
 
 
 def _feed_read(batch: pa.Table, spec: TableSpec, columns, schema: pa.Schema,
-               activations=None, exclude=None):
+               activations=None, exclude=None, before_image: bool = False):
     """One task per partition: LWW-merge the partition's IN-RANGE delta
     files (tombstones kept) and label each surviving row with its CDC
-    change type."""
+    change type. With ``before_image`` the partition's PRE-RANGE snapshot
+    files (``bfiles``) are merged too — restricted to the changed keys —
+    refining the label to insert/update/delete and attaching the prior
+    row values as a ``_before`` struct (null for inserts)."""
     read_cols = columns
     if columns and spec.op_col not in columns:
         read_cols = list(columns) + [spec.op_col]
@@ -407,11 +410,54 @@ def _feed_read(batch: pa.Table, spec: TableSpec, columns, schema: pa.Schema,
         )
         if spec.op_col in t.column_names:
             is_del = pc.equal(t.column(spec.op_col), pa.scalar(spec.delete_op))
-            ct = pc.if_else(pc.fill_null(is_del, False),
-                            pa.scalar("delete"), pa.scalar("upsert"))
+            is_del = pc.fill_null(is_del, False)
+            ct = pc.if_else(is_del, pa.scalar("delete"), pa.scalar("upsert"))
         else:
+            is_del = pa.array([False] * t.num_rows)
             ct = pa.nulls(t.num_rows, pa.string())
             ct = pc.fill_null(ct, "upsert")
+        if before_image:
+            bfiles = list(row.get("bfiles") or [])
+            bvers = row.get("bvers") or []
+            bf = schema.field("_before").type
+            val_cols = [f.name for f in bf]
+            if bfiles:
+                bt = merge_partition_files(
+                    bfiles, spec, live_only=True,
+                    file_versions=(dict(zip(bfiles, bvers))
+                                   if bvers else None),
+                    activations=activations, exclude=exclude)
+                pos = pc.index_in(t.column(spec.key),
+                                  value_set=bt.column(spec.key).combine_chunks())
+                existed = pc.is_valid(pos)
+                def _one(a, typ):
+                    a = a.cast(typ)
+                    return (a.combine_chunks()
+                            if isinstance(a, pa.ChunkedArray) else a)
+
+                arrs = [bt.column(c).combine_chunks().take(pos)
+                        if c in bt.column_names
+                        else pa.nulls(t.num_rows, bf.field(c).type)
+                        for c in val_cols]
+                nulls = pc.invert(existed)
+                if isinstance(nulls, pa.ChunkedArray):
+                    nulls = nulls.combine_chunks()
+                before = pa.StructArray.from_arrays(
+                    [_one(a, bf.field(i).type) for i, a in enumerate(arrs)],
+                    fields=list(bf), mask=nulls)
+            else:
+                existed = pa.array([False] * t.num_rows)
+                before = pa.array([None] * t.num_rows, bf)
+            ct = pc.if_else(
+                is_del, pa.scalar("delete"),
+                pc.if_else(pc.fill_null(existed, False),
+                           pa.scalar("update"), pa.scalar("insert")))
+            t = t.append_column("_change_type", ct)
+            t = t.append_column("_before", before)
+            if columns:
+                t = t.select(list(columns) + ["_change_type", "_before"])
+            yield sch.unify_table(t, schema)
+            continue
         t = t.append_column("_change_type", ct)
         if columns:
             t = t.select(list(columns) + ["_change_type"])
@@ -425,10 +471,20 @@ def change_feed(
     *,
     spec: TableSpec = TOKENS_SPEC,
     columns: list[str] | None = None,
+    before_image: bool = False,
 ) -> rd.Dataset:
     """Net row-level changes between two committed snapshots — the lake's
     CDC *output* side (Delta Lake's change-data-feed shape; the reference
     only ever re-reads full tables downstream).
+
+    ``before_image=True`` additionally merges each changed partition's
+    PRE-RANGE snapshot (restricted to the changed keys) and emits the
+    Debezium-style envelope: ``_change_type`` refines to
+    insert/update/delete and ``_before`` carries the prior row's value
+    columns as a struct (null for inserts). Extra cost: the from-epoch
+    files of CHANGED partitions are read once — still O(changes)
+    partition-parallel, never O(lake); the from-epoch manifest and its
+    files must be retained.
 
     Returns a Dataset of one row per key that received at least one record
     in epochs ``(from_epoch, to_epoch]``, carrying that key's LWW-merged
@@ -463,7 +519,8 @@ def change_feed(
             f"retained epochs are {epochs} (vacuumed past the feed start)")
     if to_epoch not in epochs:
         raise ValueError(f"to_epoch {to_epoch} is not a committed epoch of {lake_dir}")
-    prev = mf.load(lake_dir, from_epoch) if from_epoch > 0 else None
+    m0 = mf.load(lake_dir, from_epoch) if from_epoch > 0 else None
+    prev = m0
     per_pid: dict[int, list[str]] = {}
     vers: dict[str, int] = {}
     for e in [e for e in epochs if from_epoch < e <= to_epoch]:
@@ -494,14 +551,35 @@ def change_feed(
     if columns:
         base_schema = pa.schema([base_schema.field(c) for c in columns])
     out_schema = base_schema.append(pa.field("_change_type", pa.string()))
-    items = [{"pid": pid, "stripe": 0, "n_stripes": 1, "files": fs,
+    if before_image:
+        val_fields = [f for f in base_schema
+                      if f.name not in (spec.key, spec.op_col)]
+        out_schema = out_schema.append(
+            pa.field("_before", pa.struct(val_fields)))
+    items = []
+    for pid, fs in sorted(per_pid.items()):
+        it = {"pid": pid, "stripe": 0, "n_stripes": 1, "files": fs,
               "vers": [vers[f] for f in fs]}
-             for pid, fs in sorted(per_pid.items())]
-    ds = work_items_dataset(items)
+        if before_image:
+            bfs = m0.files(pid) if m0 is not None and pid in m0.partitions else []
+            bfv = (m0.partitions[pid].file_versions(m0.schema_version)
+                   if bfs else {})
+            it["bfiles"] = bfs
+            it["bvers"] = [bfv[f] for f in bfs]
+        items.append(it)
+    from vlm_eden_dataset_etl_ray.apply import WORK_ITEM_SCHEMA
+
+    item_schema = WORK_ITEM_SCHEMA
+    if before_image:
+        item_schema = WORK_ITEM_SCHEMA.append(
+            pa.field("bfiles", pa.list_(pa.string()))).append(
+            pa.field("bvers", pa.list_(pa.int64())))
+    ds = work_items_dataset(items, schema=item_schema)
     return ds.map_batches(
         _feed_read,
         fn_kwargs={"spec": spec, "columns": columns, "schema": out_schema,
-                   "activations": activations or None, "exclude": exclude or None},
+                   "activations": activations or None, "exclude": exclude or None,
+                   "before_image": before_image},
         batch_size=1,
         batch_format="pyarrow",
     )
