@@ -968,43 +968,6 @@ def compact(
     return out
 
 
-def lookup(
-    lake_dir: str,
-    keys: list,
-    *,
-    spec: TableSpec = TOKENS_SPEC,
-    columns: list[str] | None = None,
-    live_only: bool = True,
-) -> pa.Table:
-    """Point lookup: current rows for exactly these keys. Keys hash to
-    their partitions, so the read touches only ``≤ len(keys)`` of the
-    lake's P partitions (the ``pids=`` pruning path) plus an exact
-    membership filter after the merge — the serving-style "give me these
-    documents" read, O(keys) not O(lake). Returns a driver-side table
-    (point reads are small by construction)."""
-    import numpy as np
-
-    from vlm_eden_dataset_etl_ray.functions.hashing import partition_ids
-
-    m = mf.latest(lake_dir)
-    if m is None:
-        return pa.table({})
-    arr = pa.array(keys)
-    pids = sorted(set(partition_ids(arr, m.num_partitions).tolist()))
-
-    def _member(t: pa.Table, _ks=arr) -> pa.ChunkedArray:
-        return pc.fill_null(pc.is_in(t.column(spec.key), value_set=_ks), False)
-
-    ds = scan(lake_dir, spec=spec, columns=columns, live_only=live_only,
-              pids=pids, predicate=_member)
-    batches = list(ds.iter_batches(batch_format="pyarrow", batch_size=None))
-    if not batches:
-        return pa.table({})
-    target = union_schemas([b.schema for b in batches])
-    t = pa.concat_tables([sch.unify_table(b, target) for b in batches])
-    return t.sort_by(spec.key) if spec.key in t.column_names else t
-
-
 def count_rows(lake_dir: str, *, spec: TableSpec = TOKENS_SPEC) -> int:
     """Row count of the current snapshot. APPEND tables answer from the
     manifest alone (per-partition counts are recorded at write time —
