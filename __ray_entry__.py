@@ -121,6 +121,17 @@ def q_cdc_change_feed_events(sf_dir):
     return replay_events_change_feed(sf_dir)
 
 
+def q_cdc_change_feed_before(sf_dir):
+    """Change feed with before-images: the same 3-epoch replay, but the
+    feed over epochs 2-3 carries insert/update/delete classification and
+    the pre-range (epoch-1 live) row values, flattened to before_*
+    columns. Pre-range state is merged only for CHANGED partitions."""
+    from vlm_eden_dataset_etl_ray.pipelines.cdc import (
+        replay_events_change_feed_before)
+
+    return replay_events_change_feed_before(sf_dir)
+
+
 def q_event_value_tier_counts(sf_dir):
     """Keyless broadcast interval join: bucket events into fixed value
     tiers (the curriculum-bucketing shape), then count + exact integer-
@@ -2210,6 +2221,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_replay_events": q_cdc_replay_events,
         "cdc_drop_readd_evolution": q_cdc_drop_readd_evolution,
         "cdc_change_feed_events": q_cdc_change_feed_events,
+        "cdc_change_feed_before": q_cdc_change_feed_before,
         "event_value_tier_counts": q_event_value_tier_counts,
         "zone_map_window_scan": q_zone_map_window_scan,
         "lineitem_moment_stats": q_lineitem_moment_stats,
@@ -2393,6 +2405,34 @@ def oracle_sql() -> dict[str, str]:
                 qualify row_number() over (partition by doc_id order by lsn desc) = 1)
             select doc_id, lsn, n_tok, source, op as "_change_type"
             from latest
+        """,
+        "cdc_change_feed_before": """
+            with mx as (select max(event_id) as m from events),
+            chg as (
+                select event_id as lsn,
+                       case when event_type = 'error' then 'delete'
+                            else 'upsert' end as op,
+                       'doc' || cast(user_id as varchar) as doc_id,
+                       cast(floor(value * 100) as bigint) as n_tok,
+                       event_type as source
+                from events),
+            latest as (
+                select * from chg where lsn > (select m // 3 from mx)
+                qualify row_number() over (partition by doc_id
+                                           order by lsn desc) = 1),
+            before_live as (
+                select * from (
+                    select * from chg where lsn <= (select m // 3 from mx)
+                    qualify row_number() over (partition by doc_id
+                                               order by lsn desc) = 1)
+                where op <> 'delete')
+            select l.doc_id, l.lsn, l.n_tok, l.source,
+                   case when l.op = 'delete' then 'delete'
+                        when b.doc_id is not null then 'update'
+                        else 'insert' end as "_change_type",
+                   b.lsn as before_lsn, b.n_tok as before_n_tok,
+                   b.source as before_source
+            from latest l left join before_live b using (doc_id)
         """,
         "event_value_tier_counts": """
             select t.tier,

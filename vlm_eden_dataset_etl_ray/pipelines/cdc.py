@@ -367,6 +367,33 @@ def replay_events_change_feed(
     )
 
 
+def replay_events_change_feed_before(
+    sf_dir: str,
+    workdir: str | None = None,
+) -> rd.Dataset:
+    """:func:`replay_events_change_feed` with the Debezium-style envelope:
+    ``before_image=True`` refines ``_change_type`` to insert/update/delete
+    and attaches the epoch-1 (pre-range) LIVE row values. The ``_before``
+    struct is flattened to ``before_*`` columns so the result stays
+    hashable for the driver's value compare."""
+    workdir = workdir or scratch_dir("events_feed_b_")
+    replay_events_change_feed(sf_dir, workdir)  # builds the 3-epoch lake
+    lake_dir = os.path.join(workdir, "lake")
+    out = lake_mod.change_feed(
+        lake_dir, from_epoch=1, to_epoch=3, spec=EVENTS_REPLAY_SPEC,
+        columns=["doc_id", "lsn", "n_tok", "source"], before_image=True)
+
+    def _flatten(t: pa.Table) -> pa.Table:
+        b = t.column("_before").combine_chunks()
+        t = t.drop_columns(["_before"])
+        for f in b.type:
+            t = t.append_column(f"before_{f.name}", b.field(f.name))
+        return t
+
+    return out.map_batches(_flatten, batch_format="pyarrow",
+                           zero_copy_batch=True)
+
+
 def replay_events(
     sf_dir: str,
     workdir: str | None = None,
