@@ -983,3 +983,35 @@ def count_rows(lake_dir: str, *, spec: TableSpec = TOKENS_SPEC) -> int:
     return sum(b.num_rows
                for b in ds.iter_batches(batch_format="pyarrow",
                                         batch_size=None))
+
+
+def clone(src_dir: str, dst_dir: str) -> mf.Manifest:
+    """Zero-copy shallow branch (Delta's SHALLOW CLONE): commit the
+    source's latest manifest into ``dst_dir`` unchanged — file references
+    still point at the source's immutable data files, so a 100 TB lake
+    branches in one metadata write. The branch then lives its own life:
+    new epochs stage and commit under ``dst_dir``; a branch compaction
+    rewrites data into branch-owned base files; branch ``vacuum`` walks
+    only the branch's directories and can never touch source files.
+
+    Caveat (same as every shallow clone): the SOURCE's vacuum does not
+    know about branches — vacuuming the source past the clone point can
+    delete files the branch still references. Keep the source's retention
+    ≥ the branch's lifetime, or compact the branch (which re-homes all
+    live data) before shrinking source retention.
+
+    The schema-registry snapshot (``_schema``) is copied so evolution
+    history (drops / re-adds / widenings) carries over."""
+    m = mf.latest(src_dir)
+    if m is None:
+        raise FileNotFoundError(f"no committed manifest under {src_dir}")
+    if mf.latest(dst_dir) is not None:
+        raise FileExistsError(f"{dst_dir} already holds a committed lake")
+    fsio.makedirs(dst_dir)
+    reg_src = fsio.join(src_dir, "_schema")
+    for name in fsio.list_names(reg_src):
+        data = fsio.read_bytes(fsio.join(reg_src, name))
+        fsio.makedirs(fsio.join(dst_dir, "_schema"))
+        fsio.write_bytes(fsio.join(dst_dir, "_schema", name), data)
+    mf.commit(dst_dir, m)
+    return m
