@@ -1015,3 +1015,38 @@ def clone(src_dir: str, dst_dir: str) -> mf.Manifest:
         fsio.write_bytes(fsio.join(dst_dir, "_schema", name), data)
     mf.commit(dst_dir, m)
     return m
+
+
+def restore(lake_dir: str, epoch: int) -> mf.Manifest:
+    """Roll the lake back to committed ``epoch`` (Delta's RESTORE): a new
+    manifest re-publishes that epoch's partition state — one metadata
+    write, no data movement — and the exactly-once ledger rewinds with
+    it: input batches applied AFTER the restore point leave the applied
+    record, so the CDC poll loop re-applies them on its next pass (a
+    restore UNDOES them; keeping their ids would silently drop that data
+    forever). Time travel to pre-restore epochs keeps working while their
+    manifests are retained; the undone epochs' data files are reclaimed
+    by the next ``vacuum`` once their manifests age out.
+
+    Requires the target epoch's manifest (and files) to be retained —
+    don't vacuum past your rollback horizon."""
+    epochs = mf.list_epochs(lake_dir)
+    if epoch not in epochs:
+        raise ValueError(
+            f"epoch {epoch} is not a retained committed epoch of "
+            f"{lake_dir} (retained: {epochs})")
+    cur = mf.latest(lake_dir)
+    target = mf.load(lake_dir, epoch)
+    ids, inputs = mf.cumulative_lineage(lake_dir, target)
+    out = mf.Manifest(
+        epoch=cur.epoch + 1,
+        num_partitions=target.num_partitions,
+        schema_version=target.schema_version,
+        kind="restore",
+        partitions=target.partitions,
+        applied_epoch_ids=ids,
+        applied_inputs=inputs,
+        hash_fn=target.hash_fn,
+    )
+    mf.commit(lake_dir, out)
+    return out
