@@ -85,6 +85,24 @@ def cmd_vacuum(args) -> dict:
     return lake.vacuum(args.lake, keep_epochs=args.keep_epochs)
 
 
+def cmd_clone(args) -> dict:
+    """Zero-copy shallow branch of a lake (one metadata commit)."""
+    from vlm_eden_dataset_etl_ray import lake
+
+    m = lake.clone(args.lake, args.dst)
+    return {"src": args.lake, "dst": args.dst, "epoch": m.epoch,
+            "rows": m.total_rows()}
+
+
+def cmd_restore(args) -> dict:
+    """Metadata-only rollback to a retained epoch (rewinds the ledger)."""
+    from vlm_eden_dataset_etl_ray import lake
+
+    m = lake.restore(args.lake, args.epoch)
+    return {"lake": args.lake, "restored_to": args.epoch,
+            "new_epoch": m.epoch, "rows": m.total_rows()}
+
+
 def cmd_status(args) -> dict:
     from vlm_eden_dataset_etl_ray import manifest as mf
 
@@ -186,6 +204,10 @@ def main(argv=None) -> int:
                                  "--keep-epochs": {"type": int, "default": 2,
                                                    "dest": "keep_epochs"}})
     add("status", cmd_status, **{"--lake": {"required": True}})
+    add("clone", cmd_clone, **{"--lake": {"required": True},
+                               "--dst": {"required": True}})
+    add("restore", cmd_restore, **{"--lake": {"required": True},
+                                   "--epoch": {"type": int, "required": True}})
     add("metrics", cmd_metrics, **{"--lake": {"required": True},
                                    "--last": {"type": int, "default": 0}})
     add("scan", cmd_scan, **{"--lake": {"required": True}, "--out": {"required": True},
