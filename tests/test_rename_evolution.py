@@ -1,0 +1,95 @@
+"""Column-RENAME schema evolution: registry-recorded renames preserve
+history — pre-rename files contribute their values under the new name
+(unlike drop+re-add, which starts a fresh null generation)."""
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+import ray
+
+import ray.data as rd
+
+from vlm_eden_dataset_etl_ray import apply, lake
+from vlm_eden_dataset_etl_ray.spec import TableSpec
+from vlm_eden_dataset_etl_ray.state.registry import (
+    SchemaRegistryState,
+    historical_name,
+    make_registry_actor,
+)
+
+SPEC = TableSpec(name="ren", key="doc_id", order="lsn", num_partitions=4)
+
+V1 = pa.schema([("doc_id", pa.string()), ("n_tok", pa.int64()),
+                ("source", pa.string())])
+V2 = pa.schema([("doc_id", pa.string()), ("n_tok", pa.int64()),
+                ("origin", pa.string())])  # source RENAMED to origin
+
+
+def _shard(path, rows, col="source"):
+    pq.write_table(pa.table({
+        "lsn": pa.array([r[1] for r in rows], pa.int64()),
+        "op": pa.array([r[2] for r in rows]),
+        "doc_id": pa.array([r[0] for r in rows]),
+        "n_tok": pa.array([r[3] for r in rows], pa.int64()),
+        col: pa.array([r[4] for r in rows]),
+    }), path)
+    return str(path)
+
+
+def _build(tmp_path):
+    lake_dir = str(tmp_path / "lake")
+    reg = make_registry_actor(lake_dir, seed_versions={1: V1})
+    f1 = _shard(tmp_path / "p1.parquet",
+                [("A", 10, "upsert", 100, "a1"),
+                 ("B", 20, "upsert", 200, "b1")])
+    apply.apply_epoch(lake_dir, [f1], spec=SPEC, registry=reg)
+    assert ray.get(reg.migrate.remote(V2, renames={"source": "origin"})) == 2
+    f2 = _shard(tmp_path / "p2.parquet",
+                [("B", 40, "upsert", 201, "b2"),
+                 ("C", 50, "upsert", 300, "c2")], col="origin")
+    apply.apply_epoch(lake_dir, [f2], spec=SPEC, registry=reg)
+    return lake_dir
+
+
+def _state(lake_dir, columns=("doc_id", "lsn", "origin")):
+    t = lake.scan(lake_dir, spec=SPEC, columns=list(columns)).take_all()
+    return {r["doc_id"]: tuple(r[c] for c in columns[1:]) for r in t}
+
+
+def test_rename_preserves_pre_rename_values(tmp_path):
+    lake_dir = _build(tmp_path)
+    got = _state(lake_dir)
+    # A's winner is the PRE-rename file: its 'source' value survives as
+    # 'origin' (the whole point vs drop+re-add's null generation)
+    assert got == {"A": (10, "a1"), "B": (40, "b2"), "C": (50, "c2")}
+
+
+def test_rename_survives_compaction_and_projection(tmp_path):
+    lake_dir = _build(tmp_path)
+    lake.compact(lake_dir, spec=SPEC)
+    assert _state(lake_dir) == {"A": (10, "a1"), "B": (40, "b2"),
+                                "C": (50, "c2")}
+    # projected read of only the renamed column
+    t = lake.scan(lake_dir, spec=SPEC, columns=["doc_id", "origin"]).take_all()
+    assert {r["doc_id"]: r["origin"] for r in t} == {
+        "A": "a1", "B": "b2", "C": "c2"}
+
+
+def test_rename_validation_and_chain_resolution(tmp_path):
+    st = SchemaRegistryState(str(tmp_path / "r"), seed_versions={1: V1})
+    with pytest.raises(ValueError):
+        st.migrate(V2, renames={"nope": "origin"})
+    with pytest.raises(ValueError):
+        st.migrate(V1, renames={"source": "source"})  # unchanged schema
+    assert st.migrate(V2, renames={"source": "origin"}) == 2
+    v3 = pa.schema([("doc_id", pa.string()), ("n_tok", pa.int64()),
+                    ("provenance", pa.string())])
+    assert st.migrate(v3, renames={"origin": "provenance"}) == 3
+    chain = st.column_renames()["provenance"]
+    assert chain == [("source", 2), ("origin", 3)]
+    assert historical_name("provenance", chain, 1) == "source"
+    assert historical_name("provenance", chain, 2) == "origin"
+    assert historical_name("provenance", chain, 3) == "provenance"
+    # persistence round-trip
+    st2 = SchemaRegistryState(str(tmp_path / "r"))
+    assert st2.column_renames()["provenance"] == chain

@@ -55,12 +55,19 @@ def merge_partition_files(
     file_versions: dict[str, int] | None = None,
     activations: dict[str, int] | None = None,
     exclude: frozenset[str] | set[str] | None = None,
+    renames: dict[str, list] | None = None,
 ) -> pa.Table:
     """Read one partition's (or stripe's) files — any mix of schema
     versions — unify to the widest schema, LWW-reduce, and (optionally)
     drop tombstones. With ``n_stripes > 1`` only the ``stripe``'s keys are
     kept (applied per file, before the merge: stripe membership partitions
     by key, so it commutes with LWW).
+
+    ``renames`` (current name → rename chain, from
+    ``SchemaRegistryState.column_renames``) maps each file's STORED column
+    name to the current one by the file's version — a registry-recorded
+    rename preserves history, so pre-rename files keep contributing their
+    values under the new name.
 
     Drop-column evolution (reference migrations/20241029_01_JnkId.sql):
     ``exclude`` = currently-tombstoned columns, removed from every file
@@ -72,17 +79,36 @@ def merge_partition_files(
 
     Column pruning is pushed into the parquet read: only ``columns`` plus the
     merge-required envelope (key, order, op) leave storage."""
+    from vlm_eden_dataset_etl_ray.state.registry import historical_name
+
     read_cols = None
     if columns:
         need = {spec.key, spec.order, spec.op_col}
         read_cols = list(dict.fromkeys(list(columns) + [c for c in need if c not in columns]))
     tables = []
     for f in files:
+        fv = (file_versions or {}).get(f, 0)
+        # stored-name → current-name map for THIS file's version
+        ren: dict[str, str] = {}
+        if renames:
+            for cur, chain in renames.items():
+                hist = historical_name(cur, chain, fv)
+                if hist != cur:
+                    ren[hist] = cur
         if read_cols is None:
             t = fsio.read_parquet(f)
         else:
+            wanted = [next((o for o, c in ren.items() if c == rc), rc)
+                      for rc in read_cols]
             avail = set(fsio.read_parquet_schema(f).names)
-            t = fsio.read_parquet(f, columns=[c for c in read_cols if c in avail])
+            t = fsio.read_parquet(f, columns=[c for c in wanted if c in avail])
+        if ren:
+            # apply stored→current only where the current name isn't
+            # already present (a file never legitimately carries both)
+            eff = {o: c for o, c in ren.items() if c not in t.column_names}
+            new_names = [eff.get(c, c) for c in t.column_names]
+            if new_names != t.column_names:
+                t = t.rename_columns(new_names)
         if exclude and any(c in exclude for c in t.column_names):
             t = t.select([c for c in t.column_names if c not in exclude])
         if activations and file_versions:
@@ -107,7 +133,7 @@ def merge_partition_files(
 
 def _merge_read(batch: pa.Table, spec: TableSpec, columns, live_only: bool,
                 schema: pa.Schema, predicate=None, activations=None,
-                exclude=None):
+                exclude=None, renames=None):
     """One stateless task per partition STRIPE: manifest-driven read of the
     stripe's base file(s) plus the partition's deltas (filtered to the
     stripe's keys)."""
@@ -120,7 +146,7 @@ def _merge_read(batch: pa.Table, spec: TableSpec, columns, live_only: bool,
             files, spec, columns=columns, live_only=live_only,
             stripe=int(row.get("stripe", 0)), n_stripes=int(row.get("n_stripes", 1)),
             file_versions=dict(zip(files, vers)) if vers else None,
-            activations=activations, exclude=exclude,
+            activations=activations, exclude=exclude, renames=renames,
         )
         t = sch.unify_table(t, schema)
         if predicate is not None:
@@ -129,7 +155,8 @@ def _merge_read(batch: pa.Table, spec: TableSpec, columns, live_only: bool,
 
 
 def _output_schema(m: mf.Manifest, spec: TableSpec, columns, live_only,
-                   exclude: set[str] | None = None) -> pa.Schema:
+                   exclude: set[str] | None = None,
+                   renames: dict | None = None) -> pa.Schema:
     """Unified schema of a scan — derived from one non-empty partition's
     file footers (cheap driver-side metadata read), minus currently-dropped
     columns."""
@@ -141,6 +168,16 @@ def _output_schema(m: mf.Manifest, spec: TableSpec, columns, live_only,
             break
     if not schemas:
         return pa.schema([])
+    if renames:
+        # footer fields may carry pre-rename names; map them forward
+        fwd = {o: cur for cur, chain in renames.items() for o, _ in chain}
+        mapped = []
+        for s_ in schemas:
+            names = [fwd.get(n, n) if fwd.get(n, n) not in s_.names else n
+                     for n in s_.names]
+            mapped.append(pa.schema(
+                [pa.field(nn, f.type) for nn, f in zip(names, s_)]))
+        schemas = mapped
     target = union_schemas(schemas)
     if exclude:
         target = pa.schema([f for f in target if f.name not in exclude])
@@ -298,7 +335,9 @@ def scan(
     reg = SchemaRegistryState.load_readonly(lake_dir)
     exclude = set(reg.current_drops()) if reg else None
     activations = reg.column_activations() if reg else None
-    out_schema = _output_schema(m, spec, columns, live_only, exclude=exclude)
+    renames = (reg.column_renames() or None) if reg else None
+    out_schema = _output_schema(m, spec, columns, live_only, exclude=exclude,
+                                renames=renames)
     items = _scan_items(m, pids=pids)
     if stats_filter is not None:
         # one (col, lo, hi) range or a LIST of ranges ANDed together —
@@ -328,6 +367,7 @@ def scan(
             "predicate": predicate,
             "activations": activations or None,
             "exclude": exclude or None,
+            "renames": renames,
         },
         batch_size=1,
         batch_format="pyarrow",
@@ -388,7 +428,8 @@ def snapshot(lake_dir: str, **kwargs) -> pa.Table:
 
 
 def _feed_read(batch: pa.Table, spec: TableSpec, columns, schema: pa.Schema,
-               activations=None, exclude=None, before_image: bool = False):
+               activations=None, exclude=None, renames=None,
+               before_image: bool = False):
     """One task per partition: LWW-merge the partition's IN-RANGE delta
     files (tombstones kept) and label each surviving row with its CDC
     change type. With ``before_image`` the partition's PRE-RANGE snapshot
@@ -406,7 +447,7 @@ def _feed_read(batch: pa.Table, spec: TableSpec, columns, schema: pa.Schema,
         t = merge_partition_files(
             files, spec, columns=read_cols, live_only=False,
             file_versions=dict(zip(files, vers)) if vers else None,
-            activations=activations, exclude=exclude,
+            activations=activations, exclude=exclude, renames=renames,
         )
         if spec.op_col in t.column_names:
             is_del = pc.equal(t.column(spec.op_col), pa.scalar(spec.delete_op))
@@ -426,7 +467,8 @@ def _feed_read(batch: pa.Table, spec: TableSpec, columns, schema: pa.Schema,
                     bfiles, spec, live_only=True,
                     file_versions=(dict(zip(bfiles, bvers))
                                    if bvers else None),
-                    activations=activations, exclude=exclude)
+                    activations=activations, exclude=exclude,
+                    renames=renames)
                 pos = pc.index_in(t.column(spec.key),
                                   value_set=bt.column(spec.key).combine_chunks())
                 existed = pc.is_valid(pos)
@@ -544,7 +586,12 @@ def change_feed(
     reg = SchemaRegistryState.load_readonly(lake_dir)
     exclude = set(reg.current_drops()) if reg else None
     activations = reg.column_activations() if reg else None
+    renames = (reg.column_renames() or None) if reg else None
     schemas = [fsio.read_parquet_schema(f) for fs in per_pid.values() for f in fs]
+    if renames:
+        fwd = {o: cur for cur, chain in renames.items() for o, _ in chain}
+        schemas = [pa.schema([pa.field(fwd.get(f.name, f.name), f.type)
+                              for f in s_]) for s_ in schemas]
     base_schema = union_schemas(schemas)
     if exclude:
         base_schema = pa.schema([f for f in base_schema if f.name not in exclude])
@@ -579,7 +626,7 @@ def change_feed(
         _feed_read,
         fn_kwargs={"spec": spec, "columns": columns, "schema": out_schema,
                    "activations": activations or None, "exclude": exclude or None,
-                   "before_image": before_image},
+                   "renames": renames, "before_image": before_image},
         batch_size=1,
         batch_format="pyarrow",
     )
@@ -824,6 +871,7 @@ def compact(
     reg = SchemaRegistryState.load_readonly(lake_dir)
     exclude = set(reg.current_drops()) if reg else None
     activations = reg.column_activations() if reg else None
+    renames = (reg.column_renames() or None) if reg else None
     epoch = m.epoch + 1
     base_dir = fsio.join(lake_dir, "base", f"epoch={epoch}")
     fsio.makedirs(base_dir)
@@ -840,7 +888,7 @@ def compact(
                 files, spec, live_only=tombstone_watermark is None,
                 stripe=s, n_stripes=k,
                 file_versions=dict(zip(files, vers)) if vers else None,
-                activations=activations, exclude=exclude)
+                activations=activations, exclude=exclude, renames=renames)
             if tombstone_watermark is not None:
                 # keep young tombstones (they must outlive any possible
                 # out-of-order straggler), drop ones at/below the watermark

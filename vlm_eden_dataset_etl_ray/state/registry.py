@@ -73,6 +73,12 @@ class SchemaRegistryState:
         #: (files written before that version must read the column as null —
         #: a re-add is a FRESH column, the pre-drop values are gone)
         self._activations: dict[str, int] = {}
+        #: current column name → rename chain [(older_name, version), ...]
+        #: ascending by version: at ``version`` the column stopped being
+        #: called ``older_name``. Readers map a file's stored name to the
+        #: current one by walking the chain against the file's version —
+        #: rename PRESERVES data (unlike drop+re-add).
+        self._renames: dict[str, list[tuple[str, int]]] = {}
         if lake_dir:
             self._load_persisted(lake_dir)
         if not self._versions:
@@ -101,6 +107,8 @@ class SchemaRegistryState:
             self._dropped = {k: int(v) for k, v in payload.get("dropped", {}).items()}
             self._activations = {k: int(v)
                                  for k, v in payload.get("activations", {}).items()}
+            self._renames = {k: [(str(o), int(v)) for o, v in chain]
+                             for k, chain in payload.get("renames", {}).items()}
             return
         legacy = fsio.join(d, _LEGACY_FILE)
         if fsio.exists(legacy):
@@ -117,6 +125,8 @@ class SchemaRegistryState:
             "versions": {str(k): _encode(s) for k, s in self._versions.items()},
             "dropped": self._dropped,
             "activations": self._activations,
+            "renames": {k: [[o, v] for o, v in chain]
+                        for k, chain in self._renames.items()},
         })
         fsio.write_bytes(fsio.join(d, name), data.encode())
 
@@ -150,7 +160,8 @@ class SchemaRegistryState:
         v = self.latest_version() + 1
         return self.register(v, schema)
 
-    def migrate(self, schema: pa.Schema) -> int:
+    def migrate(self, schema: pa.Schema,
+                renames: dict[str, str] | None = None) -> int:
         """EXPLICIT migration to ``schema`` as ``latest+1`` — the only path
         that may DROP columns (and re-add previously dropped ones), mirroring
         the reference's run-migrations-then-sync discipline
@@ -158,12 +169,38 @@ class SchemaRegistryState:
         A dropped column is tombstoned: readers stop projecting it. A re-add
         starts a FRESH null-filled column — its activation version is
         recorded so merge-on-read masks pre-drop file values instead of
-        resurrecting them. Idempotent when ``schema`` equals the latest."""
+        resurrecting them. Idempotent when ``schema`` equals the latest.
+
+        ``renames={"old": "new"}`` declares data-PRESERVING renames (the
+        alternative reading of the reference's drop+add migration): the old
+        name must exist in the latest schema, the new one in ``schema``
+        with the same or a widened type; readers map old-named columns in
+        pre-migration files to the new name, so history survives."""
         old = self.schema()
+        renames = dict(renames or {})
         if old.equals(schema):
+            if renames:
+                raise ValueError("renames given but schema is unchanged")
             return self.latest_version()
         v = self.latest_version() + 1
-        drops = validate_evolution(old, schema, allow_drop=True)
+        for o, n in renames.items():
+            oi, ni = old.get_field_index(o), schema.get_field_index(n)
+            if oi < 0 or ni >= 0 and o == n:
+                raise ValueError(f"rename source {o!r} not in latest schema")
+            if ni < 0:
+                raise ValueError(f"rename target {n!r} not in new schema")
+            ot, nt = old.field(oi).type, schema.field(ni).type
+            if not ot.equals(nt) and not sch._is_safe_widen(ot, nt):
+                raise ValueError(
+                    f"rename {o!r}->{n!r} narrows type: {ot} -> {nt}")
+        # validate with renamed columns treated as surviving, not dropped
+        old_for_check = pa.schema(
+            [pa.field(renames.get(f.name, f.name), f.type) for f in old])
+        drops = validate_evolution(old_for_check, schema, allow_drop=True)
+        for o, n in renames.items():
+            chain = self._renames.pop(o, [])
+            chain.append((o, v))
+            self._renames[n] = chain
         for name in drops:
             self._dropped[name] = v
         for f in schema:
@@ -182,6 +219,11 @@ class SchemaRegistryState:
     def column_activations(self) -> dict[str, int]:
         """Re-added column → version its current generation started at."""
         return dict(self._activations)
+
+    def column_renames(self) -> dict[str, list[tuple[str, int]]]:
+        """Current column → rename chain [(older_name, version), ...]
+        ascending; see :func:`historical_name` for reader-side resolution."""
+        return {k: list(v) for k, v in self._renames.items()}
 
     @staticmethod
     def load_readonly(lake_dir: str) -> "SchemaRegistryState | None":
@@ -251,3 +293,18 @@ def schema_history(lake_dir: str) -> pa.Table:
         "added": pa.array(rows["added"], pa.string()),
         "dropped": pa.array(rows["dropped"], pa.string()),
     })
+
+
+def historical_name(current: str,
+                    chain: list[tuple[str, int]],
+                    file_version: int) -> str:
+    """Name a currently-``current`` column had in a file written at
+    ``file_version``: walk the rename chain newest-first while the rename
+    happened AFTER the file was written."""
+    name = current
+    for older, v in reversed(chain):
+        if file_version < v:
+            name = older
+        else:
+            break
+    return name
