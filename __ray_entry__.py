@@ -111,6 +111,15 @@ def q_cdc_drop_readd_evolution(sf_dir):
     return replay_events_drop_readd(sf_dir)
 
 
+def q_cdc_rename_evolution(sf_dir):
+    """Column-RENAME evolution replay: source→origin between two epochs;
+    pre-rename winners keep their ORIGINAL values under the new name
+    (data-preserving, vs drop+re-add's null generation)."""
+    from vlm_eden_dataset_etl_ray.pipelines.cdc import replay_events_rename
+
+    return replay_events_rename(sf_dir)
+
+
 def q_cdc_change_feed_events(sf_dir):
     """CDC output side: 3-epoch replay then lake.change_feed over epochs
     2-3 — per changed key, range-LWW state + _change_type (upsert/delete).
@@ -2222,6 +2231,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_drop_readd_evolution": q_cdc_drop_readd_evolution,
         "cdc_change_feed_events": q_cdc_change_feed_events,
         "cdc_change_feed_before": q_cdc_change_feed_before,
+        "cdc_rename_evolution": q_cdc_rename_evolution,
         "event_value_tier_counts": q_event_value_tier_counts,
         "zone_map_window_scan": q_zone_map_window_scan,
         "lineitem_moment_stats": q_lineitem_moment_stats,
@@ -2405,6 +2415,22 @@ def oracle_sql() -> dict[str, str]:
                 qualify row_number() over (partition by doc_id order by lsn desc) = 1)
             select doc_id, lsn, n_tok, source, op as "_change_type"
             from latest
+        """,
+        "cdc_rename_evolution": """
+            with chg as (
+                select event_id as lsn,
+                       case when event_type = 'error' then 'delete'
+                            else 'upsert' end as op,
+                       'doc' || cast(user_id as varchar) as doc_id,
+                       cast(floor(value * 100) as bigint) as n_tok,
+                       event_type as origin
+                from events),
+            latest as (
+                select * from chg
+                qualify row_number() over (partition by doc_id
+                                           order by lsn desc) = 1)
+            select doc_id, lsn, n_tok, origin
+            from latest where op <> 'delete'
         """,
         "cdc_change_feed_before": """
             with mx as (select max(event_id) as m from events),

@@ -284,6 +284,71 @@ def replay_events_drop_readd(
     )
 
 
+def replay_events_rename(
+    sf_dir: str,
+    workdir: str | None = None,
+) -> rd.Dataset:
+    """Column-RENAME schema evolution replay: two epochs of the
+    events-derived changelog with ``source`` renamed to ``origin`` between
+    them (``registry.migrate(..., renames=...)``). Epoch-1 files
+    physically store ``source``; the merge-on-read rename mapping makes
+    every pre-rename winner read its ORIGINAL value under ``origin`` —
+    the data-preserving contrast to :func:`replay_events_drop_readd`
+    (whose pre-boundary winners must read NULL). DuckDB twin: plain LWW
+    with the winner's event_type as ``origin``."""
+    import hashlib
+
+    import ray
+
+    from vlm_eden_dataset_etl_ray.state.registry import make_registry_actor
+
+    workdir = workdir or scratch_dir("events_rename_")
+    lake_dir = os.path.join(workdir, "lake")
+    shutil.rmtree(lake_dir, ignore_errors=True)
+    mx = _events_max_lsn(sf_dir)
+    t1 = mx // 2
+
+    payload_v1 = pa.schema([("doc_id", pa.string()), ("n_tok", pa.int64()),
+                            ("source", pa.string())])
+    payload_v2 = pa.schema([("doc_id", pa.string()), ("n_tok", pa.int64()),
+                            ("origin", pa.string())])
+    reg = make_registry_actor(lake_dir, seed_versions={1: payload_v1})
+
+    def _phase(t: pa.Table, *, lo: int, hi: int, ver: int,
+               col: str) -> pa.Table:
+        ev = t.column("event_id")
+        m = pc.and_(pc.greater_equal(ev, lo), pc.less(ev, hi))
+        d = _derive_batch(t.filter(m), with_tokens=False)
+        return pa.table({
+            "lsn": d.column("lsn"),
+            "op": d.column("op"),
+            "schema_ver": pa.array(np.full(d.num_rows, ver, dtype=np.int32)),
+            "doc_id": d.column("doc_id"),
+            "n_tok": d.column("n_tok"),
+            col: d.column("source"),
+        })
+
+    def _apply(ver: int, lo: int, hi: int, col: str) -> None:
+        ds = read_table(sf_dir, "events",
+                        columns=["event_id", "user_id", "event_type", "value"])
+        ds = ds.map_batches(
+            _phase, fn_kwargs={"lo": lo, "hi": hi, "ver": ver, "col": col},
+            batch_format="pyarrow", zero_copy_batch=True)
+        epoch_id = hashlib.sha256(
+            f"rename:{os.path.abspath(sf_dir)}:{ver}:{lo}:{hi}".encode()
+        ).hexdigest()[:16]
+        apply_mod.apply_epoch_dataset(lake_dir, ds, epoch_id=epoch_id,
+                                      spec=EVENTS_EVOLVE_SPEC, registry=reg)
+
+    _apply(1, 0, t1 + 1, "source")
+    ray.get(reg.migrate.remote(payload_v2, renames={"source": "origin"}))
+    _apply(2, t1 + 1, mx + 1, "origin")
+    return lake_mod.scan(
+        lake_dir, spec=EVENTS_EVOLVE_SPEC,
+        columns=["doc_id", "lsn", "n_tok", "origin"],
+    )
+
+
 def replay_events_zone_map_scan(
     sf_dir: str,
     workdir: str | None = None,
