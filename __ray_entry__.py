@@ -688,6 +688,18 @@ def q_incremental_dedup_documents(sf_dir):
     return s1.union(s2)
 
 
+def q_weighted_sample_docs(sf_dir):
+    """Weighted sampling without replacement (A-Res): 60 documents drawn
+    with inclusion probability ∝ n_chars, deterministic hash-derived
+    uniforms. Per-batch local top-k, tiny final reduce; payload never
+    shuffles."""
+    from vlm_eden_dataset_etl_ray.functions.sampling import weighted_sample
+    from vlm_eden_dataset_etl_ray.sources.parquet import read_table
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "n_chars"])
+    return weighted_sample(ds, "doc_id", "n_chars", k=60, seed=7)
+
+
 def q_funnel_conversion(sf_dir):
     """Ordered funnel signup → view → purchase over the first 3 days:
     users reaching each step with strict greedy-first-occurrence
@@ -2272,6 +2284,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_exact_documents": q_dedup_exact_documents,
         "span_dedup_documents": q_span_dedup_documents,
         "debounced_events": q_debounced_events,
+        "weighted_sample_docs": q_weighted_sample_docs,
         "funnel_conversion": q_funnel_conversion,
         "cohort_retention": q_cohort_retention,
         "incremental_dedup_documents": q_incremental_dedup_documents,
@@ -2689,6 +2702,16 @@ def oracle_sql() -> dict[str, str]:
             select doc_id, text from documents
             qualify row_number() over (partition by text
                                        order by doc_id) = 1
+        """,
+        "weighted_sample_docs": """
+            with w as (
+                select doc_id, n_chars,
+                       floor(ln((((doc_id + 7) * 2654435761)
+                                  % 4294967296 + 0.5) / 4294967296.0)
+                             / n_chars * 1e12) / 1e12 as k
+                from documents)
+            select doc_id, n_chars from w
+            order by k desc, doc_id limit 60
         """,
         "funnel_conversion": """
             with ev as (select user_id, event_type, ts from events

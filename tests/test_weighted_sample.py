@@ -1,0 +1,41 @@
+"""Weighted sampling without replacement (A-Res): proportionality,
+reshard determinism, weight validation."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+import ray.data as rd
+
+from vlm_eden_dataset_etl_ray.functions.sampling import weighted_sample
+
+
+def _collect_ids(ds):
+    t = pa.concat_tables(ds.iter_batches(batch_format="pyarrow",
+                                         batch_size=None))
+    return t.column("doc_id").to_pylist()
+
+
+def test_heavier_rows_win_proportionally_and_reshard_stable():
+    n = 10000
+    t = pa.table({
+        "doc_id": pa.array(np.arange(n, dtype=np.int64)),
+        # first half weight 1, second half weight 10
+        "w": pa.array(np.where(np.arange(n) < n // 2, 1.0, 10.0)),
+    })
+    ids1 = _collect_ids(weighted_sample(
+        rd.from_arrow(t), "doc_id", "w", k=1000, seed=3))
+    heavy = sum(1 for i in ids1 if i >= n // 2)
+    assert len(ids1) == 1000 and len(set(ids1)) == 1000
+    assert heavy > 3 * (1000 - heavy), heavy
+    # resharding must not change the selection
+    ids2 = _collect_ids(weighted_sample(
+        rd.from_arrow(t).repartition(13), "doc_id", "w", k=1000, seed=3))
+    assert sorted(ids1) == sorted(ids2)
+
+
+def test_nonpositive_weight_rejected():
+    t = pa.table({"doc_id": pa.array([1, 2], pa.int64()),
+                  "w": pa.array([1.0, 0.0])})
+    with pytest.raises(Exception):
+        _collect_ids(weighted_sample(rd.from_arrow(t), "doc_id", "w", k=1))

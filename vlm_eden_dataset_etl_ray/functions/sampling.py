@@ -182,3 +182,47 @@ def stratified_sample(
         return t.filter(pa.array(keep))
 
     return ds.map_batches(_f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def weighted_sample(
+    ds: rd.Dataset,
+    id_col: str,
+    weight_col: str,
+    k: int,
+    seed: int = 0,
+) -> rd.Dataset:
+    """Weighted sampling WITHOUT replacement (Efraimidis-Spirakis A-Res,
+    "Weighted random sampling with a reservoir", IPL 2006): each row draws
+    ``key = ln(u) / w`` with ``u`` derived from the same SQL-replicable
+    integer hash the other samplers use, and the global top-``k`` keys win
+    — inclusion probability proportional to weight, deterministic across
+    re-runs and resharding. The mixture-weighting step when documents
+    carry per-row importance (length, quality, domain weight).
+
+    Keys are floored to 12 decimals on both sides of the oracle so libm
+    last-ulp differences cannot flip a boundary selection; ties break by
+    id. Scale shape: per-batch local top-k (≤k rows leave each batch) →
+    one tiny final reduce; the payload never shuffles.
+    """
+
+    def _key(t: pa.Table) -> pa.Table:
+        p = _int_priority(t, id_col, seed).astype(np.float64)
+        u = (p + 0.5) / 4294967296.0
+        w = t.column(weight_col).to_numpy(
+            zero_copy_only=False).astype(np.float64)
+        if np.any(~(w > 0)):
+            raise ValueError(f"{weight_col} must be strictly positive")
+        key = np.floor(np.log(u) / w * 1e12) / 1e12
+        return t.append_column("__k", pa.array(key, pa.float64()))
+
+    def _topk(t: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(t, sort_keys=[
+            ("__k", "descending"), (id_col, "ascending")])
+        return t.take(idx.slice(0, k))
+
+    pre = (ds.map_batches(_key, batch_format="pyarrow", zero_copy_batch=True)
+             .map_batches(_topk, batch_format="pyarrow", zero_copy_batch=True))
+    return (pre.repartition(1)
+            .map_batches(_topk, batch_format="pyarrow", batch_size=None)
+            .map_batches(lambda t: t.drop_columns(["__k"]),
+                         batch_format="pyarrow"))
