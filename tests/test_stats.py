@@ -185,3 +185,30 @@ def test_grouped_trend_slope_and_degenerate_group():
         out.column("slope").to_pylist(), out.column("intercept").to_pylist())}
     assert rows["a"] == (4, 2.0, 0.0)      # perfect line y = 2x
     assert rows["b"] == (1, None, None)    # single point: undefined, not inf
+
+
+def test_approx_quantiles_high_cardinality_matches_low():
+    import numpy as np
+
+    import ray.data as rd
+    from vlm_eden_dataset_etl_ray.functions.sketches import approx_quantiles
+
+    rng = np.random.default_rng(5)
+    t = pa.table({
+        "g": pa.array((rng.integers(0, 40, 20000)).astype("U4")),
+        "v": pa.array(rng.lognormal(0, 1, 20000)),
+    })
+    ds = rd.from_arrow(t).repartition(8)
+    low = approx_quantiles(ds, "v", (0.5, 0.9), group_by="g")
+    high_ds = approx_quantiles(ds, "v", (0.5, 0.9), group_by="g",
+                               cardinality="high")
+    high = pa.concat_tables(high_ds.iter_batches(batch_format="pyarrow",
+                                                 batch_size=None))
+    lo = {r["g"]: (r["q50"], r["q90"]) for r in low.to_pylist()}
+    hi = {r["g"]: (r["q50"], r["q90"]) for r in high.to_pylist()}
+    assert set(lo) == set(hi) and len(lo) == 40
+    for g in lo:
+        # same sketches, same merge math — groups merge independently so
+        # results agree closely (merge order may differ per group)
+        for a, b in zip(lo[g], hi[g]):
+            assert abs(a - b) / max(abs(a), 1e-9) < 0.05, (g, lo[g], hi[g])

@@ -191,10 +191,18 @@ class CentroidSketch:
 def approx_quantiles(
     ds: rd.Dataset, column: str, qs: tuple[float, ...] = (0.5, 0.9, 0.99),
     group_by: str | None = None, k: int = 256,
-) -> pa.Table:
+    cardinality: str = "low",
+) -> pa.Table | rd.Dataset:
     """Approximate quantiles [per group] via mergeable centroid sketches:
     one sketch per (batch, group) → tiny final merge. Columns:
-    ``q50``-style names per requested quantile."""
+    ``q50``-style names per requested quantile.
+
+    ``cardinality="low"`` (default) tree-reduces every (group, sketch)
+    partial in ONE task and returns a driver-side table — right for
+    reporting-grade group spaces (sources, languages, days). For
+    key-per-user group spaces pass ``"high"``: partials shuffle via
+    ``groupby(group)`` and merge per group in parallel, returning a
+    DATASET — no single task ever sees all groups."""
 
     def _partial(t: pa.Table) -> pa.Table:
         vals = t.column(column).to_numpy(zero_copy_only=False).astype(np.float64)
@@ -226,6 +234,13 @@ def approx_quantiles(
                 [acc[g].quantile(q) for g in ks], pa.float64())
         return pa.table(cols)
 
+    if cardinality == "high":
+        if group_by is None:
+            raise ValueError("cardinality='high' requires group_by")
+        # shuffle the (group, sketch) partials; each group merges in
+        # parallel — no task ever holds every group's sketches
+        return partial.groupby("__g").map_groups(
+            _merge, batch_format="pyarrow")
     merged = partial.repartition(1).map_batches(
         _merge, batch_format="pyarrow", batch_size=None)
     return pa.concat_tables(
