@@ -30,6 +30,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray.data as rd
 
@@ -179,3 +180,86 @@ def _propagate(collapsed: rd.Dataset, src: str, dst: str,
     return labels.map_batches(
         lambda t: t.rename_columns([node_col, component_col]), batch_format="pyarrow"
     )
+
+
+def pagerank(
+    edges: rd.Dataset,
+    src: str = "src",
+    dst: str = "dst",
+    iters: int = 10,
+    damping: float = 0.85,
+    num_buckets: int | None = None,
+) -> rd.Dataset:
+    """Distributed PageRank over an edge-list Dataset (Page et al. 1999;
+    power iteration with uniform dangling-mass redistribution):
+
+        r = (1-d)/N + d·(dangling_mass/N + Σ_in r_src/outdeg_src)
+
+    Shape per iteration: one bucketed hash join (ranks ⨝ edges on the
+    source) + one groupby-sum on the destination — the canonical two
+    exchanges any edge-partitioned PageRank pays. The rank table is
+    O(nodes) rows and MATERIALIZES each iteration (object-store resident)
+    — iterative algorithms must cut Ray Data's lazy lineage or every
+    iteration would re-execute all previous ones. Out-degrees and the
+    node universe are computed once. Driver-side state is two scalars
+    (N, the iteration's dangling mass); both come from tiny aggregates.
+    """
+    from ray.data.aggregate import Sum
+
+    from vlm_eden_dataset_etl_ray.functions.relational import hash_join
+
+    def _ends(t: pa.Table) -> pa.Table:
+        both = pa.concat_arrays([
+            t.column(src).combine_chunks().cast(pa.int64()),
+            t.column(dst).combine_chunks().cast(pa.int64())])
+        return pa.table({"node": both.unique()})
+
+    nodes = (edges.map_batches(_ends, batch_format="pyarrow",
+                               zero_copy_batch=True)
+             .groupby("node").count()
+             .select_columns(["node"]).materialize())
+    n = nodes.count()
+    if n == 0:
+        return nodes
+
+    deg = edges.groupby(src).count()  # (src, count())
+    edges_deg = hash_join(
+        edges.select_columns([src, dst]), deg, src, src,
+        num_buckets=num_buckets).materialize()
+
+    init = 1.0 / n
+    ranks = nodes.map_batches(
+        lambda t: t.append_column(
+            "rank", pa.array(np.full(t.num_rows, init))),
+        batch_format="pyarrow").materialize()
+
+    for _ in range(iters):
+        joined = hash_join(edges_deg, ranks, src, "node",
+                           num_buckets=num_buckets)
+
+        def _contrib(t: pa.Table) -> pa.Table:
+            w = (t.column("rank").to_numpy(zero_copy_only=False)
+                 / t.column("count()").to_numpy(zero_copy_only=False))
+            return pa.table({dst: t.column(dst), "__w": pa.array(w)})
+
+        sums = (joined.map_batches(_contrib, batch_format="pyarrow")
+                .groupby(dst).aggregate(Sum("__w", alias_name="__s")))
+        # dangling mass = 1 - Σ contributions (ranks sum to 1 by
+        # construction; sources with no out-edges contribute nothing)
+        flowed = (sums.aggregate(Sum("__s")) or {}).get("sum(__s)") or 0.0
+        base = (1.0 - damping) / n + damping * (1.0 - flowed) / n
+
+        merged = hash_join(nodes, sums, "node", dst, how="left",
+                           num_buckets=num_buckets)
+
+        def _newrank(t: pa.Table, b=base) -> pa.Table:
+            s = pc.fill_null(t.column("__s"), 0.0).to_numpy(
+                zero_copy_only=False)
+            return pa.table({
+                "node": t.column("node"),
+                "rank": pa.array(b + damping * s),
+            })
+
+        ranks = merged.map_batches(
+            _newrank, batch_format="pyarrow").materialize()
+    return ranks
