@@ -21,6 +21,7 @@ numerically-equal formulas on each side).
 from __future__ import annotations
 
 import os
+import datetime as dt
 import sys
 from collections.abc import Callable
 from typing import Any
@@ -686,6 +687,35 @@ def q_incremental_dedup_documents(sf_dir):
                                  keep_by="doc_id", epoch_id="e2",
                                  spec=spec, join_buckets=4)
     return s1.union(s2)
+
+
+def q_forecast_revenue(sf_dir):
+    """TPC-H Q6 shape: revenue delta from a what-if discount window —
+    filter pushdown at the read (shipdate range to row groups), exact
+    integer-cent partial sums per batch, one scalar out. No shuffle."""
+    from vlm_eden_dataset_etl_ray.sources.parquet import read_table
+
+    ds = read_table(
+        sf_dir, "lineitem",
+        columns=["l_shipdate", "l_discount", "l_quantity",
+                 "l_extendedprice"],
+        filter=(pc.field("l_shipdate") >= dt.datetime(1999, 6, 1))
+        & (pc.field("l_shipdate") < dt.datetime(2000, 6, 1)))
+
+    def _partial(t: pa.Table) -> pa.Table:
+        disc = t.column("l_discount").to_numpy(zero_copy_only=False)
+        qty = t.column("l_quantity").to_numpy(zero_copy_only=False)
+        keep = (disc >= 0.05) & (disc <= 0.07) & (qty < 24)
+        ep = t.column("l_extendedprice").to_numpy(zero_copy_only=False)[keep]
+        cents4 = (np.round(ep * 100).astype(np.int64)
+                  * np.round(disc[keep] * 100).astype(np.int64))
+        return pa.table({"__s": pa.array([int(cents4.sum())], pa.int64())})
+
+    parts = ds.map_batches(_partial, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    total = sum(r["__s"] for r in parts.take_all())
+    return pa.table({"revenue": pa.array([round(total / 1e4, 2)],
+                                         pa.float64())})
 
 
 def q_weighted_sample_docs(sf_dir):
@@ -2284,6 +2314,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_exact_documents": q_dedup_exact_documents,
         "span_dedup_documents": q_span_dedup_documents,
         "debounced_events": q_debounced_events,
+        "forecast_revenue": q_forecast_revenue,
         "weighted_sample_docs": q_weighted_sample_docs,
         "funnel_conversion": q_funnel_conversion,
         "cohort_retention": q_cohort_retention,
@@ -2702,6 +2733,16 @@ def oracle_sql() -> dict[str, str]:
             select doc_id, text from documents
             qualify row_number() over (partition by text
                                        order by doc_id) = 1
+        """,
+        "forecast_revenue": """
+            select round(cast(sum(cast(round(l_extendedprice * 100) as bigint)
+                                 * cast(round(l_discount * 100) as bigint))
+                              as double) / 10000.0, 2) as revenue
+            from lineitem
+            where l_shipdate >= date '1999-06-01'
+              and l_shipdate < date '2000-06-01'
+              and l_discount between 0.05 and 0.07
+              and l_quantity < 24
         """,
         "weighted_sample_docs": """
             with w as (
