@@ -689,6 +689,18 @@ def q_incremental_dedup_documents(sf_dir):
     return s1.union(s2)
 
 
+def q_k_anonymous_events(sf_dir):
+    """k-anonymity suppression: drop events whose (user_id, event_type)
+    quasi-identifier combo occurs fewer than 13 times (312 of 750 combos
+    at sf0.01). Hash-keyed two-stage count + one semi-join; the payload
+    never shuffles twice."""
+    from vlm_eden_dataset_etl_ray.functions.sampling import k_anonymize
+
+    ds = _events(sf_dir, columns=["event_id", "ts", "user_id",
+                                  "event_type", "value"])
+    return k_anonymize(ds, ["user_id", "event_type"], k=13, num_buckets=8)
+
+
 def q_forecast_revenue(sf_dir):
     """TPC-H Q6 shape: revenue delta from a what-if discount window —
     filter pushdown at the read (shipdate range to row groups), exact
@@ -2315,6 +2327,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "span_dedup_documents": q_span_dedup_documents,
         "debounced_events": q_debounced_events,
         "forecast_revenue": q_forecast_revenue,
+        "k_anonymous_events": q_k_anonymous_events,
         "weighted_sample_docs": q_weighted_sample_docs,
         "funnel_conversion": q_funnel_conversion,
         "cohort_retention": q_cohort_retention,
@@ -2733,6 +2746,12 @@ def oracle_sql() -> dict[str, str]:
             select doc_id, text from documents
             qualify row_number() over (partition by text
                                        order by doc_id) = 1
+        """,
+        "k_anonymous_events": """
+            select event_id, ts, user_id, event_type, value from (
+                select *, count(*) over (partition by user_id,
+                                         event_type) as n
+                from events) where n >= 13
         """,
         "forecast_revenue": """
             select round(cast(sum(cast(round(l_extendedprice * 100) as bigint)

@@ -39,3 +39,20 @@ def test_nonpositive_weight_rejected():
                   "w": pa.array([1.0, 0.0])})
     with pytest.raises(Exception):
         _collect_ids(weighted_sample(rd.from_arrow(t), "doc_id", "w", k=1))
+
+
+def test_k_anonymize_suppresses_small_combos():
+    from vlm_eden_dataset_etl_ray.functions.sampling import k_anonymize
+
+    t = pa.table({
+        "id": pa.array(range(10), pa.int64()),
+        "city": pa.array(["a"] * 5 + ["b"] * 3 + ["c"] * 2),
+        "age": pa.array([30] * 5 + [40] * 3 + [50, 51]),
+    })
+    out = pa.concat_tables(k_anonymize(
+        rd.from_arrow(t), ["city", "age"], k=3, num_buckets=2
+    ).iter_batches(batch_format="pyarrow", batch_size=None))
+    kept = sorted(out.column("id").to_pylist())
+    # (a,30)x5 and (b,40)x3 survive; (c,50) and (c,51) are singletons
+    assert kept == [0, 1, 2, 3, 4, 5, 6, 7]
+    assert "__qh" not in out.column_names

@@ -161,7 +161,12 @@ def _hash_fixed_width(arr: pa.Array, seed: int) -> np.ndarray:
         # which DISTINCT keeps too).
         bits = np.where(vals == 0.0, 0.0, vals).view(np.uint64)
     else:
-        bits = arr.cast(pa.int64()).to_numpy(zero_copy_only=False).view(np.uint64)
+        try:
+            ints = arr.cast(pa.int64())
+        except pa.ArrowNotImplementedError:
+            # 32-bit-backed temporal (date32/time32) casts via int32
+            ints = arr.cast(pa.int32()).cast(pa.int64())
+        bits = ints.to_numpy(zero_copy_only=False).view(np.uint64)
     seed_mix = _mix64(np.uint64(seed & 0xFFFFFFFFFFFFFFFF) + np.uint64(0xA5A5A5A5A5A5A5A5))
     h = _mix64(bits ^ seed_mix)
     if mask is not None:

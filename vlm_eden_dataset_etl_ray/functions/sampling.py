@@ -226,3 +226,47 @@ def weighted_sample(
             .map_batches(_topk, batch_format="pyarrow", batch_size=None)
             .map_batches(lambda t: t.drop_columns(["__k"]),
                          batch_format="pyarrow"))
+
+
+def k_anonymize(
+    ds: rd.Dataset,
+    quasi_cols: list[str],
+    k: int,
+    num_buckets: int | None = None,
+) -> rd.Dataset:
+    """k-anonymity suppression: drop every row whose quasi-identifier
+    combination occurs fewer than ``k`` times in the dataset — the
+    pre-release privacy gate for telemetry/log corpora (a combo shared by
+    < k users re-identifies them; Sweeney 2002). Rows are suppressed, not
+    generalized — compose with bucketing transforms upstream to coarsen
+    the quasi-identifiers instead of losing rows.
+
+    Scale shape: the quasi-tuple hashes to 8 bytes per row; a two-stage
+    grouped count over the HASH (skew-proof, payload never in the
+    exchange) finds qualifying combos, then one semi-join keeps qualifying
+    rows. A 64-bit hash collision could retain a row it shouldn't
+    (~2⁻⁶⁴ per pair) — acceptable for suppression, noted for auditors.
+    """
+    from vlm_eden_dataset_etl_ray.functions.hashing import content_hash
+    from vlm_eden_dataset_etl_ray.functions.relational import (
+        grouped_count,
+        hash_semi_join,
+    )
+
+    def _h(t: pa.Table) -> pa.Table:
+        h = content_hash(t, quasi_cols)
+        return t.append_column("__qh", pa.array(h.astype(np.int64)))
+
+    hashed = ds.map_batches(_h, batch_format="pyarrow", zero_copy_batch=True)
+    counts = grouped_count(hashed.select_columns(["__qh"]), ["__qh"],
+                           alias="__n", cardinality="high")
+
+    def _ok(t: pa.Table) -> pa.Table:
+        return t.filter(pc.greater_equal(t.column("__n"),
+                                         pa.scalar(k))).select(["__qh"])
+
+    ok = counts.map_batches(_ok, batch_format="pyarrow", zero_copy_batch=True)
+    out = hash_semi_join(hashed, ok, "__qh", "__qh",
+                         num_buckets=num_buckets)
+    return out.map_batches(lambda t: t.drop_columns(["__qh"]),
+                           batch_format="pyarrow", zero_copy_batch=True)
