@@ -665,14 +665,13 @@ def q_incremental_dedup_documents(sf_dir):
     ordered by doc_id make the incremental result equal the batch
     keep-min-doc_id dedup, so the SQL twin is exact."""
     import tempfile
-
-    from vlm_eden_dataset_etl_ray.pipelines.incremental_dedup import (
-        incremental_exact_dedup)
-    from vlm_eden_dataset_etl_ray.sources.parquet import read_table
-
-    from vlm_eden_dataset_etl_ray.pipelines.incremental_dedup import (
-        HASH_STATE_SPEC)
     from dataclasses import replace
+
+    from vlm_eden_dataset_etl_ray.pipelines.incremental_dedup import (
+        HASH_STATE_SPEC,
+        incremental_exact_dedup,
+    )
+    from vlm_eden_dataset_etl_ray.sources.parquet import read_table
 
     state = tempfile.mkdtemp(prefix="incdedup_", dir="/tmp")
     spec = replace(HASH_STATE_SPEC, num_partitions=4)  # tiny test state

@@ -79,8 +79,18 @@ def test_rename_validation_and_chain_resolution(tmp_path):
     st = SchemaRegistryState(str(tmp_path / "r"), seed_versions={1: V1})
     with pytest.raises(ValueError):
         st.migrate(V2, renames={"nope": "origin"})
+    # unchanged schema: idempotent no-op even with renames (retry path)
+    assert st.migrate(V1, renames={"source": "source"}) == 1
+    # rename onto a LIVE column is rejected (would relabel old data)
+    v_both = pa.schema([("doc_id", pa.string()), ("n_tok", pa.int64()),
+                        ("source", pa.string()), ("extra", pa.int64())])
+    st_b = SchemaRegistryState(None, seed_versions={1: v_both})
+    v_clash = pa.schema([("doc_id", pa.string()), ("n_tok", pa.int64()),
+                         ("source", pa.string())])
     with pytest.raises(ValueError):
-        st.migrate(V1, renames={"source": "source"})  # unchanged schema
+        st_b.migrate(v_clash, renames={"extra": "source"})
+    assert st.migrate(V2, renames={"source": "origin"}) == 2
+    # retrying the SAME rename migration is a no-op, not an error
     assert st.migrate(V2, renames={"source": "origin"}) == 2
     v3 = pa.schema([("doc_id", pa.string()), ("n_tok", pa.int64()),
                     ("provenance", pa.string())])

@@ -57,3 +57,16 @@ def test_restore_keeps_time_travel_and_validates_epoch(tmp_path):
     assert lake.snapshot(d, spec=SPEC, asof_epoch=2).equals(s2)
     with pytest.raises(ValueError):
         lake.restore(d, 99)
+
+
+def test_change_feed_across_restore_emits_nothing_new(tmp_path):
+    d = str(tmp_path / "rstf")
+    apply.apply_epoch_dataset(d, rd.from_arrow(_t(0, 40)),
+                              epoch_id="e1", spec=SPEC)
+    lake.compact(d, spec=SPEC)                      # epoch 2
+    lake.restore(d, 1)                              # epoch 3
+    feed = lake.change_feed(d, from_epoch=2, to_epoch=3, spec=SPEC)
+    rows = list(feed.iter_batches(batch_format="pyarrow", batch_size=None))
+    # snapshots 2 and 3 are identical: a restore must not re-emit epoch-1
+    # deltas as fresh changes (CDC consumers would double-apply)
+    assert sum(t.num_rows for t in rows) == 0

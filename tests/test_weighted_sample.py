@@ -56,3 +56,21 @@ def test_k_anonymize_suppresses_small_combos():
     # (a,30)x5 and (b,40)x3 survive; (c,50) and (c,51) are singletons
     assert kept == [0, 1, 2, 3, 4, 5, 6, 7]
     assert "__qh" not in out.column_names
+
+
+def test_k_anonymize_handles_nullable_date_quasi_identifier():
+    import datetime as dt
+
+    from vlm_eden_dataset_etl_ray.functions.sampling import k_anonymize
+
+    d = dt.date(2024, 1, 1)
+    t = pa.table({
+        "id": pa.array(range(6), pa.int64()),
+        "day": pa.array([d, d, d, None, None, None], pa.date32()),
+    })
+    out = pa.concat_tables(k_anonymize(
+        rd.from_arrow(t), ["day"], k=3, num_buckets=2
+    ).iter_batches(batch_format="pyarrow", batch_size=None))
+    # both the non-null and the null combos have 3 members -> all kept,
+    # and nullable date32 hashing no longer crashes
+    assert sorted(out.column("id").to_pylist()) == list(range(6))

@@ -45,13 +45,15 @@ _FNV_PRIME = np.uint64(0x100000001B3)
 
 
 def _mix64(x):
-    """splitmix64 finalizer — full-avalanche bijection on uint64."""
-    x = (x + np.uint64(0x9E3779B97F4A7C15)) & np.uint64(0xFFFFFFFFFFFFFFFF)
-    x = x ^ (x >> np.uint64(30))
-    x = (x * np.uint64(0xBF58476D1CE4E5B9)) & np.uint64(0xFFFFFFFFFFFFFFFF)
-    x = x ^ (x >> np.uint64(27))
-    x = (x * np.uint64(0x94D049BB133111EB)) & np.uint64(0xFFFFFFFFFFFFFFFF)
-    return x ^ (x >> np.uint64(31))
+    """splitmix64 finalizer — full-avalanche bijection on uint64.
+    Wraparound is the algorithm; silence numpy's scalar-overflow warning."""
+    with np.errstate(over="ignore"):
+        x = (x + np.uint64(0x9E3779B97F4A7C15)) & np.uint64(0xFFFFFFFFFFFFFFFF)
+        x = x ^ (x >> np.uint64(30))
+        x = (x * np.uint64(0xBF58476D1CE4E5B9)) & np.uint64(0xFFFFFFFFFFFFFFFF)
+        x = x ^ (x >> np.uint64(27))
+        x = (x * np.uint64(0x94D049BB133111EB)) & np.uint64(0xFFFFFFFFFFFFFFFF)
+        return x ^ (x >> np.uint64(31))
 
 
 def _string_buffers(arr: pa.Array) -> tuple[np.ndarray, np.ndarray]:
@@ -150,7 +152,11 @@ def _hash_fixed_width(arr: pa.Array, seed: int) -> np.ndarray:
     mask = None
     if arr.null_count:
         mask = pc.is_null(arr).to_numpy(zero_copy_only=False)
-        arr = pc.fill_null(arr, pc.cast(pa.scalar(0), arr.type))
+        # fill AFTER bringing the value to a castable family: an int64
+        # zero scalar does not cast to date32/time32, so fill the int
+        # view instead of the original type (nulls survive the cast)
+        if pa.types.is_floating(arr.type):
+            arr = pc.fill_null(arr, pa.scalar(0.0, arr.type))
     if pa.types.is_floating(arr.type):
         vals = arr.cast(pa.float64()).to_numpy(zero_copy_only=False)
         # -0.0 == 0.0 in SQL/Arrow comparisons but differs in its bit
@@ -166,6 +172,8 @@ def _hash_fixed_width(arr: pa.Array, seed: int) -> np.ndarray:
         except pa.ArrowNotImplementedError:
             # 32-bit-backed temporal (date32/time32) casts via int32
             ints = arr.cast(pa.int32()).cast(pa.int64())
+        if ints.null_count:
+            ints = pc.fill_null(ints, pa.scalar(0, pa.int64()))
         bits = ints.to_numpy(zero_copy_only=False).view(np.uint64)
     seed_mix = _mix64(np.uint64(seed & 0xFFFFFFFFFFFFFFFF) + np.uint64(0xA5A5A5A5A5A5A5A5))
     h = _mix64(bits ^ seed_mix)

@@ -465,6 +465,7 @@ def _feed_read(batch: pa.Table, spec: TableSpec, columns, schema: pa.Schema,
             if bfiles:
                 bt = merge_partition_files(
                     bfiles, spec, live_only=True,
+                    columns=list(dict.fromkeys([spec.key] + val_cols)),
                     file_versions=(dict(zip(bfiles, bvers))
                                    if bvers else None),
                     activations=activations, exclude=exclude,
@@ -567,7 +568,9 @@ def change_feed(
     vers: dict[str, int] = {}
     for e in [e for e in epochs if from_epoch < e <= to_epoch]:
         m = mf.load(lake_dir, e)
-        if m.kind != "compaction":
+        # compaction rewrites and restore re-publishes OLD files — neither
+        # represents new row changes; both only advance the diff baseline
+        if m.kind not in ("compaction", "restore"):
             for pid, st in m.partitions.items():
                 pst = prev.partitions.get(pid) if prev is not None else None
                 seen = set(pst.deltas) if pst is not None else set()
@@ -590,8 +593,10 @@ def change_feed(
     schemas = [fsio.read_parquet_schema(f) for fs in per_pid.values() for f in fs]
     if renames:
         fwd = {o: cur for cur, chain in renames.items() for o, _ in chain}
-        schemas = [pa.schema([pa.field(fwd.get(f.name, f.name), f.type)
-                              for f in s_]) for s_ in schemas]
+        schemas = [pa.schema(
+            [pa.field(fwd.get(f.name, f.name)
+                      if fwd.get(f.name, f.name) not in s_.names else f.name,
+                      f.type) for f in s_]) for s_ in schemas]
     base_schema = union_schemas(schemas)
     if exclude:
         base_schema = pa.schema([f for f in base_schema if f.name not in exclude])

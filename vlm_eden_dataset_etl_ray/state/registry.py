@@ -179,16 +179,26 @@ class SchemaRegistryState:
         old = self.schema()
         renames = dict(renames or {})
         if old.equals(schema):
-            if renames:
-                raise ValueError("renames given but schema is unchanged")
+            # idempotent retry: an unchanged schema means any requested
+            # rename either was already applied by the successful first
+            # call or is a no-op — never an error on the resume path
             return self.latest_version()
         v = self.latest_version() + 1
         for o, n in renames.items():
             oi, ni = old.get_field_index(o), schema.get_field_index(n)
-            if oi < 0 or ni >= 0 and o == n:
+            if oi < 0 or o == n:
                 raise ValueError(f"rename source {o!r} not in latest schema")
             if ni < 0:
                 raise ValueError(f"rename target {n!r} not in new schema")
+            if old.get_field_index(n) >= 0:
+                # the target name is LIVE in the old schema: a "rename"
+                # would silently relabel the source's historical values as
+                # the existing column's — that is a drop+rename pair the
+                # caller must express explicitly in two migrations
+                raise ValueError(
+                    f"rename target {n!r} already exists in the latest "
+                    "schema; drop it first (separate migrate) before "
+                    "renaming onto the name")
             ot, nt = old.field(oi).type, schema.field(ni).type
             if not ot.equals(nt) and not sch._is_safe_widen(ot, nt):
                 raise ValueError(
