@@ -98,6 +98,11 @@ BENCH_QUERIES = [
     "debounced_events",
     "funnel_conversion",
     "cohort_retention",
+    # round-3 tail 6: weighted/privacy sampling, Q6, incremental dedup
+    "weighted_sample_docs",
+    "k_anonymous_events",
+    "forecast_revenue",
+    "incremental_dedup_documents",
 ]
 
 

@@ -3,12 +3,14 @@
 
     python -m vlm_eden_dataset_etl_ray apply   --lake L --changelog DIR_OR_FILES...
     python -m vlm_eden_dataset_etl_ray tail    --lake L --changelog DIR   # one tick
-    python -m vlm_eden_dataset_etl_ray compact --lake L
+    python -m vlm_eden_dataset_etl_ray compact --lake L [--cluster-by a,b]
     python -m vlm_eden_dataset_etl_ray status  --lake L
     python -m vlm_eden_dataset_etl_ray metrics --lake L [--last N]
     python -m vlm_eden_dataset_etl_ray scan    --lake L --out DIR [--columns a,b]
     python -m vlm_eden_dataset_etl_ray feed    --lake L --out DIR --from N [--to M]
     python -m vlm_eden_dataset_etl_ray lookup  --lake L --keys k1,k2
+    python -m vlm_eden_dataset_etl_ray clone   --lake L --dst L2      # zero-copy branch
+    python -m vlm_eden_dataset_etl_ray restore --lake L --epoch N     # rollback
     python -m vlm_eden_dataset_etl_ray gen     --out DIR --events N [--docs N] ...
 
 Cron scheduling stays external (systemd timer / cron / `ray job submit`
@@ -75,7 +77,9 @@ def cmd_compact(args) -> dict:
     from vlm_eden_dataset_etl_ray import lake
 
     _ray_session()
-    m = lake.compact(args.lake)
+    cluster = args.cluster_by.split(",") if args.cluster_by else None
+    m = lake.compact(args.lake, cluster_by=cluster,
+                     cluster_file_bytes=args.cluster_file_bytes)
     return {"epoch": m.epoch, "kind": m.kind, "rows": m.total_rows()}
 
 
@@ -199,7 +203,11 @@ def main(argv=None) -> int:
                                "--changelog": {"required": True, "nargs": "+"}})
     add("tail", cmd_tail, **{"--lake": {"required": True},
                              "--changelog": {"required": True, "nargs": 1}})
-    add("compact", cmd_compact, **{"--lake": {"required": True}})
+    add("compact", cmd_compact, **{
+        "--lake": {"required": True},
+        "--cluster-by": {"default": None, "dest": "cluster_by"},
+        "--cluster-file-bytes": {"type": int, "default": 128 << 20,
+                                 "dest": "cluster_file_bytes"}})
     add("vacuum", cmd_vacuum, **{"--lake": {"required": True},
                                  "--keep-epochs": {"type": int, "default": 2,
                                                    "dest": "keep_epochs"}})
