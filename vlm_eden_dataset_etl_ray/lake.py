@@ -800,6 +800,9 @@ def maybe_compact(
     min_delta_files: int = 8,
     stripe_target_bytes: int = 1 << 30,
     tombstone_watermark: int | None = 0,
+    cluster_by: list[str] | None = None,
+    cluster_fn=None,
+    cluster_file_bytes: int = 128 << 20,
 ) -> mf.Manifest | None:
     """Compact only when :func:`compaction_due` says the delta:base ratio
     (or delta file count) crossed the threshold — the cadence an ingest
@@ -816,7 +819,9 @@ def maybe_compact(
                           min_delta_files=min_delta_files):
         return None
     return compact(lake_dir, spec=spec, stripe_target_bytes=stripe_target_bytes,
-                   tombstone_watermark=tombstone_watermark)
+                   tombstone_watermark=tombstone_watermark,
+                   cluster_by=cluster_by, cluster_fn=cluster_fn,
+                   cluster_file_bytes=cluster_file_bytes)
 
 
 def compact(
