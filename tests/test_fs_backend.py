@@ -153,3 +153,33 @@ def test_partitioned_sink_on_backend(tmp_path, prefix):
     stats2 = write_partitioned(rd.from_arrow(t), out_dir, "k", num_partitions=8)
     assert stats2.num_rows == 0
     assert read_partitioned(out_dir).count() == 200
+
+
+@pytest.mark.parametrize("prefix", PREFIXES)
+def test_clone_restore_clustered_compact_on_backend(tmp_path, prefix):
+    """The round-3 metadata ops (clone, restore, clustered compaction)
+    must hold on the rename-free backend too."""
+    p, files = _mk(tmp_path)
+    src = prefix + str(tmp_path / "src")
+    apply.apply_epoch(src, files[:3])
+    s1 = lake.snapshot(src)
+    apply.apply_epoch(src, files[3:])
+    s2 = lake.snapshot(src)
+
+    # clustered compaction on the backend
+    lake.compact(src, cluster_by=["n_tok"], cluster_file_bytes=4096)
+    assert lake.snapshot(src).num_rows == s2.num_rows
+
+    # zero-copy clone, then divergence isolation
+    dst = prefix + str(tmp_path / "dst")
+    lake.clone(src, dst)
+    assert lake.snapshot(dst).num_rows == s2.num_rows
+
+    # restore src to epoch 1; ledger rewinds; re-apply converges
+    lake.restore(src, 1)
+    got = lake.snapshot(src)
+    assert got.num_rows == s1.num_rows
+    apply.apply_epoch(src, files[3:])
+    assert lake.snapshot(src).num_rows == s2.num_rows
+    # the clone never moved
+    assert lake.snapshot(dst).num_rows == s2.num_rows
