@@ -843,6 +843,35 @@ def q_multimodal_decode_meta(sf_dir):
     return ds.select_columns(["doc_id", "payload_bytes", "fake_width", "fake_height", "checksum"])
 
 
+def q_image_phash_dupes(sf_dir):
+    """Image near-dup pairs via perceptual hash: every document's payload
+    plus a tail-tweaked copy (re-encode noise stand-in) → aHash actor
+    pool → pigeonhole Hamming banding. Only 16-byte (id, code) rows
+    cross the exchange; rows-only check (the byte-grid hash has no sane
+    SQL twin), determinism + recall guarded by pytest."""
+    from vlm_eden_dataset_etl_ray.functions.multimodal import (
+        phash_near_dup_pairs, text_as_payload)
+    from vlm_eden_dataset_etl_ray.sources.parquet import read_table
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def _tweak(t: pa.Table) -> pa.Table:
+        # LENGTH-PRESERVING corruption (first 3 chars -> 'zzz'): the fake
+        # grid samples byte positions, so only aligned edits model
+        # re-encode noise; a length change would shift every sample
+        return pa.table({
+            "doc_id": pc.add(t.column("doc_id"), pa.scalar(100000)),
+            "text": pc.utf8_replace_slice(
+                t.column("text").cast(pa.string()), start=0, stop=3,
+                replacement="zzz"),
+        })
+
+    dup = read_table(sf_dir, "documents", columns=["doc_id", "text"]) \
+        .map_batches(_tweak, batch_format="pyarrow")
+    ds = text_as_payload(docs.union(dup))
+    return phash_near_dup_pairs(ds, max_hamming=3)
+
+
 def q_top3_events_per_user(sf_dir):
     """Top-k per key (D1 generalized): 3 highest-value events per user."""
     from vlm_eden_dataset_etl_ray.functions.relational import topk_per_key
@@ -2331,6 +2360,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "funnel_conversion": q_funnel_conversion,
         "cohort_retention": q_cohort_retention,
         "incremental_dedup_documents": q_incremental_dedup_documents,
+        "image_phash_dupes": q_image_phash_dupes,
         "ngram_jaccard_dupes": q_ngram_jaccard_dupes,
         "knn_cosine_topk": q_knn_cosine_topk,
         "embedding_near_dup_pairs": q_embedding_near_dup_pairs,

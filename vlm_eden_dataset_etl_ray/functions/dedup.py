@@ -435,17 +435,25 @@ def simhash_fingerprints(ds: rd.Dataset, id_col: str, text_col: str) -> rd.Datas
     return ds.map_batches(_sim, batch_format="pyarrow", zero_copy_batch=True)
 
 
-def simhash_pairs(ds: rd.Dataset, id_col: str, text_col: str, max_hamming: int = 3) -> rd.Dataset:
-    """Near-dup pairs with Hamming(simhash) ≤ max_hamming, found by the
-    pigeonhole banding trick: split 64 bits into (max_hamming+1) bands —
-    a qualifying pair must match exactly on ≥1 band → groupby band value.
-    Returns a streaming Dataset: the cross-band (doc_a, doc_b) dedup is a
-    distributed min-hamming groupby, never a driver-side concat."""
+def hamming_pairs(
+    codes: rd.Dataset,
+    id_col: str,
+    code_col: str,
+    max_hamming: int = 3,
+) -> rd.Dataset:
+    """All id pairs whose 64-bit ``code_col`` values differ in at most
+    ``max_hamming`` bits — the generic tail shared by SimHash text dedup
+    and perceptual-hash image dedup. Pigeonhole banding: split 64 bits
+    into (max_hamming+1) bands; a qualifying pair must match exactly on
+    ≥1 band → groupby band value, all-pairs popcount only within a
+    bucket. Returns a streaming Dataset (doc_a, doc_b, hamming); the
+    cross-band dedup is a distributed min-hamming groupby, never a
+    driver-side concat."""
     nbands = max_hamming + 1
     width = 64 // nbands
 
     def _explode(t: pa.Table) -> pa.Table:
-        fp = t.column("simhash").to_numpy(zero_copy_only=False).astype(np.uint64)
+        fp = t.column(code_col).to_numpy(zero_copy_only=False).astype(np.uint64)
         ids = t.column(id_col)
         bands, vals, out_ids, fps = [], [], [], []
         for b in range(nbands):
@@ -461,8 +469,7 @@ def simhash_pairs(ds: rd.Dataset, id_col: str, text_col: str, max_hamming: int =
              id_col: pa.array(out_ids), "fp": pa.array(fps, pa.int64())}
         )
 
-    sigs = simhash_fingerprints(ds, id_col, text_col)
-    exploded = sigs.map_batches(_explode, batch_format="pyarrow")
+    exploded = codes.map_batches(_explode, batch_format="pyarrow")
 
     def _bucket(g: pa.Table) -> pa.Table:
         ids = np.asarray(g.column(id_col).to_pylist(), dtype=np.int64)
@@ -487,6 +494,13 @@ def simhash_pairs(ds: rd.Dataset, id_col: str, text_col: str, max_hamming: int =
         return t.rename_columns(["doc_a", "doc_b", "hamming"])
 
     return deduped.map_batches(_rename, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def simhash_pairs(ds: rd.Dataset, id_col: str, text_col: str, max_hamming: int = 3) -> rd.Dataset:
+    """Near-dup pairs with Hamming(simhash) ≤ max_hamming — SimHash
+    fingerprints fed through the generic :func:`hamming_pairs` banding."""
+    sigs = simhash_fingerprints(ds, id_col, text_col)
+    return hamming_pairs(sigs, id_col, "simhash", max_hamming)
 
 
 # ---------------------------------------------------------------------------

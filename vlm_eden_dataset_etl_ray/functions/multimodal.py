@@ -146,3 +146,67 @@ def text_as_payload(ds: rd.Dataset, text_col: str = "text") -> rd.Dataset:
         )
 
     return ds.map_batches(_conv, batch_format="pyarrow", zero_copy_batch=True)
+
+
+class AHashStub:
+    """Actor-pool perceptual-hash stage: 64-bit average-hash (aHash) per
+    image payload — the image analog of SimHash text dedup.
+
+    The aHash ALGORITHM is real and unchanged in production: downsample to
+    an 8×8 grayscale grid, bit i = grid[i] > grid.mean(). Only the
+    DECODE+downsample step is stubbed (codecs absent): the fake grid is a
+    strided 64-byte sample of the raw payload — deterministic, and near-
+    identical payloads (a re-encode that flips a few bytes) still land
+    within a small Hamming distance, which is exactly the property the
+    dedup downstream exploits. A real deployment swaps ``_grid`` for
+    decode→resize(8,8)→grayscale and keeps everything else."""
+
+    def __init__(self, payload_col: str = "payload"):
+        self.payload_col = payload_col
+
+    @staticmethod
+    def _grid(buf: bytes):
+        import numpy as np
+
+        raw = np.frombuffer(buf, dtype=np.uint8)
+        if raw.size == 0:
+            return np.zeros(64, dtype=np.uint8)
+        idx = np.linspace(0, raw.size - 1, 64).astype(np.int64)
+        return raw[idx]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        grids = np.stack([self._grid(b)
+                          for b in batch.column(self.payload_col).to_pylist()]) \
+            if batch.num_rows else np.zeros((0, 64), np.uint8)
+        # aHash proper (vectorized across the batch): bit = pixel > mean
+        bits = grids > grids.mean(axis=1, keepdims=True)
+        weights = (np.uint64(1) << np.arange(64, dtype=np.uint64))
+        codes = (bits.astype(np.uint64) * weights).sum(axis=1).astype(np.int64)
+        return batch.append_column("ahash", pa.array(codes, pa.int64()))
+
+
+def phash_near_dup_pairs(
+    ds: rd.Dataset,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    max_hamming: int = 3,
+    batch_size: int = 64,
+    concurrency=(1, 4),
+) -> rd.Dataset:
+    """Image near-duplicate pairs: perceptual hash per payload (actor
+    pool, small batches for big binary rows) → the generic pigeonhole
+    Hamming banding from :func:`..dedup.hamming_pairs`. The payload never
+    shuffles — only 16-byte (id, code) rows cross the exchange."""
+    from vlm_eden_dataset_etl_ray.functions.dedup import hamming_pairs
+
+    codes = ds.map_batches(
+        AHashStub,
+        fn_constructor_args=(payload_col,),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        zero_copy_batch=True,
+        concurrency=concurrency,
+    ).select_columns([id_col, "ahash"])
+    return hamming_pairs(codes, id_col, "ahash", max_hamming)
