@@ -75,3 +75,36 @@ def test_branch_vacuum_never_deletes_source_files(tmp_path):
         for f in m.files(pid):
             assert os.path.exists(f), f
     assert lake.snapshot(src, spec=SPEC).num_rows == 30
+
+
+def test_clone_carries_rename_evolution_state(tmp_path):
+    """The registry snapshot (_schema) copies with the clone: pre-rename
+    files in the BRANCH must still read their values under the new name."""
+
+    from vlm_eden_dataset_etl_ray.state.registry import make_registry_actor
+
+    spec = TableSpec(name="clr", key="doc_id", order="lsn",
+                     num_partitions=2)
+    v1 = pa.table({
+        "lsn": pa.array([1, 2], pa.int64()),
+        "op": pa.array(["upsert", "upsert"]),
+        "doc_id": pa.array(["a", "b"]),
+        "n_tok": pa.array([10, 20], pa.int64()),
+        "source": pa.array(["s1", "s2"]),
+    })
+    src = str(tmp_path / "src")
+    v1_schema = pa.schema([("doc_id", pa.string()), ("n_tok", pa.int64()),
+                           ("source", pa.string())])
+    v2_schema = pa.schema([("doc_id", pa.string()), ("n_tok", pa.int64()),
+                           ("origin", pa.string())])
+    reg = make_registry_actor(src, seed_versions={1: v1_schema})
+    apply.apply_epoch_dataset(src, rd.from_arrow(v1), epoch_id="e1",
+                              spec=spec, registry=reg)
+    import ray
+    ray.get(reg.migrate.remote(v2_schema, renames={"source": "origin"}))
+
+    dst = str(tmp_path / "dst")
+    lake.clone(src, dst)
+    t = lake.snapshot(dst, spec=spec, columns=["doc_id", "origin"])
+    assert dict(zip(t.column("doc_id").to_pylist(),
+                    t.column("origin").to_pylist())) == {"a": "s1", "b": "s2"}
