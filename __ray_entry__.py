@@ -741,6 +741,35 @@ def q_weighted_sample_docs(sf_dir):
     return weighted_sample(ds, "doc_id", "n_chars", k=60, seed=7)
 
 
+def q_incremental_minhash_dedup(sf_dir):
+    """Cross-epoch NEAR-dup dedup: the corpus arrives as two epochs
+    (split by doc_id); epoch 2 drops documents whose MinHash signature
+    collides with epoch-1 keepers via the lake-backed LSH-key state,
+    then near-dup-clusters the rest in-epoch. Rows-only (LSH has no
+    sane SQL twin); determinism + cross-epoch drops guarded by pytest."""
+    import tempfile
+    from dataclasses import replace
+
+    from vlm_eden_dataset_etl_ray.pipelines.incremental_dedup import (
+        MINHASH_STATE_SPEC,
+        incremental_minhash_dedup,
+    )
+    from vlm_eden_dataset_etl_ray.sources.parquet import read_table
+
+    state = tempfile.mkdtemp(prefix="incmh_", dir="/tmp")
+    spec = replace(MINHASH_STATE_SPEC, num_partitions=4)
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    e1 = docs.filter(expr="doc_id <= 250")
+    e2 = docs.filter(expr="doc_id > 250")
+    s1 = incremental_minhash_dedup(
+        state, e1, epoch_id="e1", threshold=0.9, num_perm=128, bands=8,
+        spec=spec, join_buckets=4)
+    s2 = incremental_minhash_dedup(
+        state, e2, epoch_id="e2", threshold=0.9, num_perm=128, bands=8,
+        spec=spec, join_buckets=4)
+    return s1.union(s2)
+
+
 def q_funnel_conversion(sf_dir):
     """Ordered funnel signup → view → purchase over the first 3 days:
     users reaching each step with strict greedy-first-occurrence
@@ -2361,6 +2390,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cohort_retention": q_cohort_retention,
         "incremental_dedup_documents": q_incremental_dedup_documents,
         "image_phash_dupes": q_image_phash_dupes,
+        "incremental_minhash_dedup": q_incremental_minhash_dedup,
         "ngram_jaccard_dupes": q_ngram_jaccard_dupes,
         "knn_cosine_topk": q_knn_cosine_topk,
         "embedding_near_dup_pairs": q_embedding_near_dup_pairs,

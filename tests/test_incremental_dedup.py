@@ -76,3 +76,53 @@ def test_unknown_epoch_id_raises_on_vacuumed_history(tmp_path):
     )
     with pytest.raises(ValueError):
         _epoch_first_applied(state, "nope")
+
+
+def _mh_docs(ids, texts):
+    return rd.from_arrow(pa.table({"doc_id": ids, "text": texts}))
+
+
+def _mh_run(state, ds, eid, **kw):
+    from vlm_eden_dataset_etl_ray.pipelines.incremental_dedup import (
+        incremental_minhash_dedup,
+    )
+
+    out = incremental_minhash_dedup(
+        state, ds, epoch_id=eid, threshold=0.7, num_perm=64, bands=16,
+        join_buckets=2, **kw)
+    tables = list(out.iter_batches(batch_format="pyarrow", batch_size=None))
+    if not tables:
+        return []
+    return sorted(pa.concat_tables(tables).column("doc_id").to_pylist())
+
+
+_BASE = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+         "lam mu nu xi omicron pi rho sigma tau upsilon")
+_NEAR = _BASE.replace("kappa", "kappa2")      # one-term edit: near-dup
+_FAR = ("one two three four five six seven eight nine ten eleven twelve "
+        "thirteen fourteen fifteen sixteen seventeen eighteen nineteen")
+
+
+def test_minhash_incremental_drops_cross_epoch_near_dups(tmp_path):
+    state = str(tmp_path / "mh")
+    # epoch 1: base + in-epoch near-dup pair -> one representative kept
+    assert _mh_run(state, _mh_docs([1, 2, 3], [_BASE, _NEAR, _FAR]),
+                   "e1") == [1, 3]
+    # epoch 2: near-dup of epoch-1 doc dropped; genuinely new doc kept
+    new_text = "totally different words about completely other things " \
+               "with no overlap whatsoever in any shingle of this text"
+    assert _mh_run(state, _mh_docs([4, 5], [_NEAR, new_text]),
+                   "e2") == [5]
+    # epoch 3: near-dup of the EPOCH-2 keeper also dropped
+    assert _mh_run(state, _mh_docs(
+        [6], [new_text.replace("shingle", "ngram")]), "e3") == []
+
+
+def test_minhash_incremental_replay_reproduces(tmp_path):
+    state = str(tmp_path / "mhr")
+    e1 = _mh_docs([1, 2], [_BASE, _FAR])
+    e2 = _mh_docs([3, 4], [_NEAR, _FAR + " extra tail words here"])
+    assert _mh_run(state, e1, "e1") == [1, 2]
+    got = _mh_run(state, e2, "e2")
+    assert got == _mh_run(state, e2, "e2")  # replay identical
+    assert 3 not in got  # near-dup of epoch-1 doc 1

@@ -31,6 +31,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray.data as rd
 
@@ -134,3 +135,129 @@ def incremental_exact_dedup(
     return hash_semi_join(
         docs, fresh.select_columns([keep_by]), keep_by, keep_by,
         num_buckets=join_buckets)
+
+
+#: LSH-key state for cross-epoch NEAR-dup dedup: append-mode lake holding
+#: one row per (band, bucket) key of every kept document. Append mode —
+#: keys repeat across docs by design; the lake's partition hash spreads
+#: bucket keys uniformly.
+MINHASH_STATE_SPEC = TableSpec(
+    name="minhash_state", key="bucket_key", order="lsn", mode="append",
+    num_partitions=32)
+
+_EMPTY_BUCKETS = pa.table({"bucket_key": pa.array([], pa.int64())})
+
+
+def _bucket_key_rows(docs, id_col, text_col, num_perm, bands):
+    """(bucket_key, id) rows: the doc's LSH band keys, band mixed into the
+    bucket hash so one int64 column keys the state lake."""
+    from vlm_eden_dataset_etl_ray.functions.dedup import _signature_ds
+
+    sig = _signature_ds(docs.select_columns([id_col, text_col]),
+                        id_col, text_col, num_perm, bands)
+
+    def _mix(t: pa.Table) -> pa.Table:
+        band = t.column("band").to_numpy(zero_copy_only=False).astype(np.uint64)
+        bucket = t.column("bucket").to_numpy(zero_copy_only=False).view(np.uint64)
+        with np.errstate(over="ignore"):
+            key = ((band + np.uint64(1)) * np.uint64(0x9E3779B97F4A7C15)) ^ bucket
+        return pa.table({"bucket_key": pa.array(key.astype(np.int64)),
+                         id_col: t.column(id_col)})
+
+    return sig.map_batches(_mix, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def incremental_minhash_dedup(
+    state_dir: str,
+    docs: rd.Dataset,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    epoch_id: str,
+    threshold: float = 0.8,
+    num_perm: int = 128,
+    bands: int = 32,
+    min_bands: int = 1,
+    spec: TableSpec = MINHASH_STATE_SPEC,
+    join_buckets: int | None = None,
+) -> rd.Dataset:
+    """Cross-epoch NEAR-dup dedup: drop a document when its MinHash
+    signature collides with an EARLIER epoch's kept document on at least
+    ``min_bands`` LSH bands, then near-dup-cluster the remainder within
+    the epoch (:func:`..functions.dedup.minhash_dedup`, exact-Jaccard
+    verified) and commit the survivors' band keys to the ``state_dir``
+    lake under ``epoch_id`` (exactly-once; replays time-travel like
+    :func:`incremental_exact_dedup`).
+
+    Precision note: the cross-epoch test is the LSH candidate test — the
+    standard incremental trade (verifying against old docs' term sets
+    would re-read the very history incremental processing exists to
+    avoid); tune ``bands``/``min_bands`` for precision, and rely on the
+    in-epoch pass for exact-verified clustering. State size: bands rows
+    of 16 bytes per kept doc — O(kept), never O(corpus payload).
+    """
+    from vlm_eden_dataset_etl_ray.apply import _already_applied, apply_epoch_dataset
+    from vlm_eden_dataset_etl_ray.functions.dedup import minhash_dedup
+    from vlm_eden_dataset_etl_ray.functions.relational import hash_semi_join
+
+    keys = _bucket_key_rows(docs, id_col, text_col, num_perm, bands)
+
+    done = _already_applied(state_dir, epoch_id)
+    if done is not None:
+        first = _epoch_first_applied(state_dir, epoch_id)
+        seen = (lake.scan(state_dir, spec=spec, columns=["bucket_key"],
+                          asof_epoch=first - 1)
+                if first > 1 else rd.from_arrow(_EMPTY_BUCKETS))
+    elif mf.latest(state_dir) is None:
+        seen = rd.from_arrow(_EMPTY_BUCKETS)
+    else:
+        seen = lake.scan(state_dir, spec=spec, columns=["bucket_key"])
+
+    # docs colliding with the state on >= min_bands bands are old near-dups
+    hits = hash_semi_join(keys, seen, "bucket_key", "bucket_key",
+                          num_buckets=join_buckets)
+    dup_ids = (hits.groupby(id_col).count()
+               .map_batches(
+                   lambda t: t.filter(
+                       pc.greater_equal(t.column("count()"),
+                                        pa.scalar(min_bands))
+                   ).select([id_col]),
+                   batch_format="pyarrow"))
+    fresh = hash_semi_join(docs, dup_ids, id_col, id_col, anti=True,
+                           num_buckets=join_buckets)
+
+    # within-epoch near-dup clustering (exact-Jaccard verified)
+    labels = minhash_dedup(fresh, id_col, text_col, threshold=threshold,
+                           num_perm=num_perm, bands=bands)
+    kept_ids = labels.map_batches(
+        lambda t: t.filter(t.column("is_kept").combine_chunks())
+                   .select([id_col]),
+        batch_format="pyarrow")
+    survivors = hash_semi_join(fresh, kept_ids, id_col, id_col,
+                               num_buckets=join_buckets).materialize()
+
+    if done is None:
+        surv_keys = _bucket_key_rows(
+            survivors, id_col, text_col, num_perm, bands)
+
+        def _rows(t: pa.Table) -> pa.Table:
+            n = t.num_rows
+            return pa.table({
+                "bucket_key": t.column("bucket_key"),
+                id_col: t.column(id_col),
+                "lsn": pa.array(np.zeros(n, np.int64)),
+                "op": pa.array(["insert"] * n, pa.string()),
+            })
+
+        rows = surv_keys.map_batches(_rows, batch_format="pyarrow")
+        if survivors.count() == 0:
+            s = docs.schema()
+            key_type = dict(zip(s.names, s.types))[id_col]
+            rows = rd.from_arrow(pa.table({
+                "bucket_key": pa.array([], pa.int64()),
+                id_col: pa.array([], key_type),
+                "lsn": pa.array([], pa.int64()),
+                "op": pa.array([], pa.string()),
+            }))
+        apply_epoch_dataset(state_dir, rows, epoch_id=epoch_id, spec=spec)
+    return survivors
