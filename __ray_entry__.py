@@ -112,6 +112,16 @@ def q_cdc_drop_readd_evolution(sf_dir):
     return replay_events_drop_readd(sf_dir)
 
 
+def q_cdc_clone_restore(sf_dir):
+    """Branch + rollback: two-epoch replay → zero-copy clone → restore
+    the source to epoch 1. The branch still shows the full LWW state,
+    the restored source only epoch 1's — both labeled in one result."""
+    from vlm_eden_dataset_etl_ray.pipelines.cdc import (
+        replay_events_clone_restore)
+
+    return replay_events_clone_restore(sf_dir)
+
+
 def q_cdc_rename_evolution(sf_dir):
     """Column-RENAME evolution replay: source→origin between two epochs;
     pre-rename winners keep their ORIGINAL values under the new name
@@ -2343,6 +2353,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_change_feed_events": q_cdc_change_feed_events,
         "cdc_change_feed_before": q_cdc_change_feed_before,
         "cdc_rename_evolution": q_cdc_rename_evolution,
+        "cdc_clone_restore": q_cdc_clone_restore,
         "event_value_tier_counts": q_event_value_tier_counts,
         "zone_map_window_scan": q_zone_map_window_scan,
         "lineitem_moment_stats": q_lineitem_moment_stats,
@@ -2531,6 +2542,31 @@ def oracle_sql() -> dict[str, str]:
                 qualify row_number() over (partition by doc_id order by lsn desc) = 1)
             select doc_id, lsn, n_tok, source, op as "_change_type"
             from latest
+        """,
+        "cdc_clone_restore": """
+            with mx as (select max(event_id) as m from events),
+            chg as (
+                select event_id as lsn,
+                       case when event_type = 'error' then 'delete'
+                            else 'upsert' end as op,
+                       'doc' || cast(user_id as varchar) as doc_id,
+                       cast(floor(value * 100) as bigint) as n_tok,
+                       event_type as source
+                from events),
+            branch as (
+                select doc_id, lsn, n_tok, source, 'branch' as view
+                from (select * from chg
+                      qualify row_number() over (partition by doc_id
+                                                 order by lsn desc) = 1)
+                where op <> 'delete'),
+            restored as (
+                select doc_id, lsn, n_tok, source, 'restored' as view
+                from (select * from chg
+                      where lsn <= (select m // 2 from mx)
+                      qualify row_number() over (partition by doc_id
+                                                 order by lsn desc) = 1)
+                where op <> 'delete')
+            select * from branch union all select * from restored
         """,
         "cdc_rename_evolution": """
             with chg as (

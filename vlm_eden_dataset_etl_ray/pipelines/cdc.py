@@ -349,6 +349,62 @@ def replay_events_rename(
     )
 
 
+def replay_events_clone_restore(
+    sf_dir: str,
+    workdir: str | None = None,
+) -> rd.Dataset:
+    """Branch + rollback end-to-end: two-epoch replay of the events
+    changelog, zero-copy ``lake.clone`` of the full lake, then
+    ``lake.restore`` of the SOURCE to epoch 1. Returns both snapshots
+    labeled by a ``view`` column — the branch must still show the full
+    two-epoch LWW state, the restored source only epoch 1's. DuckDB twin:
+    two LWW windows (all lsn / lsn ≤ mid) union-labeled."""
+    import hashlib
+
+    workdir = workdir or scratch_dir("events_clonerestore_")
+    lake_dir = os.path.join(workdir, "lake")
+    branch_dir = os.path.join(workdir, "branch")
+    shutil.rmtree(lake_dir, ignore_errors=True)
+    shutil.rmtree(branch_dir, ignore_errors=True)
+    mx = _events_max_lsn(sf_dir)
+    mid = mx // 2
+
+    def _phase(t: pa.Table, *, lo: int, hi: int) -> pa.Table:
+        ev = t.column("event_id")
+        m = pc.and_(pc.greater_equal(ev, lo), pc.less(ev, hi))
+        return _derive_batch(t.filter(m), with_tokens=False)
+
+    for lo, hi in [(0, mid + 1), (mid + 1, mx + 1)]:
+        ds = read_table(sf_dir, "events",
+                        columns=["event_id", "user_id", "event_type", "value"])
+        ds = ds.map_batches(_phase, fn_kwargs={"lo": lo, "hi": hi},
+                            batch_format="pyarrow", zero_copy_batch=True)
+        epoch_id = hashlib.sha256(
+            f"clonerestore:{os.path.abspath(sf_dir)}:{lo}:{hi}".encode()
+        ).hexdigest()[:16]
+        apply_mod.apply_epoch_dataset(lake_dir, ds, epoch_id=epoch_id,
+                                      spec=EVENTS_REPLAY_SPEC)
+
+    lake_mod.clone(lake_dir, branch_dir)
+    lake_mod.restore(lake_dir, 1)
+
+    cols = ["doc_id", "lsn", "n_tok", "source"]
+
+    def _label(name):
+        def _f(t: pa.Table) -> pa.Table:
+            return t.append_column(
+                "view", pa.array([name] * t.num_rows, pa.string()))
+        return _f
+
+    branch = lake_mod.scan(branch_dir, spec=EVENTS_REPLAY_SPEC,
+                           columns=cols).map_batches(
+        _label("branch"), batch_format="pyarrow")
+    restored = lake_mod.scan(lake_dir, spec=EVENTS_REPLAY_SPEC,
+                             columns=cols).map_batches(
+        _label("restored"), batch_format="pyarrow")
+    return branch.union(restored)
+
+
 def replay_events_zone_map_scan(
     sf_dir: str,
     workdir: str | None = None,
