@@ -1028,6 +1028,35 @@ def q_rollup_event_counts(sf_dir):
     return rollup_counts(ds, ["event_type", "day"], "n")
 
 
+def q_rolling_median_value(sf_dir):
+    """Frame-bounded rolling median (7-row trailing) of event values per
+    user — the robust smoother; one co-locating shuffle, vectorized
+    in-group rolling."""
+    from vlm_eden_dataset_etl_ray.functions.windows import rolling_median
+
+    ds = _events(sf_dir, columns=["event_id", "user_id", "ts", "value"])
+    out = rolling_median(ds, "user_id", ["ts", "event_id"], "value", 7)
+    return out.select_columns(["event_id", "user_id", "rolling_median"])
+
+
+def q_event_type_transitions(sf_dir):
+    """Markov transition counts over each user's event sequence: lag()
+    per user, then a bounded grouped count of (prev_type, type) pairs —
+    the session-flow / funnel-discovery input."""
+    from vlm_eden_dataset_etl_ray.functions.relational import (
+        grouped_count, with_previous)
+
+    ds = _events(sf_dir, columns=["event_id", "user_id", "event_type", "ts"])
+    prev = with_previous(ds, "user_id", ["ts", "event_id"], ["event_type"])
+
+    def _drop_first(t: pa.Table) -> pa.Table:
+        return t.filter(pc.is_valid(t.column("prev_event_type")))
+
+    pairs = prev.map_batches(_drop_first, batch_format="pyarrow")
+    return grouped_count(pairs, ["prev_event_type", "event_type"],
+                         alias="n")
+
+
 def q_event_gaps(sf_dir):
     """lag() windowed operator: per event, microseconds since the user's
     previous event (null for each user's first) — groupby shuffle +
@@ -2427,6 +2456,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "running_total_per_customer": q_running_total_per_customer,
         "monthly_priority_pivot": q_monthly_priority_pivot,
         "event_gaps": q_event_gaps,
+        "rolling_median_value": q_rolling_median_value,
+        "event_type_transitions": q_event_type_transitions,
         "rollup_event_counts": q_rollup_event_counts,
         "user_order_full_join": q_user_order_full_join,
         "events_building_bloom_join": q_events_building_bloom_join,
@@ -3339,6 +3370,25 @@ def oracle_sql() -> dict[str, str]:
             select event_type, day, count(*) as n
             from (select event_type, cast(ts as date) as day from events)
             group by rollup(event_type, day)
+        """,
+        "rolling_median_value": """
+            select event_id, user_id,
+                   round(median(value) over (
+                       partition by user_id order by ts, event_id
+                       rows between 6 preceding and current row), 4)
+                       as rolling_median
+            from events
+        """,
+        "event_type_transitions": """
+            with w as (
+                select user_id, event_type,
+                       lag(event_type) over (partition by user_id
+                                             order by ts, event_id)
+                           as prev_event_type
+                from events)
+            select prev_event_type, event_type, count(*) as n
+            from w where prev_event_type is not null
+            group by 1, 2
         """,
         "event_gaps": """
             select event_id, user_id, ts,
