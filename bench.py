@@ -103,6 +103,8 @@ BENCH_QUERIES = [
     "k_anonymous_events",
     "forecast_revenue",
     "incremental_dedup_documents",
+    "rolling_median_value",
+    "event_type_transitions",
 ]
 
 
