@@ -42,6 +42,16 @@ SUBSET = [
     "top10_orders",
     "asof_latest_order",
     "embedding_centroids",
+    # round-3 continuation additions
+    "span_dedup_documents",
+    "debounced_events",
+    "funnel_conversion",
+    "cohort_retention",
+    "weighted_sample_docs",
+    "k_anonymous_events",
+    "forecast_revenue",
+    "rolling_median_value",
+    "event_type_transitions",
 ]
 
 
