@@ -131,6 +131,35 @@ def q_cdc_rename_evolution(sf_dir):
     return replay_events_rename(sf_dir)
 
 
+def q_dml_delete_update(sf_dir):
+    """Predicate DML (Delta-style DELETE/UPDATE without file rewrites):
+    replay → DELETE WHERE n_tok < 2000 (tombstone epoch, payload never
+    moves, zone-map-pruned matched scan) → UPDATE SET n_tok += 1000 WHERE
+    source = 'purchase' — both exactly-once epochs through the engine's
+    own CDC apply; returns the final live snapshot."""
+    from vlm_eden_dataset_etl_ray.pipelines.cdc import replay_events_dml
+
+    return replay_events_dml(sf_dir)
+
+
+def q_expectation_report_events(sf_dir):
+    """Data-quality expectations (dbt-tests shape) over events: one
+    streaming pass of vectorized per-batch violation partials for the
+    row-local rules + a distinct-count exchange for `unique` — output is
+    a tiny (rule, violations, checked) table."""
+    from vlm_eden_dataset_etl_ray.functions import quality
+
+    return quality.expectation_report(_events(sf_dir), [
+        ("not_null", "user_id"),
+        ("in_range", "value", 0.0, 300.0),
+        ("accepted_values", "event_type",
+         ("click", "purchase", "signup", "view")),
+        ("matches_regex", "props", r"^\{"),
+        ("unique", "event_id"),
+        ("unique", ("user_id", "ts")),
+    ])
+
+
 def q_cdc_change_feed_events(sf_dir):
     """CDC output side: 3-epoch replay then lake.change_feed over epochs
     2-3 — per changed key, range-LWW state + _change_type (upsert/delete).
@@ -2382,6 +2411,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_change_feed_events": q_cdc_change_feed_events,
         "cdc_change_feed_before": q_cdc_change_feed_before,
         "cdc_rename_evolution": q_cdc_rename_evolution,
+        "dml_delete_update": q_dml_delete_update,
+        "expectation_report_events": q_expectation_report_events,
         "cdc_clone_restore": q_cdc_clone_restore,
         "event_value_tier_counts": q_event_value_tier_counts,
         "zone_map_window_scan": q_zone_map_window_scan,
@@ -2598,6 +2629,58 @@ def oracle_sql() -> dict[str, str]:
                                                  order by lsn desc) = 1)
                 where op <> 'delete')
             select * from branch union all select * from restored
+        """,
+        "dml_delete_update": """
+            with chg as (
+                select event_id as lsn,
+                       case when event_type = 'error' then 'delete'
+                            else 'upsert' end as op,
+                       'doc' || cast(user_id as varchar) as doc_id,
+                       cast(floor(value * 100) as bigint) as n_tok,
+                       event_type as source
+                from events),
+            latest as (
+                select * from chg
+                qualify row_number() over (partition by doc_id
+                                           order by lsn desc) = 1),
+            live as (
+                select doc_id, n_tok, source from latest where op <> 'delete')
+            select doc_id,
+                   case when source = 'purchase' then n_tok + 1000
+                        else n_tok end as n_tok,
+                   source
+            from live
+            where not coalesce(n_tok < 2000, false)
+        """,
+        "expectation_report_events": r"""
+            with n as (select count(*) as c from events)
+            select 'not_null(user_id)' as rule,
+                   count(*) filter (where user_id is null) as violations,
+                   (select c from n) as checked from events
+            union all
+            select 'in_range(value,0.0,300.0)',
+                   count(*) filter (where not coalesce(
+                       value between 0.0 and 300.0, true)),
+                   (select c from n) from events
+            union all
+            select 'accepted_values(event_type)',
+                   count(*) filter (where not coalesce(event_type in
+                       ('click','purchase','signup','view'), true)),
+                   (select c from n) from events
+            union all
+            select 'matches_regex(props)',
+                   count(*) filter (where not coalesce(
+                       regexp_matches(props, '^\{'), true)),
+                   (select c from n) from events
+            union all
+            select 'unique(event_id)',
+                   (select c from n) - count(distinct event_id),
+                   (select c from n) from events
+            union all
+            select 'unique(user_id,ts)',
+                   c - (select count(*) from
+                       (select distinct user_id, ts from events)),
+                   c from n
         """,
         "cdc_rename_evolution": """
             with chg as (

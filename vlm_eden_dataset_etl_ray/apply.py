@@ -661,6 +661,7 @@ def apply_epoch_dataset(
     epoch: int | None = None,
     batch_size: int = 65536,
     stripe_bytes: int = 512 * 1024 * 1024,
+    target_schema: pa.Schema | None = None,
 ) -> mf.Manifest:
     """Apply a PREPARED-INPUT epoch directly from a Dataset — no scratch
     write→read round trip for derived changelogs (``replay_events`` /
@@ -671,6 +672,12 @@ def apply_epoch_dataset(
     content hash of whatever defines the derived input (source file set +
     transform parameters). Same id ⇒ skipped; the retry/crash story is
     identical to :func:`apply_epoch` (stable staging names, 2PC manifest).
+
+    ``target_schema``: pass when the input's schema is statically known —
+    it skips the ``ds.schema()`` sample execution AND keeps an all-empty
+    input applyable (Ray Data reports ``None`` for the schema of a dataset
+    whose every block is empty, e.g. a DML statement that matched nothing;
+    such an epoch still commits, recording its id in the ledger).
     """
     fsio.makedirs(lake_dir)
     done = _already_applied(lake_dir, epoch_id)
@@ -687,8 +694,15 @@ def apply_epoch_dataset(
     shuffle_dir = fsio.join(staging_dir, "shuffle")
     fsio.makedirs(staging_dir)
 
-    s = ds.schema()
-    target = pa.schema(list(zip(s.names, s.types)))
+    if target_schema is not None:
+        target = target_schema
+    else:
+        s = ds.schema()
+        if s is None:
+            raise ValueError(
+                "input dataset has no inferable schema (every block is "
+                "empty); pass target_schema= explicitly")
+        target = pa.schema(list(zip(s.names, s.types)))
     prepared = ds.map_batches(
         _stateless_stage,
         fn_kwargs={"stage_cls": PrepareAndSpill, "target": target, "spec": spec,

@@ -550,3 +550,43 @@ def replay_events(
         spec=EVENTS_REPLAY_SPEC,
         columns=columns or ["doc_id", "lsn", "n_tok", "source"],
     )
+
+
+def replay_events_dml(
+    sf_dir: str,
+    workdir: str | None = None,
+) -> rd.Dataset:
+    """Predicate DML over a replayed lake: epoch 1 replays the events
+    changelog, epoch 2 is ``DELETE WHERE n_tok < 2000`` (tombstones only —
+    payload never moves; zone maps prune the matched-row scan), epoch 3 is
+    ``UPDATE SET n_tok = n_tok + 1000 WHERE source = 'purchase'`` over the
+    survivors. Both ops ride the engine's own CDC apply, so they are
+    exactly-once and visible to change_feed / time travel. Returns the
+    final live snapshot (lsn excluded: DML stamps watermark+1 LSNs, which
+    the SQL twin models as the delete/update outcome, not a column)."""
+    import hashlib
+
+    from vlm_eden_dataset_etl_ray import dml
+
+    workdir = workdir or scratch_dir("events_dml_")
+    lake_dir = os.path.join(workdir, "lake")
+    shutil.rmtree(lake_dir, ignore_errors=True)
+    ds = read_table(
+        sf_dir, "events", columns=["event_id", "user_id", "event_type", "value"]
+    ).map_batches(
+        _derive_batch,
+        fn_kwargs={"with_tokens": False},
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    epoch_id = hashlib.sha256(
+        f"events_dml:{os.path.abspath(sf_dir)}".encode()
+    ).hexdigest()[:16]
+    apply_mod.apply_epoch_dataset(lake_dir, ds, epoch_id=epoch_id,
+                                  spec=EVENTS_REPLAY_SPEC)
+    dml.delete_where(lake_dir, [("n_tok", "<", 2000)],
+                     spec=EVENTS_REPLAY_SPEC)
+    dml.update_where(lake_dir, [("source", "==", "purchase")],
+                     {"n_tok": ("add", 1000)}, spec=EVENTS_REPLAY_SPEC)
+    return lake_mod.scan(lake_dir, spec=EVENTS_REPLAY_SPEC,
+                         columns=["doc_id", "n_tok", "source"])
