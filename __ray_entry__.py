@@ -2014,6 +2014,19 @@ def q_kmeans_embedding_clusters(sf_dir):
         ["vec_id", "cluster"])
 
 
+def q_semdedup_embeddings(sf_dir):
+    """SemDeDup (arXiv:2303.09540): k-means partition + within-cluster
+    triangular cosine prune, one groupby exchange, blockwise similarity.
+    Deterministic (fixed seed); rows-only — the k-means fit is iterative,
+    no SQL twin."""
+    from vlm_eden_dataset_etl_ray.functions.dedup import semdedup
+    from vlm_eden_dataset_etl_ray.sources.parquet import read_table
+
+    emb = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return semdedup(emb, "vec_id", "embedding", threshold=0.9,
+                    n_clusters=8, sample_frac=1.0)
+
+
 def q_ivm_event_type_stats(sf_dir):
     """Incremental view maintenance: the derived events changelog replays
     in THREE out-of-order epochs; a (source → count, Σn_tok) view is
@@ -2493,6 +2506,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_order_full_join": q_user_order_full_join,
         "events_building_bloom_join": q_events_building_bloom_join,
         "kmeans_embedding_clusters": q_kmeans_embedding_clusters,
+        "semdedup_embeddings": q_semdedup_embeddings,
         "ivm_event_type_stats": q_ivm_event_type_stats,
         "tfidf_docs": q_tfidf_docs,
         "event_session_ids": q_event_session_ids,

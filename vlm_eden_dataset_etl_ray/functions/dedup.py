@@ -684,3 +684,103 @@ def span_dedup(
     return string_agg_ordered(
         kept, id_col, "chunk_text",
         [("chunk_id", "ascending")], alias=text_col, sep=sep)
+
+
+def semdedup(
+    ds: rd.Dataset,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.95,
+    n_clusters: int = 16,
+    sample_frac: float = 0.25,
+    max_cluster: int = 100_000,
+    keep: str = "min_id",
+    seed: int = 5,
+) -> rd.Dataset:
+    """Semantic deduplication (SemDeDup, Abbas et al. 2023,
+    arXiv:2303.09540): k-means-partition the embedding space, then within
+    each cluster drop every row whose cosine similarity to any EARLIER row
+    (in the keep-policy's rank order) reaches ``threshold`` — the paper's
+    triangular rule, which collapses whole chains (a~b, b~c drops both b
+    and c) and vectorizes completely. Returns (id, cluster, keep) — filter
+    on ``keep`` to materialize the survivor set.
+
+    Scale shape: the k-means fit is the existing streamed-partials
+    :func:`..knn.kmeans_fit` (driver holds O(k·d)); assignment is one
+    broadcast matmul per batch; the dedup itself is ONE groupby(cluster)
+    exchange carrying (id, vector) — within a cluster the O(c²) similarity
+    matrix is bounded by ``max_cluster`` (raise ``n_clusters`` for bigger
+    corpora; an oversized cluster raises rather than OOMing a worker).
+    Unlike :func:`embedding_near_dup_bucketed` (multi-probe PAIR discovery,
+    recall across cell boundaries), SemDeDup is single-assignment by
+    design — the paper's trade: cross-cluster near-dups survive, in
+    exchange for a strictly partitioned, embarrassingly parallel prune.
+
+    ``keep``: "min_id" keeps the lexicographically-smallest id of every
+    duplicate group (deterministic, oracle-friendly); "far_from_centroid"
+    keeps the group's lowest-similarity-to-centroid row (the paper's
+    choice — retains the least prototypical exemplar).
+    """
+    if keep not in ("min_id", "far_from_centroid"):
+        raise ValueError(f"unknown keep policy {keep!r}")
+    from vlm_eden_dataset_etl_ray.functions.knn import (_as_matrix,
+                                                        kmeans_assign,
+                                                        kmeans_fit)
+
+    cents = kmeans_fit(ds.select_columns([id_col, vec_col]), vec_col,
+                       n_clusters=n_clusters, sample_frac=sample_frac,
+                       seed=seed)
+    cents_n = cents / np.maximum(
+        np.linalg.norm(cents, axis=1, keepdims=True), 1e-12)
+    assigned = kmeans_assign(ds.select_columns([id_col, vec_col]), cents,
+                             vec_col=vec_col, out_col="cluster")
+
+    def prune(group: pa.Table, *, thr=threshold, cap=max_cluster,
+              pol=keep, cn=cents_n) -> pa.Table:
+        c = group.num_rows
+        if c > cap:
+            raise ValueError(
+                f"semdedup cluster of {c} rows exceeds max_cluster={cap}; "
+                "raise n_clusters (finer partition) or max_cluster")
+        ids = group.column(id_col)
+        order = pc.sort_indices(ids)
+        m = _as_matrix(group.column(vec_col).take(order)).astype(np.float32)
+        ids = ids.take(order)
+        m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+        if pol == "far_from_centroid":
+            # rank ascending by centroid similarity: each duplicate group's
+            # least-prototypical row comes first and is the one kept; row
+            # position (= id order) breaks ties deterministically
+            cid = int(group.column("cluster")[0].as_py())
+            cs = m @ cn[cid].astype(np.float32)
+            rank = np.lexsort((np.arange(c), cs))
+        else:
+            rank = np.arange(c)  # already id-sorted
+        mr = m[rank]
+        # the paper's triangular rule, vectorized: drop row i (in rank
+        # order) iff ANY earlier row has cosine ≥ threshold. Row blocks of
+        # the (c, c) similarity never materialize more than (B, c).
+        best = np.full(c, -np.inf, dtype=np.float32)
+        B = 512
+        for s in range(0, c, B):
+            e = min(s + B, c)
+            block = mr[s:e] @ mr.T  # (e-s, c)
+            if e < c:  # columns i ≥ e: every row j in [s, e) has j < i
+                np.maximum(best[e:], block[:, e:].max(axis=0), out=best[e:])
+            tri = block[:, s:e]  # columns s ≤ i < e: rows j < i only
+            np.maximum(
+                best[s:e],
+                np.where(np.tri(e - s, e - s, -1, dtype=bool).T,
+                         tri, -np.inf).max(axis=0),
+                out=best[s:e])
+        kept_rank = best < thr
+        kept_mask = np.empty(c, dtype=bool)
+        kept_mask[rank] = kept_rank
+        return pa.table({
+            id_col: ids,
+            "cluster": group.column("cluster").take(order),
+            "keep": pa.array(kept_mask),
+        })
+
+    return assigned.groupby("cluster").map_groups(
+        prune, batch_format="pyarrow")
