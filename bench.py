@@ -105,6 +105,10 @@ BENCH_QUERIES = [
     "incremental_dedup_documents",
     "rolling_median_value",
     "event_type_transitions",
+    # round-3 tail 7: predicate DML, expectations, SemDeDup
+    "dml_delete_update",
+    "expectation_report_events",
+    "semdedup_embeddings",
 ]
 
 

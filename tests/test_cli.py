@@ -55,3 +55,30 @@ def test_cli_roundtrip(tmp_path):
     lk = _run("lookup", "--lake", lake, "--keys", some_key,
               "--columns", "doc_id,n_tok")
     assert lk["rows"] and lk["rows"][0]["doc_id"] == some_key
+
+
+def test_cli_dml(tmp_path):
+    chg = str(tmp_path / "chg")
+    lake = str(tmp_path / "lake")
+    _run("gen", "--out", chg, "--events", "1500", "--schema-change-at", "900")
+    _run("tail", "--lake", lake, "--changelog", chg)
+
+    d = _run("delete", "--lake", lake, "--where", "n_tok<5")
+    assert d["epoch"] == 2 and d["applied"]
+
+    u = _run("update", "--lake", lake, "--where", "n_tok>=20",
+             "--set", "n_tok*=2", "--op-id", "double-big")
+    assert u["epoch"] == 3
+
+    # op_id retry is a ledger skip (same epoch back)
+    u2 = _run("update", "--lake", lake, "--where", "n_tok>=20",
+              "--set", "n_tok*=2", "--op-id", "double-big")
+    assert u2["epoch"] == 3
+
+    out = str(tmp_path / "export")
+    _run("scan", "--lake", lake, "--out", out, "--columns", "doc_id,n_tok")
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(out)
+    toks = t.column("n_tok").to_pylist()
+    assert all(v is None or v >= 5 for v in toks)

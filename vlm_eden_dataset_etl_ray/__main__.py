@@ -188,6 +188,75 @@ def cmd_gen(args) -> dict:
     return {"out": args.out, "files": len(files), "events": p.n_events}
 
 
+def _parse_where(parts: list[str]) -> list[tuple]:
+    """``col<=value`` strings → (col, op, value) conjuncts; values parse as
+    int, then float, then string."""
+    out = []
+    for p in parts:
+        for op in ("<=", ">=", "==", "!=", "<", ">"):
+            if op in p:
+                col, raw = p.split(op, 1)
+                for cast in (int, float, str):
+                    try:
+                        v = cast(raw)
+                        break
+                    except ValueError:
+                        continue
+                out.append((col.strip(), op, v))
+                break
+        else:
+            raise SystemExit(f"bad --where clause {p!r} (need col<op>value)")
+    return out
+
+
+def _parse_set(parts: list[str]) -> dict:
+    """``col+=n`` / ``col*=n`` / ``col=v`` strings → update_where SET."""
+    out = {}
+    for p in parts:
+        if "+=" in p:
+            col, raw = p.split("+=", 1)
+            out[col.strip()] = ("add", float(raw) if "." in raw else int(raw))
+        elif "*=" in p:
+            col, raw = p.split("*=", 1)
+            out[col.strip()] = ("mul", float(raw) if "." in raw else int(raw))
+        elif "=" in p:
+            col, raw = p.split("=", 1)
+            for cast in (int, float, str):
+                try:
+                    v = cast(raw)
+                    break
+                except ValueError:
+                    continue
+            out[col.strip()] = v
+        else:
+            raise SystemExit(f"bad --set clause {p!r}")
+    return out
+
+
+def cmd_delete(args) -> dict:
+    """DELETE FROM <lake> WHERE … — one tombstone epoch through the CDC
+    apply (see dml.delete_where)."""
+    from vlm_eden_dataset_etl_ray import dml, manifest as mf
+
+    _ray_session()
+    prev = mf.latest(args.lake)
+    m = dml.delete_where(args.lake, _parse_where(args.where),
+                         op_id=args.op_id)
+    return {"lake": args.lake, "epoch": m.epoch,
+            "applied": m.epoch != (prev.epoch if prev else -1)}
+
+
+def cmd_update(args) -> dict:
+    """UPDATE <lake> SET … WHERE … — matched rows re-emitted at
+    watermark+1 (see dml.update_where)."""
+    from vlm_eden_dataset_etl_ray import dml
+
+    _ray_session()
+    m = dml.update_where(args.lake, _parse_where(args.where),
+                         _parse_set(args.set), op_id=args.op_id)
+    return {"lake": args.lake, "epoch": m.epoch}
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(prog="vlm_eden_dataset_etl_ray")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -227,6 +296,13 @@ def main(argv=None) -> int:
     add("lookup", cmd_lookup, **{"--lake": {"required": True},
                                  "--keys": {"required": True},
                                  "--columns": {"default": None}})
+    add("delete", cmd_delete, **{"--lake": {"required": True},
+                                 "--where": {"required": True, "action": "append"},
+                                 "--op-id": {"default": None, "dest": "op_id"}})
+    add("update", cmd_update, **{"--lake": {"required": True},
+                                 "--where": {"required": True, "action": "append"},
+                                 "--set": {"required": True, "action": "append"},
+                                 "--op-id": {"default": None, "dest": "op_id"}})
     add("gen", cmd_gen, **{"--out": {"required": True},
                            "--events": {"type": int, "default": 10000},
                            "--docs": {"type": int, "default": None},
