@@ -1861,6 +1861,19 @@ def q_fuzzy_part_names(sf_dir):
                              left_alias="name_a", right_alias="name_b")
 
 
+def q_fuzzy_part_names_global(sf_dir):
+    """Self-blocking fuzzy matching (PassJoin segment pigeonhole, VLDB'12):
+    all distinct part-name pairs within Levenshtein distance 3, NO caller
+    blocking keys — candidates from per-segment buckets, each pair
+    verified exactly once."""
+    from vlm_eden_dataset_etl_ray.functions.fuzzy import fuzzy_all_pairs
+    from vlm_eden_dataset_etl_ray.sources.parquet import read_table
+
+    ds = read_table(sf_dir, "part", columns=["p_name"])
+    return fuzzy_all_pairs(ds, "p_name", max_dist=3,
+                           left_alias="name_a", right_alias="name_b")
+
+
 def q_term_postings(sf_dir):
     """Inverted index over the corpus: per term with df >= 5, the document
     frequency and the first 20 sorted doc ids (capped posting list)."""
@@ -2543,6 +2556,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "daily_event_growth": q_daily_event_growth,
         "shipping_priority": q_shipping_priority,
         "fuzzy_part_names": q_fuzzy_part_names,
+        "fuzzy_part_names_global": q_fuzzy_part_names_global,
         "term_postings": q_term_postings,
         "orc_roundtrip": q_orc_roundtrip,
         "unigram_doc_scores": q_unigram_doc_scores,
@@ -3343,6 +3357,13 @@ def oracle_sql() -> dict[str, str]:
                    count(*) filter (d.dev > 3 * 1.4826 * s.mad) as n_outliers
             from d join s using (user_id)
             group by s.user_id, s.med, s.mad
+        """,
+        "fuzzy_part_names_global": """
+            with d as (select distinct p_name from part)
+            select a.p_name as name_a, b.p_name as name_b,
+                   levenshtein(a.p_name, b.p_name) as dist
+            from d a join d b on a.p_name < b.p_name
+            where levenshtein(a.p_name, b.p_name) <= 3
         """,
         "fuzzy_part_names": """
             with d as (select distinct p_brand, p_name from part)

@@ -112,3 +112,152 @@ def fuzzy_value_pairs(
     return domain.groupby(
         block_cols[0] if len(block_cols) == 1 else block_cols
     ).map_groups(_pairs, batch_format="pyarrow")
+
+
+def _segments(s: str, k: int) -> list[tuple[int, str]]:
+    """PassJoin partition: split ``s`` into k+1 contiguous segments whose
+    lengths differ by ≤ 1 (short segments first)."""
+    L = len(s)
+    base, extra = divmod(L, k + 1)
+    out, pos = [], 0
+    for i in range(k + 1):
+        ln = base + (1 if i >= (k + 1 - extra) else 0)
+        out.append((i, s[pos:pos + ln]))
+        pos += ln
+    return out
+
+
+def _seg_start(L: int, k: int, i: int) -> int:
+    base, extra = divmod(L, k + 1)
+    short = k + 1 - extra
+    return i * base + max(0, i - short)
+
+
+def fuzzy_all_pairs(
+    ds: rd.Dataset,
+    value_col: str,
+    max_dist: int,
+    left_alias: str = "value_a",
+    right_alias: str = "value_b",
+    max_bucket: int = 10_000,
+) -> rd.Dataset:
+    """All DISTINCT value pairs within Levenshtein distance ``max_dist`` —
+    no caller blocking keys: candidates come from the PassJoin segment
+    pigeonhole (Li, Deng, Feng; VLDB 2012): if dist(a, b) ≤ k then at
+    least one of the k+1 contiguous segments of the SHORTER string occurs
+    verbatim in the longer one within ±k of its home position. Exact —
+    every emitted pair is Levenshtein-verified, and the scheme plus a
+    short-string block (len ≤ 2k, where segmentation degenerates) misses
+    nothing.
+
+    Scale shape: the quadratic candidate step runs per SEGMENT BUCKET
+    (join key = (segment index, text, shorter length)), never across the
+    vocabulary; each distinct value emits k+1 probe keys and
+    O(k² · (2k+1)) index substrings, so the exchange is vocabulary-sized
+    × a k-bounded constant. A pathological bucket (a segment text shared
+    by > ``max_bucket`` values — pick a larger ``max_dist``-appropriate
+    vocabulary or pre-normalize) raises instead of going quadratic.
+    Python loops run only over the DISTINCT value domain (same contract
+    as :func:`fuzzy_value_pairs`: vocabulary, not rows, drives cost).
+    """
+    k = int(max_dist)
+    if k < 1:
+        raise ValueError("max_dist must be ≥ 1 (use exact dedup for 0)")
+    from .relational import grouped_count
+
+    def _distinct_nonnull(t: pa.Table) -> pa.Table:
+        sub = t.select([value_col])
+        return sub.drop_null().group_by([value_col]).aggregate([])
+
+    domain = ds.map_batches(_distinct_nonnull, batch_format="pyarrow",
+                            zero_copy_batch=True)
+    domain = grouped_count(domain, [value_col], alias="__n",
+                           cardinality="high").drop_columns(["__n"])
+
+    def emit_keys(t: pa.Table) -> pa.Table:
+        key_i, key_txt, key_len, val, side = [], [], [], [], []
+        for v in t.column(value_col).to_pylist():
+            if v is None:
+                continue
+            L = len(v)
+            if L >= k + 1:
+                # probe side: this value as the SHORTER of a pair
+                for i, seg in _segments(v, k):
+                    key_i.append(i); key_txt.append(seg)
+                    key_len.append(L); val.append(v); side.append(0)
+            if L <= 2 * k:
+                # short block: one shared bucket (i=-1) brute-forces all
+                # pairs whose SHORTER side is too short to segment
+                key_i.append(-1); key_txt.append(""); key_len.append(-1)
+                val.append(v); side.append(2)
+            # index side: substrings matching any partner length Lp ≤ L
+            # with L − Lp ≤ k and Lp ≥ k+1
+            for Lp in range(max(k + 1, L - k), L + 1):
+                base, extra = divmod(Lp, k + 1)
+                for i in range(k + 1):
+                    ln = base + (1 if i >= (k + 1 - extra) else 0)
+                    if ln == 0 or ln > L:
+                        continue
+                    p = _seg_start(Lp, k, i)
+                    for st in range(max(0, p - k), min(L - ln, p + k) + 1):
+                        key_i.append(i); key_txt.append(v[st:st + ln])
+                        key_len.append(Lp); val.append(v); side.append(1)
+        return pa.table({
+            "ki": pa.array(key_i, pa.int32()),
+            "kt": pa.array(key_txt, pa.string()),
+            "kl": pa.array(key_len, pa.int32()),
+            "v": pa.array(val, pa.string()),
+            "side": pa.array(side, pa.int8()),
+        })
+
+    keyed = domain.map_batches(emit_keys, batch_format="pyarrow")
+
+    def bucket_pairs(g: pa.Table) -> pa.Table:
+        if g.num_rows > max_bucket:
+            raise ValueError(
+                f"fuzzy_all_pairs bucket of {g.num_rows} exceeds "
+                f"max_bucket={max_bucket} (segment "
+                f"{g.column('kt')[0].as_py()!r}); normalize the column or "
+                "raise max_bucket")
+        side = g.column("side").to_numpy(zero_copy_only=False)
+        vals = g.column("v").to_pylist()
+        a_out, b_out = [], []
+        if int(g.column("ki")[0].as_py()) == -1:
+            short = sorted(set(vals))
+            for x in range(len(short)):
+                for y in range(x + 1, len(short)):
+                    if abs(len(short[x]) - len(short[y])) <= k:
+                        a_out.append(short[x]); b_out.append(short[y])
+        else:
+            probes = sorted({v for v, s in zip(vals, side) if s == 0})
+            index = sorted({v for v, s in zip(vals, side) if s == 1})
+            for pv in probes:
+                for iv in index:
+                    if pv == iv:
+                        continue
+                    dl = len(iv) - len(pv)
+                    if dl < 0 or dl > k or (dl == 0 and not pv < iv):
+                        continue
+                    a, b = (pv, iv) if pv < iv else (iv, pv)
+                    a_out.append(a); b_out.append(b)
+        return pa.table({left_alias: pa.array(a_out, pa.string()),
+                         right_alias: pa.array(b_out, pa.string())})
+
+    cands = keyed.groupby(["ki", "kt", "kl"]).map_groups(
+        bucket_pairs, batch_format="pyarrow")
+    # a pair can surface from several buckets/paths: verify once
+    cands = grouped_count(cands, [left_alias, right_alias], alias="__n",
+                          cardinality="high").drop_columns(["__n"])
+
+    def verify(t: pa.Table) -> pa.Table:
+        a = t.column(left_alias).to_pylist()
+        b = t.column(right_alias).to_pylist()
+        d = levenshtein_batch(a, b)
+        hit = d <= k
+        return pa.table({
+            left_alias: pa.array([x for x, h in zip(a, hit) if h], pa.string()),
+            right_alias: pa.array([x for x, h in zip(b, hit) if h], pa.string()),
+            "dist": pa.array(d[hit], pa.int64()),
+        })
+
+    return cands.map_batches(verify, batch_format="pyarrow")
