@@ -1861,6 +1861,19 @@ def q_fuzzy_part_names(sf_dir):
                              left_alias="name_a", right_alias="name_b")
 
 
+def q_user_first_last_events(sf_dir):
+    """first_value / last_value / nth_value(2) per user over the event
+    stream, ordered by (ts, event_id) — mergeable per-batch pre-reduce
+    ships at most nth+1 rows per key per batch; payload never shuffles in
+    full."""
+    from vlm_eden_dataset_etl_ray.functions.windows import grouped_first_last
+
+    return grouped_first_last(
+        _events(sf_dir, columns=["user_id", "ts", "event_id", "event_type",
+                                 "value"]),
+        "user_id", ["ts", "event_id"], ["event_type", "value"], nth=2)
+
+
 def q_fuzzy_part_names_global(sf_dir):
     """Self-blocking fuzzy matching (PassJoin segment pigeonhole, VLDB'12):
     all distinct part-name pairs within Levenshtein distance 3, NO caller
@@ -2557,6 +2570,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "shipping_priority": q_shipping_priority,
         "fuzzy_part_names": q_fuzzy_part_names,
         "fuzzy_part_names_global": q_fuzzy_part_names_global,
+        "user_first_last_events": q_user_first_last_events,
         "term_postings": q_term_postings,
         "orc_roundtrip": q_orc_roundtrip,
         "unigram_doc_scores": q_unigram_doc_scores,
@@ -3357,6 +3371,22 @@ def oracle_sql() -> dict[str, str]:
                    count(*) filter (d.dev > 3 * 1.4826 * s.mad) as n_outliers
             from d join s using (user_id)
             group by s.user_id, s.med, s.mad
+        """,
+        "user_first_last_events": """
+            with ordered as (
+                select user_id, event_type, value,
+                       row_number() over (partition by user_id
+                                          order by ts, event_id) as rn,
+                       count(*) over (partition by user_id) as cnt
+                from events)
+            select user_id,
+                   max(case when rn = 1 then event_type end) as first_event_type,
+                   max(case when rn = cnt then event_type end) as last_event_type,
+                   max(case when rn = 2 then event_type end) as nth_event_type,
+                   max(case when rn = 1 then value end) as first_value,
+                   max(case when rn = cnt then value end) as last_value,
+                   max(case when rn = 2 then value end) as nth_value
+            from ordered group by user_id
         """,
         "fuzzy_part_names_global": """
             with d as (select distinct p_name from part)

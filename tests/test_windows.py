@@ -232,3 +232,54 @@ def test_ewm_mean_matches_pandas():
 
     with pytest.raises(ValueError):
         ewm_mean(rd.from_arrow(t), "k", ["seq"], "v", 0.0)
+
+
+def test_grouped_first_last_nth_cross_batch():
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from vlm_eden_dataset_etl_ray.functions.windows import grouped_first_last
+
+    rng = np.random.default_rng(9)
+    n = 500
+    t = pa.table({
+        "k": pa.array((rng.integers(0, 17, n)).astype("int64")),
+        "o": pa.array(rng.permutation(n).astype("int64")),
+        "v": pa.array(rng.normal(size=n)),
+        "s": pa.array([f"s{i%7}" for i in range(n)]),
+    })
+    out = pa.concat_tables(grouped_first_last(
+        rd.from_arrow(t).repartition(8), "k", ["o"], ["v", "s"], nth=3,
+    ).iter_batches(batch_format="pyarrow", batch_size=None)).sort_by("k")
+
+    import pandas as pd
+    df = t.to_pandas().sort_values(["k", "o"])
+    ref = df.groupby("k").agg(
+        first_v=("v", "first"), last_v=("v", "last"),
+        first_s=("s", "first"), last_s=("s", "last"),
+        nth_v=("v", lambda s: s.iloc[2] if len(s) >= 3 else None),
+        nth_s=("s", lambda s: s.iloc[2] if len(s) >= 3 else None),
+    ).reset_index()
+    got = out.to_pandas()
+    for c in ["first_v", "last_v", "nth_v"]:
+        assert np.allclose(got[c].to_numpy(dtype=float),
+                           ref[c].to_numpy(dtype=float), equal_nan=True)
+    for c in ["first_s", "last_s", "nth_s"]:
+        assert got[c].where(got[c].notna(), None).tolist() == \
+            ref[c].where(ref[c].notna(), None).tolist()
+
+
+def test_grouped_first_last_single_row_groups_and_nth_overflow():
+    import pyarrow as pa
+    import ray.data as rd
+
+    from vlm_eden_dataset_etl_ray.functions.windows import grouped_first_last
+
+    t = pa.table({"k": ["a", "b"], "o": [1, 2], "v": [10, 20]})
+    out = pa.concat_tables(grouped_first_last(
+        rd.from_arrow(t), "k", ["o"], ["v"], nth=5,
+    ).iter_batches(batch_format="pyarrow", batch_size=None)).sort_by("k")
+    assert out.column("first_v").to_pylist() == [10, 20]
+    assert out.column("last_v").to_pylist() == [10, 20]
+    assert out.column("nth_v").to_pylist() == [None, None]

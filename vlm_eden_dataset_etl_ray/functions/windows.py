@@ -755,3 +755,67 @@ def rolling_median(
         return g.append_column(alias, pa.array(np.round(rmed, 4), pa.float64()))
 
     return ds.groupby(key).map_groups(_per_group, batch_format="pyarrow")
+
+
+def grouped_first_last(
+    ds: rd.Dataset,
+    key: str,
+    order_cols: list[str],
+    cols: list[str],
+    nth: int | None = None,
+) -> rd.Dataset:
+    """Per key, the ``first_<c>`` / ``last_<c>`` (and optionally
+    ``nth_<c>``) values of ``cols`` in ``order_cols`` order — the SQL
+    ``first_value / last_value / nth_value`` window family collapsed to
+    one row per key.
+
+    Scale shape: mergeable per-batch pre-reduce — each batch keeps only
+    its per-key ``max(nth, 1)`` smallest rows plus the single largest, so
+    at most nth+1 rows per key per batch cross the exchange (payload
+    never shuffles in full); the final per-group pick is a vectorized
+    take. ``order_cols`` should order rows uniquely for determinism;
+    nulls order last ascending (Arrow convention).
+    """
+    k = max(int(nth or 1), 1)
+    need = list(dict.fromkeys([key] + order_cols + cols))
+    asc = [(c, "ascending") for c in order_cols]
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.select(need)
+        n = t.num_rows
+        if n <= 1:
+            return t
+        idx = pc.sort_indices(t, sort_keys=[(key, "ascending")] + asc)
+        t = t.take(idx)
+        codes = pc.dictionary_encode(
+            t.column(key).combine_chunks()).indices.to_numpy(
+            zero_copy_only=False)
+        new_run = np.empty(n, dtype=bool)
+        new_run[0] = True
+        np.not_equal(codes[1:], codes[:-1], out=new_run[1:])
+        run_start = np.maximum.accumulate(
+            np.where(new_run, np.arange(n), 0))
+        pos = np.arange(n) - run_start
+        last = np.empty(n, dtype=bool)
+        last[-1] = True
+        np.not_equal(codes[1:], codes[:-1], out=last[:-1])
+        return t.filter(pa.array((pos < k) | last))
+
+    pre = ds.map_batches(partial, batch_format="pyarrow",
+                         zero_copy_batch=True)
+
+    def final(g: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(g, sort_keys=asc)
+        g = g.take(idx)
+        n = g.num_rows
+        out = {key: g.column(key).slice(0, 1)}
+        for c in cols:
+            col = g.column(c)
+            out[f"first_{c}"] = col.slice(0, 1)
+            out[f"last_{c}"] = col.slice(n - 1, 1)
+            if nth is not None:
+                out[f"nth_{c}"] = (col.slice(nth - 1, 1) if n >= nth
+                                   else pa.nulls(1, col.type))
+        return pa.table(out)
+
+    return pre.groupby(key).map_groups(final, batch_format="pyarrow")
