@@ -2196,6 +2196,46 @@ def q_exact_price_quantiles(sf_dir):
                            tiebreak="o_orderkey")
 
 
+def q_cont_price_quantiles(sf_dir):
+    """Exact percentile_cont (interpolated) — same one-sort machinery as
+    the discrete variant; only the bracketing order statistics reach the
+    driver. Values rounded to 4 on both sides (different-but-equal
+    interpolation formulas)."""
+    from vlm_eden_dataset_etl_ray.functions.windows import (
+        interpolated_quantiles)
+    from vlm_eden_dataset_etl_ray.sources.parquet import read_table
+
+    orders = read_table(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
+    t = interpolated_quantiles(orders, "o_totalprice",
+                               [0.1, 0.25, 0.5, 0.75, 0.9], tiebreak="o_orderkey")
+    return _round_col(t, "value", 4)
+
+
+def q_nation_region_grid(sf_dir):
+    """CROSS JOIN scaffold: every (nation, region) combination with a
+    match flag — the broadcast side ships once, each left batch expands
+    vectorized."""
+    import pyarrow.compute as _pc
+
+    from vlm_eden_dataset_etl_ray.functions.relational import (
+        broadcast_cross_join)
+    from vlm_eden_dataset_etl_ray.sources.parquet import read_table
+
+    nations = read_table(sf_dir, "nation",
+                         columns=["n_name", "n_regionkey"])
+    regions = _collect(read_table(
+        sf_dir, "region", columns=["r_regionkey", "r_name"]))
+
+    def flag(t):
+        return t.append_column(
+            "is_home", _pc.equal(t.column("n_regionkey"),
+                                 t.column("r_regionkey")))
+
+    return broadcast_cross_join(nations, regions).map_batches(
+        flag, batch_format="pyarrow").select_columns(
+        ["n_name", "r_name", "is_home"])
+
+
 def q_scd2_order_status_history(sf_dir):
     """SCD Type-2 interval compression: per customer, runs of equal order
     status (in order-date order) collapse into [valid_from, valid_to)
@@ -2541,6 +2581,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_customer_auto_join": q_orders_customer_auto_join,
         "order_price_ntile": q_order_price_ntile,
         "exact_price_quantiles": q_exact_price_quantiles,
+        "cont_price_quantiles": q_cont_price_quantiles,
+        "nation_region_grid": q_nation_region_grid,
         "scd2_order_status_history": q_scd2_order_status_history,
         "rolling_min_order_price": q_rolling_min_order_price,
         "active_buyers_intersect": q_active_buyers_intersect,
@@ -3620,6 +3662,22 @@ def oracle_sql() -> dict[str, str]:
                          ntile(4) over (order by o_totalprice, o_orderkey) as tile
                   from orders)
             group by tile
+        """,
+        "nation_region_grid": """
+            select n_name, r_name,
+                   n_regionkey = r_regionkey as is_home
+            from nation cross join region
+        """,
+        "cont_price_quantiles": """
+            select cast(0.10 as double) as q, round(quantile_cont(o_totalprice, 0.10), 4) as value from orders
+            union all
+            select cast(0.25 as double), round(quantile_cont(o_totalprice, 0.25), 4) from orders
+            union all
+            select cast(0.50 as double), round(quantile_cont(o_totalprice, 0.50), 4) from orders
+            union all
+            select cast(0.75 as double), round(quantile_cont(o_totalprice, 0.75), 4) from orders
+            union all
+            select cast(0.90 as double), round(quantile_cont(o_totalprice, 0.90), 4) from orders
         """,
         "exact_price_quantiles": """
             select cast(0.25 as double) as q, quantile_disc(o_totalprice, 0.25) as value from orders

@@ -1599,3 +1599,39 @@ def zscore_normalize(
                             mask=(std == 0)))
 
     return joined.map_batches(_z, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def broadcast_cross_join(
+    ds: rd.Dataset,
+    right: pa.Table,
+    max_right_rows: int = 65_536,
+) -> rd.Dataset:
+    """CROSS JOIN with a small broadcast side (scaffold joins: calendar ×
+    categories, parameter grids). The right table ships once via
+    ``ray.put``; each left batch expands vectorized (repeat/tile index
+    takes, no Python row loop). Output volume is |left| × |right| — the
+    ``max_right_rows`` cap keeps the expansion factor explicit, and column
+    name collisions raise rather than silently overwrite."""
+    right = right.combine_chunks()
+    if right.num_rows > max_right_rows:
+        raise ValueError(
+            f"cross-join right side has {right.num_rows} rows > "
+            f"max_right_rows={max_right_rows}; a large×large cross join "
+            "is almost always a bug — use hash_join on a key")
+    ref = ray.put(right)
+
+    def _cross(t: pa.Table) -> pa.Table:
+        r = ray.get(ref)
+        clash = set(t.column_names) & set(r.column_names)
+        if clash:
+            raise ValueError(f"cross-join column collision: {sorted(clash)}")
+        n, m = t.num_rows, r.num_rows
+        lt = t.take(pa.array(np.repeat(np.arange(n, dtype=np.int64), m)))
+        rt = r.take(pa.array(np.tile(np.arange(m, dtype=np.int64), n)))
+        out = lt
+        for c in rt.column_names:
+            out = out.append_column(c, rt.column(c))
+        return out
+
+    return ds.map_batches(_cross, batch_format="pyarrow",
+                          zero_copy_batch=True)

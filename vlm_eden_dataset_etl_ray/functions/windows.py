@@ -819,3 +819,51 @@ def grouped_first_last(
         return pa.table(out)
 
     return pre.groupby(key).map_groups(final, batch_format="pyarrow")
+
+
+def interpolated_quantiles(
+    ds: rd.Dataset,
+    col: str,
+    qs: list[float],
+    tiebreak: str,
+) -> pa.Table:
+    """Exact INTERPOLATED quantiles (``quantile_cont`` /
+    ``percentile_cont`` semantics: position h = q·(N−1) 0-based, linear
+    interpolation between the bracketing order statistics — the numpy
+    default and DuckDB's convention). Same machinery as
+    :func:`exact_quantiles`: one distributed sort, only the ≤ 2·len(qs)
+    bracketing rows reach the driver. Returns (q, value: float64)."""
+    keys = [col, tiebreak]
+    sorted_ds, offsets_ref, total = _sorted_with_block_offsets(
+        ds.select_columns(keys), keys)
+    if total == 0:
+        return pa.table({"q": pa.array([], pa.float64()),
+                         "value": pa.array([], pa.float64())})
+    brackets: dict[float, tuple[int, int, float]] = {}
+    need: set[int] = set()
+    for q in qs:
+        h = q * (total - 1)
+        lo, hi = int(np.floor(h)), int(np.ceil(h))
+        brackets[q] = (lo + 1, hi + 1, h - lo)  # 1-based rns + fraction
+        need.update((lo + 1, hi + 1))
+    tset = pa.array(sorted(need), pa.int64())
+
+    def _pick(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t.append_column("__rn", pa.array([], pa.int64()))
+        base = ray.get(offsets_ref)[_first_tuple(t, keys)]
+        t = t.append_column(
+            "__rn", pa.array(np.arange(base + 1, base + 1 + t.num_rows)))
+        return t.filter(pc.is_in(t.column("__rn"), value_set=tset))
+
+    picked = sorted_ds.map_batches(_pick, batch_format="pyarrow",
+                                   batch_size=None).take_all()
+    by_rn = {r["__rn"]: float(r[col]) for r in picked}
+    out_q = [float(q) for q in qs]
+    out_v = []
+    for q in qs:
+        lo_rn, hi_rn, frac = brackets[q]
+        vlo, vhi = by_rn[lo_rn], by_rn[hi_rn]
+        out_v.append(vlo + frac * (vhi - vlo))
+    return pa.table({"q": pa.array(out_q, pa.float64()),
+                     "value": pa.array(out_v, pa.float64())})
