@@ -200,7 +200,11 @@ def incremental_minhash_dedup(
     from vlm_eden_dataset_etl_ray.functions.dedup import minhash_dedup
     from vlm_eden_dataset_etl_ray.functions.relational import hash_semi_join
 
-    keys = _bucket_key_rows(docs, id_col, text_col, num_perm, bands)
+    # the epoch's band keys are computed ONCE (signatures are the epoch's
+    # most expensive stage) and materialized — probed against the state
+    # below AND reused for the survivors' state commit (slim 16 B rows)
+    keys = _bucket_key_rows(docs, id_col, text_col, num_perm,
+                            bands).materialize()
 
     done = _already_applied(state_dir, epoch_id)
     if done is not None:
@@ -237,8 +241,10 @@ def incremental_minhash_dedup(
                                num_buckets=join_buckets).materialize()
 
     if done is None:
-        surv_keys = _bucket_key_rows(
-            survivors, id_col, text_col, num_perm, bands)
+        # survivors' band keys = the already-materialized epoch keys
+        # filtered to surviving ids — no third signature pass
+        surv_keys = hash_semi_join(keys, kept_ids, id_col, id_col,
+                                   num_buckets=join_buckets)
 
         def _rows(t: pa.Table) -> pa.Table:
             n = t.num_rows
@@ -249,15 +255,19 @@ def incremental_minhash_dedup(
                 "op": pa.array(["insert"] * n, pa.string()),
             })
 
+        s = keys.schema()  # materialized → metadata-only
+        key_type = dict(zip(s.names, s.types))[id_col]
+        state_schema = pa.schema([
+            ("bucket_key", pa.int64()), (id_col, key_type),
+            ("lsn", pa.int64()), ("op", pa.string())])
         rows = surv_keys.map_batches(_rows, batch_format="pyarrow")
         if survivors.count() == 0:
-            s = docs.schema()
-            key_type = dict(zip(s.names, s.types))[id_col]
             rows = rd.from_arrow(pa.table({
                 "bucket_key": pa.array([], pa.int64()),
                 id_col: pa.array([], key_type),
                 "lsn": pa.array([], pa.int64()),
                 "op": pa.array([], pa.string()),
             }))
-        apply_epoch_dataset(state_dir, rows, epoch_id=epoch_id, spec=spec)
+        apply_epoch_dataset(state_dir, rows, epoch_id=epoch_id, spec=spec,
+                            target_schema=state_schema)
     return survivors
