@@ -2236,6 +2236,43 @@ def q_nation_region_grid(sf_dir):
         ["n_name", "r_name", "is_home"])
 
 
+def q_order_price_buckets(sf_dir):
+    """Equi-depth quantile bucketing (4 buckets over order price): exact
+    cut points from the one-column sort machinery, broadcast once, each
+    batch labeled by searchsorted — the payload never shuffles (the scale
+    alternative to a full-sort ntile)."""
+    from vlm_eden_dataset_etl_ray.functions.windows import quantile_bucket
+    from vlm_eden_dataset_etl_ray.sources.parquet import read_table
+
+    orders = read_table(sf_dir, "orders",
+                        columns=["o_orderkey", "o_totalprice"])
+    return quantile_bucket(orders, "o_totalprice", 4,
+                           tiebreak="o_orderkey").select_columns(
+        ["o_orderkey", "bucket"])
+
+
+def q_cheapest_item_per_order(sf_dir):
+    """Correlated-subquery rewrite (TPC-H Q2 shape, the reference's
+    'latest row per entity then enrich' pattern): argmin lineitem per
+    order via the skew-proof two-stage top-1, then the join planner
+    attaches the order's date and priority."""
+    from vlm_eden_dataset_etl_ray.functions.relational import (auto_join,
+                                                               top1_per_key)
+    from vlm_eden_dataset_etl_ray.sources.parquet import read_table
+
+    li = read_table(sf_dir, "lineitem",
+                    columns=["l_orderkey", "l_linenumber", "l_partkey",
+                             "l_extendedprice"])
+    cheapest = top1_per_key(li, "l_orderkey",
+                            [("l_extendedprice", "ascending"),
+                             ("l_linenumber", "ascending")])
+    orders = read_table(sf_dir, "orders",
+                        columns=["o_orderkey", "o_orderdate",
+                                 "o_orderpriority"])
+    return auto_join(cheapest, orders, left_on="l_orderkey",
+                     right_on="o_orderkey").drop_columns(["o_orderkey"])
+
+
 def q_scd2_order_status_history(sf_dir):
     """SCD Type-2 interval compression: per customer, runs of equal order
     status (in order-date order) collapse into [valid_from, valid_to)
@@ -2583,6 +2620,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "exact_price_quantiles": q_exact_price_quantiles,
         "cont_price_quantiles": q_cont_price_quantiles,
         "nation_region_grid": q_nation_region_grid,
+        "order_price_buckets": q_order_price_buckets,
+        "cheapest_item_per_order": q_cheapest_item_per_order,
         "scd2_order_status_history": q_scd2_order_status_history,
         "rolling_min_order_price": q_rolling_min_order_price,
         "active_buyers_intersect": q_active_buyers_intersect,
@@ -3662,6 +3701,28 @@ def oracle_sql() -> dict[str, str]:
                          ntile(4) over (order by o_totalprice, o_orderkey) as tile
                   from orders)
             group by tile
+        """,
+        "cheapest_item_per_order": """
+            with best as (
+                select * from lineitem
+                qualify row_number() over (
+                    partition by l_orderkey
+                    order by l_extendedprice, l_linenumber) = 1)
+            select b.l_orderkey, b.l_linenumber, b.l_partkey,
+                   b.l_extendedprice, o.o_orderdate, o.o_orderpriority
+            from best b join orders o on b.l_orderkey = o.o_orderkey
+        """,
+        "order_price_buckets": """
+            with c as (
+                select quantile_disc(o_totalprice, 0.25) as c1,
+                       quantile_disc(o_totalprice, 0.50) as c2,
+                       quantile_disc(o_totalprice, 0.75) as c3
+                from orders)
+            select o_orderkey,
+                   1 + cast(o_totalprice > c1 as bigint)
+                     + cast(o_totalprice > c2 as bigint)
+                     + cast(o_totalprice > c3 as bigint) as bucket
+            from orders, c
         """,
         "nation_region_grid": """
             select n_name, r_name,

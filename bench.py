@@ -109,6 +109,10 @@ BENCH_QUERIES = [
     "dml_delete_update",
     "expectation_report_events",
     "semdedup_embeddings",
+    "fuzzy_part_names_global",
+    "user_first_last_events",
+    "order_price_buckets",
+    "cheapest_item_per_order",
 ]
 
 

@@ -283,3 +283,32 @@ def test_grouped_first_last_single_row_groups_and_nth_overflow():
     assert out.column("first_v").to_pylist() == [10, 20]
     assert out.column("last_v").to_pylist() == [10, 20]
     assert out.column("nth_v").to_pylist() == [None, None]
+
+
+def test_quantile_bucket_matches_ntile_on_distinct_values():
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from vlm_eden_dataset_etl_ray.functions.windows import quantile_bucket
+
+    rng = np.random.default_rng(4)
+    v = rng.permutation(1000).astype("int64")  # distinct values
+    t = pa.table({"id": pa.array(np.arange(1000, dtype=np.int64)),
+                  "v": pa.array(v)})
+    out = pa.concat_tables(quantile_bucket(
+        rd.from_arrow(t).repartition(5), "v", 4, tiebreak="id",
+    ).iter_batches(batch_format="pyarrow", batch_size=None)).sort_by("id")
+    b = np.asarray(out.column("bucket").to_pylist())
+    # distinct values → exact ntile sizes, and bucket order tracks value
+    assert sorted(np.bincount(b)[1:].tolist()) == [250, 250, 250, 250]
+    order = np.argsort(v)
+    assert (np.diff(b[order]) >= 0).all()
+
+    # ties share a bucket (label is a function of the value)
+    t2 = pa.table({"id": pa.array(np.arange(8, dtype=np.int64)),
+                   "v": pa.array([1, 1, 1, 1, 1, 1, 9, 9])})
+    out2 = pa.concat_tables(quantile_bucket(
+        rd.from_arrow(t2), "v", 2, tiebreak="id",
+    ).iter_batches(batch_format="pyarrow", batch_size=None)).sort_by("id")
+    assert out2.column("bucket").to_pylist() == [1, 1, 1, 1, 1, 1, 2, 2]

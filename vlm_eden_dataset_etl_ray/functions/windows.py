@@ -867,3 +867,41 @@ def interpolated_quantiles(
         out_v.append(vlo + frac * (vhi - vlo))
     return pa.table({"q": pa.array(out_q, pa.float64()),
                      "value": pa.array(out_v, pa.float64())})
+
+
+def quantile_bucket(
+    ds: rd.Dataset,
+    col: str,
+    n_buckets: int,
+    tiebreak: str,
+    out_col: str = "bucket",
+) -> rd.Dataset:
+    """Equi-depth bucketing: label every row with its quantile bucket
+    (1-based, ``n_buckets`` of them) — the scale alternative to
+    :func:`ntile` when only the BUCKET LABEL is needed: ntile globally
+    sorts the payload; this computes the ``n_buckets − 1`` exact cut
+    points (percentile_disc at i/n) with the one-column sort machinery,
+    broadcasts them, and labels each batch with one ``searchsorted`` —
+    the payload never shuffles.
+
+    Bucket of v = 1 + #{cuts < v} (cut c_i = quantile_disc(i/n)), which
+    reproduces ntile's sizes exactly when values are distinct; ties share
+    a bucket (they must — the label is a pure function of the value), so
+    with heavy ties bucket populations differ from ntile's balanced
+    split. ``tiebreak`` only makes the internal sort deterministic.
+    """
+    if n_buckets < 1:
+        raise ValueError("n_buckets must be >= 1")
+    qs = [i / n_buckets for i in range(1, n_buckets)]
+    cuts = (exact_quantiles(ds, col, qs, tiebreak).column("value")
+            .to_numpy(zero_copy_only=False) if qs else np.array([]))
+    cuts_ref = ray.put(np.asarray(cuts, dtype=np.float64))
+
+    def label(t: pa.Table) -> pa.Table:
+        c = ray.get(cuts_ref)
+        v = t.column(col).to_numpy(zero_copy_only=False).astype(np.float64)
+        b = np.searchsorted(c, v, side="left") + 1
+        return t.append_column(out_col, pa.array(b.astype(np.int64)))
+
+    return ds.map_batches(label, batch_format="pyarrow",
+                          zero_copy_batch=True)
