@@ -2273,6 +2273,19 @@ def q_cheapest_item_per_order(sf_dir):
                      right_on="o_orderkey").drop_columns(["o_orderkey"])
 
 
+def q_customer_order_overlap(sf_dir):
+    """Corpus-overlap estimation without a join: HLL register algebra
+    over the customer key sets of `customer` and `orders` — |A|, |B|,
+    union (register max), intersection (inclusion-exclusion), Jaccard.
+    Approximate by design (rows-only; accuracy pytest vs exact)."""
+    from vlm_eden_dataset_etl_ray.functions.sketches import approx_overlap
+    from vlm_eden_dataset_etl_ray.sources.parquet import read_table
+
+    cust = read_table(sf_dir, "customer", columns=["c_custkey"])
+    orders = read_table(sf_dir, "orders", columns=["o_custkey"])
+    return approx_overlap(cust, orders, "c_custkey", "o_custkey")
+
+
 def q_scd2_order_status_history(sf_dir):
     """SCD Type-2 interval compression: per customer, runs of equal order
     status (in order-date order) collapse into [valid_from, valid_to)
@@ -2622,6 +2635,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nation_region_grid": q_nation_region_grid,
         "order_price_buckets": q_order_price_buckets,
         "cheapest_item_per_order": q_cheapest_item_per_order,
+        "customer_order_overlap": q_customer_order_overlap,
         "scd2_order_status_history": q_scd2_order_status_history,
         "rolling_min_order_price": q_rolling_min_order_price,
         "active_buyers_intersect": q_active_buyers_intersect,

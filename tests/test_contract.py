@@ -52,6 +52,15 @@ SUBSET = [
     "forecast_revenue",
     "rolling_median_value",
     "event_type_transitions",
+    # round-3 tail 7/8 additions
+    "dml_delete_update",
+    "expectation_report_events",
+    "fuzzy_part_names_global",
+    "user_first_last_events",
+    "cont_price_quantiles",
+    "nation_region_grid",
+    "order_price_buckets",
+    "cheapest_item_per_order",
 ]
 
 

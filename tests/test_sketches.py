@@ -132,3 +132,32 @@ def test_grouped_hll_daily_accuracy():
     for d, est in zip(got.column("day").to_pylist(),
                       got.column("approx_distinct").to_pylist()):
         assert abs(est - len(exact[d])) / len(exact[d]) < 0.05, (d, est)
+
+
+def test_approx_overlap_accuracy_and_disjoint():
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from vlm_eden_dataset_etl_ray.functions.sketches import approx_overlap
+
+    n, shared = 20_000, 8_000
+    a_keys = [f"k{i}" for i in range(n)]
+    b_keys = [f"k{i}" for i in range(n - shared, 2 * n - shared)]
+    a = rd.from_arrow(pa.table({"k": pa.array(a_keys)})).repartition(4)
+    b = rd.from_arrow(pa.table({"k": pa.array(b_keys)})).repartition(4)
+    t = approx_overlap(a, b, "k")
+    r = {c: t.column(c)[0].as_py() for c in t.column_names}
+    assert abs(r["approx_a"] - n) / n < 0.05
+    assert abs(r["approx_b"] - n) / n < 0.05
+    assert abs(r["approx_union"] - (2 * n - shared)) / (2 * n - shared) < 0.05
+    assert abs(r["approx_intersection"] - shared) / shared < 0.25
+    true_j = shared / (2 * n - shared)
+    assert abs(r["approx_jaccard"] - true_j) < 0.1
+
+    # disjoint sets: intersection collapses toward zero
+    c = rd.from_arrow(pa.table({"k": pa.array([f"x{i}" for i in range(5000)])}))
+    d = rd.from_arrow(pa.table({"k": pa.array([f"y{i}" for i in range(5000)])}))
+    t2 = approx_overlap(c, d, "k")
+    assert t2.column("approx_intersection")[0].as_py() < 1000
+    assert t2.column("approx_jaccard")[0].as_py() < 0.1

@@ -331,3 +331,54 @@ def approx_heavy_hitters(
         _merge, batch_format="pyarrow", batch_size=None)
     return pa.concat_tables(
         merged.iter_batches(batch_format="pyarrow", batch_size=None))
+
+
+def _hll_of(ds: rd.Dataset, column: str, p: int) -> HyperLogLog:
+    """One merged HLL over a dataset's column — per-batch register
+    partials, tree-merged driver-side (registers are 2^p bytes)."""
+    def _partial(t: pa.Table) -> pa.Table:
+        sk = HyperLogLog(p).add_hashes(
+            hash_strings(t.column(column).cast(pa.string())))
+        return pa.table({"__sk": pa.array([sk.to_bytes()], pa.binary())})
+
+    acc = HyperLogLog(p)
+    for b in ds.map_batches(_partial, batch_format="pyarrow",
+                            zero_copy_batch=True).iter_batches(
+            batch_format="pyarrow", batch_size=None):
+        for raw in b.column("__sk").to_pylist():
+            acc.merge(HyperLogLog.from_bytes(raw, p))
+    return acc
+
+
+def approx_overlap(
+    ds_a: rd.Dataset,
+    ds_b: rd.Dataset,
+    col_a: str,
+    col_b: str | None = None,
+    p: int = 12,
+) -> pa.Table:
+    """Approximate set-overlap profile of two key columns — |A|, |B|,
+    |A∪B| (register max), |A∩B| (inclusion–exclusion) and the derived
+    Jaccard — the corpus-overlap question ("how much of the new crawl is
+    already in the training set?") answered without ever joining the two
+    sides: each dataset streams once into 2^p-byte mergeable registers.
+
+    Inclusion–exclusion inherits HLL's ~1.04/√2^p relative error on the
+    UNION size, so the intersection estimate degrades as the true overlap
+    shrinks relative to the union — right tool for "roughly how much",
+    wrong tool for "exactly which" (that's the anti-join / exact dedup)."""
+    a = _hll_of(ds_a, col_a, p)
+    b = _hll_of(ds_b, col_b or col_a, p)
+    na, nb = a.estimate(), b.estimate()
+    u = HyperLogLog(p)
+    np.maximum(a.registers, b.registers, out=u.registers)
+    nu = u.estimate()
+    ni = max(0.0, na + nb - nu)
+    return pa.table({
+        "approx_a": pa.array([int(round(na))], pa.int64()),
+        "approx_b": pa.array([int(round(nb))], pa.int64()),
+        "approx_union": pa.array([int(round(nu))], pa.int64()),
+        "approx_intersection": pa.array([int(round(ni))], pa.int64()),
+        "approx_jaccard": pa.array(
+            [round(ni / nu, 4) if nu > 0 else 0.0], pa.float64()),
+    })
