@@ -2286,6 +2286,19 @@ def q_customer_order_overlap(sf_dir):
     return approx_overlap(cust, orders, "c_custkey", "o_custkey")
 
 
+def q_budget_sample_docs(sf_dir):
+    """Token-budget subsampling: keep documents in SQL-replicable
+    hash-priority order until cumulative n_chars reaches the budget —
+    slim rows sort, one O(blocks) prefix-sum pass, payload semi-joins
+    once."""
+    from vlm_eden_dataset_etl_ray.functions.sampling import budget_sample
+    from vlm_eden_dataset_etl_ray.sources.parquet import read_table
+
+    docs = read_table(sf_dir, "documents",
+                      columns=["doc_id", "n_chars", "lang"])
+    return budget_sample(docs, "doc_id", "n_chars", budget=120_000, seed=7)
+
+
 def q_scd2_order_status_history(sf_dir):
     """SCD Type-2 interval compression: per customer, runs of equal order
     status (in order-date order) collapse into [valid_from, valid_to)
@@ -2636,6 +2649,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "order_price_buckets": q_order_price_buckets,
         "cheapest_item_per_order": q_cheapest_item_per_order,
         "customer_order_overlap": q_customer_order_overlap,
+        "budget_sample_docs": q_budget_sample_docs,
         "scd2_order_status_history": q_scd2_order_status_history,
         "rolling_min_order_price": q_rolling_min_order_price,
         "active_buyers_intersect": q_active_buyers_intersect,
@@ -3725,6 +3739,15 @@ def oracle_sql() -> dict[str, str]:
             select b.l_orderkey, b.l_linenumber, b.l_partkey,
                    b.l_extendedprice, o.o_orderdate, o.o_orderpriority
             from best b join orders o on b.l_orderkey = o.o_orderkey
+        """,
+        "budget_sample_docs": """
+            with w as (
+                select doc_id, n_chars, lang,
+                       ((doc_id + 7) * 2654435761) % 4294967296 as pri
+                from documents)
+            select doc_id, n_chars, lang from w
+            qualify sum(n_chars) over (order by pri, doc_id
+                                       rows unbounded preceding) <= 120000
         """,
         "order_price_buckets": """
             with c as (

@@ -50,3 +50,51 @@ def test_stratified_sample_rates():
             assert got.get(l, 0) < n
         else:
             assert got.get(l, 0) == n
+
+
+def test_budget_sample_exact_boundary_and_reshard_stable():
+    import numpy as np
+    import pyarrow as pa
+    import pytest
+    import ray.data as rd
+
+    from vlm_eden_dataset_etl_ray.functions.sampling import (_int_priority,
+                                                             budget_sample)
+
+    n = 300
+    t = pa.table({
+        "doc_id": pa.array(np.arange(n, dtype=np.int64)),
+        "cost": pa.array((np.arange(n) % 50 + 1).astype(np.int64)),
+    })
+
+    def run(parts, budget):
+        out = pa.concat_tables(budget_sample(
+            rd.from_arrow(t).repartition(parts), "doc_id", "cost",
+            budget, seed=3,
+        ).iter_batches(batch_format="pyarrow", batch_size=None))
+        return sorted(out.column("doc_id").to_pylist()), out
+
+    ids4, out = run(4, 2000)
+    ids9, _ = run(9, 2000)
+    assert ids4 == ids9  # reshard-stable
+
+    # serial reference: priority order, greedy prefix
+    pri = _int_priority(t, "doc_id", 3)
+    order = np.lexsort((t.column("doc_id").to_numpy(), pri.astype(np.int64)))
+    cum, ref = 0, []
+    for i in order:
+        c = int(t.column("cost")[int(i)].as_py())
+        if cum + c > 2000:
+            break  # window-sum semantics: first overflow stops the prefix
+        cum += c
+        ref.append(int(t.column("doc_id")[int(i)].as_py()))
+    assert ids4 == sorted(ref)
+    total = sum(int(t.column("cost")[int(t.column("doc_id").to_pylist().index(d))].as_py()) for d in ids4)
+    assert total <= 2000
+
+    with pytest.raises(Exception, match="integer"):
+        bad = pa.table({"doc_id": pa.array([1], pa.int64()),
+                        "cost": pa.array([1.0])})
+        pa.concat_tables(budget_sample(
+            rd.from_arrow(bad), "doc_id", "cost", 10,
+        ).iter_batches(batch_format="pyarrow", batch_size=None))

@@ -13,6 +13,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
+import ray
 import ray.data as rd
 
 from vlm_eden_dataset_etl_ray.functions.hashing import hash_strings
@@ -270,3 +271,81 @@ def k_anonymize(
                          num_buckets=num_buckets)
     return out.map_batches(lambda t: t.drop_columns(["__qh"]),
                            batch_format="pyarrow", zero_copy_batch=True)
+
+
+def budget_sample(
+    ds: rd.Dataset,
+    id_col: str,
+    cost_col: str,
+    budget: int,
+    seed: int = 0,
+) -> rd.Dataset:
+    """Budget-bounded subsampling: keep rows in hash-priority order until
+    their cumulative ``cost_col`` reaches ``budget`` — the "cut exactly
+    ~1B tokens from this corpus" primitive. Deterministic and
+    reshard-stable (the priority is the SQL-replicable integer hash, so
+    the selection is oracle-checkable as
+    ``qualify sum(cost) over (order by pri, id) <= budget``).
+
+    Scale shape: only slim (priority, id, cost) rows sort; the global
+    prefix sum needs one O(blocks) driver pass over per-block cost
+    totals; the kept-id set then semi-joins the payload, which crosses
+    the exchange exactly once. ``cost_col`` must be integer — the prefix
+    sum stays exact under any block layout (float cumsums would be
+    order-dependent)."""
+    import pickle
+
+    from vlm_eden_dataset_etl_ray.functions.relational import hash_semi_join
+    from vlm_eden_dataset_etl_ray.functions.windows import _first_tuple
+
+    keys = ["__pri", id_col]
+
+    def _slim(t: pa.Table) -> pa.Table:
+        cost = t.column(cost_col)
+        if not pa.types.is_integer(cost.type):
+            raise ValueError(f"{cost_col} must be an integer column")
+        return pa.table({
+            "__pri": pa.array(_int_priority(t, id_col, seed).astype(np.int64)),
+            id_col: t.column(id_col),
+            "__cost": cost.cast(pa.int64()),
+        })
+
+    sorted_ds = (ds.map_batches(_slim, batch_format="pyarrow",
+                                zero_copy_batch=True)
+                 .sort(keys).materialize())
+
+    def _summ(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"__first": pa.array([], pa.binary()),
+                             "__sum": pa.array([], pa.int64())})
+        return pa.table({
+            "__first": pa.array([pickle.dumps(_first_tuple(t, keys))],
+                                pa.binary()),
+            "__sum": pa.array([pc.sum(t.column("__cost")).as_py() or 0],
+                              pa.int64())})
+
+    rows = sorted_ds.map_batches(_summ, batch_format="pyarrow",
+                                 batch_size=None).take_all()
+    summ = sorted(((pickle.loads(r["__first"]), r["__sum"]) for r in rows),
+                  key=lambda fn: fn[0])
+    offsets: dict[tuple, int] = {}
+    acc = 0
+    for first, s in summ:
+        if first in offsets:
+            raise ValueError("(priority, id) does not uniquely order rows "
+                             f"(duplicate {first}); ids must be unique")
+        offsets[first] = acc
+        acc += s
+    off_ref = ray.put(offsets)
+
+    def _keep(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t.select([id_col])
+        base = ray.get(off_ref)[_first_tuple(t, keys)]
+        cum = base + np.cumsum(
+            t.column("__cost").to_numpy(zero_copy_only=False))
+        return t.filter(pa.array(cum <= budget)).select([id_col])
+
+    kept = sorted_ds.map_batches(_keep, batch_format="pyarrow",
+                                 batch_size=None)
+    return hash_semi_join(ds, kept, id_col, id_col)
