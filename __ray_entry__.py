@@ -142,6 +142,19 @@ def q_dml_delete_update(sf_dir):
     return replay_events_dml(sf_dir)
 
 
+def q_cdc_merge_into(sf_dir):
+    """MERGE INTO (SQL MERGE / Delta merge) over a replayed lake:
+    update-only + conditional-delete clauses — the asymmetric statement
+    plain ON-CONFLICT upserts can't express. Matched keys update-all from
+    the source, matched keys with re-priced n_tok > 25000 are deleted,
+    unmatched source keys do NOT insert (one hash-semi-join exchange
+    against the pruned live key column computes the match flag; target
+    payload never moves)."""
+    from vlm_eden_dataset_etl_ray.pipelines.cdc import replay_events_merge
+
+    return replay_events_merge(sf_dir)
+
+
 def q_expectation_report_events(sf_dir):
     """Data-quality expectations (dbt-tests shape) over events: one
     streaming pass of vectorized per-batch violation partials for the
@@ -2554,6 +2567,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_change_feed_before": q_cdc_change_feed_before,
         "cdc_rename_evolution": q_cdc_rename_evolution,
         "dml_delete_update": q_dml_delete_update,
+        "cdc_merge_into": q_cdc_merge_into,
         "expectation_report_events": q_expectation_report_events,
         "cdc_clone_restore": q_cdc_clone_restore,
         "event_value_tier_counts": q_event_value_tier_counts,
@@ -2802,6 +2816,38 @@ def oracle_sql() -> dict[str, str]:
                    source
             from live
             where not coalesce(n_tok < 2000, false)
+        """,
+        "cdc_merge_into": """
+            with chg as (
+                select event_id as lsn,
+                       case when event_type = 'error' then 'delete'
+                            else 'upsert' end as op,
+                       'doc' || cast(user_id as varchar) as doc_id,
+                       cast(floor(value * 100) as bigint) as n_tok,
+                       event_type as source
+                from events),
+            latest as (
+                select * from chg
+                qualify row_number() over (partition by doc_id
+                                           order by lsn desc) = 1),
+            live as (
+                select doc_id, n_tok, source from latest
+                where op <> 'delete'),
+            src as (
+                select 'doc' || cast(user_id as varchar) as doc_id,
+                       cast(floor(value * 100) as bigint) + 5000 as n_tok,
+                       'merged' as source
+                from events
+                where user_id % 3 = 0
+                qualify row_number() over (partition by user_id
+                                           order by event_id desc) = 1)
+            select l.doc_id,
+                   case when s.doc_id is not null
+                        then s.n_tok else l.n_tok end as n_tok,
+                   case when s.doc_id is not null
+                        then s.source else l.source end as source
+            from live l left join src s on l.doc_id = s.doc_id
+            where not coalesce(s.n_tok > 25000, false)
         """,
         "expectation_report_events": r"""
             with n as (select count(*) as c from events)

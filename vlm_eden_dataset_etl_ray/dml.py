@@ -284,3 +284,162 @@ def update_where(
     out_schema = None if any(callable(v) for v in set_exprs.values()) else full
     return apply_mod.apply_epoch_dataset(lake_dir, ds, epoch_id=epoch_id,
                                          spec=spec, target_schema=out_schema)
+
+
+def merge_into(
+    lake_dir: str,
+    source,
+    *,
+    spec: TableSpec = TOKENS_SPEC,
+    op_id: str,
+    when_matched: str = "update",
+    when_not_matched: str = "insert",
+    matched_delete_where=None,
+    delete_insert: str = "skip",
+    dedup_order_col: str | None = None,
+) -> mf.Manifest:
+    """MERGE INTO <lake> USING <source Dataset> ON <spec.key> — the SQL
+    MERGE / Delta ``whenMatchedUpdateAll`` / ``whenNotMatchedInsertAll``
+    statement the reference hand-writes as ``INSERT … ON CONFLICT (key)
+    DO UPDATE SET col = excluded.col`` for every synced table
+    (queries/fact_studies.py:63-83, queries/dim_facitities.py:34).
+
+    Clause evaluation per source row (SQL MERGE clause order):
+
+    - matched  AND ``matched_delete_where``  → DELETE (tombstone)
+    - matched                               → ``when_matched``: "update"
+      (re-emit the source row — update-all) | "skip"
+    - not matched                           → ``when_not_matched``:
+      "insert" | "skip"
+
+    **Scale shape.** The canonical CDC merge (update + insert, no delete
+    condition) needs NO match join at all: in an LWW lake an upsert epoch
+    at ``lsn = watermark+1`` IS merge-all semantics, so the source streams
+    straight into the epoch apply and the (possibly 100 TB) target is
+    never probed. A match flag is computed only for the asymmetric
+    clauses — update-only, insert-only, or strict delete fall-through —
+    via one :func:`hash_semi_join` exchange against the PRUNED live key
+    column (key values travel, target payload never moves).
+
+    ``matched_delete_where`` is a ``[(col, op, value), …]`` conjunct list
+    or a ``pa.Table -> BooleanArray`` callable over SOURCE columns.
+    ``delete_insert`` says what an UNMATCHED source row satisfying the
+    delete predicate does: "skip" (default — the CDC-feed shape ``WHEN NOT
+    MATCHED AND s.op <> 'delete' THEN INSERT``; deletes of absent keys are
+    emitted as no-op tombstones, preserving the no-join fast path) or
+    "insert" (strict SQL fall-through to the not-matched clause — forces
+    the match join).
+
+    Duplicate source keys are a caller error in SQL MERGE; pass
+    ``dedup_order_col`` to keep only the highest-ordered row per key
+    (skew-proof two-stage :func:`top1_per_key`) before merging.
+
+    ``op_id`` is required (the source is an arbitrary Dataset — the engine
+    cannot derive a content id): same id ⇒ exactly-once skip, crash
+    mid-apply resumes like any epoch.
+    """
+    if spec.mode == "append":
+        raise ValueError("merge_into needs keyed upsert semantics; "
+                         "append-mode tables have no match key")
+    if when_matched not in ("update", "skip"):
+        raise ValueError(f"when_matched={when_matched!r} not in update|skip")
+    if when_not_matched not in ("insert", "skip"):
+        raise ValueError(
+            f"when_not_matched={when_not_matched!r} not in insert|skip")
+    if delete_insert not in ("skip", "insert"):
+        raise ValueError(f"delete_insert={delete_insert!r} not in skip|insert")
+    if (when_matched == "skip" and when_not_matched == "skip"
+            and matched_delete_where is None):
+        raise ValueError("merge with every clause skipped does nothing")
+    m = mf.latest(lake_dir)
+    if m is None:
+        raise FileNotFoundError(f"no committed manifest under {lake_dir}")
+    done = apply_mod._already_applied(lake_dir, op_id)
+    if done is not None:
+        return done
+
+    from vlm_eden_dataset_etl_ray.functions.relational import (
+        hash_semi_join, top1_per_key)
+
+    # capture the source schema BEFORE the (schema-preserving) dedup and
+    # match-flag stages: Dataset.schema() on a raw read is metadata-only,
+    # after a shuffle it would execute a sample block.
+    src_schema = pa.schema(
+        list(zip(source.schema().names, source.schema().types)))
+    if src_schema.get_field_index(spec.key) < 0:
+        raise KeyError(f"merge source has no key column {spec.key!r}")
+
+    if dedup_order_col is not None:
+        source = top1_per_key(source, spec.key,
+                              [(dedup_order_col, "descending")])
+
+    if matched_delete_where is None:
+        dmask_fn = None
+    elif callable(matched_delete_where):
+        dmask_fn = matched_delete_where
+    else:
+        dmask_fn = _compile_where([tuple(c) for c in matched_delete_where])
+
+    # the match flag is needed only when matched and unmatched rows are
+    # routed differently; plain update+insert(+delete-as-feed) streams
+    # source → epoch with zero target probes.
+    need_match = (when_matched == "skip" or when_not_matched == "skip"
+                  or (dmask_fn is not None and delete_insert == "insert"))
+    flag = "__merge_matched"
+    if need_match:
+        live_keys = lake_mod.scan(lake_dir, spec=spec, manifest=m,
+                                  columns=[spec.key])
+        source = hash_semi_join(source, live_keys, spec.key, spec.key,
+                                flag_col=flag)
+
+    full = lake_mod._output_schema(m, spec, None, True)
+    wm1 = _global_watermark(m) + 1
+    order_type = full.field(spec.order).type
+
+    payload = [f for f in src_schema
+               if f.name not in (spec.key, spec.order, spec.op_col, flag)]
+    out_schema = pa.schema(
+        [(spec.key, src_schema.field(spec.key).type),
+         (spec.order, order_type), (spec.op_col, pa.string())]
+        + [(f.name, f.type) for f in payload])
+
+    def to_epoch(t: pa.Table, *, key=spec.key, order=spec.order,
+                 op_col=spec.op_col, dead=spec.delete_op, lsn=wm1,
+                 otype=order_type, schema=out_schema) -> pa.Table:
+        n = t.num_rows
+        matched = (t.column(flag).combine_chunks()
+                   if flag in t.column_names
+                   else pa.array(np.ones(n, dtype=bool)))
+        if dmask_fn is not None:
+            dm = pc.fill_null(dmask_fn(t), False)
+            if delete_insert == "skip":
+                # delete regardless of match: absent-key tombstones are
+                # LWW no-ops, so this equals WHEN NOT MATCHED AND NOT
+                # <pred> THEN INSERT without probing the target
+                delete = dm
+            else:
+                delete = pc.and_(dm, matched)
+        else:
+            delete = pa.array(np.zeros(n, dtype=bool))
+        keep = delete
+        if when_matched == "update":
+            keep = pc.or_(keep, pc.and_not(matched, delete))
+        if when_not_matched == "insert":
+            keep = pc.or_(keep, pc.and_not(pc.invert(matched), delete))
+        t = t.append_column("__del", delete)
+        t = t.filter(keep)
+        op = pc.if_else(t.column("__del"), pa.scalar(dead),
+                        pa.scalar("upsert"))
+        n = t.num_rows
+        cols = {key: t.column(key),
+                order: pa.array(np.full(n, lsn, dtype=np.int64)).cast(otype),
+                op_col: op.cast(pa.string())}
+        for f in schema:
+            if f.name not in cols:
+                cols[f.name] = t.column(f.name)
+        return pa.table(cols, schema=schema)
+
+    ds = source.map_batches(to_epoch, batch_format="pyarrow",
+                            zero_copy_batch=True)
+    return apply_mod.apply_epoch_dataset(lake_dir, ds, epoch_id=op_id,
+                                         spec=spec, target_schema=out_schema)

@@ -537,6 +537,7 @@ def hash_semi_join(
     num_buckets: int | None = None,
     bytes_hint: int | None = None,
     target_bucket_bytes: int = 256 * 1024 * 1024,
+    flag_col: str | None = None,
 ) -> rd.Dataset:
     """Large×large SEMI (EXISTS) / ANTI (NOT EXISTS) join — the scalable
     complement of :func:`broadcast_membership_filter` (which requires the
@@ -545,6 +546,12 @@ def hash_semi_join(
     exchange: the right payload never shuffles, and per-batch dedup
     pre-reduces the key stream before it moves. Per bucket, a vectorized
     ``is_in`` keeps (semi) or drops (anti) left rows.
+
+    ``flag_col``: instead of filtering, return EVERY left row with a
+    boolean membership column of that name (false where the key is null).
+    One exchange then serves consumers that route matched and unmatched
+    rows differently (e.g. MERGE's matched/not-matched split) — ``anti``
+    is ignored in this mode.
 
     SQL null semantics: a null left key matches nothing — excluded from
     the semi result, INCLUDED in the anti result (NOT EXISTS holds)."""
@@ -558,6 +565,8 @@ def hash_semi_join(
     key_marker = "__semi_key"
     if key_marker in left_cols:
         raise ValueError(f"left side may not carry a {key_marker!r} column")
+    if flag_col is not None and flag_col in left_cols:
+        raise ValueError(f"left side already carries flag_col={flag_col!r}")
     target = pa.schema(list(ls) + [pa.field(key_marker, pa.string())])
 
     def _bucket_of(k: pa.ChunkedArray) -> pa.Array:
@@ -591,6 +600,8 @@ def hash_semi_join(
         if not (pa.types.is_string(lk.type) or pa.types.is_large_string(lk.type)):
             lk = lk.cast(pa.string())
         hit = pc.fill_null(pc.is_in(lk, value_set=keys.combine_chunks()), False)
+        if flag_col is not None:
+            return l.append_column(flag_col, hit)
         return l.filter(pc.invert(hit) if anti else hit)
 
     both = lt.union(rt)
@@ -1504,37 +1515,6 @@ def string_agg_ordered(
                          alias: joined.cast(pa.string())})
 
     return src.groupby(key).map_groups(_fold, batch_format="pyarrow")
-
-
-# ---------------------------------------------------------------------------
-# Cross join (cartesian product), small-side broadcast.
-# ---------------------------------------------------------------------------
-
-
-def broadcast_cross_join(ds: rd.Dataset, small: pa.Table) -> rd.Dataset:
-    """Cartesian product of a dataset with a SMALL in-memory table: the
-    small side ships once via the object store (closure capture of one
-    ``ray.put``-backed table) and each batch repeats against it with arrow
-    take — no shuffle, output |batch|×|small| rows per batch. The dense-grid
-    reporting pattern (dimension scaffold × facts); refuse big small sides
-    upstream."""
-    small_ref = ray.put(small)
-
-    def _cross(t: pa.Table) -> pa.Table:
-        s = ray.get(small_ref)
-        n, m = t.num_rows, s.num_rows
-        if n == 0 or m == 0:
-            cols = {c: t.column(c).slice(0, 0) for c in t.column_names}
-            cols.update({c: s.column(c).slice(0, 0) for c in s.column_names})
-            return pa.table(cols)
-        left = t.take(pa.array(np.repeat(np.arange(n, dtype=np.int64), m)))
-        right = s.take(pa.array(np.tile(np.arange(m, dtype=np.int64), n)))
-        cols = {c: left.column(c) for c in left.column_names}
-        cols.update({c: right.column(c) for c in right.column_names})
-        return pa.table(cols)
-
-    return ds.map_batches(_cross, batch_format="pyarrow",
-                          zero_copy_batch=True)
 
 
 def zscore_normalize(

@@ -590,3 +590,69 @@ def replay_events_dml(
                      {"n_tok": ("add", 1000)}, spec=EVENTS_REPLAY_SPEC)
     return lake_mod.scan(lake_dir, spec=EVENTS_REPLAY_SPEC,
                          columns=["doc_id", "n_tok", "source"])
+
+
+def replay_events_merge(
+    sf_dir: str,
+    workdir: str | None = None,
+) -> rd.Dataset:
+    """MERGE INTO over a replayed lake — the asymmetric (update-only +
+    conditional-delete) statement the reference cannot express with its
+    ``ON CONFLICT DO UPDATE`` upserts (those always insert on miss;
+    queries/fact_studies.py:63). Epoch 1 replays the events changelog;
+    the merge source is the latest event per user for ``user_id % 3 == 0``
+    re-priced to ``n_tok = floor(value·100) + 5000`` with source
+    ``'merged'``. Clauses: matched AND n_tok > 25000 → DELETE; matched →
+    UPDATE-all; NOT matched → skip (no insert — exercises the
+    hash-semi-join match flag over the pruned live key column). Returns
+    the final live snapshot."""
+    import hashlib
+
+    from vlm_eden_dataset_etl_ray import dml
+
+    workdir = workdir or scratch_dir("events_merge_")
+    lake_dir = os.path.join(workdir, "lake")
+    shutil.rmtree(lake_dir, ignore_errors=True)
+    ds = read_table(
+        sf_dir, "events", columns=["event_id", "user_id", "event_type", "value"]
+    ).map_batches(
+        _derive_batch,
+        fn_kwargs={"with_tokens": False},
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    epoch_id = hashlib.sha256(
+        f"events_merge:{os.path.abspath(sf_dir)}".encode()
+    ).hexdigest()[:16]
+    apply_mod.apply_epoch_dataset(lake_dir, ds, epoch_id=epoch_id,
+                                  spec=EVENTS_REPLAY_SPEC)
+
+    def _src(t: pa.Table) -> pa.Table:
+        uid = t.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = uid % 3 == 0
+        t = t.filter(pa.array(keep))
+        uid = uid[keep]
+        val = t.column("value").to_numpy(zero_copy_only=False)
+        n = t.num_rows
+        # the CDC sequence number is named spec.order ("lsn"): merge_into
+        # uses it for source dedup then stamps its own epoch LSN, so it
+        # never reaches the target schema as payload
+        return pa.table({
+            "doc_id": pa.array(np.char.add("doc", uid.astype("U20"))),
+            "lsn": t.column("event_id").cast(pa.int64()),
+            "n_tok": pa.array(np.floor(val * 100).astype(np.int64) + 5000),
+            "source": pa.array(np.full(n, "merged"), pa.string()),
+        })
+
+    src = read_table(
+        sf_dir, "events", columns=["event_id", "user_id", "value"]
+    ).map_batches(_src, batch_format="pyarrow", zero_copy_batch=True)
+    dml.merge_into(
+        lake_dir, src, spec=EVENTS_REPLAY_SPEC,
+        op_id="merge-" + epoch_id,
+        when_matched="update", when_not_matched="skip",
+        matched_delete_where=[("n_tok", ">", 25000)],
+        dedup_order_col="lsn",
+    )
+    return lake_mod.scan(lake_dir, spec=EVENTS_REPLAY_SPEC,
+                         columns=["doc_id", "n_tok", "source"])
