@@ -859,6 +859,20 @@ def q_ngram_jaccard_dupes(sf_dir):
     return ngram_jaccard_pairs(docs, "doc_id", "text", JACCARD_T)
 
 
+def q_prefix_jaccard_dupes(sf_dir):
+    """EXACT Jaccard ≥ τ pairs at scale via prefix filtering (AllPairs/
+    PPJoin blocking): per-doc prefixes of the globally-ordered term sets →
+    token-bucket candidate pairs with the in-bucket size filter →
+    shuffle-join exact verify. Same result as the quadratic baseline
+    (`ngram_jaccard_dupes`) with no O(n²) stage and no corpus broadcast —
+    the exact complement of the approximate `minhash_near_dupes`."""
+    from vlm_eden_dataset_etl_ray.functions.dedup import prefix_jaccard_pairs
+    from vlm_eden_dataset_etl_ray.sources.parquet import read_table
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return prefix_jaccard_pairs(docs, "doc_id", "text", JACCARD_T)
+
+
 def q_knn_cosine_topk(sf_dir):
     from vlm_eden_dataset_etl_ray.functions.knn import knn_brute_force
     from vlm_eden_dataset_etl_ray.sources.parquet import read_small, read_table
@@ -2619,6 +2633,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_phash_dupes": q_image_phash_dupes,
         "incremental_minhash_dedup": q_incremental_minhash_dedup,
         "ngram_jaccard_dupes": q_ngram_jaccard_dupes,
+        "prefix_jaccard_dupes": q_prefix_jaccard_dupes,
         "knn_cosine_topk": q_knn_cosine_topk,
         "embedding_near_dup_pairs": q_embedding_near_dup_pairs,
         "embedding_centroids": q_embedding_centroids,
@@ -3211,6 +3226,15 @@ def oracle_sql() -> dict[str, str]:
             from o group by 1, 2
         """,
         "ngram_jaccard_dupes": f"""
+            with t as (select doc_id, list_distinct(string_split(text, ' ')) w from documents)
+            select * from (
+                select a.doc_id as doc_a, b.doc_id as doc_b,
+                       cast(len(list_intersect(a.w, b.w)) as double)
+                           / len(list_distinct(list_concat(a.w, b.w))) as jaccard
+                from t a join t b on a.doc_id < b.doc_id)
+            where jaccard >= {JACCARD_T}
+        """,
+        "prefix_jaccard_dupes": f"""
             with t as (select doc_id, list_distinct(string_split(text, ' ')) w from documents)
             select * from (
                 select a.doc_id as doc_a, b.doc_id as doc_b,

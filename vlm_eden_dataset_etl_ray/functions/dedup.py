@@ -152,8 +152,153 @@ def ngram_jaccard_pairs(
 
 
 # ---------------------------------------------------------------------------
-# MinHash + LSH (the scale path)
+# Prefix-filtering set-similarity join (EXACT Jaccard at scale)
 # ---------------------------------------------------------------------------
+
+
+def _prefix_len(sizes, threshold: float):
+    """AllPairs/PPJoin prefix bound: two sets with Jaccard ≥ τ must share a
+    token within the first ``s − ⌈τ·s⌉ + 1`` of each, under ANY one global
+    token order (Bayardo/Ma/Srikant WWW'07; Xiao et al. WWW'08)."""
+    import polars as pl
+
+    return (sizes - (sizes.cast(pl.Float64) * threshold).ceil()
+            .cast(pl.Int64) + 1).clip(0)
+
+
+def _bucket_pairs(g: pa.Table, *, threshold: float) -> pa.Table:
+    """All size-compatible id pairs within one prefix-token bucket,
+    vectorized: sort by (size, id), and for each row the partners are the
+    contiguous run of later rows with size ≤ size/τ (searchsorted — no
+    Python pair loop)."""
+    k = g.num_rows
+    empty = pa.table({"doc_a": pa.array([], g.column("__id").type),
+                      "doc_b": pa.array([], g.column("__id").type)})
+    if k < 2:
+        return empty
+    order = pc.sort_indices(g, sort_keys=[("__size", "ascending"),
+                                          ("__id", "ascending")])
+    g = g.take(order)
+    ids = g.column("__id").combine_chunks()
+    sizes = g.column("__size").to_numpy(zero_copy_only=False).astype(np.float64)
+    hi = np.searchsorted(sizes, sizes / threshold, side="right")
+    start = np.arange(1, k + 1, dtype=np.int64)
+    counts = np.maximum(hi - start, 0)
+    tot = int(counts.sum())
+    if tot == 0:
+        return empty
+    ia = np.repeat(np.arange(k, dtype=np.int64), counts)
+    jb = (np.arange(tot, dtype=np.int64)
+          - np.repeat(np.cumsum(counts) - counts, counts)
+          + np.repeat(start, counts))
+    a, b = ids.take(pa.array(ia)), ids.take(pa.array(jb))
+    lo = pc.min_element_wise(a, b)
+    return pa.table({"doc_a": lo, "doc_b": pc.max_element_wise(a, b)})
+
+
+def prefix_jaccard_pairs(
+    ds: rd.Dataset,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.8,
+    ngram: int = 1,
+    order: str = "hash",
+    num_buckets: int | None = None,
+) -> rd.Dataset:
+    """EXACT all-pairs Jaccard ≥ τ at scale via prefix filtering — the
+    AllPairs/PPJoin blocking that :func:`ngram_jaccard_pairs` (the O(n²)
+    oracle baseline) and :func:`minhash_lsh_pairs` (approximate: banding
+    can MISS true pairs) both lack. Guaranteed-complete candidate set:
+    every true pair shares a token in the emitted prefixes, so the output
+    equals the quadratic baseline's exactly.
+
+    Stages (all streaming, nothing driver-side): term-hash sets →
+    per-doc prefix rows ``(token, id, size)`` → groupby(token) pair
+    generation with the in-bucket size filter ``|B| ≤ |A|/τ`` (a pair of
+    sets with incompatible sizes can't reach τ) → pair distinct →
+    exact-Jaccard verify by shuffle-joining the pair list back to the
+    term sets (:func:`_verify_pairs` — no corpus broadcast).
+
+    ``order`` picks the global token order the prefixes are taken under:
+
+    - ``"hash"`` (default): the term-hash order the sets already carry —
+      zero extra exchanges. Bucket sizes follow token document-frequency,
+      so a Zipf-heavy vocabulary puts frequent tokens in prefixes and
+      inflates candidates (still exact, just more verify work).
+    - ``"frequency"``: the classic rarest-first order — one distributed
+      doc-frequency count plus one hash join re-ranks every doc's terms so
+      prefixes hold its RAREST tokens (near-minimal candidates). Costs two
+      extra exchanges over the exploded token stream; worth it exactly
+      when the vocabulary is skewed.
+    """
+    import polars as pl
+
+    from vlm_eden_dataset_etl_ray.functions.relational import hash_join
+
+    if order not in ("hash", "frequency"):
+        raise ValueError(f"order={order!r} not in hash|frequency")
+    prepped = _term_hash_sets(ds, id_col, text_col, ngram)
+    prepped = _coalesce(prepped.materialize())
+
+    if order == "hash":
+
+        def _prefix(t: pa.Table) -> pa.Table:
+            df = pl.from_arrow(t)
+            sizes = df["__terms"].list.len().cast(pl.Int64)
+            out = (df.lazy()
+                   .with_columns(__size=sizes,
+                                 __p=_prefix_len(sizes, threshold))
+                   .select([pl.col(id_col).alias("__id"), pl.col("__size"),
+                            pl.col("__terms").list.head(pl.col("__p"))
+                            .alias("__tok")])
+                   .explode("__tok").drop_nulls("__tok")
+                   # u64 hashes → i64 reinterpret: Ray's groupby/exchange
+                   # paths are int64; the bit pattern stays a valid key
+                   .with_columns(pl.col("__tok").reinterpret(signed=True))
+                   .collect())
+            return out.to_arrow()
+
+        pref = prepped.map_batches(_prefix, batch_format="pyarrow",
+                                   zero_copy_batch=True)
+    else:
+        def _occ(t: pa.Table) -> pa.Table:
+            df = pl.from_arrow(t)
+            out = (df.lazy()
+                   .with_columns(
+                       __size=df["__terms"].list.len().cast(pl.Int64))
+                   .select([pl.col(id_col).alias("__id"), pl.col("__size"),
+                            pl.col("__terms").alias("__tok")])
+                   .explode("__tok").drop_nulls("__tok")
+                   .with_columns(pl.col("__tok").reinterpret(signed=True))
+                   .collect())
+            return out.to_arrow()
+
+        occ = prepped.map_batches(_occ, batch_format="pyarrow",
+                                  zero_copy_batch=True).materialize()
+        vocab = (occ.groupby("__tok").count()
+                 .map_batches(lambda t: t.rename_columns(["__tok", "__df"]),
+                              batch_format="pyarrow"))
+        ranked = hash_join(occ, vocab, "__tok", "__tok",
+                           num_buckets=num_buckets,
+                           bytes_hint=2 * occ.size_bytes())
+
+        def _take_prefix(g: pa.Table) -> pa.Table:
+            order_ix = pc.sort_indices(
+                g, sort_keys=[("__df", "ascending"), ("__tok", "ascending")])
+            g = g.take(order_ix)
+            s = g.column("__size")[0].as_py()
+            p = max(0, s - int(np.ceil(s * threshold)) + 1)
+            return g.slice(0, p).select(["__id", "__size", "__tok"])
+
+        pref = ranked.groupby("__id").map_groups(
+            _take_prefix, batch_format="pyarrow")
+
+    cand = pref.groupby("__tok").map_groups(
+        _bucket_pairs, fn_kwargs={"threshold": threshold},
+        batch_format="pyarrow")
+    cand = _coalesce(_dedup_pairs(cand).materialize())
+    return _verify_pairs(cand, prepped, id_col, threshold,
+                         num_buckets=num_buckets)
 
 
 def _perm_coeffs(num_perm: int, seed: int = 11) -> tuple[np.ndarray, np.ndarray]:
