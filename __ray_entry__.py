@@ -1888,6 +1888,23 @@ def q_fuzzy_part_names(sf_dir):
                              left_alias="name_a", right_alias="name_b")
 
 
+def q_snm_part_names(sf_dir):
+    """Sorted-neighborhood blocking (merge/purge): parts sorted by name,
+    candidate pairs within rank window 10, exact word-Jaccard >= 0.5
+    verify. One distributed sort + range partitioning with overlap (home
+    block + one ghost block per row), each pair generated in exactly one
+    block — no pair-dedup exchange, candidates O(n*window) regardless of
+    token skew."""
+    from vlm_eden_dataset_etl_ray.functions.dedup import (
+        sorted_neighborhood_pairs)
+    from vlm_eden_dataset_etl_ray.sources.parquet import read_table
+
+    ds = read_table(sf_dir, "part", columns=["p_partkey", "p_name"])
+    return sorted_neighborhood_pairs(
+        ds, "p_partkey", ["p_name"], window=10, text_col="p_name",
+        threshold=0.5)
+
+
 def q_user_first_last_events(sf_dir):
     """first_value / last_value / nth_value(2) per user over the event
     stream, ordered by (ts, event_id) — mergeable per-batch pre-reduce
@@ -2707,6 +2724,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "daily_event_growth": q_daily_event_growth,
         "shipping_priority": q_shipping_priority,
         "fuzzy_part_names": q_fuzzy_part_names,
+        "snm_part_names": q_snm_part_names,
         "fuzzy_part_names_global": q_fuzzy_part_names_global,
         "user_first_last_events": q_user_first_last_events,
         "term_postings": q_term_postings,
@@ -3582,6 +3600,23 @@ def oracle_sql() -> dict[str, str]:
               on a.p_brand = b.p_brand and a.p_name < b.p_name
             where abs(length(a.p_name) - length(b.p_name)) <= 2
               and levenshtein(a.p_name, b.p_name) <= 2
+        """,
+        "snm_part_names": """
+            with r as (
+                select p_partkey, p_name,
+                       row_number() over (order by p_name, p_partkey) as rn
+                from part),
+            t as (select p_partkey, rn,
+                         list_distinct(string_split(p_name, ' ')) as w
+                  from r)
+            select * from (
+                select a.p_partkey as doc_a, b.p_partkey as doc_b,
+                       cast(len(list_intersect(a.w, b.w)) as double)
+                           / len(list_distinct(list_concat(a.w, b.w)))
+                           as jaccard
+                from t a join t b
+                  on b.rn > a.rn and b.rn - a.rn <= 10)
+            where jaccard >= 0.5
         """,
         "orc_roundtrip": """
             select doc_id, lang, n_chars from documents

@@ -301,6 +301,95 @@ def prefix_jaccard_pairs(
                          num_buckets=num_buckets)
 
 
+# ---------------------------------------------------------------------------
+# Sorted-neighborhood blocking (merge/purge)
+# ---------------------------------------------------------------------------
+
+
+def sorted_neighborhood_pairs(
+    ds: rd.Dataset,
+    id_col: str,
+    sort_by: list[str],
+    window: int,
+    text_col: str,
+    threshold: float,
+    ngram: int = 1,
+    num_buckets: int | None = None,
+) -> rd.Dataset:
+    """Sorted-neighborhood method (Hernández & Stolfo's merge/purge): sort
+    the corpus by a blocking key and compare only rows within ``window``
+    rank distance — the classic entity-resolution blocking when near-dups
+    share a key PREFIX (names, addresses, normalized titles) rather than
+    rare tokens. Complements :func:`prefix_jaccard_pairs` (token-overlap
+    blocking) and :func:`minhash_lsh_pairs` (probabilistic): candidate
+    count is O(n·window) by construction, independent of token skew.
+
+    Output: ``(doc_a, doc_b, jaccard)`` — ``doc_a`` is the LOWER-ranked id
+    under ``(sort_by, id_col)`` order; pairs are exact word-``ngram``
+    Jaccard ≥ τ over ``text_col`` (same verify as the other dedup ops).
+
+    Scale shape: one distributed sort (:func:`..windows.global_row_number`
+    — O(blocks) driver metadata), then RANGE PARTITIONING WITH OVERLAP:
+    each row lands in its home block ``rn // window`` plus, as a ghost, in
+    the next one, so every ≤ ``window`` pair co-locates in exactly ONE
+    block (the later row's home) — no pair-dedup exchange. Per block a
+    searchsorted emits each home row's partners; the pair list then
+    shuffle-joins the term sets for exact verification. The sort is the
+    only all-to-all; ghosting doubles the slim (id, rank) stream, never
+    the payload."""
+    from vlm_eden_dataset_etl_ray.functions.windows import global_row_number
+
+    if window < 1:
+        raise ValueError(f"window must be >= 1, got {window}")
+    ranked = global_row_number(
+        ds.select_columns([id_col] + [c for c in sort_by if c != id_col]),
+        sort_by + ([id_col] if id_col not in sort_by else []),
+        out_col="__rn")
+
+    def _ghost(t: pa.Table, *, w=window) -> pa.Table:
+        rn = t.column("__rn").to_numpy(zero_copy_only=False)
+        ids = t.column(id_col).combine_chunks()
+        take = pa.array(np.tile(np.arange(t.num_rows, dtype=np.int64), 2))
+        blk = np.concatenate([rn // w, rn // w + 1])
+        return pa.table({
+            "__id": ids.take(take),
+            "__rn": pa.array(np.tile(rn, 2)),
+            "__blk": pa.array(blk.astype(np.int64)),
+        })
+
+    blocks = ranked.map_batches(_ghost, batch_format="pyarrow",
+                                zero_copy_batch=True)
+
+    def _pairs(g: pa.Table, *, w=window) -> pa.Table:
+        order = pc.sort_indices(g, sort_keys=[("__rn", "ascending")])
+        g = g.take(order)
+        rn = g.column("__rn").to_numpy(zero_copy_only=False)
+        ids = g.column("__id").combine_chunks()
+        blk = int(g.column("__blk")[0].as_py())
+        home = np.flatnonzero(rn // w == blk)  # ghosts pair, never anchor
+        if home.size == 0:
+            t = ids.slice(0, 0)
+            return pa.table({"doc_a": t, "doc_b": t})
+        lo = np.searchsorted(rn, rn[home] - w, side="left")
+        counts = home - lo
+        tot = int(counts.sum())
+        if tot == 0:
+            t = ids.slice(0, 0)
+            return pa.table({"doc_a": t, "doc_b": t})
+        ib = np.repeat(home, counts)
+        ia = (np.arange(tot, dtype=np.int64)
+              - np.repeat(np.cumsum(counts) - counts, counts)
+              + np.repeat(lo, counts))
+        return pa.table({"doc_a": ids.take(pa.array(ia)),
+                         "doc_b": ids.take(pa.array(ib))})
+
+    cand = blocks.groupby("__blk").map_groups(_pairs, batch_format="pyarrow")
+    prepped = _term_hash_sets(ds.select_columns([id_col, text_col]),
+                              id_col, text_col, ngram)
+    return _verify_pairs(_coalesce(cand.materialize()), prepped, id_col,
+                         threshold, num_buckets=num_buckets)
+
+
 def _perm_coeffs(num_perm: int, seed: int = 11) -> tuple[np.ndarray, np.ndarray]:
     rng = np.random.default_rng(seed)
     a = rng.integers(1, _MERSENNE, num_perm, dtype=np.int64).astype(np.uint64)
