@@ -142,6 +142,76 @@ def q_dml_delete_update(sf_dir):
     return replay_events_dml(sf_dir)
 
 
+def q_join_view_orders(sf_dir):
+    """Incrementally-maintained JOIN view (materialized orders⋈customer):
+    both inputs arrive as two CDC epochs each, the view is refreshed
+    after every input epoch from the lakes' change feeds — O(changes)
+    per refresh; the final refresh includes the inner-join completeness
+    case (customers inserted AFTER the orders referencing them) and
+    dim deletes (tombstoning their fact rows). Final inner view must
+    equal the plain SQL join of the final snapshots."""
+    import tempfile
+
+    from vlm_eden_dataset_etl_ray import apply as apply_mod
+    from vlm_eden_dataset_etl_ray.sources.parquet import read_table
+    from vlm_eden_dataset_etl_ray.spec import TableSpec
+    from vlm_eden_dataset_etl_ray.views_join import (
+        maintain_join_view, scan_join_view)
+
+    root = tempfile.mkdtemp(prefix="jv_", dir="/tmp")
+    L, R, V = f"{root}/L", f"{root}/R", f"{root}/V"
+    lspec = TableSpec(name="orders_l", key="o_orderkey", order="lsn",
+                      num_partitions=8, envelope=())
+    rspec = TableSpec(name="cust_r", key="c_custkey", order="lsn",
+                      num_partitions=8, envelope=())
+
+    def _env(lsn, key, mod, rem, delete=False):
+        # modulo epoch split computed in the map (testdata keys are dense
+        # 0..N-1, so modulo splits are non-degenerate at every sf)
+        def _f(t: pa.Table) -> pa.Table:
+            k = t.column(key).to_numpy(zero_copy_only=False)
+            t = t.filter(pa.array(k % mod == rem))
+            n = t.num_rows
+            t = t.append_column("lsn", pa.array(np.full(n, lsn, np.int64)))
+            return t.append_column(
+                "op", pa.array(np.full(n, "delete" if delete else "upsert")))
+        return _f
+
+    orders = lambda: read_table(  # noqa: E731
+        sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_totalprice"])
+    cust = lambda: read_table(  # noqa: E731
+        sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
+
+    apply_mod.apply_epoch_dataset(
+        L, orders().map_batches(_env(1, "o_orderkey", 2, 0),
+                                batch_format="pyarrow"),
+        epoch_id="l1", spec=lspec)
+    apply_mod.apply_epoch_dataset(
+        R, cust().map_batches(_env(1, "c_custkey", 3, 1),
+                              batch_format="pyarrow").union(
+            cust().map_batches(_env(1, "c_custkey", 3, 2),
+                               batch_format="pyarrow")),
+        epoch_id="r1", spec=rspec)
+    kw = dict(left_spec=lspec, right_spec=rspec, join_col="o_custkey")
+    maintain_join_view(V, L, R, **kw)          # initial build
+    apply_mod.apply_epoch_dataset(
+        L, orders().map_batches(_env(2, "o_orderkey", 2, 1),
+                                batch_format="pyarrow"),
+        epoch_id="l2", spec=lspec)
+    maintain_join_view(V, L, R, **kw)          # left-only refresh
+    # r2: custkey%3==0 customers arrive LATE (their orders were stored
+    # unmatched) and custkey%97==0 customers are deleted — at lsn 3 so
+    # a delete always outranks this epoch's inserts on the %291 overlap
+    apply_mod.apply_epoch_dataset(
+        R, cust().map_batches(_env(2, "c_custkey", 3, 0),
+                              batch_format="pyarrow").union(
+            cust().map_batches(_env(3, "c_custkey", 97, 0, delete=True),
+                               batch_format="pyarrow")),
+        epoch_id="r2", spec=rspec)
+    maintain_join_view(V, L, R, **kw)          # right-only refresh
+    return scan_join_view(V, lspec, how="inner")
+
+
 def q_cdc_merge_into(sf_dir):
     """MERGE INTO (SQL MERGE / Delta merge) over a replayed lake:
     update-only + conditional-delete clauses — the asymmetric statement
@@ -2599,6 +2669,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_rename_evolution": q_cdc_rename_evolution,
         "dml_delete_update": q_dml_delete_update,
         "cdc_merge_into": q_cdc_merge_into,
+        "join_view_orders": q_join_view_orders,
         "expectation_report_events": q_expectation_report_events,
         "cdc_clone_restore": q_cdc_clone_restore,
         "event_value_tier_counts": q_event_value_tier_counts,
@@ -2849,6 +2920,12 @@ def oracle_sql() -> dict[str, str]:
                    source
             from live
             where not coalesce(n_tok < 2000, false)
+        """,
+        "join_view_orders": """
+            select o.o_orderkey, o.o_custkey, o.o_totalprice,
+                   c.c_mktsegment
+            from orders o join customer c on o.o_custkey = c.c_custkey
+            where c.c_custkey % 97 <> 0
         """,
         "cdc_merge_into": """
             with chg as (

@@ -61,6 +61,11 @@ SUBSET = [
     "nation_region_grid",
     "order_price_buckets",
     "cheapest_item_per_order",
+    # this session's additions
+    "cdc_merge_into",
+    "prefix_jaccard_dupes",
+    "snm_part_names",
+    "join_view_orders",
 ]
 
 
