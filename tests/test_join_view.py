@@ -143,6 +143,58 @@ def test_empty_epoch_advances_coverage(lakes):
     _check(lakes, str(lakes / "V"))
 
 
+def test_views_chain_into_multiway_joins(lakes):
+    """V2 = (L ⟕ R1) ⟕ R2: the level-1 view is itself the LEFT lake of a
+    second view, refreshed from V1's OWN change feed — multi-way joins by
+    composition, no new machinery."""
+    tmp = lakes
+    T_SPEC = TableSpec(name="tags", key="tag", order="lsn",
+                       num_partitions=4, envelope=())
+    _epoch(str(tmp / "T"), T_SPEC, "t1", _rows(
+        T_SPEC, ["a", "b", "c"], 1, desc=["A!", "B!", "C!"]))
+    _maintain(tmp)
+    v1spec = join_view_spec(L_SPEC)
+    kw2 = dict(left_spec=v1spec, right_spec=T_SPEC, join_col="tag")
+    maintain_join_view(str(tmp / "V2"), str(tmp / "V"), str(tmp / "T"),
+                       **kw2)
+
+    def _v2():
+        got = pa.concat_tables(scan_join_view(
+            str(tmp / "V2"), v1spec, how="left").iter_batches(
+            batch_format="pyarrow", batch_size=None))
+        return {r["fid"]: (r["uid"], r["val"], r["tag"], r["desc"])
+                for r in got.to_pylist()}
+
+    def _expect():
+        facts = _snap_map(str(tmp / "L"), L_SPEC, ["uid", "val"])
+        dims = _snap_map(str(tmp / "R"), R_SPEC, ["tag"])
+        tags = _snap_map(str(tmp / "T"), T_SPEC, ["desc"])
+        out = {}
+        for fid, (uid, val) in facts.items():
+            tag = dims[uid][0] if uid in dims else None
+            out[fid] = (uid, val, tag,
+                        tags[tag][0] if tag in tags else None)
+        return out
+
+    assert _v2() == _expect()
+    # change a LEAF dim: retag u0 a->c; the refresh must ripple V -> V2
+    # purely through V's change feed
+    _epoch(str(tmp / "R"), R_SPEC, "r2", _rows(
+        R_SPEC, ["u0"], 2, tag=["c"]))
+    _maintain(tmp)
+    maintain_join_view(str(tmp / "V2"), str(tmp / "V"), str(tmp / "T"),
+                       **kw2)
+    assert _v2() == _expect()
+    assert _v2()["f0"] == ("u0", 0, "c", "C!")
+    # and a level-2 dim change: re-describe tag b
+    _epoch(str(tmp / "T"), T_SPEC, "t2", _rows(
+        T_SPEC, ["b"], 2, desc=["B2"]))
+    maintain_join_view(str(tmp / "V2"), str(tmp / "V"), str(tmp / "T"),
+                       **kw2)
+    assert _v2() == _expect()
+    assert _v2()["f1"] == ("u1", 1, "b", "B2")
+
+
 def test_validation(lakes, tmp_path):
     app = TableSpec(name="x", key="fid", order="lsn", mode="append",
                     num_partitions=4, envelope=())

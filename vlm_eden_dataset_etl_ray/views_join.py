@@ -187,13 +187,17 @@ def maintain_join_view(
         raise FileNotFoundError("both input lakes must have a committed "
                                 f"manifest ({left_dir}, {right_dir})")
     lkey, rkey = left_spec.key, right_spec.key
+    # _MARK is dropped from the defaults so a maintained view can itself
+    # be the LEFT (or right) side of another view — multi-way joins
+    # compose by chaining, each level refreshed from the level below's
+    # change feed
     if left_cols is None:
         left_cols = _default_cols(
-            left_dir, left_spec, (left_spec.order, left_spec.op_col))
+            left_dir, left_spec, (left_spec.order, left_spec.op_col, _MARK))
     if right_cols is None:
         right_cols = _default_cols(
             right_dir, right_spec, (rkey, right_spec.order,
-                                    right_spec.op_col))
+                                    right_spec.op_col, _MARK))
     lcols = list(dict.fromkeys([lkey, join_col] + left_cols))
     rcols = list(dict.fromkeys([rkey] + right_cols))
     clash = (set(lcols) & set(rcols)) - ({join_col} if join_col == rkey
