@@ -113,6 +113,15 @@ BENCH_QUERIES = [
     "user_first_last_events",
     "order_price_buckets",
     "cheapest_item_per_order",
+    # round-3 final session: MERGE, SNM blocking, join views.
+    # prefix_jaccard_dupes is deliberately NOT benched at sf0.1: the
+    # synthetic documents table has a ~10-token effective vocabulary, so
+    # single-token prefixes (p=1 at tau=0.97) degenerate to ~Omega(n^2)
+    # candidates whatever the token order — see its docstring; the sweep
+    # covers its correctness at sf0.01.
+    "cdc_merge_into",
+    "snm_part_names",
+    "join_view_orders",
 ]
 
 

@@ -230,6 +230,17 @@ def prefix_jaccard_pairs(
       prefixes hold its RAREST tokens (near-minimal candidates). Costs two
       extra exchanges over the exploded token stream; worth it exactly
       when the vocabulary is skewed.
+
+    Applicability boundary (measured, not hypothetical): prefix filtering
+    needs the prefix-token universe to be LARGE relative to the corpus.
+    With small sets (p = s − ⌈τs⌉ + 1 hits 1 token at high τ) drawn from
+    a tiny vocabulary, many docs share the same prefix token under ANY
+    order and the hot bucket degenerates toward all-pairs (the sf0.1
+    synthetic documents table — ~10 effective prefix tokens — produces
+    ~7.7M candidates for 35.6k true pairs). For such corpora use
+    :func:`exact_dedup` on the term-set hash plus :func:`minhash_dedup`;
+    prefix filtering earns its keep on natural text, where shingle
+    vocabularies are Zipf-heavy but HUGE.
     """
     import polars as pl
 
