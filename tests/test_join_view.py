@@ -195,6 +195,40 @@ def test_views_chain_into_multiway_joins(lakes):
     assert _v2()["f1"] == ("u1", 1, "b", "B2")
 
 
+def test_catch_up_rebuild_after_vacuum(lakes):
+    """A view left behind past the inputs' vacuum horizon must catch up
+    with the full-rebuild path (incl. tombstoning vanished left rows)
+    instead of failing on missing change-feed manifests."""
+    import time as _t
+
+    _maintain(lakes)
+    _epoch(str(lakes / "L"), L_SPEC, "l2", _rows(
+        L_SPEC, ["f0", "f1"], 2, deletes={"f1"}, uid=["u2", "u0"],
+        val=[100, 0]))
+    _epoch(str(lakes / "L"), L_SPEC, "l3", _rows(
+        L_SPEC, ["f10"], 3, uid=["u1"], val=[110]))
+    # drop every left manifest but the newest; backdate so vacuum's
+    # age guard doesn't spare them
+    for f in (lakes / "L" / "_manifests").iterdir():
+        os_utime = __import__("os").utime
+        os_utime(f, (_t.time() - 7200, _t.time() - 7200))
+    from vlm_eden_dataset_etl_ray import lake as lake_mod
+    res = lake_mod.vacuum(str(lakes / "L"), keep_epochs=1,
+                          min_age_seconds=0.0)
+    assert res["manifests_removed"] > 0
+    m = _maintain(lakes)
+    _check(lakes, str(lakes / "V"))
+    v = _view_map(str(lakes / "V"), "inner")
+    assert "f1" not in v and v["f0"] == ("u2", 100, "c")
+    assert v["f10"] == ("u1", 110, "b")
+    # and the view keeps refreshing incrementally afterwards
+    _epoch(str(lakes / "L"), L_SPEC, "l4", _rows(
+        L_SPEC, ["f10"], 4, uid=["u2"], val=[111]))
+    m2 = _maintain(lakes)
+    assert m2.epoch > m.epoch
+    _check(lakes, str(lakes / "V"))
+
+
 def test_validation(lakes, tmp_path):
     app = TableSpec(name="x", key="fid", order="lsn", mode="append",
                     num_partitions=4, envelope=())

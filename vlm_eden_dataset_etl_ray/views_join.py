@@ -268,6 +268,47 @@ def maintain_join_view(
     if (l0, r0) == (l1, r1):
         return vm
 
+    # change_feed needs the (l0..l1] / (r0..r1] manifests retained; a view
+    # left behind past the inputs' vacuum horizon catches up with a FULL
+    # rebuild instead of failing forever: full join upserts + a streamed
+    # anti-join tombstoning view keys whose left row no longer exists
+    retained_ok = (
+        set(range(l0, l1 + 1)) <= set(mf.list_epochs(left_dir))
+        and set(range(r0, r1 + 1)) <= set(mf.list_epochs(right_dir)))
+    if not retained_ok:
+        from vlm_eden_dataset_etl_ray.functions.relational import (
+            hash_semi_join)
+
+        wm1 = max((st.watermark_lsn for st in vm.partitions.values()),
+                  default=-1) + 1
+        left = lake_mod.scan(left_dir, spec=left_spec, manifest=ml,
+                             columns=lcols)
+        right = _mark_right(lake_mod.scan(right_dir, spec=right_spec,
+                                          manifest=mr, columns=rcols))
+        joined = hash_join(left, right, join_col, rkey, how="left",
+                           num_buckets=num_buckets)
+        schema = _out_schema(pa.schema(list(zip(joined.schema().names,
+                                                joined.schema().types))))
+        view_keys = lake_mod.scan(view_dir, spec=vspec, manifest=vm,
+                                  columns=[lkey])
+        left_keys = lake_mod.scan(left_dir, spec=left_spec, manifest=ml,
+                                  columns=[lkey])
+        stale = hash_semi_join(view_keys, left_keys, lkey, lkey, anti=True)
+
+        def _tomb(t: pa.Table) -> pa.Table:
+            n = t.num_rows
+            return unify_table(pa.table({
+                lkey: t.column(lkey),
+                "__jv_lsn": pa.array(np.full(n, wm1, np.int64)),
+                "__jv_op": pa.array(["delete"] * n, pa.string()),
+            }), schema)
+
+        epoch = _stamp(joined, wm1, schema).union(
+            stale.map_batches(_tomb, batch_format="pyarrow"))
+        return apply_mod.apply_epoch_dataset(
+            view_dir, epoch, epoch_id=epoch_id, spec=vspec,
+            target_schema=schema)
+
     # ---- affected LEFT keys: changed lefts ∪ reverse-index hits --------
     affected = pa.array([], pa.string())
     if l1 > l0:
