@@ -195,6 +195,60 @@ def test_views_chain_into_multiway_joins(lakes):
     assert _v2()["f1"] == ("u1", 1, "b", "B2")
 
 
+def test_join_on_left_key_itself(lakes):
+    """1:1 enrichment joining on the LEFT KEY (join_col == lkey) must not
+    duplicate the key field in the view schema."""
+    tmp = lakes
+    K_SPEC = TableSpec(name="fdim", key="fid", order="lsn",
+                       num_partitions=4, envelope=())
+    _epoch(str(tmp / "K"), K_SPEC, "k1", _rows(
+        K_SPEC, ["f0", "f1", "f2"], 1, note=["x", "y", "z"]))
+    maintain_join_view(str(tmp / "VK"), str(tmp / "L"), str(tmp / "K"),
+                       left_spec=L_SPEC, right_spec=K_SPEC, join_col="fid")
+    got = pa.concat_tables(scan_join_view(
+        str(tmp / "VK"), L_SPEC, how="inner").iter_batches(
+        batch_format="pyarrow", batch_size=None))
+    assert got.column_names.count("fid") == 1
+    m = {r["fid"]: r["note"] for r in got.to_pylist()}
+    assert m == {"f0": "x", "f1": "y", "f2": "z"}
+    # refresh path too
+    _epoch(str(tmp / "K"), K_SPEC, "k2", _rows(
+        K_SPEC, ["f0"], 2, note=["X2"]))
+    maintain_join_view(str(tmp / "VK"), str(tmp / "L"), str(tmp / "K"),
+                       left_spec=L_SPEC, right_spec=K_SPEC, join_col="fid")
+    got = pa.concat_tables(scan_join_view(
+        str(tmp / "VK"), L_SPEC, how="inner").iter_batches(
+        batch_format="pyarrow", batch_size=None))
+    assert {r["fid"]: r["note"] for r in got.to_pylist()}["f0"] == "X2"
+
+
+def test_incremental_refresh_carries_evolved_columns(lakes):
+    """A column added to the LEFT lake after the view was built must reach
+    the view through the INCREMENTAL path, not only via full rebuild."""
+    tmp = lakes
+    _maintain(tmp)
+    n = 3
+    ds = rd.from_arrow(pa.table({
+        "fid": pa.array(["f0", "f1", "f20"]),
+        "lsn": pa.array(np.full(n, 2, np.int64)),
+        "op": pa.array(["upsert"] * n),
+        "uid": pa.array(["u0", "u1", "u2"]),
+        "val": pa.array([1000, 1001, 1002], pa.int64()),
+        "score": pa.array([0.5, 0.6, 0.7], pa.float64()),
+    }))
+    apply.apply_epoch_dataset(str(tmp / "L"), ds, epoch_id="l2",
+                              spec=L_SPEC)
+    _maintain(tmp)
+    got = pa.concat_tables(scan_join_view(
+        str(tmp / "V"), L_SPEC, how="left").iter_batches(
+        batch_format="pyarrow", batch_size=None))
+    assert "score" in got.column_names
+    m = {r["fid"]: r["score"] for r in got.to_pylist()}
+    assert m["f0"] == 0.5 and m["f20"] == 0.7
+    assert m["f5"] is None  # untouched rows: null in the new column
+    _check(lakes, str(tmp / "V"))
+
+
 def test_catch_up_rebuild_after_vacuum(lakes):
     """A view left behind past the inputs' vacuum horizon must catch up
     with the full-rebuild path (incl. tombstoning vanished left rows)

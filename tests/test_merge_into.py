@@ -158,6 +158,44 @@ def test_merge_exactly_once(tmp_path):
     assert _snap(d) == after
 
 
+def test_narrow_source_error_fill_null(tmp_path):
+    d = str(tmp_path / "l")
+    _fresh(d)
+    src = pa.table({"doc_id": pa.array(["d1", "d99"]),
+                    "n_tok": pa.array([500, 900], pa.int64())})
+    # default: loud refusal — a whole-row upsert would null 'source'
+    with pytest.raises(ValueError, match="narrow_source"):
+        dml.merge_into(d, rd.from_arrow(src), spec=SPEC, op_id="m0")
+    # fill: matched rows keep their target value, inserts get null
+    dml.merge_into(d, rd.from_arrow(src), spec=SPEC, op_id="m1",
+                   narrow_source="fill")
+    got = _snap(d)
+    assert got["d1"] == (500, "base") and got["d99"] == (900, None)
+    # null: explicit whole-row replacement
+    d2 = str(tmp_path / "l2")
+    _fresh(d2)
+    dml.merge_into(d2, rd.from_arrow(src), spec=SPEC, op_id="m1",
+                   narrow_source="null")
+    assert _snap(d2)["d1"] == (500, None)
+
+
+def test_cdc_feed_op_column_is_declared_not_dropped(tmp_path):
+    d = str(tmp_path / "l")
+    _fresh(d)
+    feed = pa.table({"doc_id": pa.array(["d1", "d2", "d50"]),
+                     "op": pa.array(["delete", "upsert", "upsert"]),
+                     "n_tok": pa.array([0, 777, 888], pa.int64()),
+                     "source": pa.array(["x", "merged", "merged"])})
+    # an op column with no delete clause would resurrect deletes: refuse
+    with pytest.raises(ValueError, match="op"):
+        dml.merge_into(d, rd.from_arrow(feed), spec=SPEC, op_id="m0")
+    dml.merge_into(d, rd.from_arrow(feed), spec=SPEC, op_id="m1",
+                   matched_delete_where=[("op", "==", "delete")])
+    got = _snap(d)
+    assert "d1" not in got
+    assert got["d2"] == (777, "merged") and got["d50"] == (888, "merged")
+
+
 def test_validation(tmp_path):
     d = str(tmp_path / "l")
     _fresh(d)

@@ -507,7 +507,7 @@ def apply_epoch(
         lake_dir, ds, spec=spec, schema_version=schema_version, prev=prev,
         epoch=epoch, epoch_id=epoch_id, input_files=changelog_files,
         staging_dir=staging_dir, shuffle_dir=shuffle_dir, shuffle=shuffle,
-        stripe_bytes=stripe_bytes,
+        stripe_bytes=stripe_bytes, write_schema=target,
     )
 
 
@@ -525,6 +525,7 @@ def _stage_and_commit(
     shuffle_dir: str,
     shuffle: str,
     stripe_bytes: int,
+    write_schema: pa.Schema | None = None,
 ) -> mf.Manifest:
     """Shared epoch tail: run the prepared dataset's shuffle (file or sort),
     build the manifest and publish it race-safely. ``ds`` must already be
@@ -618,6 +619,10 @@ def _stage_and_commit(
         # lists — cumulative_lineage unions over all retained manifests so
         # the upgrade to a cumulative manifest loses no applied ids.
         prior_ids, prior_inputs = mf.cumulative_lineage(lake_dir, base)
+        # cumulative write schema: prior manifests' union + this epoch's —
+        # makes sparse widening epochs visible to every scan immediately
+        prior_schema = mf.decode_schema(base.schema_b64) if base else None
+        rec = [s for s in (prior_schema, write_schema) if s is not None]
         return mf.Manifest(
             epoch=at_epoch,
             num_partitions=spec.num_partitions,
@@ -627,6 +632,7 @@ def _stage_and_commit(
             applied_epoch_ids=prior_ids + [epoch_id],
             applied_inputs=sorted(set(prior_inputs) | set(input_files)),
             hash_fn=HASH_FN,
+            schema_b64=mf.encode_schema(union_schemas(rec) if rec else None),
         )
 
     # Race-safe publish: if another driver commits our epoch number first,
@@ -718,5 +724,5 @@ def apply_epoch_dataset(
         lake_dir, prepared, spec=spec, schema_version=schema_version, prev=prev,
         epoch=epoch, epoch_id=epoch_id, input_files=[f"dataset:{epoch_id}"],
         staging_dir=staging_dir, shuffle_dir=shuffle_dir, shuffle="file",
-        stripe_bytes=stripe_bytes,
+        stripe_bytes=stripe_bytes, write_schema=target,
     )

@@ -297,6 +297,7 @@ def merge_into(
     matched_delete_where=None,
     delete_insert: str = "skip",
     dedup_order_col: str | None = None,
+    narrow_source: str = "error",
 ) -> mf.Manifest:
     """MERGE INTO <lake> USING <source Dataset> ON <spec.key> — the SQL
     MERGE / Delta ``whenMatchedUpdateAll`` / ``whenNotMatchedInsertAll``
@@ -334,6 +335,28 @@ def merge_into(
     ``dedup_order_col`` to keep only the highest-ordered row per key
     (skew-proof two-stage :func:`top1_per_key`) before merging.
 
+    ``narrow_source`` governs a source whose columns do not cover the
+    target's payload (``ON CONFLICT DO UPDATE`` and Delta update-all both
+    PRESERVE unlisted target columns; a whole-row LWW upsert would null
+    them):
+
+    - ``"error"`` (default): refuse loudly — silent data destruction is
+      never a default.
+    - ``"fill"``: matched rows keep their current values in the missing
+      columns — one column-pruned scan of the target's (key + missing
+      columns) joined to the source by key (an O(target) read of ONLY the
+      missing columns plus one exchange; the zero-probe fast path
+      applies only to full-width sources). Unmatched inserts get null
+      there, like a SQL INSERT with unlisted columns. The filled values
+      are visible to ``matched_delete_where``.
+    - ``"null"``: explicit opt-in to whole-row replacement (missing
+      columns become null).
+
+    A source column named ``spec.op_col`` is rejected unless
+    ``matched_delete_where`` is given (express CDC-feed deletes as e.g.
+    ``matched_delete_where=[("op", "==", "delete")]`` — the predicate
+    sees every source column; the envelope name itself is never payload).
+
     ``op_id`` is required (the source is an arbitrary Dataset — the engine
     cannot derive a content id): same id ⇒ exactly-once skip, crash
     mid-apply resumes like any epoch.
@@ -351,6 +374,9 @@ def merge_into(
     if (when_matched == "skip" and when_not_matched == "skip"
             and matched_delete_where is None):
         raise ValueError("merge with every clause skipped does nothing")
+    if narrow_source not in ("error", "fill", "null"):
+        raise ValueError(
+            f"narrow_source={narrow_source!r} not in error|fill|null")
     m = mf.latest(lake_dir)
     if m is None:
         raise FileNotFoundError(f"no committed manifest under {lake_dir}")
@@ -359,7 +385,7 @@ def merge_into(
         return done
 
     from vlm_eden_dataset_etl_ray.functions.relational import (
-        hash_semi_join, top1_per_key)
+        hash_join, hash_semi_join, top1_per_key)
 
     # capture the source schema BEFORE the (schema-preserving) dedup and
     # match-flag stages: Dataset.schema() on a raw read is metadata-only,
@@ -368,10 +394,35 @@ def merge_into(
         list(zip(source.schema().names, source.schema().types)))
     if src_schema.get_field_index(spec.key) < 0:
         raise KeyError(f"merge source has no key column {spec.key!r}")
+    if (src_schema.get_field_index(spec.op_col) >= 0
+            and matched_delete_where is None):
+        raise ValueError(
+            f"source carries the op envelope column {spec.op_col!r} but no "
+            "matched_delete_where consumes it — its delete rows would "
+            "merge as live upserts; declare them, e.g. "
+            f"matched_delete_where=[({spec.op_col!r}, '==', "
+            f"{spec.delete_op!r})]")
+
+    full = lake_mod._output_schema(m, spec, None, True)
+    target_payload = [n for n in full.names
+                     if n not in (spec.key, spec.order, spec.op_col)]
+    missing = [n for n in target_payload
+               if src_schema.get_field_index(n) < 0]
+    if missing and narrow_source == "error":
+        raise ValueError(
+            f"merge source lacks target payload columns {missing}; a "
+            "whole-row LWW upsert would null them (ON CONFLICT DO UPDATE "
+            "preserves unlisted columns). Pass narrow_source='fill' to "
+            "keep current target values (one column-pruned target read + "
+            "join), or 'null' to accept whole-row replacement")
 
     if dedup_order_col is not None:
         source = top1_per_key(source, spec.key,
                               [(dedup_order_col, "descending")])
+    if missing and narrow_source == "fill":
+        tgt = lake_mod.scan(lake_dir, spec=spec, manifest=m,
+                            columns=[spec.key] + missing)
+        source = hash_join(source, tgt, spec.key, spec.key, how="left")
 
     if matched_delete_where is None:
         dmask_fn = None
@@ -392,12 +443,13 @@ def merge_into(
         source = hash_semi_join(source, live_keys, spec.key, spec.key,
                                 flag_col=flag)
 
-    full = lake_mod._output_schema(m, spec, None, True)
     wm1 = _global_watermark(m) + 1
     order_type = full.field(spec.order).type
 
     payload = [f for f in src_schema
                if f.name not in (spec.key, spec.order, spec.op_col, flag)]
+    if missing and narrow_source == "fill":
+        payload += [full.field(n) for n in missing]
     out_schema = pa.schema(
         [(spec.key, src_schema.field(spec.key).type),
          (spec.order, order_type), (spec.op_col, pa.string())]

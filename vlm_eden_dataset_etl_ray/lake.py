@@ -168,8 +168,21 @@ def _output_schema(m: mf.Manifest, spec: TableSpec, columns, live_only,
             break
     if not schemas:
         return pa.schema([])
+    # the manifest's cumulative write schema covers columns added by SPARSE
+    # epochs (DML / MERGE / view refresh) whose files live in partitions the
+    # footer sample above didn't touch
+    rec = mf.decode_schema(m.schema_b64)
+    if rec is not None:
+        if renames:
+            # the cumulative union may carry BOTH sides of a rename; keep
+            # only the current name (values recover via the footer mapping)
+            old = {o for cur, chain in renames.items()
+                   for o, _ in chain if o != cur}
+            rec = pa.schema([f for f in rec if f.name not in old])
+        schemas.append(rec)
     if renames:
-        # footer fields may carry pre-rename names; map them forward
+        # footer fields (and the recorded pre-rename union) may carry old
+        # names; map them forward
         fwd = {o: cur for cur, chain in renames.items() for o, _ in chain}
         mapped = []
         for s_ in schemas:
@@ -1021,6 +1034,7 @@ def compact(
         applied_epoch_ids=lineage_ids,
         applied_inputs=lineage_inputs,
         hash_fn=m.hash_fn,
+        schema_b64=m.schema_b64,
     )
     mf.commit(lake_dir, out)
     return out
@@ -1105,6 +1119,7 @@ def restore(lake_dir: str, epoch: int) -> mf.Manifest:
         applied_epoch_ids=ids,
         applied_inputs=inputs,
         hash_fn=target.hash_fn,
+        schema_b64=target.schema_b64,
     )
     mf.commit(lake_dir, out)
     return out

@@ -136,6 +136,13 @@ class Manifest:
     # (the pre-marker legacy default) = per-epoch lists only, so exactly-once
     # checks must union over ALL retained manifests.
     lineage: str = "cumulative"
+    # base64(pa.Schema.serialize()) of the cumulative WRITE schema (union of
+    # every epoch's stored schema). Scans union this with sampled file
+    # footers so a SPARSE epoch that widened the schema (DML, MERGE, view
+    # refresh — epochs that touch few partitions) is visible everywhere
+    # immediately; "" on legacy manifests (footer sampling alone, the old
+    # behavior).
+    schema_b64: str = ""
 
     def files(self, pid: int) -> list[str]:
         st = self.partitions.get(pid)
@@ -156,6 +163,7 @@ class Manifest:
             "applied_inputs": self.applied_inputs,
             "hash_fn": self.hash_fn,
             "lineage": self.lineage,
+            "schema_b64": self.schema_b64,
             "partitions": [self.partitions[k].to_json() for k in sorted(self.partitions)],
         }
 
@@ -168,8 +176,29 @@ class Manifest:
             applied_inputs=list(d.get("applied_inputs", [])),
             hash_fn=d.get("hash_fn", ""),
             lineage=d.get("lineage", "epoch"),  # absent marker = legacy
+            schema_b64=d.get("schema_b64", ""),
             partitions={p["pid"]: PartitionState.from_json(p) for p in d["partitions"]},
         )
+
+
+def encode_schema(s) -> str:
+    """``pa.Schema`` → base64 IPC bytes for ``Manifest.schema_b64``."""
+    if s is None:
+        return ""
+    import base64
+
+    return base64.b64encode(s.serialize().to_pybytes()).decode("ascii")
+
+
+def decode_schema(b64: str):
+    """Inverse of :func:`encode_schema`; None for ""/legacy manifests."""
+    if not b64:
+        return None
+    import base64
+
+    import pyarrow as pa
+
+    return pa.ipc.read_schema(pa.py_buffer(base64.b64decode(b64)))
 
 
 def _manifest_path(lake_dir: str, epoch: int) -> str:

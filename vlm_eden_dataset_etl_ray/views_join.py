@@ -67,14 +67,16 @@ _JV_ID = re.compile(r"^jv-l(\d+)-r(\d+)$")
 _MARK = "__jv_matched"
 
 
-def join_view_spec(left_spec: TableSpec, num_partitions: int | None = None,
-                   name: str = "join_view") -> TableSpec:
-    """The view lake's TableSpec: keyed by the LEFT key, with engine-private
-    order/op envelope names so left payload columns named ``lsn``/``op``
-    pass through as data."""
+def join_view_spec(left_spec: TableSpec) -> TableSpec:
+    """The view lake's TableSpec: keyed by the LEFT key (and hash-
+    partitioned like the left lake), with engine-private order/op envelope
+    names so left payload columns named ``lsn``/``op`` pass through as
+    data. Derived-only on purpose: every maintain/scan call derives the
+    same spec from ``left_spec``, so there is no way to write and read a
+    view under mismatched layouts."""
     return TableSpec(
-        name=name, key=left_spec.key, order="__jv_lsn", op_col="__jv_op",
-        num_partitions=num_partitions or left_spec.num_partitions,
+        name="join_view", key=left_spec.key, order="__jv_lsn",
+        op_col="__jv_op", num_partitions=left_spec.num_partitions,
         envelope=())
 
 
@@ -225,9 +227,12 @@ def maintain_join_view(
     def _out_schema(joined_schema: pa.Schema) -> pa.Schema:
         fields = [(lkey, joined_schema.field(lkey).type),
                   ("__jv_lsn", pa.int64()), ("__jv_op", pa.string())]
+        # the left key leads, the right key is dropped (redundant with
+        # join_col when matched) — UNLESS it coalesced into join_col
+        # (USING shape), and never duplicate lkey when join_col == lkey
         fields += [(n, joined_schema.field(n).type)
                    for n in joined_schema.names
-                   if (n not in (lkey, rkey, _MARK)) or n == join_col]
+                   if n not in (lkey, _MARK) and (n != rkey or n == join_col)]
         fields.append((_MARK, pa.bool_()))
         return pa.schema(fields)
 
@@ -329,8 +334,10 @@ def maintain_join_view(
 
             # the view as its own reverse index: slim two-column scan —
             # COMPLETE because unmatched left rows are stored too
+            # (one column when join_col IS the left key)
             hits = lake_mod.scan(view_dir, spec=vspec, manifest=vm,
-                                 columns=[lkey, join_col], predicate=_hit)
+                                 columns=list(dict.fromkeys(
+                                     [lkey, join_col])), predicate=_hit)
             hk = _collect_keys(hits, lkey)
             if len(affected) == 0:
                 affected = hk
@@ -368,6 +375,14 @@ def maintain_join_view(
                 lambda t: t.append_column(
                     _MARK, pa.array(np.zeros(t.num_rows, bool))),
                 batch_format="pyarrow").materialize()
+        # columns ADDED to an input since the view was built must not be
+        # silently unified away: widen the stored schema with whatever the
+        # live join now carries (schema() is metadata-only — materialized)
+        live = _out_schema(pa.schema(list(zip(joined.schema().names,
+                                              joined.schema().types))))
+        extra = [f for f in live if schema.get_field_index(f.name) < 0]
+        if extra:
+            schema = pa.schema(list(schema) + extra)
         parts.append(_stamp(joined, wm1, schema))
         kept = _collect_keys(joined, lkey)
     dead = affected.filter(pc.invert(pc.is_in(
