@@ -142,6 +142,17 @@ def q_dml_delete_update(sf_dir):
     return replay_events_dml(sf_dir)
 
 
+def q_cdc_rehash_replay(sf_dir):
+    """Partition-count evolution (Iceberg partition-spec evolution for
+    the hash layout): replay → lake.rehash 16→5 partitions → a second
+    epoch applied with the STALE 16-partition spec (the committed layout
+    must win). State, exactly-once lineage and key pruning all follow
+    the new layout; the result equals an un-rehashed replay."""
+    from vlm_eden_dataset_etl_ray.pipelines.cdc import replay_events_rehash
+
+    return replay_events_rehash(sf_dir)
+
+
 def q_join_view_orders(sf_dir):
     """Incrementally-maintained JOIN view (materialized orders⋈customer):
     both inputs arrive as two CDC epochs each, the view is refreshed
@@ -2670,6 +2681,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dml_delete_update": q_dml_delete_update,
         "cdc_merge_into": q_cdc_merge_into,
         "join_view_orders": q_join_view_orders,
+        "cdc_rehash_replay": q_cdc_rehash_replay,
         "expectation_report_events": q_expectation_report_events,
         "cdc_clone_restore": q_cdc_clone_restore,
         "event_value_tier_counts": q_event_value_tier_counts,
@@ -2926,6 +2938,35 @@ def oracle_sql() -> dict[str, str]:
                    c.c_mktsegment
             from orders o join customer c on o.o_custkey = c.c_custkey
             where c.c_custkey % 97 <> 0
+        """,
+        "cdc_rehash_replay": """
+            with chg as (
+                select event_id as lsn,
+                       case when event_type = 'error' then 'delete'
+                            else 'upsert' end as op,
+                       'doc' || cast(user_id as varchar) as doc_id,
+                       cast(floor(value * 100) as bigint) as n_tok,
+                       event_type as source,
+                       user_id
+                from events),
+            latest as (
+                select * from chg
+                qualify row_number() over (partition by doc_id
+                                           order by lsn desc) = 1),
+            live as (
+                select doc_id, n_tok, source, user_id from latest
+                where op <> 'delete'),
+            src as (
+                select 'doc' || cast(user_id as varchar) as doc_id,
+                       cast(floor(value * 100) as bigint) + 9999 as n_tok,
+                       'rebuy' as source
+                from events
+                where user_id % 4 = 0
+                qualify row_number() over (partition by user_id
+                                           order by event_id desc) = 1)
+            select doc_id, n_tok, source from live where user_id % 4 <> 0
+            union all
+            select doc_id, n_tok, source from src
         """,
         "cdc_merge_into": """
             with chg as (

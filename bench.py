@@ -120,6 +120,7 @@ BENCH_QUERIES = [
     # candidates whatever the token order — see its docstring; the sweep
     # covers its correctness at sf0.01.
     "cdc_merge_into",
+    "cdc_rehash_replay",
     "snm_part_names",
     "join_view_orders",
 ]

@@ -66,6 +66,7 @@ SUBSET = [
     "prefix_jaccard_dupes",
     "snm_part_names",
     "join_view_orders",
+    "cdc_rehash_replay",
 ]
 
 

@@ -257,6 +257,19 @@ def cmd_update(args) -> dict:
     return {"lake": args.lake, "epoch": m.epoch}
 
 
+def cmd_rehash(args) -> dict:
+    """Re-bucket the lake into a new hash-partition count (see
+    lake.rehash) — the scale-out/scale-in lever for a lake whose fixed
+    layout no longer matches its size."""
+    from vlm_eden_dataset_etl_ray import lake
+
+    _ray_session()
+    m = lake.rehash(args.lake, args.partitions)
+    return {"lake": args.lake, "epoch": m.epoch, "kind": m.kind,
+            "num_partitions": m.num_partitions,
+            "rows": m.total_rows()}
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(prog="vlm_eden_dataset_etl_ray")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -272,6 +285,9 @@ def main(argv=None) -> int:
                                "--changelog": {"required": True, "nargs": "+"}})
     add("tail", cmd_tail, **{"--lake": {"required": True},
                              "--changelog": {"required": True, "nargs": 1}})
+    add("rehash", cmd_rehash, **{
+        "--lake": {"required": True},
+        "--partitions": {"type": int, "required": True}})
     add("compact", cmd_compact, **{
         "--lake": {"required": True},
         "--cluster-by": {"default": None, "dest": "cluster_by"},

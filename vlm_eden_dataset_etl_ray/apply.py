@@ -303,6 +303,19 @@ def check_hash_fn(m: mf.Manifest | None) -> None:
         )
 
 
+def _layout_spec(spec: TableSpec, m: mf.Manifest | None) -> TableSpec:
+    """The lake's COMMITTED layout wins over the caller's spec: after
+    :func:`..lake.rehash` the manifest's partition count differs from the
+    spec constant, and writing with the stale count would split keys
+    across layouts. ``spec.num_partitions`` is the initial default for a
+    brand-new lake only."""
+    if m is not None and m.num_partitions != spec.num_partitions:
+        from dataclasses import replace
+
+        return replace(spec, num_partitions=m.num_partitions)
+    return spec
+
+
 def _stateless_stage(batch: pa.Table, *, stage_cls, target, spec, extra) -> pa.Table:
     return stage_cls(target, spec, None, *extra)(batch)
 
@@ -481,6 +494,7 @@ def apply_epoch(
 
     prev = mf.latest(lake_dir)
     check_hash_fn(prev)
+    spec = _layout_spec(spec, prev)
     if epoch is None:
         epoch = (prev.epoch + 1) if prev else 1
     if mf.is_committed(lake_dir, epoch):
@@ -691,6 +705,7 @@ def apply_epoch_dataset(
         return done
     prev = mf.latest(lake_dir)
     check_hash_fn(prev)
+    spec = _layout_spec(spec, prev)
     if epoch is None:
         epoch = (prev.epoch + 1) if prev else 1
     if mf.is_committed(lake_dir, epoch):

@@ -411,9 +411,11 @@ def lookup(
         karr = karr.combine_chunks()
     if len(karr) == 0:
         return pa.table({})
-    pids = sorted(set(partition_ids(karr, spec.num_partitions).tolist()))
+    m = manifest or mf.latest(lake_dir)
+    num_p = m.num_partitions if m is not None else spec.num_partitions
+    pids = sorted(set(partition_ids(karr, num_p).tolist()))
     ds = scan(lake_dir, spec=spec, columns=columns, live_only=live_only,
-              manifest=manifest, pids=pids)
+              manifest=m, pids=pids)
 
     def _keep(t: pa.Table) -> pa.Table:
         return t.filter(pc.is_in(t.column(spec.key), value_set=karr))
@@ -581,9 +583,18 @@ def change_feed(
     vers: dict[str, int] = {}
     for e in [e for e in epochs if from_epoch < e <= to_epoch]:
         m = mf.load(lake_dir, e)
-        # compaction rewrites and restore re-publishes OLD files — neither
-        # represents new row changes; both only advance the diff baseline
-        if m.kind not in ("compaction", "restore"):
+        if (before_image and m0 is not None
+                and m.num_partitions != m0.num_partitions):
+            raise ValueError(
+                "change_feed(before_image=True) cannot span a rehash "
+                f"boundary: from_epoch={from_epoch} has "
+                f"{m0.num_partitions} partitions but epoch {e} has "
+                f"{m.num_partitions} — partition ids are not comparable; "
+                "start the feed at or after the rehash epoch")
+        # compaction rewrites, restore re-publishes OLD files, and rehash
+        # re-buckets them — none represents new row changes; all three
+        # only advance the diff baseline
+        if m.kind not in ("compaction", "restore", "rehash"):
             for pid, st in m.partitions.items():
                 pst = prev.partitions.get(pid) if prev is not None else None
                 seen = set(pst.deltas) if pst is not None else set()
@@ -1037,6 +1048,117 @@ def compact(
         schema_b64=m.schema_b64,
     )
     mf.commit(lake_dir, out)
+    return out
+
+
+def rehash(
+    lake_dir: str,
+    new_partitions: int,
+    *,
+    spec: TableSpec = TOKENS_SPEC,
+    batch_size: int = 65536,
+    stripe_bytes: int = 512 * 1024 * 1024,
+) -> mf.Manifest:
+    """Partition-count evolution: re-bucket the lake's live snapshot into
+    ``new_partitions`` hash partitions and commit it as one ``rehash``
+    manifest (Iceberg's partition-spec evolution for the hash layout).
+
+    A lake's partition count is otherwise frozen at creation — the wrong
+    number for a table that grew 100×. Rehash is the scale-out/scale-in
+    lever: O(lake) data movement ONCE (a full shuffle, like a global
+    compaction), after which every epoch apply, key-pruned read and
+    compaction follows the NEW layout automatically (writers take the
+    count from the committed manifest, not the spec constant —
+    ``apply._layout_spec``). Semantics preserved:
+
+    - the snapshot is the LWW-merged live state, so tombstones fold away
+      (exactly like compaction);
+    - exactly-once lineage carries over verbatim: already-applied epoch
+      ids keep skipping after the rehash;
+    - the applied-LSN record is the union of every old partition's ranges
+      (exact — a rehash moves rows, it doesn't apply or unapply any LSN);
+    - time travel to pre-rehash epochs still works (old manifests + files
+      remain until vacuum);
+    - ``change_feed`` treats the rehash like a compaction (baseline
+      advance, no row changes); ``before_image`` feeds may not SPAN the
+      boundary (partition ids are not comparable across it).
+
+    Implementation: the merged snapshot streams through the ordinary
+    epoch shuffle into a scratch sub-lake under the lake root (so its
+    files live on the lake store and vacuum governs them), whose delta
+    files are grafted into the rehash manifest as the new base."""
+    from dataclasses import replace as _replace
+
+    from vlm_eden_dataset_etl_ray import apply as apply_mod
+
+    m = mf.latest(lake_dir)
+    if m is None:
+        raise FileNotFoundError(f"no committed manifest under {lake_dir}")
+    if new_partitions < 1:
+        raise ValueError(f"new_partitions must be >= 1, got {new_partitions}")
+    if m.num_partitions == new_partitions:
+        return m
+    apply_mod.check_hash_fn(m)
+
+    spec2 = _replace(spec, num_partitions=new_partitions)
+    if m.total_rows() == 0:
+        ids0, inputs0 = mf.cumulative_lineage(lake_dir, m)
+        out = mf.Manifest(
+            epoch=m.epoch + 1, num_partitions=new_partitions,
+            schema_version=m.schema_version, kind="rehash", partitions={},
+            applied_epoch_ids=ids0, applied_inputs=inputs0,
+            hash_fn=m.hash_fn or apply_mod.HASH_FN, schema_b64=m.schema_b64)
+        mf.commit(lake_dir, out)
+        return out
+
+    from vlm_eden_dataset_etl_ray.state.registry import SchemaRegistryState
+
+    reg = SchemaRegistryState.load_readonly(lake_dir)
+    exclude = set(reg.current_drops()) if reg else None
+    renames = (reg.column_renames() or None) if reg else None
+    snap = scan(lake_dir, spec=spec, manifest=m, live_only=True)
+    tmp = fsio.join(lake_dir, f"_rehash_{m.epoch + 1}")
+    m2 = apply_mod.apply_epoch_dataset(
+        tmp, snap, epoch_id=f"rehash-of-epoch-{m.epoch}", spec=spec2,
+        batch_size=batch_size, stripe_bytes=stripe_bytes,
+        target_schema=_output_schema(m, spec, None, True, exclude=exclude,
+                                     renames=renames))
+
+    global_wm = max((st.watermark_lsn for st in m.partitions.values()),
+                    default=-1)
+    ranges: list[list[int]] = []
+    for st in m.partitions.values():
+        for lo, hi in st.applied_lsn_ranges:
+            ranges = mf.merge_ranges(ranges, int(lo), int(hi))
+    parts: dict[int, mf.PartitionState] = {}
+    for pid, st in m2.partitions.items():
+        parts[pid] = mf.PartitionState(
+            pid=pid,
+            base=list(st.deltas),
+            base_vers=[m.schema_version] * len(st.deltas),
+            rows=st.rows,
+            bytes=st.bytes,
+            watermark_lsn=global_wm,
+            applied_lsn_ranges=[list(r) for r in ranges],
+            file_stats={f: {c: list(v) for c, v in fs.items()}
+                        for f, fs in st.file_stats.items()},
+        )
+    ids, inputs = mf.cumulative_lineage(lake_dir, m)
+    out = mf.Manifest(
+        epoch=m.epoch + 1,
+        num_partitions=new_partitions,
+        schema_version=m.schema_version,
+        kind="rehash",
+        partitions=parts,
+        applied_epoch_ids=ids,
+        applied_inputs=inputs,
+        hash_fn=m.hash_fn or apply_mod.HASH_FN,
+        schema_b64=m.schema_b64,
+    )
+    mf.commit(lake_dir, out)
+    # the scratch sub-lake's manifests must not shadow the real ones; its
+    # DATA files stay (they are the new base, referenced by `out`)
+    fsio.delete_dir(fsio.join(tmp, "_manifests"))
     return out
 
 

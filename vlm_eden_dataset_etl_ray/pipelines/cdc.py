@@ -592,6 +592,71 @@ def replay_events_dml(
                          columns=["doc_id", "n_tok", "source"])
 
 
+def replay_events_rehash(
+    sf_dir: str,
+    workdir: str | None = None,
+) -> rd.Dataset:
+    """Partition-count evolution mid-stream: epoch 1 replays the events
+    changelog into a 16-partition lake, ``lake.rehash`` re-buckets it to
+    5 partitions, then epoch 2 (latest event per ``user_id % 4 == 0``
+    user, re-priced ``+9999`` at an LSN above the stream, source
+    ``'rebuy'``) is applied with the ORIGINAL 16-partition spec — the
+    committed layout must win and the state converge as if the rehash
+    never happened."""
+    import hashlib
+
+    from vlm_eden_dataset_etl_ray.functions.relational import top1_per_key
+
+    workdir = workdir or scratch_dir("events_rehash_")
+    lake_dir = os.path.join(workdir, "lake")
+    shutil.rmtree(lake_dir, ignore_errors=True)
+    ds = read_table(
+        sf_dir, "events", columns=["event_id", "user_id", "event_type", "value"]
+    ).map_batches(
+        _derive_batch,
+        fn_kwargs={"with_tokens": False},
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    epoch_id = hashlib.sha256(
+        f"events_rehash:{os.path.abspath(sf_dir)}".encode()
+    ).hexdigest()[:16]
+    apply_mod.apply_epoch_dataset(lake_dir, ds, epoch_id=epoch_id,
+                                  spec=EVENTS_REPLAY_SPEC)
+    lake_mod.rehash(lake_dir, 5, spec=EVENTS_REPLAY_SPEC)
+
+    def _src(t: pa.Table) -> pa.Table:
+        uid = t.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = uid % 4 == 0
+        t = t.filter(pa.array(keep))
+        uid = uid[keep]
+        val = t.column("value").to_numpy(zero_copy_only=False)
+        n = t.num_rows
+        return pa.table({
+            "doc_id": pa.array(np.char.add("doc", uid.astype("U20"))),
+            "lsn": t.column("event_id").cast(pa.int64()),
+            "op": pa.array(np.full(n, "upsert")),
+            "n_tok": pa.array(np.floor(val * 100).astype(np.int64) + 9999),
+            "source": pa.array(np.full(n, "rebuy"), pa.string()),
+        })
+
+    src = read_table(
+        sf_dir, "events", columns=["event_id", "user_id", "value"]
+    ).map_batches(_src, batch_format="pyarrow", zero_copy_batch=True)
+    src = top1_per_key(src, "doc_id", [("lsn", "descending")])
+
+    def _stamp(t: pa.Table) -> pa.Table:
+        lsn = pa.array(np.full(t.num_rows, 10 ** 12, np.int64))
+        return t.set_column(t.column_names.index("lsn"), "lsn", lsn)
+
+    src = src.map_batches(_stamp, batch_format="pyarrow", zero_copy_batch=True)
+    apply_mod.apply_epoch_dataset(lake_dir, src,
+                                  epoch_id="rebuy-" + epoch_id,
+                                  spec=EVENTS_REPLAY_SPEC)
+    return lake_mod.scan(lake_dir, spec=EVENTS_REPLAY_SPEC,
+                         columns=["doc_id", "n_tok", "source"])
+
+
 def replay_events_merge(
     sf_dir: str,
     workdir: str | None = None,

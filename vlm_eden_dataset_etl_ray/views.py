@@ -272,8 +272,10 @@ def maintain_views(
             keys = (pc.unique(pa.concat_tables(batches).column(spec.key))
                     if batches else pa.array([], pa.string()))
             keys_ref = ray.put(keys)
+            # partition count from the manifests being scanned (a rehash
+            # may have changed it from the spec constant)
             pids = sorted(set(
-                partition_ids(keys, spec.num_partitions).tolist())) if len(keys) else []
+                partition_ids(keys, m_after.num_partitions).tolist())) if len(keys) else []
 
         if not pids:
             _commit_view(vdir, m_after.epoch, read_view(view_root, vspec.name),

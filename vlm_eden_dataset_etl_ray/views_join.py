@@ -133,7 +133,9 @@ def _restricted_scan(lake_dir, spec, columns, keys: pa.Array,
     set are pruned on manifest metadata; within, a broadcast ``is_in``."""
     if len(keys) == 0:
         return rd.from_items([])
-    pids = sorted(set(partition_ids(keys, spec.num_partitions).tolist()))
+    m = mf.latest(lake_dir)
+    num_p = m.num_partitions if m is not None else spec.num_partitions
+    pids = sorted(set(partition_ids(keys, num_p).tolist()))
     keys_ref = ray.put(keys)
 
     def _pred(t: pa.Table):
