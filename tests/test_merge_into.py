@@ -189,6 +189,10 @@ def test_cdc_feed_op_column_is_declared_not_dropped(tmp_path):
     # an op column with no delete clause would resurrect deletes: refuse
     with pytest.raises(ValueError, match="op"):
         dml.merge_into(d, rd.from_arrow(feed), spec=SPEC, op_id="m0")
+    # ... and a delete clause that does NOT reference op is no excuse
+    with pytest.raises(ValueError, match="op"):
+        dml.merge_into(d, rd.from_arrow(feed), spec=SPEC, op_id="m0b",
+                       matched_delete_where=[("n_tok", ">", 100)])
     dml.merge_into(d, rd.from_arrow(feed), spec=SPEC, op_id="m1",
                    matched_delete_where=[("op", "==", "delete")])
     got = _snap(d)

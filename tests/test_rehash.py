@@ -43,6 +43,18 @@ def lk(tmp_path):
     return d
 
 
+def _stored_ops(d):
+    import pyarrow.parquet as pq
+
+    m = mf.latest(d)
+    ops = []
+    for pid in m.partitions:
+        for f in m.files(pid):
+            ops.extend(pq.read_table(f, columns=["op"]).column("op")
+                       .to_pylist())
+    return ops
+
+
 def test_rehash_preserves_state(lk):
     before = _snap(lk)
     m = lake.rehash(lk, 8, spec=SPEC)
@@ -54,8 +66,23 @@ def test_rehash_preserves_state(lk):
                     columns=["doc_id", "n_tok"])
     assert dict(zip(t.column("doc_id").to_pylist(),
                     t.column("n_tok").to_pylist())) == {"d5": 35, "d77": 539}
-    # tombstoned keys folded away (rehash == compacting move)
-    assert "d31" not in set(before.column("doc_id").to_pylist())
+    # default (end-of-stream) rehash physically folds tombstones away
+    assert "delete" not in set(_stored_ops(lk))
+
+
+def test_mid_stream_rehash_keeps_tombstones_against_stragglers(lk):
+    # watermark 0: every tombstone survives the move, in the files
+    lake.rehash(lk, 8, spec=SPEC, tombstone_watermark=0)
+    assert "delete" in set(_stored_ops(lk))
+    # an out-of-order straggler BELOW the delete's LSN must still lose
+    apply.apply_epoch_dataset(
+        lk, rd.from_arrow(pa.table({
+            "doc_id": pa.array(["d31"]),
+            "lsn": pa.array([5], pa.int64()),
+            "op": pa.array(["upsert"]),
+            "n_tok": pa.array([1], pa.int64()),
+        })), epoch_id="straggler", spec=SPEC)
+    assert "d31" not in set(_snap(lk).column("doc_id").to_pylist())
 
 
 def test_writes_after_rehash_follow_new_layout(lk):
@@ -88,23 +115,25 @@ def test_change_feed_and_time_travel_around_rehash(lk):
     m_re = lake.rehash(lk, 2, spec=SPEC)
     apply.apply_epoch_dataset(
         lk, _rows(0, 3, lsn_base=900), epoch_id="e3", spec=SPEC)
-    # feed from the pre-rehash epoch: the rehash adds nothing, e3 does
-    feed = pa.concat_tables(lake.change_feed(
-        lk, m_pre.epoch, spec=SPEC).iter_batches(
-        batch_format="pyarrow", batch_size=None))
-    assert sorted(set(feed.column("doc_id").to_pylist())) == ["d0", "d1", "d2"]
-    # time travel to the pre-rehash snapshot still works
-    old = lake.snapshot(lk, spec=SPEC, asof_epoch=m_pre.epoch,
-                        columns=["doc_id", "lsn", "n_tok"]).sort_by("doc_id")
-    assert old.equals(pre)
-    # before-image feeds may not span the boundary
+    # NO feed may span the boundary (keys moved partitions: the per-pid
+    # independent merge would emit duplicate/stale rows per key)
+    with pytest.raises(ValueError, match="rehash"):
+        lake.change_feed(lk, m_pre.epoch, spec=SPEC)
     with pytest.raises(ValueError, match="rehash"):
         lake.change_feed(lk, m_pre.epoch, spec=SPEC, before_image=True)
-    # ... but work fine from the rehash epoch onward
+    # from the rehash epoch onward both shapes work and see only e3
+    feed = pa.concat_tables(lake.change_feed(
+        lk, m_re.epoch, spec=SPEC).iter_batches(
+        batch_format="pyarrow", batch_size=None))
+    assert sorted(set(feed.column("doc_id").to_pylist())) == ["d0", "d1", "d2"]
     bi = pa.concat_tables(lake.change_feed(
         lk, m_re.epoch, spec=SPEC, before_image=True).iter_batches(
         batch_format="pyarrow", batch_size=None))
     assert bi.num_rows == 3
+    # time travel to the pre-rehash snapshot still works
+    old = lake.snapshot(lk, spec=SPEC, asof_epoch=m_pre.epoch,
+                        columns=["doc_id", "lsn", "n_tok"]).sort_by("doc_id")
+    assert old.equals(pre)
 
 
 def test_rehash_validation_and_idempotence(lk, tmp_path):
@@ -118,6 +147,29 @@ def test_rehash_validation_and_idempotence(lk, tmp_path):
     before = _snap(lk)
     m2 = lake.rehash(lk, 2, spec=SPEC)
     assert m2.num_partitions == 2 and _snap(lk).equals(before)
+
+
+def test_vacuum_reclaims_rehash_scratch(lk):
+    """After a compaction re-homes the data, the rehash scratch files must
+    be reclaimable (not a permanent O(lake) leak)."""
+    import os
+    import time as _t
+
+    lake.rehash(lk, 8, spec=SPEC)
+    scratch = [os.path.join(dp, f) for dp, _, fs in os.walk(lk)
+               for f in fs if "_rehash_" in dp and f.endswith(".parquet")]
+    assert scratch
+    lake.compact(lk, spec=SPEC)  # re-homes every row under base/
+    # age everything and keep only the newest manifest
+    for dp, _, fs in os.walk(lk):
+        for f in fs:
+            p = os.path.join(dp, f)
+            os.utime(p, (_t.time() - 7200, _t.time() - 7200))
+    before = _snap(lk)
+    res = lake.vacuum(lk, keep_epochs=1, min_age_seconds=0.0)
+    assert res["files_removed"] > 0
+    assert not any(os.path.exists(p) for p in scratch)
+    assert _snap(lk).equals(before)
 
 
 def test_rehash_respects_dml_and_lineage_ranges(lk):

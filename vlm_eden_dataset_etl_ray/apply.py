@@ -665,6 +665,17 @@ def _stage_and_commit(
             if epoch_id in other.applied_epoch_ids:
                 return other
             latest2 = mf.latest(lake_dir)
+            if latest2.num_partitions != spec.num_partitions:
+                # a concurrent rehash changed the layout: our delta files
+                # are bucketed under the OLD partition count and cannot be
+                # grafted onto the new manifest — rebasing would split keys
+                # across layouts. Nothing committed; a re-run re-shuffles
+                # under the new layout (the epoch_id was never recorded).
+                raise RuntimeError(
+                    f"apply lost the publish race to a rehash "
+                    f"({spec.num_partitions} → {latest2.num_partitions} "
+                    "partitions); re-run this epoch — it will follow the "
+                    "new committed layout")
             m = _build_manifest(latest2, latest2.epoch + 1)
     # shuffle slices are transient: safe to drop once the epoch is committed
     fsio.delete_dir(shuffle_dir)

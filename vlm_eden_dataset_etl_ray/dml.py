@@ -394,16 +394,30 @@ def merge_into(
         list(zip(source.schema().names, source.schema().types)))
     if src_schema.get_field_index(spec.key) < 0:
         raise KeyError(f"merge source has no key column {spec.key!r}")
-    if (src_schema.get_field_index(spec.op_col) >= 0
-            and matched_delete_where is None):
-        raise ValueError(
-            f"source carries the op envelope column {spec.op_col!r} but no "
-            "matched_delete_where consumes it — its delete rows would "
-            "merge as live upserts; declare them, e.g. "
-            f"matched_delete_where=[({spec.op_col!r}, '==', "
-            f"{spec.delete_op!r})]")
+    if src_schema.get_field_index(spec.op_col) >= 0:
+        # a conjunct-list delete predicate must actually reference the op
+        # column; a callable predicate (explicit op_id) is trusted
+        consumed = (matched_delete_where is not None
+                    and (callable(matched_delete_where)
+                         or any(c[0] == spec.op_col
+                                for c in matched_delete_where)))
+        if not consumed:
+            raise ValueError(
+                f"source carries the op envelope column {spec.op_col!r} "
+                "but matched_delete_where does not consume it — its "
+                "delete rows would merge as live upserts; declare them, "
+                f"e.g. matched_delete_where=[({spec.op_col!r}, '==', "
+                f"{spec.delete_op!r})]")
 
-    full = lake_mod._output_schema(m, spec, None, True)
+    # registry-aware target schema: dropped columns must not count as
+    # "missing" payload, renamed columns count under their CURRENT name
+    from vlm_eden_dataset_etl_ray.state.registry import SchemaRegistryState
+
+    _reg = SchemaRegistryState.load_readonly(lake_dir)
+    full = lake_mod._output_schema(
+        m, spec, None, True,
+        exclude=set(_reg.current_drops()) if _reg else None,
+        renames=(_reg.column_renames() or None) if _reg else None)
     target_payload = [n for n in full.names
                      if n not in (spec.key, spec.order, spec.op_col)]
     missing = [n for n in target_payload

@@ -581,16 +581,21 @@ def change_feed(
     prev = m0
     per_pid: dict[int, list[str]] = {}
     vers: dict[str, int] = {}
+    ref_p = m0.num_partitions if m0 is not None else None
     for e in [e for e in epochs if from_epoch < e <= to_epoch]:
         m = mf.load(lake_dir, e)
-        if (before_image and m0 is not None
-                and m.num_partitions != m0.num_partitions):
+        if ref_p is None:
+            ref_p = m.num_partitions
+        elif m.num_partitions != ref_p:
+            # the per-pid work items below LWW-merge each partition
+            # independently, which is exact ONLY while a key lives in one
+            # pid for the whole range — a rehash moves keys, so a feed
+            # spanning it would emit duplicate/stale rows per key
             raise ValueError(
-                "change_feed(before_image=True) cannot span a rehash "
-                f"boundary: from_epoch={from_epoch} has "
-                f"{m0.num_partitions} partitions but epoch {e} has "
-                f"{m.num_partitions} — partition ids are not comparable; "
-                "start the feed at or after the rehash epoch")
+                "change_feed cannot span a rehash boundary: the range "
+                f"mixes {ref_p}- and {m.num_partitions}-partition layouts "
+                "(epoch "
+                f"{e}); start the feed at or after the rehash epoch")
         # compaction rewrites, restore re-publishes OLD files, and rehash
         # re-buckets them — none represents new row changes; all three
         # only advance the diff baseline
@@ -725,8 +730,15 @@ def vacuum(lake_dir: str, keep_epochs: int = 2,
     removed_bytes = 0
     max_committed = max(keep)
     now = _time.time()
-    for sub in ("staging", "base"):
-        root = fsio.join(lake_dir, sub)
+    # rehash scratch sub-lakes (_rehash_N/) hold the re-bucketed snapshot
+    # that the rehash manifest references as its base — once later
+    # compactions re-home the data and the rehash-era manifests age out,
+    # their files are reclaimable like any other epoch's
+    rehash_roots = [fsio.join(lake_dir, name)
+                    for name in fsio.list_names(lake_dir)
+                    if name.startswith("_rehash_")]
+    for root in ([fsio.join(lake_dir, sub) for sub in ("staging", "base")]
+                 + rehash_roots):
         touched_dirs: set[str] = set()
         for p, size, mtime in fsio.walk_files(root):
             # An apply_epoch may be in flight concurrently: its staging /
@@ -1058,6 +1070,7 @@ def rehash(
     spec: TableSpec = TOKENS_SPEC,
     batch_size: int = 65536,
     stripe_bytes: int = 512 * 1024 * 1024,
+    tombstone_watermark: int | None = None,
 ) -> mf.Manifest:
     """Partition-count evolution: re-bucket the lake's live snapshot into
     ``new_partitions`` hash partitions and commit it as one ``rehash``
@@ -1071,8 +1084,12 @@ def rehash(
     count from the committed manifest, not the spec constant —
     ``apply._layout_spec``). Semantics preserved:
 
-    - the snapshot is the LWW-merged live state, so tombstones fold away
-      (exactly like compaction);
+    - tombstone retention follows :func:`compact`'s contract exactly:
+      ``tombstone_watermark=None`` (default) folds tombstones away — valid
+      ONLY when no out-of-order delivery can still arrive; a MID-STREAM
+      rehash must pass a watermark (``0`` keeps all) so a straggler upsert
+      below a deleted key's LSN still loses the merge instead of
+      resurrecting the row;
     - exactly-once lineage carries over verbatim: already-applied epoch
       ids keep skipping after the rehash;
     - the applied-LSN record is the union of every old partition's ranges
@@ -1080,7 +1097,7 @@ def rehash(
     - time travel to pre-rehash epochs still works (old manifests + files
       remain until vacuum);
     - ``change_feed`` treats the rehash like a compaction (baseline
-      advance, no row changes); ``before_image`` feeds may not SPAN the
+      advance, no row changes); NO feed may SPAN the
       boundary (partition ids are not comparable across it).
 
     Implementation: the merged snapshot streams through the ordinary
@@ -1116,7 +1133,18 @@ def rehash(
     reg = SchemaRegistryState.load_readonly(lake_dir)
     exclude = set(reg.current_drops()) if reg else None
     renames = (reg.column_renames() or None) if reg else None
-    snap = scan(lake_dir, spec=spec, manifest=m, live_only=True)
+    snap = scan(lake_dir, spec=spec, manifest=m,
+                live_only=tombstone_watermark is None)
+    if tombstone_watermark is not None:
+        def _drop_old_tombstones(t: pa.Table, *, op_col=spec.op_col,
+                                 dead=spec.delete_op, order=spec.order,
+                                 wm=tombstone_watermark) -> pa.Table:
+            is_del = pc.equal(t.column(op_col), dead)
+            old = pc.less_equal(t.column(order), pa.scalar(wm))
+            return t.filter(pc.invert(pc.and_kleene(is_del, old)))
+
+        snap = snap.map_batches(_drop_old_tombstones, batch_format="pyarrow",
+                                zero_copy_batch=True)
     tmp = fsio.join(lake_dir, f"_rehash_{m.epoch + 1}")
     m2 = apply_mod.apply_epoch_dataset(
         tmp, snap, epoch_id=f"rehash-of-epoch-{m.epoch}", spec=spec2,

@@ -623,7 +623,12 @@ def replay_events_rehash(
     ).hexdigest()[:16]
     apply_mod.apply_epoch_dataset(lake_dir, ds, epoch_id=epoch_id,
                                   spec=EVENTS_REPLAY_SPEC)
-    lake_mod.rehash(lake_dir, 5, spec=EVENTS_REPLAY_SPEC)
+    # mid-stream rehash: keep tombstones (watermark 0) so a straggler
+    # below a deleted key's LSN could never resurrect it — the correct
+    # production shape even though epoch 2 here only writes above-stream
+    # LSNs
+    lake_mod.rehash(lake_dir, 5, spec=EVENTS_REPLAY_SPEC,
+                    tombstone_watermark=0)
 
     def _src(t: pa.Table) -> pa.Table:
         uid = t.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)

@@ -128,21 +128,22 @@ def _last_maintained(view_dir: str, m: mf.Manifest) -> tuple[int, int]:
 
 
 def _restricted_scan(lake_dir, spec, columns, keys: pa.Array,
-                     key_col: str) -> rd.Dataset:
-    """Key-restricted merge-on-read scan: hash partitions outside the key
-    set are pruned on manifest metadata; within, a broadcast ``is_in``."""
+                     key_col: str, manifest: mf.Manifest) -> rd.Dataset:
+    """Key-restricted merge-on-read scan PINNED to ``manifest``: pids are
+    derived from that manifest's partition count and the scan reads that
+    manifest's files, so a commit (or rehash) racing the refresh cannot
+    desync pruning from layout."""
     if len(keys) == 0:
         return rd.from_items([])
-    m = mf.latest(lake_dir)
-    num_p = m.num_partitions if m is not None else spec.num_partitions
-    pids = sorted(set(partition_ids(keys, num_p).tolist()))
+    pids = sorted(set(
+        partition_ids(keys, manifest.num_partitions).tolist()))
     keys_ref = ray.put(keys)
 
     def _pred(t: pa.Table):
         return pc.is_in(t.column(key_col), value_set=ray.get(keys_ref))
 
     return lake_mod.scan(lake_dir, spec=spec, columns=columns,
-                         predicate=_pred, pids=pids)
+                         predicate=_pred, pids=pids, manifest=manifest)
 
 
 def _default_cols(lake_dir, spec, drop: tuple[str, ...]) -> list[str]:
@@ -357,7 +358,7 @@ def maintain_join_view(
 
     # ---- rebuild the affected slice: L ⋈ R restricted to O(changed) ----
     left_rows = _restricted_scan(left_dir, left_spec, lcols, affected,
-                                 lkey).materialize()
+                                 lkey, ml).materialize()
     wm1 = max((st.watermark_lsn for st in vm.partitions.values()),
               default=-1) + 1
     parts: list[rd.Dataset] = []
@@ -366,7 +367,7 @@ def maintain_join_view(
         jvals = _collect_keys(left_rows, join_col)
         if len(jvals):
             right_rows = _mark_right(_restricted_scan(
-                right_dir, right_spec, rcols, jvals, rkey))
+                right_dir, right_spec, rcols, jvals, rkey, mr))
             joined = hash_join(left_rows, right_rows, join_col, rkey,
                                how="left",
                                bytes_hint=2 * left_rows.size_bytes(),
