@@ -175,10 +175,17 @@ def _output_schema(m: mf.Manifest, spec: TableSpec, columns, live_only,
     if rec is not None:
         if renames:
             # the cumulative union may carry BOTH sides of a rename; keep
-            # only the current name (values recover via the footer mapping)
-            old = {o for cur, chain in renames.items()
-                   for o, _ in chain if o != cur}
-            rec = pa.schema([f for f in rec if f.name not in old])
+            # only the current name (values recover via the footer mapping).
+            # A column added by a sparse epoch and renamed later may exist in
+            # rec ONLY under its old name — strip it only when the current
+            # name is ALSO present, else let the fwd mapping below rename it
+            # (the 'not in s_.names' guard prevents duplicate-name output).
+            old2cur = {o: cur for cur, chain in renames.items()
+                       for o, _ in chain if o != cur}
+            have = set(rec.names)
+            rec = pa.schema([f for f in rec
+                             if f.name not in old2cur
+                             or old2cur[f.name] not in have])
         schemas.append(rec)
     if renames:
         # footer fields (and the recorded pre-rename union) may carry old
@@ -734,9 +741,29 @@ def vacuum(lake_dir: str, keep_epochs: int = 2,
     # that the rehash manifest references as its base — once later
     # compactions re-home the data and the rehash-era manifests age out,
     # their files are reclaimable like any other epoch's
-    rehash_roots = [fsio.join(lake_dir, name)
-                    for name in fsio.list_names(lake_dir)
-                    if name.startswith("_rehash_")]
+    rehash_roots = []
+    for name in fsio.list_names(lake_dir):
+        if not name.startswith("_rehash_"):
+            continue
+        # A rehash targeting epoch N publishes ONLY after its scratch
+        # sub-lake is fully written; until then its files are referenced by
+        # no manifest and the scratch lake's own epoch numbering restarts at
+        # 1 (≤ max_committed), so neither the live set nor the epoch=K skip
+        # below protects them. N > max_committed ⇒ rehash in flight (or
+        # abandoned — reclaimed once a later commit passes it): skip the
+        # whole root regardless of file age.
+        try:
+            if int(name[len("_rehash_"):]) > max_committed:
+                continue
+        except ValueError:
+            pass
+        root = fsio.join(lake_dir, name)
+        # Crash between the rehash commit and its scratch-manifest cleanup
+        # leaves _rehash_N/_manifests behind forever (re-runs early-return
+        # on num_partitions match); reclaim it here.
+        fsio.delete_dir(fsio.join(root, "_manifests"))
+        rehash_roots.append(root)
+    rehash_set = set(rehash_roots)
     for root in ([fsio.join(lake_dir, sub) for sub in ("staging", "base")]
                  + rehash_roots):
         touched_dirs: set[str] = set()
@@ -746,9 +773,12 @@ def vacuum(lake_dir: str, keep_epochs: int = 2,
             # any committed epoch and are referenced by NO manifest yet —
             # deleting them would let that epoch publish a manifest pointing
             # at vanished files. Skip epoch dirs newer than the last commit.
+            # (Committed-rehash scratch roots renumber epochs from 1, so the
+            # comparison is meaningless there — the live set + the age guard
+            # below protect their files; in-flight roots were skipped above.)
             rel = p[len(root):].lstrip("/")
             top = rel.split("/", 1)[0]
-            if top.startswith("epoch="):
+            if top.startswith("epoch=") and root not in rehash_set:
                 try:
                     if int(top[len("epoch="):]) > max_committed:
                         continue

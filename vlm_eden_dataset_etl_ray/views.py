@@ -254,8 +254,14 @@ def maintain_views(
             continue  # already incorporated (idempotent re-run)
         need_cols = sorted({spec.key, *vspec.group_cols, *vspec.sum_cols})
 
-        if vm is None or have != before_epoch:
-            # initial build / catch-up: aggregate the pinned full snapshot
+        if (vm is None or have != before_epoch
+                or (m_before is not None
+                    and m_before.num_partitions != m_after.num_partitions)):
+            # initial build / catch-up: aggregate the pinned full snapshot.
+            # The layout guard also covers a rehash racing between the
+            # caller's m_before read and the apply — partition ids are not
+            # comparable across the boundary, so the minus-side pruned scan
+            # would read the wrong partitions; rebuild instead.
             full = lake_mod.scan(lake_dir, spec=spec, columns=need_cols,
                                  manifest=m_after)
             state = _combine(_contrib(full, vspec, +1), vspec,
