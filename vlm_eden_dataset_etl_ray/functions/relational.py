@@ -1175,23 +1175,65 @@ def asof_join_bucketed(
 
 # ---------------------------------------------------------------------------
 # Windowed/session analysis (streaming-shaped; Ray Data has no event-time
-# windows, so windows = per-key map_groups over ts-sorted groups).
+# windows, so sessionization = one sort + vectorized run-boundary folds —
+# O(blocks) Python calls, never O(keys)).
 # ---------------------------------------------------------------------------
+
+
+def _ts_us(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
+    """Epoch-microsecond int64 view of a temporal column (s/ms/ns inputs
+    bucket identically)."""
+    return col.cast(pa.timestamp("us")).cast(pa.int64()) \
+        .to_numpy(zero_copy_only=False)
 
 
 def session_counts(
     ds: rd.Dataset, key: str, ts_col: str, gap_seconds: float, alias: str = "n_sessions"
 ) -> rd.Dataset:
     """Number of sessions per key, a session ending after ``gap_seconds`` of
-    inactivity. Ordering assumption: rows for one key fit one group (true
-    after the groupby shuffle); ties broken by original order columns."""
+    inactivity (strict: a new session starts when the gap EXCEEDS it).
 
-    def _per_group(g: pd.DataFrame) -> pd.DataFrame:
-        ts = g[ts_col].sort_values()
-        gaps = ts.diff().dt.total_seconds() > gap_seconds
-        return pd.DataFrame({key: [g[key].iloc[0]], alias: [int(gaps.sum()) + 1]})
+    One exchange — a SORT by (key, ts), not a per-group UDF: each sorted
+    block counts sessions for every interior key run with one vectorized
+    diff + ``reduceat`` pass; only the ≤2 edge runs per block (the ones
+    that may continue in a neighboring block) ship their timestamps to a
+    grouped merge — O(blocks) Python calls and O(blocks)-sized merge state
+    regardless of key cardinality."""
+    from . import runfold as rf
 
-    return ds.groupby(key).map_groups(_per_group, batch_format="pandas")
+    gap_us = gap_seconds * 1_000_000
+    key_type = dict(zip(ds.schema().names, ds.schema().types))[key]
+
+    def _fold_block(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({key: pa.array([], key_type),
+                             alias: pa.array([], pa.int64()),
+                             "__ts": pa.array([], pa.list_(pa.int64())),
+                             "__edge": pa.array([], pa.bool_())})
+        starts, lengths = rf.run_bounds(t, [key])
+        edges = rf.edge_mask(len(starts))
+        us = _ts_us(t.column(ts_col))
+        new = np.concatenate([[False], np.diff(us) > gap_us])
+        new[starts] = False  # run boundaries are key changes, not gaps
+        n_sessions = rf.run_sums(new.astype(np.int64), starts) + 1
+        return pa.table({
+            key: t.column(key).take(pa.array(starts)),
+            alias: pa.array(n_sessions, pa.int64(), mask=edges),
+            "__ts": rf.edge_values_list(us, starts, lengths, edges,
+                                        typ=pa.int64()),
+            "__edge": pa.array(edges),
+        })
+
+    def _edge_fold(g: pa.Table) -> pa.Table:
+        us = np.sort(rf.flat_list_values(g.column("__ts")))
+        n = int((np.diff(us) > gap_us).sum()) + 1
+        return pa.table({key: g.column(key).slice(0, 1),
+                         alias: pa.array([n], pa.int64())})
+
+    return rf.branch_edge_merge(
+        ds.select_columns([key, ts_col]).sort([key, ts_col]).map_batches(
+            _fold_block, batch_format="pyarrow", batch_size=None),
+        [key], [alias], _edge_fold)
 
 
 def session_ids(
@@ -1206,23 +1248,109 @@ def session_ids(
     ordered by ``order_cols`` (default ``[ts_col]`` — include a tiebreak
     id for determinism), a new session starts when the gap from the
     previous event EXCEEDS ``gap_seconds``; ``session_col`` is the 1-based
-    session ordinal within the key. Same shuffle shape as
-    :func:`session_counts` (which this refines from per-key counts to
-    per-row labels); the gap/cumsum math is vectorized in the group.
-    Timestamps are normalized to microseconds before the gap arithmetic
-    (s/ms/ns inputs bucket identically)."""
-    order_cols = order_cols or [ts_col]
+    session ordinal within the key. Timestamps are normalized to
+    microseconds before the gap arithmetic (s/ms/ns inputs bucket
+    identically).
 
-    def _per_group(g: pa.Table) -> pa.Table:
-        idx = pc.sort_indices(g, sort_keys=[(c, "ascending") for c in order_cols])
-        g = g.take(idx)
-        us = g.column(ts_col).cast(pa.timestamp("us")).cast(pa.int64()) \
-            .to_numpy(zero_copy_only=False)
-        new = np.diff(us) > gap_seconds * 1_000_000
-        sid = np.cumsum(np.concatenate([[1], new.astype(np.int64)]))
-        return g.append_column(session_col, pa.array(sid))
+    Distributed shape (the per-row refinement of :func:`session_counts`):
+    one SORT by (key, order_cols), then O(blocks) driver metadata — per
+    block (first/last key, first/last ts, session starts in the trailing
+    run) — chained into a per-block carry (sessions already started for
+    the key continuing across the boundary, and whether the boundary gap
+    itself starts one), broadcast back for a vectorized in-block cumsum.
+    The driver never sees data rows, and no per-key Python work exists
+    anywhere — 10⁶⁺ keys cost the same per row as 10²."""
+    import pickle
 
-    return ds.groupby(key).map_groups(_per_group, batch_format="pyarrow")
+    order_cols = list(order_cols or [ts_col])
+    sort_cols = [key] + [c for c in order_cols if c != key]
+    gap_us = gap_seconds * 1_000_000
+    sorted_ds = ds.sort(sort_cols).materialize()
+
+    def _first_tuple(t: pa.Table) -> bytes:
+        return pickle.dumps(tuple(t.column(c)[0].as_py() for c in sort_cols))
+
+    def _start_flags(t: pa.Table, us: np.ndarray) -> np.ndarray:
+        """Provisional per-row new-session flags: row 0 = True (fixed up
+        by the driver carry), else key change or gap > gap_us."""
+        kchg = np.zeros(t.num_rows, dtype=bool)
+        a = t.column(key).to_numpy(zero_copy_only=False)
+        kchg[1:] = a[1:] != a[:-1]
+        st = np.concatenate([[True], (np.diff(us) > gap_us)]) | kchg
+        st[0] = True
+        return st
+
+    def _summ(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"__first": pa.array([], pa.binary()),
+                             "__fk": pa.array([], pa.binary()),
+                             "__fts": pa.array([], pa.int64()),
+                             "__lk": pa.array([], pa.binary()),
+                             "__lts": pa.array([], pa.int64()),
+                             "__tail": pa.array([], pa.int64()),
+                             "__single": pa.array([], pa.bool_())})
+        us = _ts_us(t.column(ts_col))
+        st = _start_flags(t, us)
+        a = t.column(key).to_numpy(zero_copy_only=False)
+        kchg_pos = np.flatnonzero(a[1:] != a[:-1]) + 1
+        last_run_start = int(kchg_pos[-1]) if len(kchg_pos) else 0
+        return pa.table({
+            "__first": pa.array([_first_tuple(t)], pa.binary()),
+            "__fk": pa.array([pickle.dumps(t.column(key)[0].as_py())]),
+            "__fts": pa.array([int(us[0])], pa.int64()),
+            "__lk": pa.array([pickle.dumps(t.column(key)[-1].as_py())]),
+            "__lts": pa.array([int(us[-1])], pa.int64()),
+            "__tail": pa.array([int(st[last_run_start:].sum())], pa.int64()),
+            "__single": pa.array([len(kchg_pos) == 0], pa.bool_()),
+        })
+
+    rows = sorted_ds.map_batches(
+        _summ, batch_format="pyarrow", batch_size=None).take_all()
+    summ = sorted(
+        ({"first": r["__first"], "fk": pickle.loads(r["__fk"]),
+          "fts": r["__fts"], "lk": pickle.loads(r["__lk"]),
+          "lts": r["__lts"], "tail": r["__tail"], "single": r["__single"]}
+         for r in rows),
+        key=lambda s: (pickle.loads(s["first"]),
+                       (s["lk"], s["lts"])))
+    carries: dict[bytes, tuple[int, int]] = {}
+    pend_key, pend_ts, pend_starts = object(), 0, 0
+    for s in summ:
+        if s["fk"] == pend_key:
+            carry = pend_starts
+            st0 = int(s["fts"] - pend_ts > gap_us)
+        else:
+            carry, st0 = 0, 1
+        carries.setdefault(s["first"], (carry, st0))
+        if s["single"]:
+            pend_starts = carry + s["tail"] - 1 + st0
+        else:
+            pend_starts = s["tail"]
+        pend_key, pend_ts = s["lk"], s["lts"]
+    carries_ref = ray.put(carries)
+
+    def _assign(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t.append_column(session_col, pa.array([], pa.int64()))
+        carry, st0 = ray.get(carries_ref)[_first_tuple(t)]
+        us = _ts_us(t.column(ts_col))
+        st = _start_flags(t, us).astype(np.int64)
+        st[0] = st0
+        s = np.cumsum(st)
+        # per-key-run cumsum: subtract the running total just before each
+        # run's first row; the first run additionally adds the carry
+        a = t.column(key).to_numpy(zero_copy_only=False)
+        run_starts = np.concatenate(
+            [[0], np.flatnonzero(a[1:] != a[:-1]) + 1])
+        base_at_start = s[run_starts] - st[run_starts]
+        base = np.repeat(base_at_start,
+                         np.diff(np.concatenate([run_starts, [t.num_rows]])))
+        sid = s - base
+        sid[:int(run_starts[1]) if len(run_starts) > 1 else t.num_rows] += carry
+        return t.append_column(session_col, pa.array(sid, pa.int64()))
+
+    return sorted_ds.map_batches(_assign, batch_format="pyarrow",
+                                 batch_size=None)
 
 
 def pivot_count(

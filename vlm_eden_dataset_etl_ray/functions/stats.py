@@ -162,21 +162,51 @@ def grouped_entropy(
     """Shannon entropy (bits, log2 — SQL ``entropy()``) of the ``value``
     distribution within each key group. One pass collapses the data to
     distinct (keys, value) counts via mergeable partials; the entropy fold
-    then runs over that tiny table grouped by ``keys``.
+    then runs over that collapsed table — as a sort + vectorized
+    run-boundary fold (O(blocks) Python calls), not a per-group UDF, so
+    10⁶⁺ distinct keys cost no more per row than 10².
     """
-    counts = grouped_count(ds, keys + [value], alias="__n", cardinality=cardinality)
+    from . import runfold as rf
 
-    def _fold(g: pa.Table) -> pa.Table:
-        n = g.column("__n").to_numpy(zero_copy_only=False).astype(np.float64)
-        p = n / n.sum()
-        h = float(-(p * np.log2(p)).sum())
+    counts = grouped_count(ds, keys + [value], alias="__n", cardinality=cardinality)
+    key_types = {k: t for k, t in zip(ds.schema().names, ds.schema().types)
+                 if k in keys}
+
+    def _entropy(n: np.ndarray, starts, lengths) -> np.ndarray:
+        rid = rf.run_ids(lengths)
+        tot = rf.run_sums(n, starts)
+        p = n / tot[rid]
+        return -rf.run_sums(p * np.log2(p), starts)
+
+    def _fold_block(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {**{k: pa.array([], key_types[k]) for k in keys},
+                 alias: pa.array([], pa.float64()),
+                 "__ns": pa.array([], pa.list_(pa.float64())),
+                 "__edge": pa.array([], pa.bool_())})
+        starts, lengths = rf.run_bounds(t, keys)
+        edges = rf.edge_mask(len(starts))
+        n = t.column("__n").to_numpy(zero_copy_only=False).astype(np.float64)
+        cols = {k: t.column(k).take(pa.array(starts)) for k in keys}
+        cols[alias] = pa.array(_entropy(n, starts, lengths), pa.float64(),
+                               mask=edges)
+        cols["__ns"] = rf.edge_values_list(n, starts, lengths, edges)
+        cols["__edge"] = pa.array(edges)
+        return pa.table(cols)
+
+    def _edge_fold(g: pa.Table) -> pa.Table:
+        n = rf.flat_list_values(g.column("__ns"))
+        h = _entropy(n, np.zeros(1, np.int64),
+                     np.array([len(n)], np.int64))
         out = {k: g.column(k).slice(0, 1) for k in keys}
-        out[alias] = pa.array([h], pa.float64())
+        out[alias] = pa.array([float(h[0])], pa.float64())
         return pa.table(out)
 
-    return counts.groupby(keys[0] if len(keys) == 1 else keys).map_groups(
-        _fold, batch_format="pyarrow"
-    )
+    return rf.branch_edge_merge(
+        counts.sort(keys).map_batches(
+            _fold_block, batch_format="pyarrow", batch_size=None),
+        keys, [alias], _edge_fold)
 
 
 # ---------------------------------------------------------------------------
@@ -286,27 +316,53 @@ def grouped_quantiles(
 ) -> rd.Dataset:
     """Exact interpolated quantiles per group (``percentile_cont`` — linear
     interpolation, numpy's and DuckDB's shared formula). Quantiles are not
-    mergeable, so this is the honest one-shuffle plan: groupby co-locates
-    each key, the in-group fold is a vectorized sort + ``np.quantile``.
-    Use the sketch path (:mod:`.sketches` centroid quantiles) when groups
-    outgrow a worker.
+    mergeable, so one exchange is honest — but it is a SORT by (keys,
+    value), not a per-group UDF: each sorted block finalizes every interior
+    key run with one vectorized :func:`~.runfold.run_quantile` call
+    (bit-exact with ``np.quantile``), and only the ≤2 edge runs per block
+    route through a grouped fold — O(blocks) Python calls total, so 10⁶⁺
+    distinct keys cost the same per row as 10². Use the sketch path
+    (:mod:`.sketches` centroid quantiles) when single groups outgrow a
+    worker.
     """
+    from . import runfold as rf
+
     aliases = aliases or [f"q{int(q * 100)}" for q in qs]
     if len(aliases) != len(qs):
         raise ValueError("aliases must parallel qs")
+    key_types = {k: t for k, t in zip(ds.schema().names, ds.schema().types)
+                 if k in keys}
 
-    def _fold(g: pa.Table) -> pa.Table:
-        v = np.sort(g.column(value).to_numpy(zero_copy_only=False)
-                    .astype(np.float64))
+    def _fold_block(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {**{k: pa.array([], key_types[k]) for k in keys},
+                 **{a: pa.array([], pa.float64()) for a in aliases},
+                 "__vals": pa.array([], pa.list_(pa.float64())),
+                 "__edge": pa.array([], pa.bool_())})
+        starts, lengths = rf.run_bounds(t, keys)
+        edges = rf.edge_mask(len(starts))
+        v = t.column(value).to_numpy(zero_copy_only=False).astype(np.float64)
+        take = pa.array(starts)
+        cols = {k: t.column(k).take(take) for k in keys}
+        for a, q in zip(aliases, qs):
+            cols[a] = pa.array(rf.run_quantile(v, starts, lengths, q),
+                               pa.float64(), mask=edges)
+        cols["__vals"] = rf.edge_values_list(v, starts, lengths, edges)
+        cols["__edge"] = pa.array(edges)
+        return pa.table(cols)
+
+    def _edge_fold(g: pa.Table) -> pa.Table:
+        v = np.sort(rf.flat_list_values(g.column("__vals")))
         out = {k: g.column(k).slice(0, 1) for k in keys}
-        quants = np.quantile(v, qs)
-        for a, qv in zip(aliases, quants):
+        for a, qv in zip(aliases, np.quantile(v, qs)):
             out[a] = pa.array([float(qv)], pa.float64())
         return pa.table(out)
 
-    return ds.select_columns(keys + [value]).groupby(
-        keys[0] if len(keys) == 1 else keys
-    ).map_groups(_fold, batch_format="pyarrow")
+    parts = ds.select_columns(keys + [value]) \
+        .sort(keys + [value]) \
+        .map_batches(_fold_block, batch_format="pyarrow", batch_size=None)
+    return rf.branch_edge_merge(parts, keys, aliases, _edge_fold)
 
 
 # ---------------------------------------------------------------------------
@@ -328,30 +384,78 @@ def grouped_mad(
     flagging corrupt numeric features that a mean/stddev z-score misses
     when the corruption itself inflates the stddev.
 
-    Shape: one groupby shuffle co-locates each key; the in-group fold is
-    two vectorized ``np.median`` passes plus one comparison — no second
-    exchange for the deviation median because the group is already in
-    hand. Medians are not mergeable, so this is the honest one-shuffle
-    plan (group size, not row count, bounds a worker); use the centroid
-    quantile sketch when groups outgrow a worker.
+    Shape: one exchange — a SORT by (keys, value), not a per-group UDF.
+    Each sorted block finalizes every interior key run vectorized: the
+    median is :func:`~.runfold.run_quantile` over the already-sorted run,
+    the deviation median re-sorts deviations within runs with ONE
+    ``np.lexsort`` across the whole block, and outlier counts are a
+    per-run ``reduceat``. Only the ≤2 edge runs per block pay a grouped
+    fold — O(blocks) Python calls regardless of key cardinality. Medians
+    are not mergeable, so one exchange is the honest plan (group size,
+    not row count, bounds a worker); use the centroid quantile sketch
+    when groups outgrow a worker.
     """
-    scale = z * 1.4826
+    from . import runfold as rf
 
-    def _fold(g: pa.Table) -> pa.Table:
-        v = g.column(value).to_numpy(zero_copy_only=False).astype(np.float64)
-        med = float(np.median(v))
-        dev = np.abs(v - med)
-        mad = float(np.median(dev))
-        n_out = int((dev > scale * mad).sum())
+    scale = z * 1.4826
+    key_types = {k: t for k, t in zip(ds.schema().names, ds.schema().types)
+                 if k in keys}
+    out_cols = ["med", "mad", "n_outliers"]
+
+    def _finalize(v_sorted, dev_sorted, starts, lengths):
+        """(med, mad, n_out) arrays per run; v/dev each sorted within run."""
+        med = rf.run_quantile(v_sorted, starts, lengths, 0.5)
+        mad = rf.run_quantile(dev_sorted, starts, lengths, 0.5)
+        # dev_sorted ascending per run → outliers form each run's tail
+        thresh = scale * mad
+        rid = rf.run_ids(lengths)
+        n_out = rf.run_sums(
+            (dev_sorted > thresh[rid]).astype(np.int64), starts)
+        return np.round(med, ndigits), np.round(mad, ndigits), n_out
+
+    def _fold_block(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {**{k: pa.array([], key_types[k]) for k in keys},
+                 "med": pa.array([], pa.float64()),
+                 "mad": pa.array([], pa.float64()),
+                 "n_outliers": pa.array([], pa.int64()),
+                 "__vals": pa.array([], pa.list_(pa.float64())),
+                 "__edge": pa.array([], pa.bool_())})
+        starts, lengths = rf.run_bounds(t, keys)
+        edges = rf.edge_mask(len(starts))
+        v = t.column(value).to_numpy(zero_copy_only=False).astype(np.float64)
+        rid = rf.run_ids(lengths)
+        med_raw = rf.run_quantile(v, starts, lengths, 0.5)
+        dev = np.abs(v - med_raw[rid])
+        dev_sorted = dev[np.lexsort((dev, rid))]
+        med, mad, n_out = _finalize(v, dev_sorted, starts, lengths)
+        cols = {k: t.column(k).take(pa.array(starts)) for k in keys}
+        cols["med"] = pa.array(med, pa.float64(), mask=edges)
+        cols["mad"] = pa.array(mad, pa.float64(), mask=edges)
+        cols["n_outliers"] = pa.array(n_out, pa.int64(), mask=edges)
+        cols["__vals"] = rf.edge_values_list(v, starts, lengths, edges)
+        cols["__edge"] = pa.array(edges)
+        return pa.table(cols)
+
+    def _edge_fold(g: pa.Table) -> pa.Table:
+        v = np.sort(rf.flat_list_values(g.column("__vals")))
+        n = len(v)
+        starts_ = np.zeros(1, np.int64)
+        lengths_ = np.array([n], np.int64)
+        med_raw = rf.run_quantile(v, starts_, lengths_, 0.5)
+        dev_sorted = np.sort(np.abs(v - med_raw[0]))
+        med, mad, n_out = _finalize(v, dev_sorted, starts_, lengths_)
         out = {k: g.column(k).slice(0, 1) for k in keys}
-        out["med"] = pa.array([round(med, ndigits)], pa.float64())
-        out["mad"] = pa.array([round(mad, ndigits)], pa.float64())
-        out["n_outliers"] = pa.array([n_out], pa.int64())
+        out["med"] = pa.array([float(med[0])], pa.float64())
+        out["mad"] = pa.array([float(mad[0])], pa.float64())
+        out["n_outliers"] = pa.array([int(n_out[0])], pa.int64())
         return pa.table(out)
 
-    return ds.select_columns(keys + [value]).groupby(
-        keys[0] if len(keys) == 1 else keys
-    ).map_groups(_fold, batch_format="pyarrow")
+    parts = ds.select_columns(keys + [value]) \
+        .sort(keys + [value]) \
+        .map_batches(_fold_block, batch_format="pyarrow", batch_size=None)
+    return rf.branch_edge_merge(parts, keys, out_cols, _edge_fold)
 
 
 def grouped_trend(
@@ -369,37 +473,104 @@ def grouped_trend(
     centered-moment formula below is numerically exact where raw-moment
     sums over epoch-microsecond x would cancel catastrophically.
 
-    One groupby shuffle; the in-group fold is the closed form
-    ``slope = Σ(x−x̄)(y−ȳ) / Σ(x−x̄)²`` — vectorized, stable, matching
-    SQL ``regr_slope``/``regr_intercept``. A single-row group (zero x
-    variance) yields null slope/intercept, matching SQL."""
+    One exchange — a SORT by (key, order_cols), not a per-group UDF. Each
+    sorted block finalizes every interior key run with the closed form
+    ``slope = Σ(x−x̄)(y−ȳ) / Σ(x−x̄)²`` evaluated as per-run ``reduceat``
+    sums (``Σ(x−x̄)² = n(n²−1)/12`` exactly, since x is the 1..n rank);
+    only the ≤2 edge runs per block pay a grouped fold — their partials
+    carry the run's (order-tuple, y) pairs so the fold re-establishes
+    chronological order before regressing. O(blocks) Python calls
+    regardless of key cardinality. A single-row group (zero x variance)
+    yields null slope/intercept, matching SQL
+    ``regr_slope``/``regr_intercept``."""
+    from . import runfold as rf
 
-    def _fold(g: pa.Table) -> pa.Table:
-        idx = pc.sort_indices(
-            g, sort_keys=[(c, "ascending") for c in order_cols])
-        y = g.take(idx).column(value).to_numpy(zero_copy_only=False) \
-            .astype(np.float64)
+    sch = dict(zip(ds.schema().names, ds.schema().types))
+    out_cols = ["n", "slope", "intercept"]
+
+    def _regress(y: np.ndarray, starts, lengths):
+        """(slope, intercept) float64 arrays per run over chronologically
+        ordered y; runs of length < 2 yield NaN (masked to null later)."""
+        n = lengths.astype(np.float64)
+        rid = rf.run_ids(lengths)
+        pos = np.arange(len(y), dtype=np.float64)
+        x = pos - starts[rid] + 1.0
+        ybar = rf.run_sums(y, starts) / n
+        xbar = (n + 1.0) / 2.0
+        sxy = rf.run_sums((x - xbar[rid]) * (y - ybar[rid]), starts)
+        sxx = n * (n * n - 1.0) / 12.0
+        with np.errstate(divide="ignore", invalid="ignore"):
+            slope = sxy / sxx
+            intercept = ybar - slope * xbar
+        return np.round(slope, ndigits), np.round(intercept, ndigits)
+
+    def _fold_block(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {key: pa.array([], sch[key]),
+                 "n": pa.array([], pa.int64()),
+                 "slope": pa.array([], pa.float64()),
+                 "intercept": pa.array([], pa.float64()),
+                 "__y": pa.array([], pa.list_(pa.float64())),
+                 "__ord": pa.array([], pa.list_(pa.float64())),
+                 "__edge": pa.array([], pa.bool_())})
+        starts, lengths = rf.run_bounds(t, [key])
+        edges = rf.edge_mask(len(starts))
+        y = t.column(value).to_numpy(zero_copy_only=False).astype(np.float64)
+        slope, intercept = _regress(y, starts, lengths)
+        null_mask = edges | (lengths < 2)
+        # edge partials carry (primary order value, y) pairs; the merge
+        # recovers chronological order from them (see _edge_fold)
+        oc = t.column(order_cols[0])
+        if pa.types.is_temporal(oc.type):
+            oc = oc.cast(pa.timestamp("us")).cast(pa.int64())
+        o = oc.to_numpy(zero_copy_only=False).astype(np.float64)
+        cols = {key: t.column(key).take(pa.array(starts))}
+        cols["n"] = pa.array(lengths, pa.int64(), mask=edges)
+        cols["slope"] = pa.array(np.where(lengths < 2, np.nan, slope),
+                                 pa.float64(), mask=null_mask)
+        cols["intercept"] = pa.array(np.where(lengths < 2, np.nan, intercept),
+                                     pa.float64(), mask=null_mask)
+        cols["__y"] = rf.edge_values_list(y, starts, lengths, edges)
+        cols["__ord"] = rf.edge_values_list(o, starts, lengths, edges)
+        cols["__edge"] = pa.array(edges)
+        return pa.table(cols)
+
+    def _edge_fold(g: pa.Table) -> pa.Table:
+        # Groupby does not preserve block order, but each partial's
+        # internal order is the fully-tiebroken sort order, and globally
+        # sorted runs overlap only at their endpoints — so sorting the
+        # partials by (first, last) primary order value recovers the
+        # original block sequence. After concatenating in that order, a
+        # STABLE sort on the primary value alone is exact: rows with
+        # equal primaries are already in tiebreak order.
+        lists_y = g.column("__y").to_pylist()
+        lists_o = g.column("__ord").to_pylist()
+        seq = sorted(range(len(lists_o)),
+                     key=lambda i: (lists_o[i][0], lists_o[i][-1]))
+        y = np.concatenate([np.asarray(lists_y[i], np.float64) for i in seq])
+        o = np.concatenate([np.asarray(lists_o[i], np.float64) for i in seq])
+        y = y[np.argsort(o, kind="stable")]
         n = len(y)
-        x = np.arange(1, n + 1, dtype=np.float64)
+        starts_ = np.zeros(1, np.int64)
+        lengths_ = np.array([n], np.int64)
+        slope, intercept = _regress(y, starts_, lengths_)
+        out = {key: g.column(key).slice(0, 1)}
+        out["n"] = pa.array([n], pa.int64())
         if n < 2:
-            slope = intercept = None
+            out["slope"] = pa.array([None], pa.float64())
+            out["intercept"] = pa.array([None], pa.float64())
         else:
-            xc = x - x.mean()
-            yc = y - y.mean()
-            slope = float(np.dot(xc, yc) / np.dot(xc, xc))
-            intercept = float(y.mean() - slope * x.mean())
-            slope = round(slope, ndigits)
-            intercept = round(intercept, ndigits)
-        return pa.table({
-            key: g.column(key).slice(0, 1),
-            "n": pa.array([n], pa.int64()),
-            "slope": pa.array([slope], pa.float64()),
-            "intercept": pa.array([intercept], pa.float64()),
-        })
+            out["slope"] = pa.array([float(slope[0])], pa.float64())
+            out["intercept"] = pa.array([float(intercept[0])], pa.float64())
+        return pa.table(out)
 
-    return ds.select_columns(
-        [key, value] + [c for c in order_cols if c not in (key, value)]
-    ).groupby(key).map_groups(_fold, batch_format="pyarrow")
+    return rf.branch_edge_merge(
+        ds.select_columns(
+            [key, value] + [c for c in order_cols if c not in (key, value)])
+        .sort([key] + list(order_cols))
+        .map_batches(_fold_block, batch_format="pyarrow", batch_size=None),
+        [key], out_cols, _edge_fold)
 
 
 # ---------------------------------------------------------------------------
