@@ -7,11 +7,12 @@ data quality (``/root/reference/sync/sync_validator.py``); a file lake has
 no database to refuse bad rows, so the engine provides the check as an
 operator. Two modes:
 
-- :func:`expectation_report` — one streaming pass computes per-batch
-  partial violation counts for every row-local rule (vectorized, mergeable,
-  no shuffle); ``unique`` rules add one two-stage distinct count over the
-  key columns only (excess rows = total − distinct). Output is a tiny
-  (rule, violations, checked) table — SQL-twin checkable.
+- :func:`expectation_report` — ONE streaming pass and ONE exchange for
+  the whole rule list: per-batch vectorized violation partials for every
+  row-local rule, plus per-batch-deduped injectively-encoded keys for
+  every ``unique`` rule, all tagged into a single (rule, key) groupby
+  (excess rows = total − distinct). Output is a tiny (rule, violations,
+  checked) table — SQL-twin checkable.
 - :func:`enforce` — wraps a Dataset so any batch violating a ROW-LOCAL rule
   raises :class:`ExpectationError` before it reaches a sink; under the
   lake's 2PC apply this aborts the epoch pre-commit, which is exactly the
@@ -86,62 +87,112 @@ def _split(rules):
     return local, uniq
 
 
+def _encode_key(t: pa.Table, cols: list[str]) -> pa.Array:
+    """Injective string encoding of a key tuple: each field rendered as
+    ``<byte-length>:<string form>`` (null → ``n:``), fields concatenated.
+    Netstring-style length prefixes self-delimit, so distinct tuples can
+    never collide — this keeps multi-rule COUNT(DISTINCT) sharing EXACT,
+    where a fixed-width hash would only be probably-exact."""
+    fields = []
+    for c in cols:
+        s = pc.cast(t.column(c), pa.string())
+        ln = pc.cast(pc.binary_length(s), pa.string())
+        fields.append(pc.fill_null(
+            pc.binary_join_element_wise(ln, s, ":"), "n:"))
+    if len(fields) == 1:
+        return fields[0].combine_chunks() \
+            if isinstance(fields[0], pa.ChunkedArray) else fields[0]
+    return pc.binary_join_element_wise(*fields, "")
+
+
+_TOTAL = "__total__"
+
+
 def expectation_report(ds: rd.Dataset, rules: list[tuple]) -> pa.Table:
     """One (rule, violations, checked) row per rule, in ``rules`` order.
 
-    Row-local rules: per-batch vectorized masks → one partial-count row per
-    batch → tree-reduced sum (no shuffle; the exchange carries
-    O(batches × rules) ints). ``unique``: excess rows = COUNT(*) −
-    COUNT(DISTINCT key), the distinct via a two-stage groupby over the key
-    columns only (payload never shuffles).
+    ONE pass over the data and ONE exchange regardless of rule count: each
+    batch emits its row-local violation partials (one int row per rule), a
+    row-count row, and — per ``unique`` rule — the batch's DEDUPED,
+    injectively-encoded key strings tagged with the rule name. A single
+    ``groupby (rule, key)`` then collapses duplicates across batches
+    (local partials share the ``key=\"\"`` sentinel and sum), and a tiny
+    per-batch count fold turns each unique rule's surviving group count
+    into ``excess = COUNT(*) − COUNT(DISTINCT key)``. The exchange carries
+    per-batch-deduped keys only — the payload never shuffles, and adding a
+    second or tenth ``unique`` rule adds key traffic but no extra pass.
     """
     local, uniq = _split(rules)
     names = [rule_name(r) for r in rules]
-    counts: dict[str, tuple[int, int]] = {}
-    n_total: int | None = None
+    uniq_names = {rule_name(r) for r in uniq}
+    out_schema = pa.schema([("rule", pa.string()), ("key", pa.string()),
+                            ("violations", pa.int64()),
+                            ("checked", pa.int64())])
 
-    if local:
-        def partials(t: pa.Table, *, rs=tuple(local)) -> pa.Table:
-            return pa.table({
-                "rule": pa.array([rule_name(r) for r in rs], pa.string()),
-                "violations": pa.array(
-                    [pc.sum(_violation_mask(t, r).cast(pa.int64())).as_py()
-                     or 0 for r in rs], pa.int64()),
-                "checked": pa.array([t.num_rows] * len(rs), pa.int64()),
-            })
+    def partials(t: pa.Table, *, loc=tuple(local), un=tuple(uniq)) -> pa.Table:
+        rules_, viol = [], []
+        for r in loc:
+            rules_.append(rule_name(r))
+            viol.append(pc.sum(_violation_mask(t, r).cast(pa.int64()))
+                        .as_py() or 0)
+        rules_.append(_TOTAL)
+        viol.append(0)
+        outs = [pa.table({
+            "rule": pa.array(rules_, pa.string()),
+            "key": pa.array([""] * len(rules_), pa.string()),
+            "violations": pa.array(viol, pa.int64()),
+            "checked": pa.array([t.num_rows] * len(rules_), pa.int64()),
+        }, schema=out_schema)]
+        for r in un:
+            cols = list(r[1]) if isinstance(r[1], (tuple, list)) else [r[1]]
+            keys = pc.unique(_encode_key(t, cols))
+            outs.append(pa.table({
+                "rule": pa.array([rule_name(r)] * len(keys), pa.string()),
+                "key": keys,
+                "violations": pa.array(np.zeros(len(keys), np.int64)),
+                "checked": pa.array(np.zeros(len(keys), np.int64)),
+            }, schema=out_schema))
+        return pa.concat_tables(outs)
 
-        part = ds.map_batches(partials, batch_format="pyarrow",
-                              zero_copy_batch=True)
-        agg = part.groupby("rule").sum(["violations", "checked"])
-        for row in agg.take_all():
-            counts[row["rule"]] = (int(row["sum(violations)"]),
-                                   int(row["sum(checked)"]))
-        if counts:
-            n_total = next(iter(counts.values()))[1]
+    from ray.data.aggregate import Sum
 
-    for r in uniq:
-        cols = list(r[1]) if isinstance(r[1], (tuple, list)) else [r[1]]
-        # excess rows = COUNT(*) − COUNT(DISTINCT cols); the exchange sees
-        # only per-batch-deduped key columns, never the payload
-        dedup = ds.map_batches(
-            lambda t, cs=tuple(cols): t.select(list(cs)).group_by(
-                list(cs)).aggregate([]),
-            batch_format="pyarrow", zero_copy_batch=True,
-        ).groupby(cols if len(cols) > 1 else cols[0]).count()
-        n_distinct = sum(
-            b.num_rows
-            for b in dedup.iter_batches(batch_format="pyarrow",
-                                        batch_size=None))
-        if n_total is None:
-            n_total = ds.count()
-        counts[rule_name(r)] = (int(n_total - n_distinct), int(n_total))
+    grouped = ds.map_batches(partials, batch_format="pyarrow",
+                             zero_copy_batch=True) \
+        .groupby(["rule", "key"]) \
+        .aggregate(Sum("violations", alias_name="v"),
+                   Sum("checked", alias_name="c"))
 
+    # O(distinct keys) rows remain; fold them to O(rules) per batch, then
+    # combine the per-batch partials on the driver
+    def per_rule(t: pa.Table) -> pa.Table:
+        import polars as pl
+
+        agg = pl.from_arrow(t).group_by("rule").agg(
+            pl.len().alias("n"), pl.col("v").sum(), pl.col("c").sum())
+        return agg.to_arrow()
+
+    totals: dict[str, list[int]] = {}
+    for row in grouped.map_batches(
+            per_rule, batch_format="pyarrow").take_all():
+        acc = totals.setdefault(row["rule"], [0, 0, 0])
+        acc[0] += int(row["n"])
+        acc[1] += int(row["v"] or 0)
+        acc[2] += int(row["c"] or 0)
+    n_total = totals.get(_TOTAL, [0, 0, 0])[2]
+
+    viol_out, checked_out = [], []
+    for n in names:
+        nkeys, v, c = totals.get(n, [0, 0, 0])
+        if n in uniq_names:
+            viol_out.append(n_total - nkeys)
+            checked_out.append(n_total)
+        else:
+            viol_out.append(v)
+            checked_out.append(c)
     return pa.table({
         "rule": pa.array(names, pa.string()),
-        "violations": pa.array([counts.get(n, (0, 0))[0] for n in names],
-                               pa.int64()),
-        "checked": pa.array([counts.get(n, (0, 0))[1] for n in names],
-                            pa.int64()),
+        "violations": pa.array(viol_out, pa.int64()),
+        "checked": pa.array(checked_out, pa.int64()),
     })
 
 

@@ -58,13 +58,59 @@ def _topk_reduce(t: pa.Table, key: str, order_by: list[tuple[str, str]], k: int)
     return t.filter(pa.array(pos_in_run < k))
 
 
+def _runfold_topk(
+    pre: rd.Dataset, key: str, order_by: list[tuple[str, str]], k: int,
+) -> rd.Dataset:
+    """Final top-k reduce over per-batch partials WITHOUT a per-key UDF:
+    one distributed sort by (key, order_by) co-locates and orders every
+    key, each sorted block keeps its runs' first k rows vectorized, and
+    only rows in the ≤2 EDGE runs per block (the runs that may continue in
+    a neighboring block) re-reduce — O(k·blocks) rows total, pulled to the
+    driver for ONE vectorized :func:`_topk_reduce` call (the same
+    O(blocks)-driver-state bound as the :mod:`.windows` family; for top-1
+    on slim pre-reduced rows this is ~32 B/block). Python-call count and
+    merge state depend on the BLOCK count, never the key count.
+    """
+    from . import runfold as rf
+
+    cols = [key] + [c for c, _ in order_by]
+    desc = [False] + [d == "descending" for _, d in order_by]
+    out_cols = list(pre.schema().names)
+
+    def _fold(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t.append_column("__edge", pa.array([], pa.bool_()))
+        starts, lengths = rf.run_bounds(t, [key])
+        edges = rf.edge_mask(len(starts))
+        rid = rf.run_ids(lengths)
+        keep = (np.arange(t.num_rows, dtype=np.int64) - starts[rid]) < k
+        return t.filter(pa.array(keep)).append_column(
+            "__edge", pa.array(np.repeat(edges, lengths)[keep]))
+
+    parts = pre.sort(cols, descending=desc).map_batches(
+        _fold, batch_format="pyarrow", batch_size=None).materialize()
+    edge_batches = list(parts.map_batches(
+        lambda t: t.filter(t.column("__edge")).select(out_cols),
+        batch_format="pyarrow", zero_copy_batch=True,
+    ).iter_batches(batch_format="pyarrow", batch_size=None))
+    interior = parts.map_batches(
+        lambda t: t.filter(pc.invert(t.column("__edge"))).select(out_cols),
+        batch_format="pyarrow", zero_copy_batch=True)
+    if not edge_batches:
+        return interior
+    edge = _topk_reduce(pa.concat_tables(edge_batches).combine_chunks(),
+                        key, order_by, k)
+    return interior.union(rd.from_arrow(edge))
+
+
 def topk_per_key(
     ds: rd.Dataset, key: str, order_by: list[tuple[str, str]], k: int,
     cardinality: str = "high",
 ) -> rd.Dataset:
     """Top-k rows per key (D1 generalized): per-batch partial top-k (≤k rows
-    per key leave each batch), then the final reduce (tree or shuffle by
-    ``cardinality``, as in :func:`top1_per_key`)."""
+    per key leave each batch — skew-proof), then the final reduce: a tree
+    reduce for ``cardinality="low"``, else the sort + run-boundary fold of
+    :func:`_runfold_topk` (O(blocks) Python calls at any key count)."""
     pre = ds.map_batches(
         _topk_reduce,
         fn_kwargs={"key": key, "order_by": order_by, "k": k},
@@ -78,11 +124,7 @@ def topk_per_key(
             batch_format="pyarrow",
             batch_size=None,
         )
-    return pre.groupby(key).map_groups(
-        _topk_reduce,
-        fn_kwargs={"key": key, "order_by": order_by, "k": k},
-        batch_format="pyarrow",
-    )
+    return _runfold_topk(pre, key, order_by, k)
 
 
 def top1_per_key(
@@ -93,9 +135,10 @@ def top1_per_key(
 
     Two-stage reduce: a vectorized per-batch pre-reduce (so a hot key leaves
     each batch once — skew-proof), then a final reduce. ``cardinality="high"``
-    (default, key-per-document scale) shuffles via ``groupby(key)``;
-    ``"low"`` (bounded key space, e.g. per-user/per-dimension) tree-reduces
-    the partials in one task.
+    (default, key-per-document scale) reduces via the sort + run-boundary
+    fold of :func:`_runfold_topk` — O(blocks) Python calls at any key
+    count; ``"low"`` (bounded key space, e.g. per-user/per-dimension)
+    tree-reduces the partials in one task.
     """
     pre = ds.map_batches(
         _top1_reduce,
@@ -110,11 +153,7 @@ def top1_per_key(
             batch_format="pyarrow",
             batch_size=None,
         )
-    return pre.groupby(key).map_groups(
-        _top1_reduce,
-        fn_kwargs={"key": key, "order_by": order_by},
-        batch_format="pyarrow",
-    )
+    return _runfold_topk(pre, key, order_by, 1)
 
 
 # ---------------------------------------------------------------------------
@@ -538,6 +577,7 @@ def hash_semi_join(
     bytes_hint: int | None = None,
     target_bucket_bytes: int = 256 * 1024 * 1024,
     flag_col: str | None = None,
+    left_top1: list[tuple[str, str]] | None = None,
 ) -> rd.Dataset:
     """Large×large SEMI (EXISTS) / ANTI (NOT EXISTS) join — the scalable
     complement of :func:`broadcast_membership_filter` (which requires the
@@ -552,6 +592,13 @@ def hash_semi_join(
     One exchange then serves consumers that route matched and unmatched
     rows differently (e.g. MERGE's matched/not-matched split) — ``anti``
     is ignored in this mode.
+
+    ``left_top1``: an ``order_by`` list; before the membership test, the
+    left side is reduced to its top-1 row per ``left_on`` (per-batch
+    pre-reduce + a vectorized per-bucket final, both inside THIS
+    operator's exchange). Fuses "keep-first dedup, then semi/anti-join
+    the winners" into one shuffle instead of two back-to-back exchanges
+    on the same key.
 
     SQL null semantics: a null left key matches nothing — excluded from
     the semi result, INCLUDED in the anti result (NOT EXISTS holds)."""
@@ -575,6 +622,8 @@ def hash_semi_join(
         return pa.array((hash_strings(k) % np.uint64(num_buckets)).astype(np.int32))
 
     def _tag_left(t: pa.Table) -> pa.Table:
+        if left_top1 is not None:  # skew-proof pre-reduce before the move
+            t = _top1_reduce(t, left_on, left_top1)
         b = _bucket_of(t.column(left_on))
         t = sch_mod.unify_table(t, target)
         return t.append_column("__bucket", b)
@@ -596,6 +645,8 @@ def hash_semi_join(
     def _filter_bucket(g: pa.Table) -> pa.Table:
         keys = g.column(key_marker).drop_null()
         l = g.filter(pc.is_null(g.column(key_marker))).select(left_cols)
+        if left_top1 is not None:  # vectorized across the bucket's keys
+            l = _top1_reduce(l, left_on, left_top1)
         lk = l.column(left_on)
         if not (pa.types.is_string(lk.type) or pa.types.is_large_string(lk.type)):
             lk = lk.cast(pa.string())

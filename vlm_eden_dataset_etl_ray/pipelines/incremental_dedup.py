@@ -13,8 +13,10 @@ this persists the decision across runs.
 Scale shape (per epoch):
 - payload hashes per batch (vectorized) → slim ``(content_hash, keep_by)``
   stream, 16 B/row;
-- within-epoch keep-first: two-stage top-1 on the hash;
-- anti-join against the state lake's hash column — only hashes shuffle;
+- within-epoch keep-first top-1 AND the anti-join against the state
+  lake's hash column share ONE exchange (``hash_semi_join`` with
+  ``left_top1`` reduces per batch before the move and per bucket after
+  it) — only hashes shuffle, exactly once;
 - fresh hashes committed via :func:`..apply.apply_epoch_dataset` (2PC,
   idempotent on ``epoch_id``);
 - survivors: one semi-join of the original payload against the fresh id
@@ -72,10 +74,7 @@ def incremental_exact_dedup(
     and reproduces the same survivors via a time-travel scan)."""
     from vlm_eden_dataset_etl_ray.apply import _already_applied, apply_epoch_dataset
     from vlm_eden_dataset_etl_ray.functions.hashing import content_hash
-    from vlm_eden_dataset_etl_ray.functions.relational import (
-        hash_semi_join,
-        top1_per_key,
-    )
+    from vlm_eden_dataset_etl_ray.functions.relational import hash_semi_join
 
     def _hash(t: pa.Table) -> pa.Table:
         h = content_hash(t, on)
@@ -85,7 +84,6 @@ def incremental_exact_dedup(
         })
 
     slim = docs.map_batches(_hash, batch_format="pyarrow", zero_copy_batch=True)
-    winners = top1_per_key(slim, "content_hash", [(keep_by, "ascending")])
 
     done = _already_applied(state_dir, epoch_id)
     if done is not None:
@@ -99,12 +97,14 @@ def incremental_exact_dedup(
         seen = lake.scan(state_dir, spec=spec,
                          columns=["content_hash"])
 
-    # fresh = this epoch's winners whose content no earlier epoch kept.
-    # Materialized once (slim rows) so the commit and the survivor
-    # semi-join below don't re-execute the hash + anti-join pipeline.
+    # fresh = this epoch's keep-first winners whose content no earlier
+    # epoch kept. The within-epoch top-1 and the anti-join share ONE
+    # exchange (left_top1 fuses them inside the bucket fold). Materialized
+    # once (slim rows) so the commit and the survivor semi-join below
+    # don't re-execute the hash + anti-join pipeline.
     fresh = hash_semi_join(
-        winners, seen, "content_hash", "content_hash", anti=True,
-        num_buckets=join_buckets,
+        slim, seen, "content_hash", "content_hash", anti=True,
+        num_buckets=join_buckets, left_top1=[(keep_by, "ascending")],
     ).materialize()
 
     if done is None:
@@ -119,19 +119,31 @@ def incremental_exact_dedup(
 
         s = docs.schema()
         key_type = dict(zip(s.names, s.types))[keep_by]
-        rows = (fresh.map_batches(_rows, batch_format="pyarrow")
-                if fresh.count() > 0 else
-                # all-duplicate epoch: still commit a (rows-free) manifest
-                # so the epoch_id enters the exactly-once record
-                rd.from_arrow(pa.table({
-                    "content_hash": pa.array([], pa.int64()),
-                    keep_by: pa.array([], key_type),
-                    "lsn": pa.array([], pa.int64()),
-                    "op": pa.array([], pa.string()),
-                })))
+        state_schema = pa.schema([
+            ("content_hash", pa.int64()), (keep_by, key_type),
+            ("lsn", pa.int64()), ("op", pa.string())])
+        # an all-duplicate epoch commits a rows-free manifest (the explicit
+        # target_schema keeps the empty dataset typed) so the epoch_id
+        # still enters the exactly-once record — no count() gate needed
         apply_epoch_dataset(
-            state_dir, rows, epoch_id=epoch_id, spec=spec)
+            state_dir, fresh.map_batches(_rows, batch_format="pyarrow"),
+            epoch_id=epoch_id, spec=spec, target_schema=state_schema)
 
+    # survivors = docs ⋉ fresh ids. `fresh` is materialized, so its size
+    # is metadata: a small winner set broadcasts (ray.put once, is_in per
+    # batch — no payload shuffle at all); only a winner set too big for
+    # the object store's comfort pays the bucketed exchange.
+    if fresh.size_bytes() <= 64 * 1024 * 1024:
+        from vlm_eden_dataset_etl_ray.functions.relational import (
+            broadcast_membership_filter,
+        )
+        fs = fresh.schema() or docs.schema()  # materialized → metadata-only
+        kt = dict(zip(fs.names, fs.types))[keep_by]
+        batches = list(fresh.select_columns([keep_by]).iter_batches(
+            batch_format="pyarrow", batch_size=None))
+        ids = (pa.concat_tables(batches).column(keep_by).combine_chunks()
+               if batches else pa.array([], kt))
+        return broadcast_membership_filter(docs, keep_by, ids)
     return hash_semi_join(
         docs, fresh.select_columns([keep_by]), keep_by, keep_by,
         num_buckets=join_buckets)
