@@ -41,10 +41,11 @@ def snapshot_upsert(
     key: str,
     lake_dir: str,
     columns: list[str] | None = None,
-) -> None:
+):
     """Full-refresh snapshot → changelog (op=insert, lsn=snapshot ordinal)
     → epoch apply. Re-running against the same snapshot is a no-op
-    (exactly-once via the manifest's applied-input ids)."""
+    (exactly-once via the manifest's applied-input ids). Returns the
+    committed manifest."""
     spec = TableSpec(name=f"dim_{table}", key=key, order="lsn", num_partitions=8,
                      envelope=())
     ds = read_table(sf_dir, table, columns=columns)
@@ -61,14 +62,23 @@ def snapshot_upsert(
     epoch_id = hashlib.sha256(
         f"snapshot:{table}:{os.path.abspath(sf_dir)}".encode()
     ).hexdigest()[:16]
-    apply_mod.apply_epoch_dataset(
+    return apply_mod.apply_epoch_dataset(
         lake_dir, ds.map_batches(_to_changelog, batch_format="pyarrow"),
         epoch_id=epoch_id, spec=spec,
     )
 
 
-def run_etl(sf_dir: str, warehouse: str | None = None) -> dict[str, str]:
-    """Dims first, then the enriched fact. Returns {table: lake_dir}."""
+def run_etl(sf_dir: str, warehouse: str | None = None,
+            fresh: bool = True) -> dict[str, str]:
+    """Dims first, then the enriched fact, then ONE warehouse manifest
+    making the (dims + fact) pair visible atomically (see
+    :mod:`..warehouse` — a crash between the table commits leaves the
+    previous consistent pair in effect; the re-run skips already-applied
+    epochs and publishes the switch). Returns {table: lake_dir}.
+
+    ``fresh=False`` resumes instead of rebuilding — the idempotent path a
+    crash-recovery re-run takes."""
+    from vlm_eden_dataset_etl_ray import warehouse as wh_mod
     from vlm_eden_dataset_etl_ray.pipelines.cdc import scratch_dir
 
     warehouse = warehouse or scratch_dir("etl_star_")
@@ -77,9 +87,10 @@ def run_etl(sf_dir: str, warehouse: str | None = None) -> dict[str, str]:
     # 1. dimensions (the reference syncs facilities/modalities/practitioners
     #    before studies; customer plays the dim role over the testdata)
     dim_lake = os.path.join(warehouse, "dim_customer")
-    shutil.rmtree(dim_lake, ignore_errors=True)
-    snapshot_upsert(sf_dir, "customer", "c_custkey", dim_lake,
-                    columns=["c_custkey", "c_name", "c_mktsegment"])
+    if fresh:
+        shutil.rmtree(dim_lake, ignore_errors=True)
+    dim_m = snapshot_upsert(sf_dir, "customer", "c_custkey", dim_lake,
+                            columns=["c_custkey", "c_name", "c_mktsegment"])
     lakes["dim_customer"] = dim_lake
 
     # 2. fact changelog enriched against the COMMITTED dim lake (K2 analog:
@@ -102,15 +113,28 @@ def run_etl(sf_dir: str, warehouse: str | None = None) -> dict[str, str]:
     import hashlib
 
     fact_lake = os.path.join(warehouse, "fact_events")
-    shutil.rmtree(fact_lake, ignore_errors=True)
+    if fresh:
+        shutil.rmtree(fact_lake, ignore_errors=True)
     # the enriched changelog streams directly into the epoch apply — no
     # scratch parquet round trip (the write→read was one extra full-dataset
     # materialization per epoch)
     epoch_id = hashlib.sha256(
         f"etl_fact:{os.path.abspath(sf_dir)}".encode()
     ).hexdigest()[:16]
-    apply_mod.apply_epoch_dataset(fact_lake, chg, epoch_id=epoch_id, spec=FACT_SPEC)
+    fact_m = apply_mod.apply_epoch_dataset(fact_lake, chg, epoch_id=epoch_id,
+                                           spec=FACT_SPEC)
     lakes["fact_events"] = fact_lake
+
+    # 3. the atomic visibility switch: both tables' epochs become the
+    #    warehouse's current view in one put_if_absent
+    wh_mod.commit_epoch(
+        warehouse,
+        {"dim_customer": (dim_lake, dim_m.epoch),
+         "fact_events": (fact_lake, fact_m.epoch)},
+        epoch_id=hashlib.sha256(
+            f"etl_star:{os.path.abspath(sf_dir)}:{dim_m.epoch}:"
+            f"{fact_m.epoch}".encode()).hexdigest()[:16],
+    )
     return lakes
 
 

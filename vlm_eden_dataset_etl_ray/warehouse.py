@@ -1,0 +1,151 @@
+"""Warehouse-level atomic multi-table epochs.
+
+A star-schema sync commits several lakes (dims, then the fact). Per-lake
+2PC makes each table exactly-once, but a crash BETWEEN table commits
+leaves the warehouse readable in a mixed state — new dim rows joined to
+an old fact (the reference has the same hole: its watermark advances
+mid-sync, /root/reference/sync/modalities.py:118). This module closes it
+with a catalog-level commit point, the same shape an Iceberg/lakehouse
+catalog uses for multi-table transactions:
+
+1. every table's epoch is applied through its own lake's exactly-once
+   machinery (idempotent on ``epoch_id`` — a crash + re-run never
+   double-applies);
+2. ONE warehouse manifest recording the exact ``(lake_dir, epoch)`` pair
+   per table is then published via a single rename-free
+   ``put_if_absent`` — the atomic visibility switch.
+
+Readers that want cross-table consistency read THROUGH the warehouse
+(:func:`snapshot` / :func:`scan` pin each table to the epoch its
+manifest recorded — time-travel scans, so late per-lake commits are
+invisible). A crash after some lake commits but before the warehouse
+publish leaves the previous warehouse manifest — and therefore the
+previous, fully consistent (dims + fact) view — in effect; the re-run
+skips the already-applied lake epochs and publishes the switch.
+
+Direct per-lake readers still see single-table exactly-once semantics;
+cross-table atomicity is a property of the warehouse view, which is the
+standard contract (a database's snapshot isolation also only holds
+inside the database).
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass, field
+
+import ray.data as rd
+
+from vlm_eden_dataset_etl_ray import fsio
+from vlm_eden_dataset_etl_ray import lake as lake_mod
+from vlm_eden_dataset_etl_ray import manifest as mf
+from vlm_eden_dataset_etl_ray.spec import TableSpec
+
+WAREHOUSE_MANIFEST_DIR = "_warehouse_manifests"
+
+
+@dataclass
+class WarehouseManifest:
+    epoch: int
+    epoch_id: str
+    #: table name → {"dir": lake_dir, "epoch": committed lake epoch}
+    tables: dict[str, dict] = field(default_factory=dict)
+
+    def to_json(self) -> dict:
+        return {"epoch": self.epoch, "epoch_id": self.epoch_id,
+                "tables": self.tables}
+
+    @staticmethod
+    def from_json(d: dict) -> "WarehouseManifest":
+        return WarehouseManifest(epoch=int(d["epoch"]),
+                                 epoch_id=d["epoch_id"],
+                                 tables=dict(d["tables"]))
+
+
+def _path(warehouse_dir: str, epoch: int) -> str:
+    return fsio.join(warehouse_dir, WAREHOUSE_MANIFEST_DIR,
+                     f"epoch={epoch:010d}.json")
+
+
+def list_epochs(warehouse_dir: str) -> list[int]:
+    out = []
+    for f in fsio.list_names(fsio.join(warehouse_dir, WAREHOUSE_MANIFEST_DIR)):
+        if f.startswith("epoch=") and f.endswith(".json"):
+            out.append(int(f[len("epoch="):-len(".json")]))
+    return sorted(out)
+
+
+def latest(warehouse_dir: str) -> WarehouseManifest | None:
+    epochs = list_epochs(warehouse_dir)
+    if not epochs:
+        return None
+    return load(warehouse_dir, epochs[-1])
+
+
+def load(warehouse_dir: str, epoch: int) -> WarehouseManifest:
+    return WarehouseManifest.from_json(
+        fsio.read_json(_path(warehouse_dir, epoch)))
+
+
+def _already_committed(warehouse_dir: str, epoch_id: str) -> WarehouseManifest | None:
+    for e in list_epochs(warehouse_dir):
+        m = load(warehouse_dir, e)
+        if m.epoch_id == epoch_id:
+            return m
+    return None
+
+
+def commit_epoch(
+    warehouse_dir: str,
+    tables: dict[str, tuple[str, int]],
+    *,
+    epoch_id: str,
+) -> WarehouseManifest:
+    """Publish the atomic visibility switch: one manifest pinning every
+    table to its just-committed lake epoch, written with a single
+    ``put_if_absent``. Idempotent on ``epoch_id`` (a replayed sync returns
+    the original manifest); a raced slot is retried at the next epoch
+    number, matching :func:`..manifest.commit` semantics."""
+    done = _already_committed(warehouse_dir, epoch_id)
+    if done is not None:
+        return done
+    fsio.makedirs(fsio.join(warehouse_dir, WAREHOUSE_MANIFEST_DIR))
+    while True:
+        prev = latest(warehouse_dir)
+        m = WarehouseManifest(
+            epoch=(prev.epoch + 1) if prev else 1,
+            epoch_id=epoch_id,
+            tables={name: {"dir": d, "epoch": int(e)}
+                    for name, (d, e) in sorted(tables.items())},
+        )
+        data = json.dumps(m.to_json(), sort_keys=True, indent=1).encode()
+        if fsio.put_if_absent(_path(warehouse_dir, m.epoch), data):
+            return m
+        racer = _already_committed(warehouse_dir, epoch_id)
+        if racer is not None:  # the racer WAS this epoch_id's retry
+            return racer
+
+
+def scan(
+    warehouse_dir: str,
+    table: str,
+    *,
+    spec: TableSpec,
+    columns: list[str] | None = None,
+    warehouse_epoch: int | None = None,
+) -> rd.Dataset:
+    """Merge-on-read scan of ``table`` AS OF the warehouse manifest — a
+    time-travel scan pinned to the lake epoch the atomic commit recorded,
+    so every table read through the same warehouse epoch is mutually
+    consistent even while a newer sync is mid-flight."""
+    m = (load(warehouse_dir, warehouse_epoch)
+         if warehouse_epoch is not None else latest(warehouse_dir))
+    if m is None:
+        raise FileNotFoundError(
+            f"no warehouse manifest in {warehouse_dir!r}")
+    if table not in m.tables:
+        raise KeyError(f"table {table!r} not in warehouse epoch {m.epoch} "
+                       f"(has {sorted(m.tables)})")
+    ent = m.tables[table]
+    return lake_mod.scan(ent["dir"], spec=spec, columns=columns,
+                         asof_epoch=int(ent["epoch"]))
