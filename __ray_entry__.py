@@ -1048,6 +1048,39 @@ def q_image_phash_dupes(sf_dir):
     return phash_near_dup_pairs(ds, max_hamming=3)
 
 
+def q_image_phash_dupes_real(sf_dir):
+    """REAL-codec image near-dup pairs: deterministic 32×32 RGB images are
+    synthesized per doc_id, encoded as actual binary PPM (netpbm P6), and
+    a pixel-perturbed re-encode of each rides along — then the REAL
+    pipeline runs: decode (built-in pure-numpy netpbm codec; Pillow when
+    installed) → 8×8 area resize → grayscale aHash → pigeonhole Hamming
+    banding. Rows-only check (no SQL twin for a codec); recall/precision
+    guarded by tests/test_multimodal_real.py."""
+    from vlm_eden_dataset_etl_ray.functions.multimodal import (
+        AHashImage, encode_ppm, phash_near_dup_pairs)
+    from vlm_eden_dataset_etl_ray.sources.parquet import read_table
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id"])
+
+    def _render(t: pa.Table) -> pa.Table:
+        ids, payloads = [], []
+        for d in t.column("doc_id").to_pylist():
+            rng = np.random.default_rng(int(d))
+            img = rng.integers(0, 256, (32, 32, 3), dtype=np.uint8)
+            ids.append(2 * int(d))
+            payloads.append(encode_ppm(img))
+            noisy = img.copy()
+            noisy[rng.integers(0, 32, 4), rng.integers(0, 32, 4)] = \
+                rng.integers(0, 256, (4, 3))
+            ids.append(2 * int(d) + 1)
+            payloads.append(encode_ppm(noisy))
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "payload": pa.array(payloads, pa.binary())})
+
+    imgs = docs.map_batches(_render, batch_format="pyarrow", batch_size=256)
+    return phash_near_dup_pairs(imgs, max_hamming=6, hasher=AHashImage)
+
+
 def q_top3_events_per_user(sf_dir):
     """Top-k per key (D1 generalized): 3 highest-value events per user."""
     from vlm_eden_dataset_etl_ray.functions.relational import topk_per_key
@@ -2731,6 +2764,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cohort_retention": q_cohort_retention,
         "incremental_dedup_documents": q_incremental_dedup_documents,
         "image_phash_dupes": q_image_phash_dupes,
+        "image_phash_dupes_real": q_image_phash_dupes_real,
         "incremental_minhash_dedup": q_incremental_minhash_dedup,
         "ngram_jaccard_dupes": q_ngram_jaccard_dupes,
         "prefix_jaccard_dupes": q_prefix_jaccard_dupes,

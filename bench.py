@@ -9,11 +9,18 @@ scan. Also times a representative query suite over $GRAFT_SF_DIR.
 
 Prints ONE JSON line:
   {"metric": ..., "value": <headline sec>, "unit": "sec",
-   "queries": {...}, "sf": ..., "num_cpus": N, "events": N, "events_per_sec": N}
+   "queries": {...}, "sf": ..., "num_cpus": N, "events": N,
+   "events_per_sec": N, "probe_sec": [before, after],
+   "sec_8": ..., "scaling_efficiency": ...}
 
-``--scaling``: runs the headline twice in fresh processes at num_cpus=8 and
-num_cpus=32 on the SAME input and reports throughput at both + efficiency
-(the sandbox stand-in for the N vs 4N node criterion — see BASELINE.md).
+``probe_sec`` embeds the one-core steal probe (tools/steal_probe.py)
+readings taken around the timed trials, so the artifact is self-describing
+about host contention (quiet ~1.0-1.5 s). The default run also fires one
+fresh-process 8-CPU headline leg and reports ``scaling_efficiency`` =
+(t8/t32)/4 — the sandbox stand-in for the N vs 4N node criterion (see
+BASELINE.md). ``--scaling`` runs both legs fresh and reports only that
+measurement. Env knobs: BENCH_HEADLINE_ONLY (2 trials, no queries/compact/
+multi-epoch), BENCH_SKIP_QUERIES, BENCH_SKIP_SCALING, BENCH_LAKE_DIR.
 """
 
 from __future__ import annotations
@@ -165,9 +172,23 @@ def _consume(res) -> int:
     return len(res)
 
 
+def _steal_probe() -> float:
+    """One-core GEMM probe (tools/steal_probe.py): ~1.0-1.5 s on a quiet
+    host, 2.6-25 s under co-tenant CPU steal. Embedded in the bench JSON so
+    every artifact is self-describing about contention."""
+    import numpy as np
+
+    a = np.random.rand(2000, 2000)
+    t = time.time()
+    for _ in range(3):
+        a @ a
+    return round(time.time() - t, 2)
+
+
 def run_bench() -> dict:
     import ray
 
+    headline_only = bool(os.environ.get("BENCH_HEADLINE_ONLY"))
     ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
              logging_level="ERROR")
     import logging
@@ -211,8 +232,9 @@ def run_bench() -> dict:
     # metric is SUSTAINED steady-state throughput, so the min over trials
     # is the engine's number and the full list is reported alongside.
     lake_dir = os.environ.get("BENCH_LAKE_DIR", "/dev/shm/bench_lake")
+    probe_before = _steal_probe()
     trials = []
-    for _ in range(4):
+    for _ in range(2 if headline_only else 4):
         shutil.rmtree(lake_dir, ignore_errors=True)
         t0 = time.time()
         # 128k-row batches measured best at this payload size (~60MB/batch):
@@ -220,6 +242,7 @@ def run_bench() -> dict:
         apply.apply_epoch(lake_dir, files, spec=spec, batch_size=131072)
         trials.append(time.time() - t0)
     headline = min(trials)
+    probe_after = _steal_probe()
     rows = sum(
         b.num_rows
         for b in lake.scan(lake_dir, spec=spec, columns=["doc_id", "n_tok"]).iter_batches(
@@ -227,6 +250,21 @@ def run_bench() -> dict:
         )
     )
     assert rows > 0
+    if headline_only:
+        ray.shutdown()
+        shutil.rmtree(lake_dir, ignore_errors=True)  # tmpfs hygiene
+        n_delivered = len(cl.delivery_order(p))
+        return {
+            "metric": "cdc_replay_sec",
+            "value": round(headline, 3),
+            "unit": "sec",
+            "sf": sf,
+            "num_cpus": NUM_CPUS,
+            "events": n_delivered,
+            "events_per_sec": round(n_delivered / headline, 1),
+            "trials_sec": [round(t, 3) for t in trials],
+            "probe_sec": [probe_before, probe_after],
+        }
     t0 = time.time()
     lake.compact(lake_dir, spec=spec)
     compact_sec = round(time.time() - t0, 3)
@@ -261,7 +299,7 @@ def run_bench() -> dict:
 
     ray.shutdown()
     n_delivered = len(cl.delivery_order(p))
-    return {
+    out = {
         "metric": "cdc_replay_sec",
         "value": round(headline, 3),
         "unit": "sec",
@@ -271,11 +309,42 @@ def run_bench() -> dict:
         "events": n_delivered,
         "events_per_sec": round(n_delivered / headline, 1),
         "trials_sec": [round(t, 3) for t in trials],
+        "probe_sec": [probe_before, probe_after],
         "compact_sec": compact_sec,
         "multi_epoch_sec": sustained_sec,
         "multi_epoch_compactions": n_compactions,
         "lake_rows": rows,
     }
+    # the two-parallelism scaling evidence rides along in the default
+    # artifact (the ≥0.8 criterion): one narrow leg in a fresh process
+    # (best-of-2, headline-only), efficiency vs THIS run's wide headline
+    if NUM_CPUS >= 32 and not os.environ.get("BENCH_SKIP_SCALING"):
+        try:
+            lo = _narrow_leg(8)
+            out["sec_8"] = lo["value"]
+            out["events_per_sec_8"] = lo["events_per_sec"]
+            out["probe_sec_8"] = lo.get("probe_sec")
+            out["scaling_efficiency"] = round(
+                (lo["value"] / headline) / (NUM_CPUS / 8), 3)
+        except Exception as e:  # the headline artifact must still print
+            out["scaling_error"] = repr(e)
+    return out
+
+
+def _narrow_leg(ncpu: int) -> dict:
+    """One fresh-process headline-only run at ``ncpu`` CPUs (best of 2 —
+    co-tenant steal hits individual trials; see run_scaling)."""
+    def once() -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_SF_DIR=SF_DIR,
+                   BENCH_HEADLINE_ONLY="1", BENCH_SKIP_QUERIES="1",
+                   BENCH_LAKE_DIR=f"/dev/shm/bench_lake_{ncpu}")
+        res = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env, capture_output=True, text=True, check=True)
+        return json.loads(res.stdout.strip().splitlines()[-1])
+
+    a, b = once(), once()
+    return a if a["value"] <= b["value"] else b
 
 
 def run_scaling() -> dict:
@@ -291,26 +360,13 @@ def run_scaling() -> dict:
             while fh.read(1 << 24):
                 pass
 
-    def run_once(ncpu: int) -> dict:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_SF_DIR=SF_DIR,
-                   BENCH_SKIP_QUERIES="1")
-        out = subprocess.run(
-            [sys.executable, os.path.abspath(__file__)],
-            env=env, capture_output=True, text=True, check=True,
-        ).stdout
-        return json.loads(out.strip().splitlines()[-1])
-
-    def run(ncpu: int) -> dict:
-        # best-of-2 fresh processes per leg: this shared host shows bursts
-        # of 20%+ steal time that hit the wide (32-CPU) leg hardest —
-        # measured efficiency swung 0.60↔0.86 run-to-run on identical code.
-        # The engine's scaling is the min over quiet windows, not the mean
-        # over co-tenant noise.
-        a, b = run_once(ncpu), run_once(ncpu)
-        return a if a["value"] <= b["value"] else b
-
-    lo = run(8)
-    hi = run(32)
+    # best-of-2 fresh headline-only processes per leg: this shared host
+    # shows bursts of 20%+ steal time that hit the wide (32-CPU) leg
+    # hardest — measured efficiency swung 0.60↔0.86 run-to-run on identical
+    # code. The engine's scaling is the min over quiet windows, not the
+    # mean over co-tenant noise.
+    lo = _narrow_leg(8)
+    hi = _narrow_leg(32)
     eff = (lo["value"] / hi["value"]) / (32 / 8)
     return {
         "metric": "scaling_efficiency",
@@ -319,6 +375,8 @@ def run_scaling() -> dict:
         "events_per_sec_8": lo["events_per_sec"],
         "events_per_sec_32": hi["events_per_sec"],
         "scaling_efficiency": round(eff, 3),
+        "probe_sec_8": lo.get("probe_sec"),
+        "probe_sec_32": hi.get("probe_sec"),
         "sf": lo["sf"],
         "events": lo["events"],
     }

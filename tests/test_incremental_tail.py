@@ -58,6 +58,52 @@ def test_tail_applies_only_new_shards(tmp_path):
     )
 
 
+def test_backlog_cap_bounds_epoch_size(tmp_path):
+    """A week-long outage must not become one giant epoch: with
+    max_epoch_bytes, the pending backlog chunks into ⌈backlog/cap⌉
+    bounded epochs, lineage stays exact, and a crash mid-backlog resumes
+    at the first un-applied chunk."""
+    p = cl.ChangelogParams(n_docs=150, n_events=1500, schema_change_at=900,
+                           n_shards=8)
+    src = str(tmp_path / "full")
+    files = cl.write_changelog(src, p)
+    lake_dir = str(tmp_path / "lake")
+
+    sizes = [os.path.getsize(f) for f in files]
+    cap = max(sizes) * 2  # ~2 shards per epoch regardless of shard size
+    # expected greedy chunk count over the full backlog
+    n_chunks, acc = 1, 0
+    for b in sizes:
+        if acc and acc + b > cap:
+            n_chunks += 1
+            acc = 0
+        acc += b
+
+    m = run_incremental(lake_dir, src, max_epoch_bytes=cap)
+    assert m.epoch == n_chunks > 2
+    assert len(m.applied_inputs) == len(files)
+    assert len(m.applied_epoch_ids) == n_chunks
+
+    snap = lake.snapshot(lake_dir)
+    exp = oracle.final_state(p)
+    assert snap.num_rows == exp.num_rows
+    assert snap.sort_by("doc_id").select(["doc_id", "tokens", "lsn"]).equals(
+        exp.sort_by("doc_id").select(["doc_id", "tokens", "lsn"]))
+
+    # crash mid-backlog: the first chunk committed, the process died; the
+    # next capped tail run resumes at the first un-applied chunk
+    from vlm_eden_dataset_etl_ray import apply as apply_mod
+
+    lake2 = str(tmp_path / "lake2")
+    m1 = apply_mod.apply_epoch(lake2, files[:2])
+    assert m1.epoch == 1
+    m2 = run_incremental(lake2, src, max_epoch_bytes=cap)
+    assert len(m2.applied_inputs) == len(files)
+    snap2 = lake.snapshot(lake2)
+    assert snap2.sort_by("doc_id").select(["doc_id", "tokens", "lsn"]).equals(
+        exp.sort_by("doc_id").select(["doc_id", "tokens", "lsn"]))
+
+
 def test_registry_concurrent_registration_serializes(tmp_path):
     """Two concurrent registrations of the same evolved schema must agree on
     one version number (the reference's migration lock, cron_tasks.py:54-56,

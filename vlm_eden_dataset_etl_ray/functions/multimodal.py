@@ -2,28 +2,150 @@
 
 Images/audio/video are carried as opaque ``binary`` columns with metadata
 columns beside them; decode / feature-extract stages are actor-pool
-``map_batches`` stages sized for large rows (small batch_size). The actual
-codec libraries are NOT in this container, so the decode kernel is STUBBED:
-``DecodeStub`` produces a deterministic fake (documented below) and
-``decode_image`` raises ``NotImplementedError`` unless the stub is allowed —
-the Ray-side plumbing (schema, batch sizing, actor signature, output layout)
-is real and tested.
+``map_batches`` stages sized for large rows (small batch_size).
+
+Codec story, three tiers:
+
+1. **PIL/Pillow when importable** — :func:`decode_image` decodes any
+   format Pillow knows (gated on import; Pillow is not in this container,
+   so this tier is exercised by the skip-marked pytest only where it IS
+   installed).
+2. **Built-in pure-numpy PPM/PGM codec** — a REAL image format
+   (netpbm P6/P5), decoded and encoded with no external dependency, so
+   the real-bytes pipeline (decode → area resize → grayscale → aHash →
+   banded near-dup) runs end-to-end even in codec-less sandboxes.
+3. **Deterministic stubs** (``DecodeStub``/``AHashStub``) for plumbing
+   tests against arbitrary (non-image) payloads; ``decode_image`` raises
+   ``NotImplementedError`` for undecodable payloads rather than guessing.
 """
 
 from __future__ import annotations
 
+import numpy as np
 import pyarrow as pa
 
 import ray.data as rd
 
+try:  # optional dependency: any-format decode when present
+    from PIL import Image as _PIL_Image
+except ImportError:  # pragma: no cover - absent in this container
+    _PIL_Image = None
 
-def decode_image(_payload: bytes):  # pragma: no cover - documented stub
-    """Real image decode would go here (PIL/ffmpeg not available in this
-    environment)."""
+
+def encode_ppm(img: np.ndarray) -> bytes:
+    """Encode an (H, W, 3) uint8 array as binary PPM (P6) — the real-bytes
+    generator for tests and fixtures."""
+    img = np.ascontiguousarray(img, dtype=np.uint8)
+    h, w = img.shape[:2]
+    return b"P6\n%d %d\n255\n" % (w, h) + img.tobytes()
+
+
+def _decode_netpbm(buf: bytes) -> np.ndarray:
+    """Pure-numpy decode of binary PPM (P6, RGB) / PGM (P5, grayscale →
+    replicated to 3 channels). Handles whitespace + ``#`` comments per the
+    netpbm spec; raises ValueError on malformed input."""
+    magic = buf[:2]
+    pos = 2
+    fields = []
+    while len(fields) < 3:
+        while pos < len(buf) and buf[pos:pos + 1].isspace():
+            pos += 1
+        if buf[pos:pos + 1] == b"#":
+            while pos < len(buf) and buf[pos:pos + 1] != b"\n":
+                pos += 1
+            continue
+        start = pos
+        while pos < len(buf) and not buf[pos:pos + 1].isspace():
+            pos += 1
+        fields.append(int(buf[start:pos]))
+    pos += 1  # single whitespace after maxval
+    w, h, maxval = fields
+    if maxval > 255:
+        raise ValueError("16-bit netpbm not supported")
+    ch = 3 if magic == b"P6" else 1
+    need = w * h * ch
+    raw = np.frombuffer(buf, dtype=np.uint8, count=need, offset=pos)
+    img = raw.reshape(h, w, ch)
+    return np.repeat(img, 3, axis=2) if ch == 1 else img
+
+
+def decode_image(payload: bytes) -> np.ndarray:
+    """(H, W, 3) uint8 decode: Pillow when importable (any format), else
+    the built-in netpbm codec (P6/P5). Undecodable payloads raise
+    ``NotImplementedError`` — use :class:`DecodeStub` for plumbing tests
+    over arbitrary bytes."""
+    if payload[:2] in (b"P6", b"P5"):
+        return _decode_netpbm(payload)
+    if _PIL_Image is not None:
+        import io
+
+        img = _PIL_Image.open(io.BytesIO(payload)).convert("RGB")
+        return np.asarray(img, dtype=np.uint8)
     raise NotImplementedError(
-        "image/audio codecs are not available in this container; "
-        "use DecodeStub (deterministic fake) for plumbing tests"
-    )
+        "payload is not netpbm and Pillow is not installed; install PIL "
+        "for general formats or use DecodeStub (deterministic fake) for "
+        "plumbing tests")
+
+
+def resize_area(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Area (mean-pool) resize — the standard downsample kernel, pure
+    numpy: two ``reduceat`` folds over row/column bins."""
+    h, w = img.shape[:2]
+    acc = img.astype(np.float64)
+    rb = (np.arange(out_h) * h) // out_h
+    cb = (np.arange(out_w) * w) // out_w
+    rows = np.add.reduceat(acc, rb, axis=0)
+    out = np.add.reduceat(rows, cb, axis=1)
+    rcnt = np.diff(np.concatenate([rb, [h]]))
+    ccnt = np.diff(np.concatenate([cb, [w]]))
+    area = rcnt[:, None] * ccnt[None, :]
+    return (out / area[..., None] if out.ndim == 3 else out / area) \
+        .round().clip(0, 255).astype(np.uint8)
+
+
+class DecodeImage:
+    """Actor-pool REAL decode stage: width/height/channels/mean_luma per
+    payload via :func:`decode_image` (Pillow or built-in netpbm). Same
+    pool shape and batch sizing story as :class:`DecodeStub`."""
+
+    def __init__(self, payload_col: str = "payload"):
+        self.payload_col = payload_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        meta = []
+        for b in batch.column(self.payload_col).to_pylist():
+            img = decode_image(b)
+            luma = (0.299 * img[..., 0] + 0.587 * img[..., 1]
+                    + 0.114 * img[..., 2]).mean()
+            meta.append((img.shape[1], img.shape[0], img.shape[2],
+                         float(round(luma, 4))))
+        cols = list(zip(*meta)) if meta else ([], [], [], [])
+        batch = batch.append_column("width", pa.array(cols[0], pa.int32()))
+        batch = batch.append_column("height", pa.array(cols[1], pa.int32()))
+        batch = batch.append_column("channels", pa.array(cols[2], pa.int32()))
+        return batch.append_column("mean_luma", pa.array(cols[3], pa.float64()))
+
+
+class AHashImage:
+    """Actor-pool REAL perceptual hash: decode → area-resize to 8×8 →
+    grayscale → aHash (bit i = pixel > mean). Swap-in replacement for
+    :class:`AHashStub` wherever payloads are actual images."""
+
+    def __init__(self, payload_col: str = "payload"):
+        self.payload_col = payload_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        codes = []
+        weights = (np.uint64(1) << np.arange(64, dtype=np.uint64))
+        for b in batch.column(self.payload_col).to_pylist():
+            img = decode_image(b)
+            small = resize_area(img, 8, 8).astype(np.float64)
+            gray = (0.299 * small[..., 0] + 0.587 * small[..., 1]
+                    + 0.114 * small[..., 2]).ravel()
+            bits = gray > gray.mean()
+            codes.append(int((bits.astype(np.uint64) * weights).sum()
+                             .astype(np.int64)))
+        return batch.append_column("ahash", pa.array(codes, pa.int64()))
 
 
 class DecodeStub:
@@ -194,15 +316,21 @@ def phash_near_dup_pairs(
     max_hamming: int = 3,
     batch_size: int = 64,
     concurrency=(1, 4),
+    hasher=None,
 ) -> rd.Dataset:
     """Image near-duplicate pairs: perceptual hash per payload (actor
     pool, small batches for big binary rows) → the generic pigeonhole
     Hamming banding from :func:`..dedup.hamming_pairs`. The payload never
-    shuffles — only 16-byte (id, code) rows cross the exchange."""
+    shuffles — only 16-byte (id, code) rows cross the exchange.
+
+    ``hasher``: the actor class computing the ``ahash`` column —
+    :class:`AHashImage` (real decode; Pillow or built-in netpbm) for
+    actual image payloads, :class:`AHashStub` (default) for arbitrary
+    bytes in codec-less plumbing tests."""
     from vlm_eden_dataset_etl_ray.functions.dedup import hamming_pairs
 
     codes = ds.map_batches(
-        AHashStub,
+        hasher or AHashStub,
         fn_constructor_args=(payload_col,),
         batch_format="pyarrow",
         batch_size=batch_size,

@@ -127,6 +127,12 @@ def merge_partition_files(
     if live_only:
         t = lww.drop_tombstones(t, spec)
     if columns:
+        # a column added by a later epoch may be absent from EVERY file of
+        # this partition — it still projects, as nulls (null-typed here;
+        # the caller's output-schema unify casts them to the real type)
+        for c in columns:
+            if c not in t.column_names:
+                t = t.append_column(c, pa.nulls(t.num_rows, pa.null()))
         t = t.select(columns)
     return t
 
@@ -156,10 +162,14 @@ def _merge_read(batch: pa.Table, spec: TableSpec, columns, live_only: bool,
 
 def _output_schema(m: mf.Manifest, spec: TableSpec, columns, live_only,
                    exclude: set[str] | None = None,
-                   renames: dict | None = None) -> pa.Schema:
+                   renames: dict | None = None,
+                   registry_schema: pa.Schema | None = None) -> pa.Schema:
     """Unified schema of a scan — derived from one non-empty partition's
     file footers (cheap driver-side metadata read), minus currently-dropped
-    columns."""
+    columns. ``registry_schema`` (the registry's CURRENT schema) types
+    requested columns that no file carries yet — a column added by a
+    migration with no epoch after it projects as nulls, per ALTER TABLE
+    ADD COLUMN semantics."""
     schemas = []
     for pid in sorted(m.partitions):
         for f in m.files(pid):
@@ -201,6 +211,11 @@ def _output_schema(m: mf.Manifest, spec: TableSpec, columns, live_only,
     target = union_schemas(schemas)
     if exclude:
         target = pa.schema([f for f in target if f.name not in exclude])
+    if registry_schema is not None:
+        for f in registry_schema:
+            if target.get_field_index(f.name) < 0 and \
+                    (not exclude or f.name not in exclude):
+                target = target.append(f)
     if columns:
         target = pa.schema([target.field(c) for c in columns])
     return target
@@ -356,8 +371,12 @@ def scan(
     exclude = set(reg.current_drops()) if reg else None
     activations = reg.column_activations() if reg else None
     renames = (reg.column_renames() or None) if reg else None
+    try:
+        reg_schema = reg.schema() if reg else None
+    except (ValueError, KeyError):  # registry present but empty
+        reg_schema = None
     out_schema = _output_schema(m, spec, columns, live_only, exclude=exclude,
-                                renames=renames)
+                                renames=renames, registry_schema=reg_schema)
     items = _scan_items(m, pids=pids)
     if stats_filter is not None:
         # one (col, lo, hi) range or a LIST of ranges ANDed together —
@@ -948,6 +967,12 @@ def compact(
     exclude = set(reg.current_drops()) if reg else None
     activations = reg.column_activations() if reg else None
     renames = (reg.column_renames() or None) if reg else None
+    # rewritten files carry the registry's CURRENT column names/generations
+    # (renames applied, drops erased) — they must be stamped with the
+    # CURRENT registry version, not the last delta epoch's: a migration
+    # with no epoch after it would otherwise make the next scan map a
+    # renamed column back to its historical name and read nulls
+    cur_ver = reg.latest_version() if reg else m.schema_version
     epoch = m.epoch + 1
     base_dir = fsio.join(lake_dir, "base", f"epoch={epoch}")
     fsio.makedirs(base_dir)
@@ -1068,7 +1093,7 @@ def compact(
             applied_lsn_ranges=[list(x) for x in old.applied_lsn_ranges],
             stripe_count=k,
             base_stripes=[int(r["stripe"]) for r in rows_] if k > 1 else [0] * len(rows_),
-            base_vers=[m.schema_version] * len(rows_),
+            base_vers=[cur_ver] * len(rows_),
             file_stats={r["path"]: _json.loads(r["stats"])
                         for r in rows_ if r.get("stats")},
         )
@@ -1076,7 +1101,7 @@ def compact(
     out = mf.Manifest(
         epoch=epoch,
         num_partitions=m.num_partitions,
-        schema_version=m.schema_version,
+        schema_version=cur_ver,
         kind="compaction",
         partitions=parts,
         # lineage is cumulative: compaction rewrites files but the applied
@@ -1163,6 +1188,9 @@ def rehash(
     reg = SchemaRegistryState.load_readonly(lake_dir)
     exclude = set(reg.current_drops()) if reg else None
     renames = (reg.column_renames() or None) if reg else None
+    # same rule as compact(): rewritten files carry CURRENT names, so they
+    # are stamped with the registry's current version (see compact())
+    cur_ver = reg.latest_version() if reg else m.schema_version
     snap = scan(lake_dir, spec=spec, manifest=m,
                 live_only=tombstone_watermark is None)
     if tombstone_watermark is not None:
@@ -1193,7 +1221,7 @@ def rehash(
         parts[pid] = mf.PartitionState(
             pid=pid,
             base=list(st.deltas),
-            base_vers=[m.schema_version] * len(st.deltas),
+            base_vers=[cur_ver] * len(st.deltas),
             rows=st.rows,
             bytes=st.bytes,
             watermark_lsn=global_wm,
@@ -1205,7 +1233,7 @@ def rehash(
     out = mf.Manifest(
         epoch=m.epoch + 1,
         num_partitions=new_partitions,
-        schema_version=m.schema_version,
+        schema_version=cur_ver,
         kind="rehash",
         partitions=parts,
         applied_epoch_ids=ids,

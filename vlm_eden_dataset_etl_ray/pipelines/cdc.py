@@ -103,9 +103,10 @@ def run_incremental(
     spec=None,
     registry=None,
     batch_size: int = 65536,
+    max_epoch_bytes: int | None = None,
 ):
     """Tail the changelog directory: apply every shard file not yet recorded
-    in a committed manifest, as one new epoch.
+    in a committed manifest.
 
     This is the reference's 10-minute polling loop
     (/root/reference/celery_config.py:24 + sync/sync_base.py:47-59) with the
@@ -113,6 +114,16 @@ def run_incremental(
     either in a committed manifest's ``applied_epoch_ids`` input set or it
     is pending. Returns the latest manifest (unchanged when nothing is
     pending).
+
+    ``max_epoch_bytes`` bounds the BACKLOG an epoch swallows: after an
+    outage the pending set can be arbitrarily large, and one epoch over a
+    week of shards means one shuffle sized to the whole backlog (cluster
+    disk, retry blast radius, time-travel granularity all suffer). With a
+    cap, pending files chunk greedily by on-disk size (file order
+    preserved; a single oversized shard still forms its own epoch) and
+    each chunk commits as its OWN epoch in sequence — a crash mid-backlog
+    resumes at the first un-applied chunk, and every epoch's shuffle stays
+    bounded no matter how long the outage was.
     """
     from vlm_eden_dataset_etl_ray import manifest as mf
     from vlm_eden_dataset_etl_ray.spec import TOKENS_SPEC
@@ -134,9 +145,25 @@ def run_incremental(
         m = mf.latest(lake_dir)
         if m is not None:
             return m
-    return apply_mod.apply_epoch(
-        lake_dir, pending, spec=spec, registry=registry, batch_size=batch_size
-    )
+    if max_epoch_bytes is None:
+        return apply_mod.apply_epoch(
+            lake_dir, pending, spec=spec, registry=registry,
+            batch_size=batch_size)
+    chunks: list[list[str]] = [[]]
+    acc = 0
+    for f in pending:
+        b = os.path.getsize(f)
+        if chunks[-1] and acc + b > max_epoch_bytes:
+            chunks.append([])
+            acc = 0
+        chunks[-1].append(f)
+        acc += b
+    m = None
+    for chunk in chunks:
+        m = apply_mod.apply_epoch(
+            lake_dir, chunk, spec=spec, registry=registry,
+            batch_size=batch_size)
+    return m
 
 
 def replay_events_append(

@@ -70,6 +70,8 @@ def _is_safe_widen(src: pa.DataType, dst: pa.DataType) -> bool:
     float32→float64, int→float64)."""
     if src.equals(dst):
         return True
+    if pa.types.is_null(src):
+        return True  # an all-null column casts to anything losslessly
     numeric_rank = {
         pa.int8(): 1,
         pa.int16(): 2,
