@@ -2704,9 +2704,48 @@ def q_priority_status_grid(sf_dir):
                               zero_copy_batch=True)
 
 
+def q_partial_update_profiles(sf_dir):
+    """Column-level partial-update merge engine (lakehouse partial-update
+    semantics the reference's row-LWW ON CONFLICT upsert cannot express):
+    each change event carries only the columns it writes; per column the
+    last non-null writer by LSN wins; deletes reset the row. Applied in
+    two lsn-parity epochs so columns of one key arrive out of order
+    ACROSS epochs — the per-column seq state must keep late old events
+    from clobbering newer columns."""
+    from vlm_eden_dataset_etl_ray.pipelines.cdc import replay_partial_profiles
+
+    return replay_partial_profiles(sf_dir)
+
+
+def q_aggregate_merge_totals(sf_dir):
+    """Per-key aggregation merge engine: the lake row for each key is a
+    running aggregate (sum/count/min/max/first/last by LSN) over its
+    change stream, folded as mergeable partials at every reduce site and
+    across two epochs."""
+    from vlm_eden_dataset_etl_ray.pipelines.cdc import replay_aggregate_totals
+
+    ds = replay_aggregate_totals(sf_dir)
+    return ds.map_batches(
+        lambda t: _round_col(t, "purchase_total", 6),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+
+def q_debezium_envelope_replay(sf_dir):
+    """Debezium-envelope ingest: events → Debezium v2 JSONL envelopes
+    (before/after images, op c/u/d, source.lsn) → vectorized envelope
+    flattening (sources/debezium.py) → LWW CDC apply → merge-on-read
+    scan of the converged state."""
+    from vlm_eden_dataset_etl_ray.pipelines.cdc import replay_debezium
+
+    return replay_debezium(sf_dir)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "cdc_replay_events": q_cdc_replay_events,
+        "partial_update_profiles": q_partial_update_profiles,
+        "aggregate_merge_totals": q_aggregate_merge_totals,
+        "debezium_envelope_replay": q_debezium_envelope_replay,
         "cdc_drop_readd_evolution": q_cdc_drop_readd_evolution,
         "cdc_change_feed_events": q_cdc_change_feed_events,
         "cdc_change_feed_before": q_cdc_change_feed_before,
@@ -2871,6 +2910,66 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        # partial-update merge engine: per column, last NON-NULL writer by
+        # lsn wins among events after the key's last delete; a row is live
+        # iff any upsert follows the last delete
+        "partial_update_profiles": """
+            with ev as (
+                select event_id as lsn,
+                       'u' || cast(user_id as varchar) as doc_id,
+                       case when event_type = 'error' then 'delete'
+                            else 'upsert' end as op,
+                       case when event_type = 'purchase' then value end as val,
+                       case when event_type = 'click'
+                            then cast(floor(value*10) as bigint) end as vtier,
+                       case when event_type in ('view','login')
+                            then event_type end as src
+                from events),
+            d as (select doc_id, max(lsn) as dl from ev
+                  where op = 'delete' group by doc_id)
+            select e.doc_id,
+                   arg_max(val, lsn) filter (where val is not null
+                       and lsn > coalesce(dl, -1)) as val,
+                   arg_max(vtier, lsn) filter (where vtier is not null
+                       and lsn > coalesce(dl, -1)) as vtier,
+                   arg_max(src, lsn) filter (where src is not null
+                       and lsn > coalesce(dl, -1)) as src
+            from ev e left join d using (doc_id)
+            where e.op <> 'delete'
+            group by e.doc_id
+            having max(e.lsn) > coalesce(max(dl), -1)
+        """,
+        # aggregation merge engine (deletes ignored per on_delete='ignore'
+        # → the oracle excludes 'error' events)
+        "aggregate_merge_totals": """
+            select 'u' || cast(user_id as varchar) as doc_id,
+                   round(sum(case when event_type = 'purchase'
+                                  then value end), 6) as purchase_total,
+                   count(value) as n_events,
+                   max(value) as max_value,
+                   min(value) as min_value,
+                   arg_max(event_type, event_id) as last_type,
+                   arg_min(event_type, event_id) as first_type
+            from events where event_type <> 'error'
+            group by doc_id
+        """,
+        # Debezium envelope replay reduces to plain LWW over the same
+        # derivation (op d = delete, c/u = upsert, lsn = source.lsn)
+        "debezium_envelope_replay": """
+            with ev as (
+                select event_id as lsn,
+                       'u' || cast(user_id as varchar) as doc_id,
+                       cast(floor(value*100) as bigint) as n_tok,
+                       event_type as src,
+                       case when event_type = 'error' then 'delete'
+                            else 'upsert' end as op
+                from events),
+            latest as (
+                select * from ev
+                qualify row_number() over (partition by doc_id
+                                           order by lsn desc) = 1)
+            select doc_id, lsn, n_tok, src from latest where op <> 'delete'
+        """,
         "cdc_replay_events": f"""
             with chg as (
                 select event_id as lsn,

@@ -1,0 +1,324 @@
+"""Merge-engine semantics: column-level partial-update and per-column
+aggregation folds (stages/merge_engines.py) — unit-level associativity /
+out-of-order / delete laws, plus end-to-end lake replay through
+apply_epoch → merge-on-read under multi-epoch out-of-order delivery.
+
+Reference contrast: the reference's only merge discipline is row-level
+ON CONFLICT DO UPDATE (queries/fact_studies.py:63-83); these engines extend
+it to changed-columns-only CDC feeds and pre-aggregated sinks.
+"""
+
+import itertools
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pytest
+
+from vlm_eden_dataset_etl_ray.spec import TableSpec
+from vlm_eden_dataset_etl_ray.stages import merge_engines as me
+
+PARTIAL_SPEC = TableSpec(
+    name="profiles", key="doc_id", order="lsn", num_partitions=4,
+    envelope=(), merge_engine="partial_update",
+)
+
+AGG_SPEC = TableSpec(
+    name="totals", key="doc_id", order="lsn", num_partitions=4,
+    envelope=(), merge_engine="aggregate", on_delete="ignore",
+    aggregations=(("amount", "sum"), ("n", "count"), ("hi", "max"),
+                  ("lo", "min"), ("flag", "bool_or"),
+                  ("last_note", "last_non_null"),
+                  ("first_note", "first_non_null")),
+)
+
+
+def _ev(key, lsn, op="upsert", **cols):
+    return {"doc_id": key, "lsn": lsn, "op": op, **cols}
+
+
+def _events_table(rows, fields):
+    """rows: list of dicts; fields: (name, type) for value columns."""
+    out = {
+        "doc_id": pa.array([r["doc_id"] for r in rows], pa.string()),
+        "lsn": pa.array([r["lsn"] for r in rows], pa.int64()),
+        "op": pa.array([r["op"] for r in rows], pa.string()),
+    }
+    for name, typ in fields:
+        out[name] = pa.array([r.get(name) for r in rows], typ)
+    return pa.table(out)
+
+
+PFIELDS = [("bio", pa.string()), ("score", pa.float64())]
+
+
+def _final(t: pa.Table, spec: TableSpec, live=True) -> dict:
+    """state table → {key: {col: value}} for live rows."""
+    t = me.strip_internal(t)
+    res = {}
+    for row in t.to_pylist():
+        if live and row[spec.op_col] == spec.delete_op:
+            continue
+        res[row[spec.key]] = {k: v for k, v in row.items()
+                              if k not in (spec.key, spec.op_col, spec.order)}
+    return res
+
+
+def _serial_partial_oracle(rows):
+    """Row-at-a-time reference: apply events in LSN order; delete resets."""
+    state: dict = {}
+    for r in sorted(rows, key=lambda r: r["lsn"]):
+        if r["op"] == "delete":
+            state[r["doc_id"]] = None  # tombstone (resets all columns)
+            continue
+        # every upsert asserts row existence (all-null payload → null row)
+        cur = state.get(r["doc_id"]) or {name: None for name, _ in PFIELDS}
+        for name, _ in PFIELDS:
+            if r.get(name) is not None:
+                cur[name] = r[name]
+        state[r["doc_id"]] = cur
+    return {k: v for k, v in state.items() if v is not None}
+
+
+PROWS = [
+    _ev("a", 1, bio="hello", score=1.0),
+    _ev("a", 3, score=2.5),             # partial: bio untouched
+    _ev("a", 2, bio="stale"),           # out of order: loses to nothing newer on bio? (3 didn't write bio → 2 wins bio)
+    _ev("b", 1, bio="b-bio"),
+    _ev("b", 2, op="delete"),
+    _ev("b", 4, score=9.0),             # recreate after delete: bio must be NULL
+    _ev("c", 5, bio="c1", score=0.5),
+    _ev("c", 6, op="delete"),           # c ends dead
+    _ev("d", 7, bio=None, score=None),  # all-null upsert: d exists, all null
+]
+
+
+def test_partial_fold_matches_serial_oracle():
+    t = _events_table(PROWS, PFIELDS)
+    folded = me.fold_partial(t, PARTIAL_SPEC)
+    got = _final(folded, PARTIAL_SPEC)
+    assert got == {
+        "a": {"bio": "stale", "score": 2.5},
+        "b": {"bio": None, "score": 9.0},
+        "d": {"bio": None, "score": None},
+    }
+    assert got == _serial_partial_oracle(PROWS)
+
+
+def test_partial_fold_associative_any_split():
+    """Folding any batch split, in any order, equals the one-shot fold —
+    the law that makes the same code valid as pre-reduce, stage-2 reduce,
+    merge-on-read and compaction."""
+    t_full = me.fold_partial(_events_table(PROWS, PFIELDS), PARTIAL_SPEC)
+    want = _final(t_full, PARTIAL_SPEC, live=False)
+    rng = np.random.default_rng(7)
+    for trial in range(12):
+        rows = list(PROWS)
+        rng.shuffle(rows)
+        cut1, cut2 = sorted(rng.integers(0, len(rows) + 1, size=2))
+        parts = [rows[:cut1], rows[cut1:cut2], rows[cut2:]]
+        states = [me.fold_partial(_events_table(p, PFIELDS), PARTIAL_SPEC)
+                  for p in parts if p]
+        merged = me.fold_partial(pa.concat_tables(states), PARTIAL_SPEC)
+        assert _final(merged, PARTIAL_SPEC, live=False) == want, f"trial {trial}"
+
+
+def test_partial_fold_idempotent_duplicate_delivery():
+    t = _events_table(PROWS + PROWS, PFIELDS)  # verbatim duplicates
+    folded = me.fold_partial(t, PARTIAL_SPEC)
+    assert _final(folded, PARTIAL_SPEC) == _serial_partial_oracle(PROWS)
+    refolded = me.fold_partial(folded, PARTIAL_SPEC)  # fold of a fold
+    assert _final(refolded, PARTIAL_SPEC) == _serial_partial_oracle(PROWS)
+
+
+def test_partial_projection_preserves_tombstones():
+    """Merging a PROJECTED subset of value columns must still resolve row
+    liveness exactly (the __live_lsn invariant)."""
+    folded = me.fold_partial(_events_table(PROWS, PFIELDS), PARTIAL_SPEC)
+    proj = folded.select(["doc_id", "lsn", "op", "bio", "__seq__bio",
+                          "__del_lsn", "__live_lsn"])
+    refolded = me.fold_partial(proj, PARTIAL_SPEC)
+    got = _final(refolded, PARTIAL_SPEC)
+    assert set(got) == {"a", "b", "d"}  # c stays dead — and b stays LIVE
+    # even though b's liveness comes from `score`, which the projection
+    # dropped (__live_lsn carries it)
+    assert got["b"] == {"bio": None}
+
+
+def test_partial_on_delete_policies():
+    rows = [_ev("a", 1, bio="x"), _ev("a", 2, op="delete")]
+    t = _events_table(rows, PFIELDS)
+    ignore = me.fold_partial(
+        t, TableSpec(name="p", key="doc_id", order="lsn", envelope=(),
+                     merge_engine="partial_update", on_delete="ignore"))
+    assert _final(ignore, PARTIAL_SPEC) == {"a": {"bio": "x", "score": None}}
+    with pytest.raises(ValueError, match="on_delete"):
+        me.fold_partial(
+            t, TableSpec(name="p", key="doc_id", order="lsn", envelope=(),
+                         merge_engine="partial_update", on_delete="error"))
+
+
+AROWS = [
+    _ev("a", 1, amount=10.0, n=1, hi=5, lo=5, flag=False,
+        last_note="first", first_note="first"),
+    _ev("a", 3, amount=2.5, n=1, hi=9, lo=3, flag=True,
+        last_note="third", first_note=None),
+    _ev("a", 2, amount=None, n=None, hi=7, lo=None, flag=None,
+        last_note=None, first_note="second"),
+    _ev("b", 4, amount=-1.0, n=1, hi=None, lo=None, flag=False,
+        last_note=None, first_note=None),
+]
+
+AFIELDS = [("amount", pa.float64()), ("n", pa.int64()), ("hi", pa.int64()),
+           ("lo", pa.int64()), ("flag", pa.bool_()),
+           ("last_note", pa.string()), ("first_note", pa.string())]
+
+AWANT = {
+    "a": {"amount": 12.5, "n": 2, "hi": 9, "lo": 3, "flag": True,
+          "last_note": "third", "first_note": "first"},
+    "b": {"amount": -1.0, "n": 1, "hi": None, "lo": None, "flag": False,
+          "last_note": None, "first_note": None},
+}
+
+
+def test_aggregate_fold_semantics():
+    folded = me.fold_aggregate(_events_table(AROWS, AFIELDS), AGG_SPEC)
+    assert _final(folded, AGG_SPEC) == AWANT
+
+
+def test_aggregate_fold_associative_any_split():
+    rng = np.random.default_rng(11)
+    for trial in range(12):
+        rows = list(AROWS)
+        rng.shuffle(rows)
+        cut = int(rng.integers(0, len(rows) + 1))
+        parts = [p for p in (rows[:cut], rows[cut:]) if p]
+        states = [me.fold_aggregate(_events_table(p, AFIELDS), AGG_SPEC)
+                  for p in parts]
+        merged = me.fold_aggregate(pa.concat_tables(states), AGG_SPEC)
+        assert _final(merged, AGG_SPEC) == AWANT, f"trial {trial}"
+
+
+def test_aggregate_rejects_deletes_unless_ignored():
+    rows = AROWS + [_ev("a", 9, op="delete")]
+    t = _events_table(rows, AFIELDS)
+    with pytest.raises(ValueError, match="delete"):
+        me.fold_aggregate(
+            t, TableSpec(name="totals", key="doc_id", order="lsn",
+                         envelope=(), merge_engine="aggregate",
+                         aggregations=AGG_SPEC.aggregations))
+    ok = me.fold_aggregate(t, AGG_SPEC)  # on_delete="ignore"
+    assert _final(ok, AGG_SPEC) == AWANT
+
+
+def test_aggregate_string_minmax():
+    spec = TableSpec(name="s", key="doc_id", order="lsn", envelope=(),
+                     merge_engine="aggregate",
+                     aggregations=(("w_min", "min"), ("w_max", "max")))
+    rows = [_ev("a", 1, w_min="pear", w_max="pear"),
+            _ev("a", 2, w_min=None, w_max=None),
+            _ev("a", 3, w_min="apple", w_max="apple"),
+            _ev("b", 4, w_min=None, w_max=None)]
+    folded = me.fold_aggregate(
+        _events_table(rows, [("w_min", pa.string()), ("w_max", pa.string())]),
+        spec)
+    got = _final(folded, spec)
+    assert got == {"a": {"w_min": "apple", "w_max": "pear"},
+                   "b": {"w_min": None, "w_max": None}}
+
+
+def test_aggregate_undeclared_column_rejected():
+    spec = TableSpec(name="t", key="doc_id", order="lsn", envelope=(),
+                     merge_engine="aggregate", aggregations=(("x", "sum"),))
+    t = pa.table({"doc_id": ["a"], "lsn": pa.array([1], pa.int64()),
+                  "op": ["upsert"], "x": [1.0], "y": [2.0]})
+    with pytest.raises(ValueError, match="no aggregation declared"):
+        me.fold_aggregate(t, spec)
+
+
+# ---------------------------------------------------------------------------
+# end-to-end: through apply_epoch → manifest → merge-on-read, multi-epoch,
+# out-of-order across epochs
+# ---------------------------------------------------------------------------
+
+
+def _collect(ds) -> pa.Table:
+    batches = list(ds.iter_batches(batch_format="pyarrow", batch_size=None))
+    return pa.concat_tables(batches) if batches else pa.table({})
+
+
+def _write_changelog(rows, fields, path):
+    import pyarrow.parquet as pq
+
+    pq.write_table(_events_table(rows, fields), path)
+    return path
+
+
+def test_partial_update_lake_replay(ray_session, tmp_path):
+    from vlm_eden_dataset_etl_ray import apply as apply_mod
+    from vlm_eden_dataset_etl_ray import lake as lake_mod
+
+    lake_dir = str(tmp_path / "plake")
+    # epoch 1: the "early" events; epoch 2 carries BOTH later and OLDER
+    # LSNs (cross-epoch out-of-order) — per-column seqs must keep newer
+    # columns from being clobbered by the late old event
+    e1 = [_ev("a", 5, bio="new-bio"), _ev("b", 1, bio="b0", score=1.0),
+          _ev("c", 2, bio="c0", score=2.0)]
+    e2 = [_ev("a", 3, bio="OLD", score=7.0),  # late: bio loses, score wins
+          _ev("b", 6, op="delete"),
+          _ev("c", 8, score=3.5)]
+    f1 = _write_changelog(e1, PFIELDS, str(tmp_path / "c1.parquet"))
+    f2 = _write_changelog(e2, PFIELDS, str(tmp_path / "c2.parquet"))
+    apply_mod.apply_epoch(lake_dir, [f1], spec=PARTIAL_SPEC)
+    apply_mod.apply_epoch(lake_dir, [f2], spec=PARTIAL_SPEC)
+
+    got = _collect(lake_mod.scan(lake_dir, spec=PARTIAL_SPEC))
+    res = {r["doc_id"]: r for r in got.to_pylist()}
+    assert set(res) == {"a", "c"}
+    assert res["a"]["bio"] == "new-bio" and res["a"]["score"] == 7.0
+    assert res["c"]["bio"] == "c0" and res["c"]["score"] == 3.5
+    # live scans hide the engine-internal state columns
+    assert not any(c.startswith("__") for c in got.column_names)
+    # projected scan still resolves tombstones (b must not reappear)
+    proj = _collect(lake_mod.scan(lake_dir, spec=PARTIAL_SPEC,
+                                  columns=["doc_id", "bio"]))
+    assert sorted(proj.column("doc_id").to_pylist()) == ["a", "c"]
+
+
+def test_partial_update_lake_compaction_preserves_state(ray_session, tmp_path):
+    from vlm_eden_dataset_etl_ray import apply as apply_mod
+    from vlm_eden_dataset_etl_ray import lake as lake_mod
+
+    lake_dir = str(tmp_path / "plake2")
+    e1 = [_ev("a", 5, bio="keep-bio"), _ev("b", 2, bio="b0")]
+    e2 = [_ev("a", 6, score=1.5)]
+    e3 = [_ev("a", 4, bio="stale", score=0.25)]  # late, loses both columns
+    files = [_write_changelog(e, PFIELDS, str(tmp_path / f"cc{i}.parquet"))
+             for i, e in enumerate((e1, e2, e3))]
+    apply_mod.apply_epoch(lake_dir, [files[0]], spec=PARTIAL_SPEC)
+    apply_mod.apply_epoch(lake_dir, [files[1]], spec=PARTIAL_SPEC)
+    lake_mod.compact(lake_dir, spec=PARTIAL_SPEC)
+    apply_mod.apply_epoch(lake_dir, [files[2]], spec=PARTIAL_SPEC)
+    got = {r["doc_id"]: r for r in _collect(
+        lake_mod.scan(lake_dir, spec=PARTIAL_SPEC)).to_pylist()}
+    assert got["a"]["bio"] == "keep-bio" and got["a"]["score"] == 1.5
+    assert got["b"]["bio"] == "b0"
+
+
+def test_aggregate_lake_replay(ray_session, tmp_path):
+    from vlm_eden_dataset_etl_ray import apply as apply_mod
+    from vlm_eden_dataset_etl_ray import lake as lake_mod
+
+    lake_dir = str(tmp_path / "alake")
+    half = len(AROWS) // 2
+    f1 = _write_changelog(AROWS[:half], AFIELDS, str(tmp_path / "a1.parquet"))
+    f2 = _write_changelog(AROWS[half:], AFIELDS, str(tmp_path / "a2.parquet"))
+    apply_mod.apply_epoch(lake_dir, [f1], spec=AGG_SPEC)
+    apply_mod.apply_epoch(lake_dir, [f2], spec=AGG_SPEC)
+    got = _collect(lake_mod.scan(lake_dir, spec=AGG_SPEC))
+    res = {r["doc_id"]: {k: v for k, v in r.items()
+                         if k in dict(AGG_SPEC.aggregations)}
+           for r in got.to_pylist()}
+    assert res == AWANT
+    assert not any(c.startswith("__") for c in got.column_names)

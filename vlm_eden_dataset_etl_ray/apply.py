@@ -42,7 +42,7 @@ from vlm_eden_dataset_etl_ray import manifest as mf
 from vlm_eden_dataset_etl_ray import schema as sch
 from vlm_eden_dataset_etl_ray.functions.hashing import HASH_FN, partition_ids
 from vlm_eden_dataset_etl_ray.spec import TableSpec, TOKENS_SPEC
-from vlm_eden_dataset_etl_ray.stages import lww
+from vlm_eden_dataset_etl_ray.stages import lww, merge_engines
 
 
 def union_schemas(schemas: list[pa.Schema]) -> pa.Schema:
@@ -96,8 +96,9 @@ class PrepareBatch:
                         [fl for fl in self.target if fl.name not in drops])
                 self._known_ver = int(maxv)
         t = sch.unify_table(batch, self.target)
-        if spec.mode != "append":  # append mode (K6): no key reduce, keep dups
-            t = lww.keep_last_writer(t, spec.key, spec.order)  # stage-1 (salted) reduce
+        # stage-1 (salted) reduce, engine-dispatched; append mode (K6) is
+        # the identity (no key reduce, keep dups)
+        t = merge_engines.pre_reduce(t, spec)
         pid = partition_ids(t.column(spec.key), spec.num_partitions)
         return t.append_column("pid", pa.array(pid))
 
@@ -240,7 +241,7 @@ def _write_partition_delta(group: pa.Table, spec: TableSpec, staging_dir: str) -
     Tombstones are KEPT in the delta so merge-on-read can mask older base
     rows (dropped only at compaction). Returns one metadata row."""
     pid = group.column("pid")[0].as_py()
-    t = lww.lww_merge(group.drop_columns(["pid"]), spec)
+    t = merge_engines.merge_table(group.drop_columns(["pid"]), spec)
     path = fsio.join(staging_dir, f"part-{int(pid):05d}.parquet")
     # stable name, direct write → a retried task overwrites itself; nothing
     # reads the file until the manifest referencing it commits
@@ -412,7 +413,7 @@ def _merge_slices_and_write(batch: pa.Table, spec: TableSpec, staging_dir: str) 
         tables = [fsio.read_parquet(f) for f in files]
         target = union_schemas([t.schema for t in tables])
         t = pa.concat_tables(sch.unify_table(t_, target) for t_ in tables)
-        t = lww.lww_merge(t, spec)
+        t = merge_engines.merge_table(t, spec)
         suffix = f"-s{stripe:02d}" if n_stripes > 1 else ""
         path = fsio.join(staging_dir, f"part-{pid:05d}{suffix}.parquet")
         nbytes = fsio.write_parquet(path, t)  # stable name, direct write
@@ -521,7 +522,8 @@ def apply_epoch(
         lake_dir, ds, spec=spec, schema_version=schema_version, prev=prev,
         epoch=epoch, epoch_id=epoch_id, input_files=changelog_files,
         staging_dir=staging_dir, shuffle_dir=shuffle_dir, shuffle=shuffle,
-        stripe_bytes=stripe_bytes, write_schema=target,
+        stripe_bytes=stripe_bytes,
+        write_schema=merge_engines.state_schema(target, spec),
     )
 
 
@@ -750,5 +752,6 @@ def apply_epoch_dataset(
         lake_dir, prepared, spec=spec, schema_version=schema_version, prev=prev,
         epoch=epoch, epoch_id=epoch_id, input_files=[f"dataset:{epoch_id}"],
         staging_dir=staging_dir, shuffle_dir=shuffle_dir, shuffle="file",
-        stripe_bytes=stripe_bytes, write_schema=target,
+        stripe_bytes=stripe_bytes,
+        write_schema=merge_engines.state_schema(target, spec),
     )

@@ -75,7 +75,6 @@ def _runfold_topk(
 
     cols = [key] + [c for c, _ in order_by]
     desc = [False] + [d == "descending" for _, d in order_by]
-    out_cols = list(pre.schema().names)
 
     def _fold(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
@@ -89,6 +88,9 @@ def _runfold_topk(
 
     parts = pre.sort(cols, descending=desc).map_batches(
         _fold, batch_format="pyarrow", batch_size=None).materialize()
+    # column list from the MATERIALIZED frontier — pre.schema() on the lazy
+    # dataset would execute the upstream a second time just for inference
+    out_cols = [c for c in parts.schema().names if c != "__edge"]
     edge_batches = list(parts.map_batches(
         lambda t: t.filter(t.column("__edge")).select(out_cols),
         batch_format="pyarrow", zero_copy_batch=True,

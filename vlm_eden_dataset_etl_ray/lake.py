@@ -25,6 +25,7 @@ from vlm_eden_dataset_etl_ray import schema as sch
 from vlm_eden_dataset_etl_ray.apply import union_schemas, work_items_dataset
 from vlm_eden_dataset_etl_ray.spec import TableSpec, TOKENS_SPEC
 from vlm_eden_dataset_etl_ray.stages import lww
+from vlm_eden_dataset_etl_ray.stages import merge_engines as me
 
 
 #: Seed of the SECOND (stripe) key hash — must differ from the partition
@@ -56,6 +57,7 @@ def merge_partition_files(
     activations: dict[str, int] | None = None,
     exclude: frozenset[str] | set[str] | None = None,
     renames: dict[str, list] | None = None,
+    finalize: bool = False,
 ) -> pa.Table:
     """Read one partition's (or stripe's) files — any mix of schema
     versions — unify to the widest schema, LWW-reduce, and (optionally)
@@ -84,6 +86,12 @@ def merge_partition_files(
     read_cols = None
     if columns:
         need = {spec.key, spec.order, spec.op_col}
+        if spec.merge_engine != "lww":
+            # engine-internal state columns are merge-required: per-column
+            # seqs for every projected value column + the delete barrier
+            need.update(me.SEQ_PREFIX + c for c in columns
+                        if not me.is_internal(c))
+            need.update((me.DEL_COL, me.LIVE_COL, me.AGG_STATE_COL))
         read_cols = list(dict.fromkeys(list(columns) + [c for c in need if c not in columns]))
     tables = []
     for f in files:
@@ -123,9 +131,11 @@ def merge_partition_files(
     target = union_schemas([t.schema for t in tables])
     tables = [sch.unify_table(t, target) for t in tables]
     t = pa.concat_tables(tables) if len(tables) > 1 else tables[0]
-    t = lww.lww_merge(t, spec)
+    t = me.merge_table(t, spec)
     if live_only:
         t = lww.drop_tombstones(t, spec)
+    if finalize:
+        t = me.finalize_read(t, spec)
     if columns:
         # a column added by a later epoch may be absent from EVERY file of
         # this partition — it still projects, as nulls (null-typed here;
@@ -139,7 +149,7 @@ def merge_partition_files(
 
 def _merge_read(batch: pa.Table, spec: TableSpec, columns, live_only: bool,
                 schema: pa.Schema, predicate=None, activations=None,
-                exclude=None, renames=None):
+                exclude=None, renames=None, finalize: bool = False):
     """One stateless task per partition STRIPE: manifest-driven read of the
     stripe's base file(s) plus the partition's deltas (filtered to the
     stripe's keys)."""
@@ -153,6 +163,7 @@ def _merge_read(batch: pa.Table, spec: TableSpec, columns, live_only: bool,
             stripe=int(row.get("stripe", 0)), n_stripes=int(row.get("n_stripes", 1)),
             file_versions=dict(zip(files, vers)) if vers else None,
             activations=activations, exclude=exclude, renames=renames,
+            finalize=finalize,
         )
         t = sch.unify_table(t, schema)
         if predicate is not None:
@@ -377,6 +388,13 @@ def scan(
         reg_schema = None
     out_schema = _output_schema(m, spec, columns, live_only, exclude=exclude,
                                 renames=renames, registry_schema=reg_schema)
+    # user-facing live scans of non-LWW merge-engine tables hide the
+    # engine-internal state columns (__seq__*/__del_lsn/…); time-travel /
+    # feed scans (live_only=False) expose the raw state view
+    finalize = spec.merge_engine != "lww" and live_only
+    if finalize and columns is None:
+        out_schema = pa.schema(
+            [f for f in out_schema if not me.is_internal(f.name)])
     items = _scan_items(m, pids=pids)
     if stats_filter is not None:
         # one (col, lo, hi) range or a LIST of ranges ANDed together —
@@ -407,6 +425,7 @@ def scan(
             "activations": activations or None,
             "exclude": exclude or None,
             "renames": renames,
+            "finalize": finalize,
         },
         batch_size=1,
         batch_format="pyarrow",

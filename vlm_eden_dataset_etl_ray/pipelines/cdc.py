@@ -753,3 +753,202 @@ def replay_events_merge(
     )
     return lake_mod.scan(lake_dir, spec=EVENTS_REPLAY_SPEC,
                          columns=["doc_id", "n_tok", "source"])
+
+
+# ---------------------------------------------------------------------------
+# merge-engine replays (partial-update / aggregate) + Debezium source
+# ---------------------------------------------------------------------------
+
+PARTIAL_PROFILES_SPEC = TableSpec(
+    name="profiles", key="doc_id", order="lsn", num_partitions=16,
+    envelope=(), merge_engine="partial_update",
+)
+
+AGG_TOTALS_SPEC = TableSpec(
+    name="totals", key="doc_id", order="lsn", num_partitions=16,
+    envelope=(), merge_engine="aggregate", on_delete="ignore",
+    aggregations=(("purchase_total", "sum"), ("n_events", "count"),
+                  ("max_value", "max"), ("min_value", "min"),
+                  ("last_type", "last_non_null"),
+                  ("first_type", "first_non_null")),
+)
+
+
+def _derive_partial_batch(t: pa.Table) -> pa.Table:
+    """events → a changed-columns-only changelog: each event writes only the
+    column(s) its type carries (the rest null = untouched); 'error' events
+    are deletes. Mirrored EXACTLY by the SQL oracle in __ray_entry__."""
+    ev = t.column("event_id").cast(pa.int64())
+    uid = t.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    et = t.column("event_type")
+    val = t.column("value")
+    is_purchase = pc.equal(et, pa.scalar("purchase"))
+    is_click = pc.equal(et, pa.scalar("click"))
+    is_vl = pc.is_in(et, value_set=pa.array(["view", "login"]))
+    n = t.num_rows
+    return pa.table({
+        "lsn": ev,
+        "op": pc.if_else(pc.equal(et, pa.scalar("error")),
+                         pa.scalar("delete"), pa.scalar("upsert")),
+        "doc_id": pa.array(np.char.add("u", uid.astype("U20"))),
+        "val": pc.if_else(is_purchase, val, pa.nulls(n, pa.float64())),
+        "vtier": pc.if_else(
+            is_click,
+            pc.cast(pc.floor(pc.multiply(val, pa.scalar(10.0))), pa.int64()),
+            pa.nulls(n, pa.int64())),
+        "src": pc.if_else(is_vl, et, pa.nulls(n, pa.string())),
+    })
+
+
+def replay_partial_profiles(sf_dir: str, workdir: str | None = None) -> rd.Dataset:
+    """Column-level partial-update CDC replay (the 'partial_update' merge
+    engine): the events table becomes a changed-columns-only changelog,
+    applied in TWO epochs split by a hash of the lsn — so columns of the
+    same key arrive across epochs and out of order — and the converged
+    profile rows are scanned back live (tombstones resolved, internal
+    state columns hidden)."""
+    import hashlib
+
+    workdir = workdir or scratch_dir("partial_profiles_")
+    lake_dir = os.path.join(workdir, "lake")
+    shutil.rmtree(lake_dir, ignore_errors=True)
+    base = read_table(
+        sf_dir, "events", columns=["event_id", "user_id", "event_type", "value"]
+    ).map_batches(_derive_partial_batch, batch_format="pyarrow",
+                  zero_copy_batch=True)
+    for part in (0, 1):  # deterministic split: odd/even lsn → 2 epochs
+        ds = base.map_batches(
+            lambda t, p=part: t.filter(pc.equal(
+                pc.bit_wise_and(t.column("lsn"), pa.scalar(1, pa.int64())),
+                pa.scalar(p, pa.int64()))),
+            batch_format="pyarrow", zero_copy_batch=True)
+        epoch_id = hashlib.sha256(
+            f"partial_profiles:{os.path.abspath(sf_dir)}:{part}".encode()
+        ).hexdigest()[:16]
+        apply_mod.apply_epoch_dataset(lake_dir, ds, epoch_id=epoch_id,
+                                      spec=PARTIAL_PROFILES_SPEC)
+    return lake_mod.scan(lake_dir, spec=PARTIAL_PROFILES_SPEC,
+                         columns=["doc_id", "val", "vtier", "src"])
+
+
+def _derive_agg_batch(t: pa.Table) -> pa.Table:
+    ev = t.column("event_id").cast(pa.int64())
+    uid = t.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    et = t.column("event_type")
+    val = t.column("value")
+    n = t.num_rows
+    return pa.table({
+        "lsn": ev,
+        "op": pc.if_else(pc.equal(et, pa.scalar("error")),
+                         pa.scalar("delete"), pa.scalar("upsert")),
+        "doc_id": pa.array(np.char.add("u", uid.astype("U20"))),
+        "purchase_total": pc.if_else(
+            pc.equal(et, pa.scalar("purchase")), val,
+            pa.nulls(n, pa.float64())),
+        "n_events": val,
+        "max_value": val,
+        "min_value": val,
+        "last_type": et,
+        "first_type": et,
+    })
+
+
+def replay_aggregate_totals(sf_dir: str, workdir: str | None = None) -> rd.Dataset:
+    """Per-key aggregation merge engine: each key's lake row is a running
+    aggregate (sum/count/min/max/first/last) over its change stream,
+    folded associatively at every reduce site — applied in two epochs to
+    prove partial-accumulator merging across epochs."""
+    import hashlib
+
+    workdir = workdir or scratch_dir("agg_totals_")
+    lake_dir = os.path.join(workdir, "lake")
+    shutil.rmtree(lake_dir, ignore_errors=True)
+    base = read_table(
+        sf_dir, "events", columns=["event_id", "user_id", "event_type", "value"]
+    ).map_batches(_derive_agg_batch, batch_format="pyarrow",
+                  zero_copy_batch=True)
+    for part in (0, 1):
+        ds = base.map_batches(
+            lambda t, p=part: t.filter(pc.equal(
+                pc.bit_wise_and(t.column("lsn"), pa.scalar(1, pa.int64())),
+                pa.scalar(p, pa.int64()))),
+            batch_format="pyarrow", zero_copy_batch=True)
+        epoch_id = hashlib.sha256(
+            f"agg_totals:{os.path.abspath(sf_dir)}:{part}".encode()
+        ).hexdigest()[:16]
+        apply_mod.apply_epoch_dataset(lake_dir, ds, epoch_id=epoch_id,
+                                      spec=AGG_TOTALS_SPEC)
+    return lake_mod.scan(
+        lake_dir, spec=AGG_TOTALS_SPEC,
+        columns=["doc_id", "purchase_total", "n_events", "max_value",
+                 "min_value", "last_type", "first_type"])
+
+
+def _derive_debezium_batch(t: pa.Table) -> pa.Table:
+    """events → Debezium v2 JSON envelopes (struct columns; written as
+    JSONL by the replay): op c/u/d from the event type, LSN in source.lsn,
+    after-image for upserts, before-image for deletes."""
+    ev = t.column("event_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    uid = t.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    et = np.asarray(t.column("event_type").to_pylist(), dtype=str)
+    val = t.column("value").to_numpy(zero_copy_only=False)
+    n = t.num_rows
+    doc = np.char.add("u", uid.astype("U20"))
+    ntok = np.floor(val * 100).astype(np.int64)
+    is_del = et == "error"
+    op = np.where(is_del, "d", np.where(ev % 3 == 0, "c", "u"))
+    row = pa.StructArray.from_arrays(
+        [pa.array(doc), pa.array(ntok), pa.array(et)],
+        names=["doc_id", "n_tok", "src"])
+    nulls = pa.nulls(n, row.type)
+    mask = pa.array(is_del)
+    payload = pa.StructArray.from_arrays(
+        [
+            pc.if_else(mask, row, nulls),            # before (deletes only)
+            pc.if_else(mask, nulls, row),            # after (upserts only)
+            pa.array(op),
+            pa.array(ev * 1000),                     # ts_ms
+            pa.StructArray.from_arrays(
+                [pa.array(ev), pa.array(np.repeat("events", n))],
+                names=["lsn", "table"]),
+        ],
+        names=["before", "after", "op", "ts_ms", "source"])
+    return pa.table({"payload": payload})
+
+
+def replay_debezium(sf_dir: str, workdir: str | None = None) -> rd.Dataset:
+    """End-to-end Debezium-envelope ingest: events → JSONL envelopes on
+    disk (the connector's wire format) → ``read_debezium_jsonl`` flattens
+    them vectorized → LWW CDC apply → merge-on-read scan of the converged
+    state. The SQL oracle replays the same envelope construction as a
+    window query over ``events``."""
+    import hashlib
+
+    from vlm_eden_dataset_etl_ray.sources.debezium import read_debezium_jsonl
+
+    workdir = workdir or scratch_dir("dbz_replay_")
+    lake_dir = os.path.join(workdir, "lake")
+    jsonl_dir = os.path.join(workdir, "envelopes")
+    shutil.rmtree(lake_dir, ignore_errors=True)
+    shutil.rmtree(jsonl_dir, ignore_errors=True)
+    os.makedirs(jsonl_dir, exist_ok=True)
+    read_table(
+        sf_dir, "events", columns=["event_id", "user_id", "event_type", "value"]
+    ).map_batches(_derive_debezium_batch, batch_format="pyarrow",
+                  zero_copy_batch=True).write_json(jsonl_dir)
+    ds = read_debezium_jsonl(jsonl_dir)
+    # the JSON round trip types integer payload fields by inference (a
+    # null-image line can demote int64 → double): pin the payload types
+    def _typed(t: pa.Table) -> pa.Table:
+        i = t.column_names.index("n_tok")
+        return t.set_column(i, "n_tok", pc.cast(
+            pc.floor(pc.cast(t.column("n_tok"), pa.float64())), pa.int64()))
+
+    ds = ds.map_batches(_typed, batch_format="pyarrow", zero_copy_batch=True)
+    spec = TableSpec(name="dbz_events", key="doc_id", order="lsn",
+                     num_partitions=16, envelope=())
+    epoch_id = hashlib.sha256(
+        f"dbz_replay:{os.path.abspath(sf_dir)}".encode()).hexdigest()[:16]
+    apply_mod.apply_epoch_dataset(lake_dir, ds, epoch_id=epoch_id, spec=spec)
+    return lake_mod.scan(lake_dir, spec=spec,
+                         columns=["doc_id", "lsn", "n_tok", "src"])

@@ -47,6 +47,27 @@ class TableSpec:
     #: still drives hash partitioning and the order column still drives
     #: watermark accounting.
     mode: str = "upsert"
+    #: merge engine applied at every reduce site (per-batch pre-reduce,
+    #: per-partition stage-2 reduce, merge-on-read, compaction):
+    #: - "lww": row-level last-writer-wins (the reference's
+    #:   ON CONFLICT DO UPDATE, queries/fact_studies.py:63-83) — default;
+    #: - "partial_update": column-level LWW — change events carry only the
+    #:   columns that changed (nulls = not touched); per-column last
+    #:   non-null writer by LSN wins (lakehouse partial-update engines);
+    #: - "aggregate": each key's row is a running aggregate of its change
+    #:   stream, per-column function declared in ``aggregations``.
+    #: See stages/merge_engines.py for state representation + semantics.
+    merge_engine: str = "lww"
+    #: aggregate engine only: ((column, fn), ...) with fn one of
+    #: sum/count/product/min/max/bool_or/bool_and/last_non_null/
+    #: first_non_null. Every value column must be declared.
+    aggregations: tuple[tuple[str, str], ...] = ()
+    #: delete handling for the non-LWW engines: partial_update accepts
+    #: "reset" (delete tombstones the row; later writes recreate it —
+    #: default), "ignore" (drop delete events) or "error"; aggregate
+    #: accepts "ignore"/"error" (aggregates are not invertible, so "reset"
+    #: is refused at normalize time by way of on-delete checks).
+    on_delete: str = "reset"
     #: RESERVED. Hot-key skew is already absorbed by the per-batch LWW
     #: pre-reduce (each batch is an implicit salt bucket: a key occurring k
     #: times in a batch leaves it exactly once, so the exchange carries
