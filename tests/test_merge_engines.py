@@ -322,3 +322,64 @@ def test_aggregate_lake_replay(ray_session, tmp_path):
            for r in got.to_pylist()}
     assert res == AWANT
     assert not any(c.startswith("__") for c in got.column_names)
+
+
+def test_partial_update_dml_and_merge_into(ray_session, tmp_path):
+    """Predicate DML + MERGE INTO compose with the partial-update engine:
+    a narrow MERGE source is the engine's native input (no fill read),
+    DELETE WHERE tombstones fold as delete-resets."""
+    import ray.data as rd
+
+    from vlm_eden_dataset_etl_ray import apply as apply_mod
+    from vlm_eden_dataset_etl_ray import dml
+    from vlm_eden_dataset_etl_ray import lake as lake_mod
+
+    lake_dir = str(tmp_path / "pdml")
+    rows = [_ev("a", 1, bio="a-bio", score=1.0),
+            _ev("b", 2, bio="b-bio", score=2.0),
+            _ev("c", 3, bio="c-bio", score=3.0)]
+    f = _write_changelog(rows, PFIELDS, str(tmp_path / "pd.parquet"))
+    apply_mod.apply_epoch(lake_dir, [f], spec=PARTIAL_SPEC)
+
+    # narrow MERGE: only score arrives; bio must survive per-column
+    src = rd.from_arrow(pa.table({
+        "doc_id": pa.array(["a", "z"]), "score": pa.array([10.0, 0.5])}))
+    dml.merge_into(lake_dir, src, spec=PARTIAL_SPEC, op_id="m1")
+    got = {r["doc_id"]: r for r in _collect(
+        lake_mod.scan(lake_dir, spec=PARTIAL_SPEC)).to_pylist()}
+    assert got["a"] == {"doc_id": "a", "lsn": got["a"]["lsn"], "op": "upsert",
+                        "bio": "a-bio", "score": 10.0}
+    assert got["z"]["bio"] is None and got["z"]["score"] == 0.5
+
+    dml.delete_where(lake_dir, [("score", ">", 5.0)], spec=PARTIAL_SPEC)
+    got = {r["doc_id"]: r for r in _collect(
+        lake_mod.scan(lake_dir, spec=PARTIAL_SPEC)).to_pylist()}
+    assert set(got) == {"b", "c", "z"}  # a (10.0) deleted
+
+    dml.update_where(lake_dir, [("doc_id", "==", "b")],
+                     {"score": ("add", 100.0)}, spec=PARTIAL_SPEC)
+    got = {r["doc_id"]: r for r in _collect(
+        lake_mod.scan(lake_dir, spec=PARTIAL_SPEC)).to_pylist()}
+    assert got["b"]["score"] == 102.0 and got["b"]["bio"] == "b-bio"
+
+
+def test_aggregate_dml_guards(ray_session, tmp_path):
+    import ray.data as rd
+
+    from vlm_eden_dataset_etl_ray import apply as apply_mod
+    from vlm_eden_dataset_etl_ray import dml
+
+    lake_dir = str(tmp_path / "adml")
+    f = _write_changelog(AROWS, AFIELDS, str(tmp_path / "ad.parquet"))
+    apply_mod.apply_epoch(lake_dir, [f], spec=AGG_SPEC)
+    with pytest.raises(ValueError, match="aggregate"):
+        dml.delete_where(lake_dir, [("amount", ">", 0.0)], spec=AGG_SPEC)
+    with pytest.raises(ValueError, match="aggregate"):
+        dml.update_where(lake_dir, [("amount", ">", 0.0)],
+                         {"amount": ("add", 1.0)}, spec=AGG_SPEC)
+    with pytest.raises(ValueError, match="aggregate"):
+        dml.merge_into(
+            lake_dir,
+            rd.from_arrow(pa.table({"doc_id": ["a"],
+                                    "amount": [1.0]})),
+            spec=AGG_SPEC, op_id="m1")

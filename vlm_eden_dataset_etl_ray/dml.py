@@ -154,6 +154,11 @@ def delete_where(
     if spec.mode == "append":
         raise ValueError("delete_where needs keyed upsert semantics; "
                          "append-mode tables have no tombstones")
+    if spec.merge_engine == "aggregate":
+        # the aggregate engine refuses/ignores delete events (accumulators
+        # are not invertible) — a tombstone epoch would silently no-op
+        raise ValueError("delete_where is undefined for aggregate-merge "
+                         "tables (aggregates cannot be retracted)")
     m = mf.latest(lake_dir)
     if m is None:
         raise FileNotFoundError(f"no committed manifest under {lake_dir}")
@@ -210,6 +215,10 @@ def update_where(
     """
     if spec.mode == "append":
         raise ValueError("update_where needs keyed upsert semantics")
+    if spec.merge_engine == "aggregate":
+        # re-emitting current accumulator rows would fold them in AGAIN
+        raise ValueError("update_where is undefined for aggregate-merge "
+                         "tables (a rewrite would double-count)")
     if not set_exprs:
         raise ValueError("update_where needs at least one SET column")
     bad = [c for c in set_exprs if c in spec.insert_only]
@@ -245,6 +254,11 @@ def update_where(
         return done
 
     full = lake_mod._output_schema(m, spec, None, True)
+    # the rewrite re-emits USER rows (the live scan is finalized): engine-
+    # internal state columns must not leak into the apply target, or the
+    # unify would null-fill per-column seqs and the fold would read the
+    # rewrite as "nothing written"
+    full = pa.schema([f for f in full if not f.name.startswith("__")])
     for col in set_exprs:
         if full.get_field_index(col) < 0:
             raise KeyError(f"SET column {col!r} not in table schema")
@@ -364,6 +378,10 @@ def merge_into(
     if spec.mode == "append":
         raise ValueError("merge_into needs keyed upsert semantics; "
                          "append-mode tables have no match key")
+    if spec.merge_engine == "aggregate":
+        raise ValueError("merge_into is undefined for aggregate-merge "
+                         "tables (source rows would fold into the "
+                         "accumulators, not replace them)")
     if when_matched not in ("update", "skip"):
         raise ValueError(f"when_matched={when_matched!r} not in update|skip")
     if when_not_matched not in ("insert", "skip"):
@@ -419,9 +437,14 @@ def merge_into(
         exclude=set(_reg.current_drops()) if _reg else None,
         renames=(_reg.column_renames() or None) if _reg else None)
     target_payload = [n for n in full.names
-                     if n not in (spec.key, spec.order, spec.op_col)]
+                     if n not in (spec.key, spec.order, spec.op_col)
+                     and not n.startswith("__")]
     missing = [n for n in target_payload
                if src_schema.get_field_index(n) < 0]
+    if spec.merge_engine == "partial_update":
+        # column-level LWW preserves untouched columns natively: a narrow
+        # source is the engine's normal input, no fill read needed
+        missing = []
     if missing and narrow_source == "error":
         raise ValueError(
             f"merge source lacks target payload columns {missing}; a "
