@@ -98,3 +98,58 @@ def test_debezium_to_lake_replay(ray_session, tmp_path):
            for r in b.to_pylist()}
     assert set(got) == {"a", "c"}  # b deleted
     assert got["a"]["n_tok"] == 7 and got["a"]["src"] == "y"
+
+
+def test_debezium_incremental_tail(ray_session, tmp_path):
+    """WAL-tail loop over envelope shards: pending-file discovery via the
+    manifest's cumulative input lineage, exactly-once re-runs, backlog
+    chunking, new shards applied incrementally."""
+    import json as _json
+
+    from vlm_eden_dataset_etl_ray import lake as lake_mod
+    from vlm_eden_dataset_etl_ray import manifest as mf
+    from vlm_eden_dataset_etl_ray.pipelines.cdc import run_incremental_debezium
+    from vlm_eden_dataset_etl_ray.spec import TableSpec
+
+    spec = TableSpec(name="dbz", key="doc_id", order="lsn",
+                     num_partitions=4, envelope=())
+    env_dir = tmp_path / "env"
+    env_dir.mkdir()
+    lake_dir = str(tmp_path / "lake")
+
+    def shard(name, rows):
+        with open(env_dir / name, "w") as f:
+            for r in rows:
+                f.write(_json.dumps(r) + "\n")
+
+    def env(doc, lsn, op, n):
+        img = {"doc_id": doc, "n": n}
+        return {"payload": {
+            "before": img if op == "d" else None,
+            "after": None if op == "d" else img,
+            "op": op, "ts_ms": lsn, "source": {"lsn": lsn, "table": "t"}}}
+
+    shard("s0.jsonl", [env("a", 1, "c", 1), env("b", 2, "c", 2)])
+    shard("s1.jsonl", [env("a", 3, "u", 30), env("c", 4, "c", 4)])
+    m1 = run_incremental_debezium(lake_dir, str(env_dir), spec=spec,
+                                  max_epoch_bytes=1)  # 1 byte → 1 epoch/shard
+    assert m1.epoch == 2  # backlog chunked into two epochs
+    got = {r["doc_id"]: r["n"] for r in lake_mod.scan(
+        lake_dir, spec=spec).take_all()}
+    assert got == {"a": 30, "b": 2, "c": 4}
+
+    # re-run: nothing pending, manifest unchanged
+    m2 = run_incremental_debezium(lake_dir, str(env_dir), spec=spec)
+    assert m2.epoch == m1.epoch
+
+    # a new shard (including a delete) applies incrementally
+    shard("s2.jsonl", [env("b", 5, "d", 2), env("d", 6, "c", 6)])
+    m3 = run_incremental_debezium(lake_dir, str(env_dir), spec=spec)
+    assert m3.epoch == m1.epoch + 1
+    got = {r["doc_id"]: r["n"] for r in lake_mod.scan(
+        lake_dir, spec=spec).take_all()}
+    assert got == {"a": 30, "c": 4, "d": 6}
+    # lineage records the actual shard paths
+    ids, inputs = mf.cumulative_lineage(lake_dir, m3)
+    assert {str(env_dir / s) for s in ("s0.jsonl", "s1.jsonl", "s2.jsonl")} \
+        <= set(inputs)

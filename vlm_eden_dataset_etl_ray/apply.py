@@ -695,6 +695,7 @@ def apply_epoch_dataset(
     batch_size: int = 65536,
     stripe_bytes: int = 512 * 1024 * 1024,
     target_schema: pa.Schema | None = None,
+    input_files: list[str] | None = None,
 ) -> mf.Manifest:
     """Apply a PREPARED-INPUT epoch directly from a Dataset — no scratch
     write→read round trip for derived changelogs (``replay_events`` /
@@ -711,6 +712,11 @@ def apply_epoch_dataset(
     input applyable (Ray Data reports ``None`` for the schema of a dataset
     whose every block is empty, e.g. a DML statement that matched nothing;
     such an epoch still commits, recording its id in the ledger).
+
+    ``input_files``: record these paths in the manifest's cumulative input
+    lineage instead of the synthetic ``dataset:<epoch_id>`` marker — for
+    tails whose shards are not parquet (e.g. Debezium JSONL envelopes) so
+    pending-file discovery works across formats.
     """
     fsio.makedirs(lake_dir)
     done = _already_applied(lake_dir, epoch_id)
@@ -750,7 +756,9 @@ def apply_epoch_dataset(
     schema_version = _resolve_schema_version(target, spec, registry, prev)
     return _stage_and_commit(
         lake_dir, prepared, spec=spec, schema_version=schema_version, prev=prev,
-        epoch=epoch, epoch_id=epoch_id, input_files=[f"dataset:{epoch_id}"],
+        epoch=epoch, epoch_id=epoch_id,
+        input_files=input_files if input_files is not None
+        else [f"dataset:{epoch_id}"],
         staging_dir=staging_dir, shuffle_dir=shuffle_dir, shuffle="file",
         stripe_bytes=stripe_bytes,
         write_schema=merge_engines.state_schema(target, spec),

@@ -149,20 +149,73 @@ def run_incremental(
         return apply_mod.apply_epoch(
             lake_dir, pending, spec=spec, registry=registry,
             batch_size=batch_size)
+    m = None
+    for chunk in _chunk_by_bytes(pending, max_epoch_bytes):
+        m = apply_mod.apply_epoch(
+            lake_dir, chunk, spec=spec, registry=registry,
+            batch_size=batch_size)
+    return m
+
+
+def _chunk_by_bytes(pending: list[str], cap: int) -> list[list[str]]:
+    """Greedy size-bounded chunks, file order preserved; one oversized
+    file still forms its own chunk."""
     chunks: list[list[str]] = [[]]
     acc = 0
     for f in pending:
         b = os.path.getsize(f)
-        if chunks[-1] and acc + b > max_epoch_bytes:
+        if chunks[-1] and acc + b > cap:
             chunks.append([])
             acc = 0
         chunks[-1].append(f)
         acc += b
-    m = None
+    return chunks
+
+
+def run_incremental_debezium(
+    lake_dir: str,
+    envelope_dir: str,
+    *,
+    spec=None,
+    registry=None,
+    batch_size: int = 65536,
+    max_epoch_bytes: int | None = None,
+    columns: list[str] | None = None,
+):
+    """Tail a directory of Debezium-envelope JSONL shards (the push-based
+    WAL-tail twin of :func:`run_incremental`'s parquet poll): every shard
+    not yet in the manifest's cumulative input lineage is flattened
+    vectorized (``sources/debezium.read_debezium_jsonl``) and applied as
+    CDC epochs — same exactly-once file-set lineage, same backlog cap,
+    any merge engine. Returns the latest manifest."""
+    import hashlib
+
+    from vlm_eden_dataset_etl_ray import manifest as mf
+    from vlm_eden_dataset_etl_ray.sources.debezium import read_debezium_jsonl
+    from vlm_eden_dataset_etl_ray.spec import TOKENS_SPEC
+
+    spec = spec or TOKENS_SPEC
+    all_files = sorted(
+        os.path.join(envelope_dir, f)
+        for f in os.listdir(envelope_dir)
+        if f.endswith((".jsonl", ".json"))
+    )
+    latest = mf.latest(lake_dir)
+    applied: set[str] = set(mf.cumulative_lineage(lake_dir, latest)[1])
+    pending = [f for f in all_files if f not in applied]
+    if not pending:
+        return latest
+    chunks = (_chunk_by_bytes(pending, max_epoch_bytes)
+              if max_epoch_bytes is not None else [pending])
+    m = latest
     for chunk in chunks:
-        m = apply_mod.apply_epoch(
-            lake_dir, chunk, spec=spec, registry=registry,
-            batch_size=batch_size)
+        ds = read_debezium_jsonl(
+            chunk, order=spec.order, op_col=spec.op_col, columns=columns)
+        epoch_id = hashlib.sha256(
+            ("dbz:" + "|".join(chunk)).encode()).hexdigest()[:16]
+        m = apply_mod.apply_epoch_dataset(
+            lake_dir, ds, epoch_id=epoch_id, spec=spec, registry=registry,
+            batch_size=batch_size, input_files=list(chunk))
     return m
 
 
