@@ -130,6 +130,10 @@ BENCH_QUERIES = [
     "cdc_rehash_replay",
     "snm_part_names",
     "join_view_orders",
+    # round-4: pluggable merge engines + Debezium-envelope ingest
+    "partial_update_profiles",
+    "aggregate_merge_totals",
+    "debezium_envelope_replay",
 ]
 
 

@@ -383,3 +383,63 @@ def test_aggregate_dml_guards(ray_session, tmp_path):
             rd.from_arrow(pa.table({"doc_id": ["a"],
                                     "amount": [1.0]})),
             spec=AGG_SPEC, op_id="m1")
+
+
+def test_partial_update_rename_evolution(ray_session, tmp_path):
+    """A registry RENAME on a partial-update lake renames the per-column
+    seq state in lockstep: pre-rename files keep contributing their values
+    (and their per-column LSN priority) under the new name."""
+    import pyarrow.parquet as pq
+    import ray
+
+    from vlm_eden_dataset_etl_ray import apply as apply_mod
+    from vlm_eden_dataset_etl_ray import lake as lake_mod
+    from vlm_eden_dataset_etl_ray.state.registry import make_registry_actor
+
+    spec = TableSpec(name="pren", key="doc_id", order="lsn",
+                     num_partitions=4, merge_engine="partial_update")
+    v1 = pa.schema([("doc_id", pa.string()), ("bio", pa.string()),
+                    ("score", pa.float64())])
+    v2 = pa.schema([("doc_id", pa.string()), ("profile", pa.string()),
+                    ("score", pa.float64())])  # bio RENAMED to profile
+    lake_dir = str(tmp_path / "lake")
+    reg = make_registry_actor(lake_dir, seed_versions={1: v1})
+
+    def shard(path, rows, col="bio"):
+        pq.write_table(pa.table({
+            "lsn": pa.array([r[1] for r in rows], pa.int64()),
+            "op": pa.array([r[2] for r in rows]),
+            "schema_ver": pa.array([r[5] for r in rows], pa.int64()),
+            "doc_id": pa.array([r[0] for r in rows]),
+            col: pa.array([r[3] for r in rows]),
+            "score": pa.array([r[4] for r in rows], pa.float64()),
+        }), path)
+        return str(path)
+
+    f1 = shard(tmp_path / "p1.parquet",
+               [("A", 10, "upsert", "a-bio", 1.0, 1),
+                ("B", 20, "upsert", "b-bio", 2.0, 1)])
+    apply_mod.apply_epoch(lake_dir, [f1], spec=spec, registry=reg)
+    assert ray.get(reg.migrate.remote(v2, renames={"bio": "profile"})) == 2
+    # epoch 2: only SCORE updates (partial), older lsn for A's profile —
+    # the pre-rename seq must keep A's bio value winning under 'profile'
+    f2 = shard(tmp_path / "p2.parquet",
+               [("A", 5, "upsert", "stale", 9.0, 2),
+                ("C", 40, "upsert", "c-prof", 3.0, 2)], col="profile")
+    apply_mod.apply_epoch(lake_dir, [f2], spec=spec, registry=reg)
+
+    got = {r["doc_id"]: r for r in _collect(lake_mod.scan(
+        lake_dir, spec=spec, columns=["doc_id", "profile", "score"])
+    ).to_pylist()}
+    # A: profile = pre-rename 'a-bio' (lsn 10 beats the late lsn-5 write),
+    #    score = 9.0 (lsn 5 is A's only score? no — epoch1 wrote 1.0@10)
+    assert got["A"]["profile"] == "a-bio" and got["A"]["score"] == 1.0
+    assert got["B"]["profile"] == "b-bio"
+    assert got["C"]["profile"] == "c-prof" and got["C"]["score"] == 3.0
+    # compaction (rewrites base files with CURRENT names) preserves all
+    lake_mod.compact(lake_dir, spec=spec)
+    got2 = {r["doc_id"]: r for r in _collect(lake_mod.scan(
+        lake_dir, spec=spec, columns=["doc_id", "profile", "score"])
+    ).to_pylist()}
+    assert {k: (v["profile"], v["score"]) for k, v in got2.items()} == \
+        {k: (v["profile"], v["score"]) for k, v in got.items()}

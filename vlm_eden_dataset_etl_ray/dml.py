@@ -432,10 +432,9 @@ def merge_into(
     from vlm_eden_dataset_etl_ray.state.registry import SchemaRegistryState
 
     _reg = SchemaRegistryState.load_readonly(lake_dir)
-    full = lake_mod._output_schema(
-        m, spec, None, True,
-        exclude=set(_reg.current_drops()) if _reg else None,
-        renames=(_reg.column_renames() or None) if _reg else None)
+    _exc, _acts_unused, _rens = lake_mod._evolution_maps(_reg, spec)
+    full = lake_mod._output_schema(m, spec, None, True,
+                                   exclude=_exc, renames=_rens)
     target_payload = [n for n in full.names
                      if n not in (spec.key, spec.order, spec.op_col)
                      and not n.startswith("__")]

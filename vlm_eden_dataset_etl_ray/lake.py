@@ -45,6 +45,29 @@ def stripe_filter(t: pa.Table, spec: TableSpec, stripe: int, n_stripes: int) -> 
     return t.filter(pa.array(sid == stripe))
 
 
+def _evolution_maps(reg, spec: TableSpec):
+    """(exclude, activations, renames) from the registry — augmented, for
+    non-LWW merge engines, with the ``__seq__<col>`` twins: a registry
+    rename/drop/re-add of a value column governs its per-column seq state
+    the same way (the seq column is named after the user column in every
+    file, so it renames/drops/re-activates in lockstep)."""
+    exclude = set(reg.current_drops()) if reg else None
+    activations = reg.column_activations() if reg else None
+    renames = (reg.column_renames() or None) if reg else None
+    if spec.merge_engine != "lww":
+        pre = me.SEQ_PREFIX
+        if exclude:
+            exclude |= {pre + c for c in list(exclude)}
+        if activations:
+            activations = {**activations,
+                           **{pre + c: v for c, v in activations.items()}}
+        if renames:
+            renames = {**renames,
+                       **{pre + cur: [(pre + old, v) for old, v in chain]
+                          for cur, chain in renames.items()}}
+    return exclude, activations, renames
+
+
 def merge_partition_files(
     files: list[str],
     spec: TableSpec,
@@ -379,9 +402,7 @@ def scan(
     from vlm_eden_dataset_etl_ray.state.registry import SchemaRegistryState
 
     reg = SchemaRegistryState.load_readonly(lake_dir)
-    exclude = set(reg.current_drops()) if reg else None
-    activations = reg.column_activations() if reg else None
-    renames = (reg.column_renames() or None) if reg else None
+    exclude, activations, renames = _evolution_maps(reg, spec)
     try:
         reg_schema = reg.schema() if reg else None
     except (ValueError, KeyError):  # registry present but empty
@@ -661,9 +682,7 @@ def change_feed(
     from vlm_eden_dataset_etl_ray.state.registry import SchemaRegistryState
 
     reg = SchemaRegistryState.load_readonly(lake_dir)
-    exclude = set(reg.current_drops()) if reg else None
-    activations = reg.column_activations() if reg else None
-    renames = (reg.column_renames() or None) if reg else None
+    exclude, activations, renames = _evolution_maps(reg, spec)
     schemas = [fsio.read_parquet_schema(f) for fs in per_pid.values() for f in fs]
     if renames:
         fwd = {o: cur for cur, chain in renames.items() for o, _ in chain}
@@ -983,9 +1002,7 @@ def compact(
     # columns and masks pre-activation generations, so compacted bases are
     # clean — exactly what the reference's DROP COLUMN does to the table
     reg = SchemaRegistryState.load_readonly(lake_dir)
-    exclude = set(reg.current_drops()) if reg else None
-    activations = reg.column_activations() if reg else None
-    renames = (reg.column_renames() or None) if reg else None
+    exclude, activations, renames = _evolution_maps(reg, spec)
     # rewritten files carry the registry's CURRENT column names/generations
     # (renames applied, drops erased) — they must be stamped with the
     # CURRENT registry version, not the last delta epoch's: a migration
@@ -1205,8 +1222,7 @@ def rehash(
     from vlm_eden_dataset_etl_ray.state.registry import SchemaRegistryState
 
     reg = SchemaRegistryState.load_readonly(lake_dir)
-    exclude = set(reg.current_drops()) if reg else None
-    renames = (reg.column_renames() or None) if reg else None
+    exclude, _acts_unused, renames = _evolution_maps(reg, spec)
     # same rule as compact(): rewritten files carry CURRENT names, so they
     # are stamped with the registry's current version (see compact())
     cur_ver = reg.latest_version() if reg else m.schema_version
