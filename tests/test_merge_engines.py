@@ -443,3 +443,76 @@ def test_partial_update_rename_evolution(ray_session, tmp_path):
     ).to_pylist()}
     assert {k: (v["profile"], v["score"]) for k, v in got2.items()} == \
         {k: (v["profile"], v["score"]) for k, v in got.items()}
+
+
+def test_partial_update_change_feed_lookup_producer(ray_session, tmp_path):
+    """change_feed on a partial-update lake: with before_image=True the
+    'lookup producer' completes each changed key's FULL after-image by
+    folding the pre-range state into the range fold (a bare range fold
+    only carries the columns written in range)."""
+    from vlm_eden_dataset_etl_ray import apply as apply_mod
+    from vlm_eden_dataset_etl_ray import lake as lake_mod
+
+    lake_dir = str(tmp_path / "pfeed")
+    e1 = [_ev("a", 1, bio="a-bio", score=1.0),
+          _ev("b", 2, bio="b-bio", score=2.0),
+          _ev("c", 3, bio="c-bio", score=3.0)]
+    # range epoch: partial column writes, an insert, and a delete
+    e2 = [_ev("a", 10, score=5.0),           # update: bio untouched
+          _ev("d", 11, bio="d-bio"),         # insert
+          _ev("c", 12, op="delete")]         # delete
+    f1 = _write_changelog(e1, PFIELDS, str(tmp_path / "f1.parquet"))
+    f2 = _write_changelog(e2, PFIELDS, str(tmp_path / "f2.parquet"))
+    m1 = apply_mod.apply_epoch(lake_dir, [f1], spec=PARTIAL_SPEC)
+    apply_mod.apply_epoch(lake_dir, [f2], spec=PARTIAL_SPEC)
+
+    feed = _collect(lake_mod.change_feed(
+        lake_dir, from_epoch=m1.epoch, spec=PARTIAL_SPEC, before_image=True))
+    assert not any(c.startswith("__") for c in feed.column_names)
+    rows = {r["doc_id"]: r for r in feed.to_pylist()}
+    assert set(rows) == {"a", "c", "d"}  # b unchanged → not in feed
+    a = rows["a"]
+    assert a["_change_type"] == "update"
+    assert a["bio"] == "a-bio" and a["score"] == 5.0  # COMPLETED after-image
+    assert a["_before"]["bio"] == "a-bio" and a["_before"]["score"] == 1.0
+    d = rows["d"]
+    assert d["_change_type"] == "insert" and d["_before"] is None
+    assert d["bio"] == "d-bio" and d["score"] is None
+    c = rows["c"]
+    assert c["_change_type"] == "delete"
+    assert c["_before"]["bio"] == "c-bio"
+
+    # without before images: finalized range fold (partial after-images)
+    feed2 = _collect(lake_mod.change_feed(
+        lake_dir, from_epoch=m1.epoch, spec=PARTIAL_SPEC))
+    r2 = {r["doc_id"]: r for r in feed2.to_pylist()}
+    assert r2["a"]["score"] == 5.0 and r2["a"]["bio"] is None  # range-only
+    assert r2["a"]["_change_type"] == "upsert"
+    assert r2["c"]["_change_type"] == "delete"
+
+
+def test_aggregate_change_feed_completes_accumulators(ray_session, tmp_path):
+    from vlm_eden_dataset_etl_ray import apply as apply_mod
+    from vlm_eden_dataset_etl_ray import lake as lake_mod
+
+    spec = TableSpec(name="afeed", key="doc_id", order="lsn", envelope=(),
+                     num_partitions=4, merge_engine="aggregate",
+                     on_delete="ignore",
+                     aggregations=(("amount", "sum"), ("n", "count")))
+    fields = [("amount", pa.float64()), ("n", pa.int64())]
+    lake_dir = str(tmp_path / "afeed")
+    f1 = _write_changelog([_ev("a", 1, amount=10.0, n=1),
+                           _ev("a", 2, amount=5.0, n=1)], fields,
+                          str(tmp_path / "a1.parquet"))
+    f2 = _write_changelog([_ev("a", 3, amount=2.0, n=1),
+                           _ev("b", 4, amount=1.0, n=1)], fields,
+                          str(tmp_path / "a2.parquet"))
+    m1 = apply_mod.apply_epoch(lake_dir, [f1], spec=spec)
+    apply_mod.apply_epoch(lake_dir, [f2], spec=spec)
+    feed = {r["doc_id"]: r for r in _collect(lake_mod.change_feed(
+        lake_dir, from_epoch=m1.epoch, spec=spec, before_image=True)
+    ).to_pylist()}
+    assert feed["a"]["amount"] == 17.0 and feed["a"]["n"] == 3  # completed
+    assert feed["a"]["_change_type"] == "update"
+    assert feed["a"]["_before"]["amount"] == 15.0
+    assert feed["b"]["_change_type"] == "insert" and feed["b"]["amount"] == 1.0

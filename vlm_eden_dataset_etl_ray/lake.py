@@ -508,6 +508,98 @@ def snapshot(lake_dir: str, **kwargs) -> pa.Table:
     return t.sort_by(spec.key) if spec.key in t.column_names else t
 
 
+def _feed_read_engine(row: dict, spec: TableSpec, columns,
+                      schema: pa.Schema, activations, exclude, renames,
+                      before_image: bool) -> pa.Table:
+    """Feed task for a non-LWW merge-engine partition — the 'lookup
+    changelog producer': a range fold of a partial-update/aggregate lake
+    yields only the columns/contributions WRITTEN in range, so with
+    ``before_image`` the pre-range state is folded in to complete each
+    changed key's full after-image (and supply the before struct); without
+    it the finalized range fold is emitted as-is (partial images,
+    documented). All engine-internal state columns are stripped from the
+    output — feeds are consumer-facing."""
+    files = list(row["files"])
+    vers = row.get("vers") or []
+    t = merge_partition_files(
+        files, spec, columns=None, live_only=False,
+        file_versions=dict(zip(files, vers)) if vers else None,
+        activations=activations, exclude=exclude, renames=renames,
+    )
+    bt = None
+    if before_image:
+        bfiles = list(row.get("bfiles") or [])
+        bvers = row.get("bvers") or []
+        if bfiles:
+            bt = merge_partition_files(
+                bfiles, spec, columns=None, live_only=False,
+                file_versions=(dict(zip(bfiles, bvers)) if bvers else None),
+                activations=activations, exclude=exclude, renames=renames,
+            )
+    if bt is not None and bt.num_rows:
+        target = union_schemas([t.schema, bt.schema])
+        comb = pa.concat_tables([sch.unify_table(t, target),
+                                 sch.unify_table(bt, target)])
+        full = me.merge_table(comb, spec)
+        # restrict to keys that changed in range; both folds are
+        # key-sorted and t's key set ⊆ full's, so filtering full down to
+        # t's keys aligns positionally with t
+        pos = pc.index_in(full.column(spec.key),
+                          value_set=t.column(spec.key).combine_chunks())
+        full = full.filter(pc.is_valid(pos))
+        pre_live = lww.drop_tombstones(bt, spec)
+        pre_pos = pc.index_in(t.column(spec.key),
+                              value_set=pre_live.column(spec.key)
+                              .combine_chunks())
+        existed = pc.is_valid(pre_pos)
+    else:
+        full = t
+        pre_live = None
+        existed = pa.array([False] * t.num_rows)
+    is_del = pc.fill_null(pc.equal(full.column(spec.op_col),
+                                   pa.scalar(spec.delete_op)), False)
+    ct = pc.if_else(
+        is_del, pa.scalar("delete"),
+        pc.if_else(existed, pa.scalar("update"), pa.scalar("insert"))
+        if before_image else pa.scalar("upsert"))
+    out = me.finalize_read(full, spec)
+    # the range's max LSN is the feed's change ordinal (full's order col
+    # would reach back into pre-range history)
+    i = out.column_names.index(spec.order)
+    out = out.set_column(i, spec.order, t.column(spec.order))
+    out = out.append_column("_change_type", ct)
+    if before_image:
+        bf = schema.field("_before").type
+        val_cols = [f.name for f in bf]
+        if pre_live is not None and pre_live.num_rows:
+            fin_pre = me.finalize_read(pre_live, spec)
+
+            def _arr(a, typ):
+                a = a.cast(typ)
+                return (a.combine_chunks()
+                        if isinstance(a, pa.ChunkedArray) else a)
+
+            arrs = [
+                _arr(fin_pre.column(c).combine_chunks().take(pre_pos),
+                     bf.field(i_).type)
+                if c in fin_pre.column_names
+                else pa.nulls(out.num_rows, bf.field(i_).type)
+                for i_, c in enumerate(val_cols)]
+            nulls = pc.invert(existed)
+            if isinstance(nulls, pa.ChunkedArray):
+                nulls = nulls.combine_chunks()
+            before = pa.StructArray.from_arrays(arrs, fields=list(bf),
+                                                mask=nulls)
+        else:
+            before = pa.nulls(out.num_rows, bf)
+        out = out.append_column("_before", before)
+        if columns:
+            out = out.select(list(columns) + ["_change_type", "_before"])
+    elif columns:
+        out = out.select(list(columns) + ["_change_type"])
+    return sch.unify_table(out, schema)
+
+
 def _feed_read(batch: pa.Table, spec: TableSpec, columns, schema: pa.Schema,
                activations=None, exclude=None, renames=None,
                before_image: bool = False):
@@ -525,6 +617,11 @@ def _feed_read(batch: pa.Table, spec: TableSpec, columns, schema: pa.Schema,
         if not files:
             continue
         vers = row.get("vers") or []
+        if spec.merge_engine != "lww":
+            yield _feed_read_engine(row, spec, columns, schema,
+                                    activations, exclude, renames,
+                                    before_image)
+            continue
         t = merge_partition_files(
             files, spec, columns=read_cols, live_only=False,
             file_versions=dict(zip(files, vers)) if vers else None,
@@ -693,6 +790,14 @@ def change_feed(
     base_schema = union_schemas(schemas)
     if exclude:
         base_schema = pa.schema([f for f in base_schema if f.name not in exclude])
+    if spec.merge_engine != "lww":
+        # feeds are consumer-facing: engine-internal state columns are
+        # stripped (the 'lookup producer' in _feed_read_engine completes
+        # partial after-images from the pre-range state when
+        # before_image=True); order is normalized to int64 by the folds
+        base_schema = pa.schema(
+            [pa.field(f.name, pa.int64()) if f.name == spec.order else f
+             for f in base_schema if not me.is_internal(f.name)])
     if columns:
         base_schema = pa.schema([base_schema.field(c) for c in columns])
     out_schema = base_schema.append(pa.field("_change_type", pa.string()))
