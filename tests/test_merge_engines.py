@@ -516,3 +516,35 @@ def test_aggregate_change_feed_completes_accumulators(ray_session, tmp_path):
     assert feed["a"]["_change_type"] == "update"
     assert feed["a"]["_before"]["amount"] == 15.0
     assert feed["b"]["_change_type"] == "insert" and feed["b"]["amount"] == 1.0
+
+
+def test_aggregate_view_over_partial_lake(ray_session, tmp_path):
+    """Incremental view maintenance composes with the partial-update
+    engine by construction (IVM folds contribs from finalized
+    merge-on-read scans pinned to the before/after manifests): a grouped
+    sum/count view over a partial lake converges across partial column
+    writes and delete-resets."""
+    from vlm_eden_dataset_etl_ray import apply as apply_mod
+    from vlm_eden_dataset_etl_ray.views import (ViewSpec,
+                                                apply_epoch_with_views,
+                                                read_view)
+
+    spec = TableSpec(name="pview", key="doc_id", order="lsn", envelope=(),
+                     num_partitions=4, merge_engine="partial_update")
+    vroot = str(tmp_path / "views")
+    lake_dir = str(tmp_path / "lake")
+    vs = [ViewSpec(name="by_bio", group_cols=["bio"], count_alias="n",
+                   sum_cols={"score": "total"})]
+    e1 = [_ev("a", 1, bio="x", score=1.0), _ev("b", 2, bio="x", score=2.0),
+          _ev("c", 3, bio="y", score=4.0)]
+    e2 = [_ev("a", 10, score=7.0),        # partial: a stays in group x
+          _ev("b", 11, op="delete"),      # delete-reset: leaves group x
+          _ev("d", 12, bio="y", score=1.0)]
+    f1 = _write_changelog(e1, PFIELDS, str(tmp_path / "v1.parquet"))
+    f2 = _write_changelog(e2, PFIELDS, str(tmp_path / "v2.parquet"))
+    apply_epoch_with_views(lake_dir, [f1], vs, vroot, spec=spec)
+    apply_epoch_with_views(lake_dir, [f2], vs, vroot, spec=spec)
+    got = {r["bio"]: (r["n"], r["total"]) for r in _collect(
+        read_view(vroot, "by_bio")).to_pylist()}
+    # x: only a (score 7.0) — b deleted; y: c (4.0) + d (1.0)
+    assert got == {"x": (1, 7.0), "y": (2, 5.0)}
