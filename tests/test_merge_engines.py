@@ -548,3 +548,56 @@ def test_aggregate_view_over_partial_lake(ray_session, tmp_path):
         read_view(vroot, "by_bio")).to_pylist()}
     # x: only a (score 7.0) — b deleted; y: c (4.0) + d (1.0)
     assert got == {"x": (1, 7.0), "y": (2, 5.0)}
+
+
+def test_partial_update_tokens_payload(ray_session, tmp_path):
+    """The flagship token-sequence payload (list<int32>) through the
+    partial-update engine: a re-tokenization event carries ONLY the tokens
+    column; metadata columns keep their own last writers; per-row
+    token-array equality against the per-column serial rule."""
+    from vlm_eden_dataset_etl_ray import apply as apply_mod
+    from vlm_eden_dataset_etl_ray import lake as lake_mod
+
+    spec = TableSpec(name="ptok", key="doc_id", order="lsn", envelope=(),
+                     num_partitions=4, merge_engine="partial_update")
+    fields = [("tokens", pa.list_(pa.int32())), ("source", pa.string())]
+    rows = [
+        _ev("a", 1, tokens=[1, 2, 3], source="crawl"),
+        _ev("a", 5, tokens=[9, 9]),          # re-tokenized; source untouched
+        _ev("a", 3, source="books"),         # metadata-only update
+        _ev("b", 2, tokens=[7], source="web"),
+        _ev("b", 4, op="delete"),
+        _ev("b", 6, tokens=[8, 8, 8]),       # recreated: source resets
+    ]
+    f = _write_changelog(rows, fields, str(tmp_path / "tok.parquet"))
+    lake_dir = str(tmp_path / "lake")
+    apply_mod.apply_epoch(lake_dir, [f], spec=spec)
+    got = {r["doc_id"]: r for r in _collect(
+        lake_mod.scan(lake_dir, spec=spec)).to_pylist()}
+    assert got["a"]["tokens"] == [9, 9] and got["a"]["source"] == "books"
+    assert got["b"]["tokens"] == [8, 8, 8] and got["b"]["source"] is None
+
+
+def test_aggregate_lake_compaction_preserves_accumulators(ray_session,
+                                                          tmp_path):
+    from vlm_eden_dataset_etl_ray import apply as apply_mod
+    from vlm_eden_dataset_etl_ray import lake as lake_mod
+
+    lake_dir = str(tmp_path / "alake2")
+    half = len(AROWS) // 2
+    f1 = _write_changelog(AROWS[:half], AFIELDS, str(tmp_path / "c1.parquet"))
+    f2 = _write_changelog(AROWS[half:], AFIELDS, str(tmp_path / "c2.parquet"))
+    apply_mod.apply_epoch(lake_dir, [f1], spec=AGG_SPEC)
+    lake_mod.compact(lake_dir, spec=AGG_SPEC)
+    apply_mod.apply_epoch(lake_dir, [f2], spec=AGG_SPEC)
+    got = _collect(lake_mod.scan(lake_dir, spec=AGG_SPEC))
+    res = {r["doc_id"]: {k: v for k, v in r.items()
+                         if k in dict(AGG_SPEC.aggregations)}
+           for r in got.to_pylist()}
+    assert res == AWANT
+    lake_mod.compact(lake_dir, spec=AGG_SPEC)
+    got2 = _collect(lake_mod.scan(lake_dir, spec=AGG_SPEC))
+    res2 = {r["doc_id"]: {k: v for k, v in r.items()
+                          if k in dict(AGG_SPEC.aggregations)}
+            for r in got2.to_pylist()}
+    assert res2 == AWANT
