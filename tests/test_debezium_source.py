@@ -153,3 +153,19 @@ def test_debezium_incremental_tail(ray_session, tmp_path):
     ids, inputs = mf.cumulative_lineage(lake_dir, m3)
     assert {str(env_dir / s) for s in ("s0.jsonl", "s1.jsonl", "s2.jsonl")} \
         <= set(inputs)
+
+
+def test_empty_batch_passes_through(ray_session, tmp_path):
+    """A zero-row envelope batch must contribute zero rows, not abort the
+    ingest (the null_count==n checks were 0==0 at n=0)."""
+    import pyarrow as pa
+
+    from vlm_eden_dataset_etl_ray.sources.debezium import _flatten_envelope
+
+    typed = pa.table({"payload": pa.array([], pa.struct([
+        ("before", pa.struct([("doc_id", pa.string())])),
+        ("after", pa.struct([("doc_id", pa.string())])),
+        ("op", pa.string()), ("ts_ms", pa.int64()),
+        ("source", pa.struct([("lsn", pa.int64())]))]))})
+    out = _flatten_envelope(typed, order="lsn", op_col="op", columns=None)
+    assert out.num_rows == 0 and "op" in out.column_names

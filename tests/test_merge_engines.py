@@ -601,3 +601,81 @@ def test_aggregate_lake_compaction_preserves_accumulators(ray_session,
                           if k in dict(AGG_SPEC.aggregations)}
             for r in got2.to_pylist()}
     assert res2 == AWANT
+
+
+def test_partial_update_rehash_preserves_state(ray_session, tmp_path):
+    """lake.rehash on a partial-update lake re-buckets the RAW state view:
+    per-column seqs survive, so a later partial upsert cannot clobber
+    columns it does not touch (the finalized-scan corruption found in
+    review)."""
+    from vlm_eden_dataset_etl_ray import apply as apply_mod
+    from vlm_eden_dataset_etl_ray import lake as lake_mod
+
+    spec = TableSpec(name="prh", key="doc_id", order="lsn", envelope=(),
+                     num_partitions=8, merge_engine="partial_update")
+    lake_dir = str(tmp_path / "lake")
+    e1 = [_ev("a", 10, bio="keep-bio"), _ev("a", 20, score=2.0),
+          _ev("b", 5, bio="b-bio", score=1.0), _ev("c", 7, op="delete"),
+          _ev("c", 2, bio="dead")]
+    f1 = _write_changelog(e1, PFIELDS, str(tmp_path / "r1.parquet"))
+    apply_mod.apply_epoch(lake_dir, [f1], spec=spec)
+    m2 = lake_mod.rehash(lake_dir, 3, spec=spec)
+    assert m2.num_partitions == 3
+    # a LATE partial upsert touching only score: bio must keep its winner
+    e2 = [_ev("a", 200, score=9.0)]
+    f2 = _write_changelog(e2, PFIELDS, str(tmp_path / "r2.parquet"))
+    apply_mod.apply_epoch(lake_dir, [f2], spec=spec)
+    got = {r["doc_id"]: r for r in _collect(
+        lake_mod.scan(lake_dir, spec=spec)).to_pylist()}
+    assert got["a"]["bio"] == "keep-bio" and got["a"]["score"] == 9.0
+    assert got["b"]["bio"] == "b-bio" and got["b"]["score"] == 1.0
+    assert "c" not in got  # tombstone honored through the rehash
+    # and an out-of-order OLD event after the rehash still loses
+    # (bio's winner is lsn 10, score's is lsn 200 — lsn 5 loses both)
+    e3 = [_ev("a", 5, bio="stale", score=0.5)]
+    f3 = _write_changelog(e3, PFIELDS, str(tmp_path / "r3.parquet"))
+    apply_mod.apply_epoch(lake_dir, [f3], spec=spec)
+    got = {r["doc_id"]: r for r in _collect(
+        lake_mod.scan(lake_dir, spec=spec)).to_pylist()}
+    assert got["a"]["bio"] == "keep-bio" and got["a"]["score"] == 9.0
+
+
+def test_aggregate_rehash_preserves_accumulators(ray_session, tmp_path):
+    from vlm_eden_dataset_etl_ray import apply as apply_mod
+    from vlm_eden_dataset_etl_ray import lake as lake_mod
+
+    lake_dir = str(tmp_path / "arh")
+    spec = TableSpec(name="arh", key="doc_id", order="lsn", envelope=(),
+                     num_partitions=8, merge_engine="aggregate",
+                     on_delete="ignore",
+                     aggregations=AGG_SPEC.aggregations)
+    half = len(AROWS) // 2
+    f1 = _write_changelog(AROWS[:half], AFIELDS, str(tmp_path / "a1.parquet"))
+    f2 = _write_changelog(AROWS[half:], AFIELDS, str(tmp_path / "a2.parquet"))
+    apply_mod.apply_epoch(lake_dir, [f1], spec=spec)
+    lake_mod.rehash(lake_dir, 2, spec=spec)
+    apply_mod.apply_epoch(lake_dir, [f2], spec=spec)
+    got = _collect(lake_mod.scan(lake_dir, spec=spec))
+    res = {r["doc_id"]: {k: v for k, v in r.items()
+                         if k in dict(spec.aggregations)}
+           for r in got.to_pylist()}
+    assert res == AWANT
+
+
+def test_partial_same_lsn_delete_wins_deterministically():
+    """A delete and an upsert at the SAME LSN resolve to the delete for
+    liveness AND for column values, whatever the physical row order —
+    required for fold associativity."""
+    rows_a = [_ev("k", 5, op="delete"), _ev("k", 5, bio="x"),
+              _ev("k", 9, score=1.0)]
+    rows_b = list(reversed(rows_a))
+    for rows in (rows_a, rows_b):
+        folded = me.fold_partial(_events_table(rows, PFIELDS), PARTIAL_SPEC)
+        got = _final(folded, PARTIAL_SPEC)
+        # row resurrected by lsn 9, but bio@5 lost to the delete@5
+        assert got == {"k": {"bio": None, "score": 1.0}}, rows
+    # split folds agree with the one-shot fold
+    s1 = me.fold_partial(_events_table(rows_a[:1], PFIELDS), PARTIAL_SPEC)
+    s2 = me.fold_partial(_events_table(rows_a[1:], PFIELDS), PARTIAL_SPEC)
+    merged = me.fold_partial(pa.concat_tables([s1, s2]), PARTIAL_SPEC)
+    assert _final(merged, PARTIAL_SPEC) == {"k": {"bio": None, "score": 1.0}}

@@ -115,3 +115,23 @@ def test_pillow_path_decodes_png():
     b = io.BytesIO()
     PIL.fromarray(img).save(b, format="PNG")
     np.testing.assert_array_equal(decode_image(b.getvalue()), img)
+
+
+def test_resize_area_upsamples_without_div_zero():
+    """out dim > input dim replicates nearest pixels (duplicate bin starts
+    used to produce zero-width bins and NaN→garbage uint8)."""
+    import numpy as np
+
+    from vlm_eden_dataset_etl_ray.functions.multimodal import resize_area
+
+    img = (np.arange(16, dtype=np.uint8).reshape(4, 4, 1)
+           * np.ones((1, 1, 3), np.uint8))
+    with np.errstate(divide="raise", invalid="raise"):
+        out = resize_area(img, 8, 8)
+    assert out.shape == (8, 8, 3)
+    # each source pixel appears as a 2x2 replicated block
+    assert (out[0:2, 0:2, 0] == img[0, 0, 0]).all()
+    assert (out[6:8, 6:8, 0] == img[3, 3, 0]).all()
+    # mixed: upsample rows, downsample cols
+    out2 = resize_area(img, 8, 2)
+    assert out2.shape == (8, 2, 3)

@@ -89,15 +89,22 @@ def decode_image(payload: bytes) -> np.ndarray:
 
 def resize_area(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
     """Area (mean-pool) resize — the standard downsample kernel, pure
-    numpy: two ``reduceat`` folds over row/column bins."""
+    numpy: a ``reduceat`` fold per axis. An axis that UPSAMPLES (out dim
+    ≥ input dim) replicates nearest pixels instead — duplicate bin starts
+    would otherwise make zero-width bins and divide by zero (an 8×8 aHash
+    of a 4×7 thumbnail must not be garbage)."""
+
+    def _axis_pool(a: np.ndarray, out_n: int, n: int, axis: int):
+        idx = (np.arange(out_n) * n) // out_n
+        if out_n >= n:  # upsample: nearest replication, unit counts
+            return np.take(a, idx, axis=axis), np.ones(out_n, np.int64)
+        summed = np.add.reduceat(a, idx, axis=axis)
+        return summed, np.diff(np.concatenate([idx, [n]]))
+
     h, w = img.shape[:2]
     acc = img.astype(np.float64)
-    rb = (np.arange(out_h) * h) // out_h
-    cb = (np.arange(out_w) * w) // out_w
-    rows = np.add.reduceat(acc, rb, axis=0)
-    out = np.add.reduceat(rows, cb, axis=1)
-    rcnt = np.diff(np.concatenate([rb, [h]]))
-    ccnt = np.diff(np.concatenate([cb, [w]]))
+    rows, rcnt = _axis_pool(acc, out_h, h, 0)
+    out, ccnt = _axis_pool(rows, out_w, w, 1)
     area = rcnt[:, None] * ccnt[None, :]
     return (out / area[..., None] if out.ndim == 3 else out / area) \
         .round().clip(0, 255).astype(np.uint8)

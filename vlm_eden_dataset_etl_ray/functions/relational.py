@@ -37,6 +37,13 @@ def _top1_reduce(t: pa.Table, key: str, order_by: list[tuple[str, str]]) -> pa.T
     return _first_per_key_sorted(t, key)
 
 
+def _none_safe(tup):
+    """Driver-side sort key for block-summary tuples that may contain None
+    (nullable key columns): None sorts LAST (matching the distributed
+    sort's null placement) and never compares against a non-None value."""
+    return tuple((v is None, 0 if v is None else v) for v in tup)
+
+
 def _single_block(ds: rd.Dataset) -> rd.Dataset:
     """Collapse per-batch partials into ONE block for a single final-combine
     task — a tree reduce. Correct (and far cheaper than a sort shuffle) when
@@ -49,9 +56,12 @@ def _topk_reduce(t: pa.Table, key: str, order_by: list[tuple[str, str]], k: int)
     if t.num_rows <= 1:
         return t
     t = t.sort_by([(key, "ascending")] + order_by)
-    codes = pc.dictionary_encode(t.column(key).combine_chunks()).indices.to_numpy(
-        zero_copy_only=False
-    )
+    # fill null codes (null keys = one group) BEFORE to_numpy: a nullable
+    # index column would round-trip through float64 (NaN per null, lossy
+    # ≥2^53) and corrupt run detection
+    codes = pc.fill_null(
+        pc.cast(pc.dictionary_encode(t.column(key).combine_chunks()).indices,
+                pa.int64()), -1).to_numpy(zero_copy_only=False)
     starts = np.flatnonzero(np.concatenate([[True], codes[1:] != codes[:-1]]))
     run_id = np.cumsum(np.concatenate([[0], (codes[1:] != codes[:-1]).astype(np.int64)]))
     pos_in_run = np.arange(len(codes)) - starts[run_id]
@@ -1326,9 +1336,10 @@ def session_ids(
     def _start_flags(t: pa.Table, us: np.ndarray) -> np.ndarray:
         """Provisional per-row new-session flags: row 0 = True (fixed up
         by the driver carry), else key change or gap > gap_us."""
+        from vlm_eden_dataset_etl_ray.functions import runfold as rf
+
         kchg = np.zeros(t.num_rows, dtype=bool)
-        a = t.column(key).to_numpy(zero_copy_only=False)
-        kchg[1:] = a[1:] != a[:-1]
+        kchg[1:] = rf.key_change_array(t.column(key))
         st = np.concatenate([[True], (np.diff(us) > gap_us)]) | kchg
         st[0] = True
         return st
@@ -1342,10 +1353,11 @@ def session_ids(
                              "__lts": pa.array([], pa.int64()),
                              "__tail": pa.array([], pa.int64()),
                              "__single": pa.array([], pa.bool_())})
+        from vlm_eden_dataset_etl_ray.functions import runfold as rf
+
         us = _ts_us(t.column(ts_col))
         st = _start_flags(t, us)
-        a = t.column(key).to_numpy(zero_copy_only=False)
-        kchg_pos = np.flatnonzero(a[1:] != a[:-1]) + 1
+        kchg_pos = np.flatnonzero(rf.key_change_array(t.column(key))) + 1
         last_run_start = int(kchg_pos[-1]) if len(kchg_pos) else 0
         return pa.table({
             "__first": pa.array([_first_tuple(t)], pa.binary()),
@@ -1364,8 +1376,8 @@ def session_ids(
           "fts": r["__fts"], "lk": pickle.loads(r["__lk"]),
           "lts": r["__lts"], "tail": r["__tail"], "single": r["__single"]}
          for r in rows),
-        key=lambda s: (pickle.loads(s["first"]),
-                       (s["lk"], s["lts"])))
+        key=lambda s: (_none_safe(pickle.loads(s["first"])),
+                       _none_safe((s["lk"], s["lts"]))))
     carries: dict[bytes, tuple[int, int]] = {}
     pend_key, pend_ts, pend_starts = object(), 0, 0
     for s in summ:
@@ -1392,9 +1404,10 @@ def session_ids(
         s = np.cumsum(st)
         # per-key-run cumsum: subtract the running total just before each
         # run's first row; the first run additionally adds the carry
-        a = t.column(key).to_numpy(zero_copy_only=False)
+        from vlm_eden_dataset_etl_ray.functions import runfold as rf
+
         run_starts = np.concatenate(
-            [[0], np.flatnonzero(a[1:] != a[:-1]) + 1])
+            [[0], np.flatnonzero(rf.key_change_array(t.column(key))) + 1])
         base_at_start = s[run_starts] - st[run_starts]
         base = np.repeat(base_at_start,
                          np.diff(np.concatenate([run_starts, [t.num_rows]])))

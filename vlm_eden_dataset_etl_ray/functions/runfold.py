@@ -39,14 +39,27 @@ import pyarrow.compute as pc
 import ray.data as rd
 
 
+def key_change_array(col) -> np.ndarray:
+    """Adjacent-inequality scan of one key column, null- and precision-
+    safe: dictionary codes (null → -1) compare exactly, so nulls form ONE
+    run (groupby semantics) and int64 keys never round-trip through
+    float64 (raw ``to_numpy`` of a nullable int column yields NaN per null
+    AND demotes ≥2^53 ids lossily — both corrupt run detection)."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    codes = pc.fill_null(
+        pc.cast(pc.dictionary_encode(col).indices, pa.int64()), -1
+    ).to_numpy(zero_copy_only=False)
+    return codes[1:] != codes[:-1]
+
+
 def run_bounds(t: pa.Table, keys: list[str]) -> tuple[np.ndarray, np.ndarray]:
     """(starts, lengths) int64 arrays of equal-key runs in a block already
     sorted by ``keys`` (nulls compare equal, matching groupby)."""
     n = t.num_rows
     neq = np.zeros(max(0, n - 1), dtype=bool)
     for c in keys:
-        a = t.column(c).to_numpy(zero_copy_only=False)
-        neq |= a[1:] != a[:-1]
+        neq |= key_change_array(t.column(c))
     starts = np.concatenate([np.zeros(1, np.int64), np.flatnonzero(neq) + 1])
     lengths = np.diff(np.concatenate([starts, np.array([n], np.int64)]))
     return starts.astype(np.int64), lengths

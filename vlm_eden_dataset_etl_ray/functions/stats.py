@@ -506,25 +506,24 @@ def grouped_trend(
 
     def _fold_block(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
-            return pa.table(
-                {key: pa.array([], sch[key]),
-                 "n": pa.array([], pa.int64()),
-                 "slope": pa.array([], pa.float64()),
-                 "intercept": pa.array([], pa.float64()),
-                 "__y": pa.array([], pa.list_(pa.float64())),
-                 "__ord": pa.array([], pa.list_(pa.float64())),
-                 "__edge": pa.array([], pa.bool_())})
+            cols0 = {key: pa.array([], sch[key]),
+                     "n": pa.array([], pa.int64()),
+                     "slope": pa.array([], pa.float64()),
+                     "intercept": pa.array([], pa.float64()),
+                     "__y": pa.array([], pa.list_(pa.float64()))}
+            for i in range(len(order_cols)):
+                cols0[f"__ord{i}"] = pa.array([], pa.list_(pa.float64()))
+            cols0["__edge"] = pa.array([], pa.bool_())
+            return pa.table(cols0)
         starts, lengths = rf.run_bounds(t, [key])
         edges = rf.edge_mask(len(starts))
         y = t.column(value).to_numpy(zero_copy_only=False).astype(np.float64)
         slope, intercept = _regress(y, starts, lengths)
         null_mask = edges | (lengths < 2)
-        # edge partials carry (primary order value, y) pairs; the merge
-        # recovers chronological order from them (see _edge_fold)
-        oc = t.column(order_cols[0])
-        if pa.types.is_temporal(oc.type):
-            oc = oc.cast(pa.timestamp("us")).cast(pa.int64())
-        o = oc.to_numpy(zero_copy_only=False).astype(np.float64)
+        # edge partials carry (FULL order tuple, y) pairs; the merge
+        # lexsorts by every order column, so chronological order is
+        # recovered exactly even when blocks tie on the primary value
+        # (same-timestamp runs tiebroken by a secondary column)
         cols = {key: t.column(key).take(pa.array(starts))}
         cols["n"] = pa.array(lengths, pa.int64(), mask=edges)
         cols["slope"] = pa.array(np.where(lengths < 2, np.nan, slope),
@@ -532,25 +531,28 @@ def grouped_trend(
         cols["intercept"] = pa.array(np.where(lengths < 2, np.nan, intercept),
                                      pa.float64(), mask=null_mask)
         cols["__y"] = rf.edge_values_list(y, starts, lengths, edges)
-        cols["__ord"] = rf.edge_values_list(o, starts, lengths, edges)
+        for i, c in enumerate(order_cols):
+            oc = t.column(c)
+            if pa.types.is_temporal(oc.type):
+                oc = oc.cast(pa.timestamp("us")).cast(pa.int64())
+            o = oc.to_numpy(zero_copy_only=False).astype(np.float64)
+            cols[f"__ord{i}"] = rf.edge_values_list(o, starts, lengths, edges)
         cols["__edge"] = pa.array(edges)
         return pa.table(cols)
 
     def _edge_fold(g: pa.Table) -> pa.Table:
-        # Groupby does not preserve block order, but each partial's
-        # internal order is the fully-tiebroken sort order, and globally
-        # sorted runs overlap only at their endpoints — so sorting the
-        # partials by (first, last) primary order value recovers the
-        # original block sequence. After concatenating in that order, a
-        # STABLE sort on the primary value alone is exact: rows with
-        # equal primaries are already in tiebreak order.
+        # Groupby does not preserve block order; the partials carry the
+        # full order tuple per row, so one lexsort re-establishes the
+        # exact chronological order regardless of arrival order.
         lists_y = g.column("__y").to_pylist()
-        lists_o = g.column("__ord").to_pylist()
-        seq = sorted(range(len(lists_o)),
-                     key=lambda i: (lists_o[i][0], lists_o[i][-1]))
-        y = np.concatenate([np.asarray(lists_y[i], np.float64) for i in seq])
-        o = np.concatenate([np.asarray(lists_o[i], np.float64) for i in seq])
-        y = y[np.argsort(o, kind="stable")]
+        y = np.concatenate([np.asarray(v, np.float64) for v in lists_y])
+        ords = [np.concatenate([np.asarray(v, np.float64) for v in
+                                g.column(f"__ord{i}").to_pylist()])
+                for i in range(len(order_cols))]
+        # full lexsort by (order_cols...) — exact whatever the partials'
+        # arrival order; rows tied on EVERY order column are genuinely
+        # unordered (same as any sort-based evaluation)
+        y = y[np.lexsort(tuple(reversed(ords)))]
         n = len(y)
         starts_ = np.zeros(1, np.int64)
         lengths_ = np.array([n], np.int64)

@@ -164,10 +164,11 @@ def _last_tuple(t: pa.Table, order_by: list[str]) -> tuple:
 def _key_changes(t: pa.Table, order_by: list[str]) -> np.ndarray:
     """Boolean[n-1]: row i+1 starts a new key run (any order column
     differs from row i). Rows are already sorted."""
+    from vlm_eden_dataset_etl_ray.functions import runfold as rf
+
     neq = np.zeros(max(0, t.num_rows - 1), dtype=bool)
     for c in order_by:
-        a = t.column(c).to_numpy(zero_copy_only=False)
-        neq |= a[1:] != a[:-1]
+        neq |= rf.key_change_array(t.column(c))
     return neq
 
 

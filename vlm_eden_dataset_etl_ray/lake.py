@@ -1331,8 +1331,18 @@ def rehash(
     # same rule as compact(): rewritten files carry CURRENT names, so they
     # are stamped with the registry's current version (see compact())
     cur_ver = reg.latest_version() if reg else m.schema_version
+    # non-LWW engines: a live (finalized) scan would strip the per-column
+    # seq state and the re-apply would null-fill it — re-bucket the RAW
+    # state view instead (live_only=False keeps state columns; tombstones
+    # ride along, carrying their delete barriers, and age out at the next
+    # compaction exactly like a normal base rewrite)
+    raw_state = spec.merge_engine != "lww"
     snap = scan(lake_dir, spec=spec, manifest=m,
-                live_only=tombstone_watermark is None)
+                live_only=(tombstone_watermark is None) and not raw_state)
+    if raw_state and tombstone_watermark is None:
+        snap = snap.map_batches(
+            lambda t, _s=spec: lww.drop_tombstones(t, _s),
+            batch_format="pyarrow", zero_copy_batch=True)
     if tombstone_watermark is not None:
         def _drop_old_tombstones(t: pa.Table, *, op_col=spec.op_col,
                                  dead=spec.delete_op, order=spec.order,

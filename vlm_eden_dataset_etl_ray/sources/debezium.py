@@ -48,7 +48,7 @@ def _flatten_envelope(t: pa.Table, *, order: str, op_col: str,
         get = lambda name: (t.column(name) if name in t.column_names  # noqa: E731
                             else pa.nulls(n, pa.null()))
     op_raw = get("op")
-    if op_raw.null_count == n:
+    if n and op_raw.null_count == n:
         raise ValueError("debezium source: no 'op' field in envelope")
     is_del = pc.equal(op_raw, pa.scalar("d"))
     is_del = pc.fill_null(is_del, False)
@@ -61,7 +61,7 @@ def _flatten_envelope(t: pa.Table, *, order: str, op_col: str,
         seq = (_field_or_null(src, "sequence", n)
                if not pa.types.is_null(src.type) else pa.nulls(n, pa.null()))
         lsn = seq if seq.null_count < n else get("ts_ms")
-    if lsn.null_count == n:
+    if n and lsn.null_count == n:
         raise ValueError(
             "debezium source: no LSN (source.lsn / source.sequence / ts_ms)")
     lsn = pc.cast(lsn, pa.int64())

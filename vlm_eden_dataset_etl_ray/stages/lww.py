@@ -27,7 +27,10 @@ def _first_per_key_mask(keys: pa.ChunkedArray | pa.Array) -> pa.Array:
     (input must already be sorted by key)."""
     if isinstance(keys, pa.ChunkedArray):
         keys = keys.combine_chunks()
-    codes = pc.dictionary_encode(keys).indices.to_numpy(zero_copy_only=False)
+    # null codes filled before to_numpy (nullable index → float64 NaN)
+    codes = pc.fill_null(
+        pc.cast(pc.dictionary_encode(keys).indices, pa.int64()), -1
+    ).to_numpy(zero_copy_only=False)
     first = np.empty(len(codes), dtype=bool)
     if len(codes):
         first[0] = True

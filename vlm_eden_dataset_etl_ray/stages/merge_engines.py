@@ -114,7 +114,11 @@ def _key_codes(t: pa.Table, key: str) -> np.ndarray:
     keys = t.column(key)
     if isinstance(keys, pa.ChunkedArray):
         keys = keys.combine_chunks()
-    return pc.dictionary_encode(keys).indices.to_numpy(zero_copy_only=False)
+    # fill null codes before to_numpy: a nullable index column would
+    # round-trip through float64 (NaN per null, lossy over 2^53)
+    return pc.fill_null(
+        pc.cast(pc.dictionary_encode(keys).indices, pa.int64()), -1
+    ).to_numpy(zero_copy_only=False)
 
 
 # ---------------------------------------------------------------------------
@@ -154,20 +158,28 @@ def to_partial_state(t: pa.Table, spec: TableSpec) -> pa.Table:
     if isinstance(is_del, pa.ChunkedArray):
         is_del = is_del.combine_chunks()
     lsn = pc.cast(t.column(spec.order), pa.int64())
+    # seqs live in HALF-LSN ticks: an upsert at LSN L writes at 2L, a
+    # delete at 2L+1 — so a delete and an upsert at the SAME LSN resolve
+    # to the delete deterministically in every comparison (column winner,
+    # liveness), whatever the physical row order. Keeps the fold
+    # associative under ties. The user-visible `order` column stays raw.
+    tick = pc.multiply(lsn, pa.scalar(2, pa.int64()))
+    del_tick = pc.add(tick, pa.scalar(1, pa.int64()))
     vcols = value_columns(t, spec)
     cols: dict[str, pa.ChunkedArray | pa.Array] = {spec.key: t.column(spec.key)}
+    nulls64 = pa.nulls(t.num_rows, pa.int64())
     for c in vcols:
         val = t.column(c)
-        # delete → value null, seq = lsn (kills the column);
-        # upsert → seq = lsn where value present, else null (not touched)
+        # delete → value null, seq = delete tick (kills the column);
+        # upsert → seq = tick where value present, else null (not touched)
         cols[c] = pc.if_else(is_del, pa.nulls(t.num_rows, val.type), val)
-        present = pc.or_(is_del, pc.is_valid(val))
-        cols[SEQ_PREFIX + c] = pc.if_else(present, lsn, pa.nulls(t.num_rows, pa.int64()))
-    cols[DEL_COL] = pc.if_else(is_del, lsn, pa.nulls(t.num_rows, pa.int64()))
+        cols[SEQ_PREFIX + c] = pc.if_else(
+            is_del, del_tick,
+            pc.if_else(pc.is_valid(val), tick, nulls64))
+    cols[DEL_COL] = pc.if_else(is_del, del_tick, nulls64)
     # every upsert asserts row existence (even all-null payloads: an
     # INSERT of (key, nulls) after a delete recreates the row)
-    cols[LIVE_COL] = pc.if_else(
-        pc.invert(is_del), lsn, pa.nulls(t.num_rows, pa.int64()))
+    cols[LIVE_COL] = pc.if_else(pc.invert(is_del), tick, nulls64)
     cols[spec.order] = lsn
     cols[spec.op_col] = pc.if_else(
         is_del, pa.scalar(spec.delete_op), pa.scalar("upsert"))
@@ -439,7 +451,13 @@ def state_schema(target: pa.Schema, spec: TableSpec) -> pa.Schema:
     fields: list[pa.Field] = []
     aggs = _agg_map(spec) if eng == ENGINE_AGGREGATE else {}
     skip = {spec.key, spec.order, spec.op_col, "pid", *spec.envelope}
+    have = set(target.names)  # input may ALREADY be state rows (rehash)
     for f in target:
+        if f.name in spec.envelope:
+            # the folds consume envelope columns at normalize (PrepareBatch
+            # reads schema_ver BEFORE the pre-reduce) — recording them
+            # would advertise an all-null column
+            continue
         if f.name in skip or is_internal(f.name):
             fields.append(f)
             continue
@@ -451,20 +469,22 @@ def state_schema(target: pa.Schema, spec: TableSpec) -> pa.Schema:
                 fields.append(pa.field(f.name, pa.int64()))
             else:
                 fields.append(f)
-            if fn in ("last_non_null", "first_non_null"):
+            if (fn in ("last_non_null", "first_non_null")
+                    and SEQ_PREFIX + f.name not in have):
                 fields.append(pa.field(SEQ_PREFIX + f.name, pa.int64()))
         else:
             fields.append(f)
-            fields.append(pa.field(SEQ_PREFIX + f.name, pa.int64()))
+            if SEQ_PREFIX + f.name not in have:
+                fields.append(pa.field(SEQ_PREFIX + f.name, pa.int64()))
     names = {f.name for f in fields}
     if spec.order not in names:
         fields.append(pa.field(spec.order, pa.int64()))
     if spec.op_col not in names:
         fields.append(pa.field(spec.op_col, pa.string()))
     if eng == ENGINE_PARTIAL:
-        fields.extend([pa.field(DEL_COL, pa.int64()),
-                       pa.field(LIVE_COL, pa.int64())])
-    else:
+        fields.extend(pa.field(c, pa.int64())
+                      for c in (DEL_COL, LIVE_COL) if c not in names)
+    elif AGG_STATE_COL not in names:
         fields.append(pa.field(AGG_STATE_COL, pa.int8()))
     # order column is normalized to int64 by the folds
     fields = [pa.field(f.name, pa.int64()) if f.name == spec.order else f

@@ -87,10 +87,25 @@ def load(warehouse_dir: str, epoch: int) -> WarehouseManifest:
         fsio.read_json(_path(warehouse_dir, epoch)))
 
 
+def _id_marker(warehouse_dir: str, epoch_id: str) -> str:
+    return fsio.join(warehouse_dir, WAREHOUSE_MANIFEST_DIR, "_ids",
+                     f"{epoch_id}.json")
+
+
 def _already_committed(warehouse_dir: str, epoch_id: str) -> WarehouseManifest | None:
-    for e in list_epochs(warehouse_dir):
+    """Idempotency check in O(1): every commit leaves an epoch_id →
+    epoch marker alongside the manifest. A marker can be missing only for
+    a commit that crashed between the manifest publish and the marker
+    write, so on a marker miss the (newest-first) scan runs once and
+    self-heals the marker."""
+    marker = _id_marker(warehouse_dir, epoch_id)
+    if fsio.exists(marker):
+        return load(warehouse_dir, int(fsio.read_bytes(marker)))
+    for e in reversed(list_epochs(warehouse_dir)):
         m = load(warehouse_dir, e)
         if m.epoch_id == epoch_id:
+            fsio.makedirs(fsio.parent(marker))
+            fsio.put_if_absent(marker, str(e).encode())
             return m
     return None
 
@@ -120,6 +135,9 @@ def commit_epoch(
         )
         data = json.dumps(m.to_json(), sort_keys=True, indent=1).encode()
         if fsio.put_if_absent(_path(warehouse_dir, m.epoch), data):
+            marker = _id_marker(warehouse_dir, epoch_id)
+            fsio.makedirs(fsio.parent(marker))
+            fsio.put_if_absent(marker, str(m.epoch).encode())
             return m
         racer = _already_committed(warehouse_dir, epoch_id)
         if racer is not None:  # the racer WAS this epoch_id's retry
