@@ -36,8 +36,11 @@ class TableSpec:
     #: number of hash partitions of the lake; fixed per lake and recorded in
     #: every manifest so partition files stay stable across epochs.
     num_partitions: int = 32
-    #: extra envelope columns dropped from the stored lake rows (the lake
-    #: keeps `order` and `op_col` for merge-on-read).
+    #: extra envelope columns excluded from the registered payload schema
+    #: and from merge semantics (read before the reduce, e.g. schema_ver
+    #: drives registry lookups in PrepareBatch). The LWW engine stores
+    #: them verbatim on the winner row; the partial_update/aggregate folds
+    #: consume them at normalize (their state rows don't carry them).
     envelope: tuple[str, ...] = ("schema_ver",)
     #: "upsert" (default): keyed LWW with tombstones — the reference's
     #: ON CONFLICT DO UPDATE tables. "append": plain INSERT semantics, no
