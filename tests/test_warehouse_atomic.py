@@ -128,3 +128,57 @@ def test_run_etl_resume_path(tmp_path):
     n_wh = wh.scan(w, "fact_events", spec=FACT_SPEC,
                    columns=["doc_id"]).count()
     assert n_wh == n1
+
+
+def test_warehouse_change_feed_is_snapshot_consistent(ray_session, tmp_path):
+    """Per-table feeds between two ATOMIC warehouse epochs: each table
+    feeds exactly the rows between its pinned lake epochs — a lake commit
+    that never made it into a warehouse manifest is invisible."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from vlm_eden_dataset_etl_ray import apply, warehouse as wh
+    from vlm_eden_dataset_etl_ray.spec import TableSpec
+
+    spec_d = TableSpec(name="dim", key="doc_id", order="lsn",
+                       num_partitions=2, envelope=())
+    spec_f = TableSpec(name="fact", key="doc_id", order="lsn",
+                       num_partitions=2, envelope=())
+    dims, facts = str(tmp_path / "dim"), str(tmp_path / "fact")
+
+    def shard(path, rows):
+        pq.write_table(pa.table({
+            "doc_id": pa.array([r[0] for r in rows]),
+            "lsn": pa.array([r[1] for r in rows], pa.int64()),
+            "op": pa.array(["upsert"] * len(rows)),
+            "v": pa.array([r[2] for r in rows], pa.int64())}), path)
+        return str(path)
+
+    m_d1 = apply.apply_epoch(dims, [shard(tmp_path / "d1.parquet",
+                                          [("a", 1, 10)])], spec=spec_d)
+    m_f1 = apply.apply_epoch(facts, [shard(tmp_path / "f1.parquet",
+                                           [("x", 1, 100)])], spec=spec_f)
+    wh.commit_epoch(str(tmp_path), {"dim": (dims, m_d1.epoch),
+                                    "fact": (facts, m_f1.epoch)},
+                    epoch_id="sync-1")
+    m_d2 = apply.apply_epoch(dims, [shard(tmp_path / "d2.parquet",
+                                          [("b", 2, 20)])], spec=spec_d)
+    m_f2 = apply.apply_epoch(facts, [shard(tmp_path / "f2.parquet",
+                                           [("y", 2, 200)])], spec=spec_f)
+    wh.commit_epoch(str(tmp_path), {"dim": (dims, m_d2.epoch),
+                                    "fact": (facts, m_f2.epoch)},
+                    epoch_id="sync-2")
+    # a THIRD lake commit with NO warehouse manifest: must be invisible
+    apply.apply_epoch(facts, [shard(tmp_path / "f3.parquet",
+                                    [("z", 3, 300)])], spec=spec_f)
+
+    feeds = wh.change_feed(str(tmp_path), 1, 2,
+                           specs={"dim": spec_d, "fact": spec_f})
+    dim_rows = feeds["dim"].take_all()
+    fact_rows = feeds["fact"].take_all()
+    assert [r["doc_id"] for r in dim_rows] == ["b"]
+    assert [r["doc_id"] for r in fact_rows] == ["y"]  # z NOT visible
+    # since-creation feed (from_epoch=0) carries the full pinned state
+    feeds0 = wh.change_feed(str(tmp_path), 0, 2,
+                            specs={"dim": spec_d, "fact": spec_f})
+    assert sorted(r["doc_id"] for r in feeds0["fact"].take_all()) == ["x", "y"]

@@ -167,3 +167,52 @@ def scan(
     ent = m.tables[table]
     return lake_mod.scan(ent["dir"], spec=spec, columns=columns,
                          asof_epoch=int(ent["epoch"]))
+
+
+def change_feed(
+    warehouse_dir: str,
+    from_epoch: int = 0,
+    to_epoch: int | None = None,
+    *,
+    specs: dict[str, TableSpec],
+    before_image: bool = False,
+) -> dict[str, rd.Dataset]:
+    """Snapshot-consistent multi-table CDC output: per-table change feeds
+    between two WAREHOUSE epochs. Each table's feed runs from the lake
+    epoch the ``from`` warehouse manifest pinned to the one the ``to``
+    manifest pinned — so a consumer tailing the warehouse sees exactly
+    the row changes between two ATOMIC (dims + fact) snapshots, never a
+    mixed-sync frontier (the per-lake feeds alone cannot promise that: a
+    crash between table commits leaves their heads unaligned).
+
+    Returns ``{table: Dataset}`` with the standard feed envelope
+    (``_change_type`` and, with ``before_image``, ``_before``); a table
+    whose pinned epoch did not move maps to an empty Dataset. Tables
+    present only in the ``to`` manifest feed from lake epoch 0 (their
+    full state counts as inserts). Retention contract: the pinned lake
+    manifests of BOTH warehouse epochs must not be vacuumed."""
+    m1 = (load(warehouse_dir, to_epoch) if to_epoch is not None
+          else latest(warehouse_dir))
+    if m1 is None:
+        raise FileNotFoundError(f"no warehouse manifest in {warehouse_dir!r}")
+    m0 = load(warehouse_dir, from_epoch) if from_epoch > 0 else None
+    out: dict[str, rd.Dataset] = {}
+    for name, ent in sorted(m1.tables.items()):
+        spec = specs.get(name)
+        if spec is None:
+            raise KeyError(f"no TableSpec provided for table {name!r}")
+        e1 = int(ent["epoch"])
+        e0 = 0
+        if m0 is not None and name in m0.tables:
+            ent0 = m0.tables[name]
+            if ent0["dir"] != ent["dir"]:
+                raise ValueError(
+                    f"table {name!r} moved lakes between warehouse epochs "
+                    f"({ent0['dir']} -> {ent['dir']}); feeds cannot span it")
+            e0 = int(ent0["epoch"])
+        if e1 <= e0:
+            out[name] = rd.from_items([])
+            continue
+        out[name] = lake_mod.change_feed(
+            ent["dir"], e0, e1, spec=spec, before_image=before_image)
+    return out
