@@ -679,3 +679,41 @@ def test_partial_same_lsn_delete_wins_deterministically():
     s2 = me.fold_partial(_events_table(rows_a[1:], PFIELDS), PARTIAL_SPEC)
     merged = me.fold_partial(pa.concat_tables([s1, s2]), PARTIAL_SPEC)
     assert _final(merged, PARTIAL_SPEC) == {"k": {"bio": None, "score": 1.0}}
+
+
+def test_partial_engine_exactly_once_and_crash_resume(ray_session, tmp_path):
+    """The merge engines ride the same 2PC manifest machinery: re-applying
+    an applied input set is a byte-identical no-op, and a crash after
+    staging but before the manifest publish resumes to the same state."""
+    import glob
+
+    from vlm_eden_dataset_etl_ray import apply as apply_mod
+    from vlm_eden_dataset_etl_ray import lake as lake_mod
+    from vlm_eden_dataset_etl_ray import manifest as mf
+
+    def manifests(lake_dir):
+        return {os.path.basename(f): open(f, "rb").read()
+                for f in sorted(glob.glob(os.path.join(
+                    lake_dir, "_manifests", "*.json")))}
+
+    lake_dir = str(tmp_path / "lake")
+    f1 = _write_changelog(PROWS, PFIELDS, str(tmp_path / "x1.parquet"))
+    m1 = apply_mod.apply_epoch(lake_dir, [f1], spec=PARTIAL_SPEC)
+    s1 = _final(_collect(lake_mod.scan(lake_dir, spec=PARTIAL_SPEC,
+                                       live_only=False)), PARTIAL_SPEC)
+    b1 = manifests(lake_dir)
+    # exactly-once: same input set → skipped, ledger byte-identical
+    m2 = apply_mod.apply_epoch(lake_dir, [f1], spec=PARTIAL_SPEC)
+    assert m2.epoch == m1.epoch and manifests(lake_dir) == b1
+
+    # crash: delete the manifest (staging/delta files remain), re-run
+    os.remove(os.path.join(lake_dir, "_manifests",
+                           f"epoch={m1.epoch:010d}.json"))
+    m3 = apply_mod.apply_epoch(lake_dir, [f1], spec=PARTIAL_SPEC)
+    assert m3.epoch == m1.epoch
+    s3 = _final(_collect(lake_mod.scan(lake_dir, spec=PARTIAL_SPEC,
+                                       live_only=False)), PARTIAL_SPEC)
+    assert s3 == s1
+    assert {k: v for k, v in s3.items()
+            if k in _serial_partial_oracle(PROWS)} == \
+        _serial_partial_oracle(PROWS)
