@@ -717,3 +717,55 @@ def test_partial_engine_exactly_once_and_crash_resume(ray_session, tmp_path):
     assert {k: v for k, v in s3.items()
             if k in _serial_partial_oracle(PROWS)} == \
         _serial_partial_oracle(PROWS)
+
+
+def test_aggregate_composite_mean_variance(ray_session, tmp_path):
+    """mean/var_pop/var_samp via sum/count/sumsq twin accumulators —
+    merged across epochs + compaction, derived at read time, matching a
+    serial reference to float tolerance."""
+    import math
+
+    from vlm_eden_dataset_etl_ray import apply as apply_mod
+    from vlm_eden_dataset_etl_ray import lake as lake_mod
+
+    spec = TableSpec(name="stats", key="doc_id", order="lsn", envelope=(),
+                     num_partitions=4, merge_engine="aggregate",
+                     on_delete="ignore",
+                     aggregations=(("m", "mean"), ("vp", "var_pop"),
+                                   ("vs", "var_samp")))
+    fields = [("m", pa.float64()), ("vp", pa.float64()),
+              ("vs", pa.float64())]
+    vals = {"a": [1.0, 2.0, 3.0, None, 10.0], "b": [5.0], "c": [None]}
+    rows, lsn = [], 0
+    for k, vs in vals.items():
+        for v in vs:
+            lsn += 1
+            rows.append(_ev(k, lsn, m=v, vp=v, vs=v))
+    lake_dir = str(tmp_path / "lake")
+    f1 = _write_changelog(rows[::2], fields, str(tmp_path / "m1.parquet"))
+    f2 = _write_changelog(rows[1::2], fields, str(tmp_path / "m2.parquet"))
+    apply_mod.apply_epoch(lake_dir, [f1], spec=spec)
+    lake_mod.compact(lake_dir, spec=spec, tombstone_watermark=0)
+    apply_mod.apply_epoch(lake_dir, [f2], spec=spec)
+    got = {r["doc_id"]: r for r in _collect(
+        lake_mod.scan(lake_dir, spec=spec)).to_pylist()}
+    assert not any(c.startswith("__") for c in next(iter(got.values())))
+
+    def ref(vs):
+        xs = [v for v in vs if v is not None]
+        n = len(xs)
+        mean = sum(xs) / n if n else None
+        vpop = (sum((x - mean) ** 2 for x in xs) / n) if n else None
+        vsamp = (sum((x - mean) ** 2 for x in xs) / (n - 1)) if n > 1 else None
+        return mean, vpop, vsamp
+
+    for k, vs in vals.items():
+        mean, vpop, vsamp = ref(vs)
+        g = got[k]
+        for got_v, exp_v in ((g["m"], mean), (g["vp"], vpop),
+                             (g["vs"], vsamp)):
+            if exp_v is None:
+                assert got_v is None, (k, got_v, exp_v)
+            else:
+                assert math.isclose(got_v, exp_v, rel_tol=1e-9), \
+                    (k, got_v, exp_v)

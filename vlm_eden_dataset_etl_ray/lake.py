@@ -55,16 +55,18 @@ def _evolution_maps(reg, spec: TableSpec):
     activations = reg.column_activations() if reg else None
     renames = (reg.column_renames() or None) if reg else None
     if spec.merge_engine != "lww":
-        pre = me.SEQ_PREFIX
+        prefixes = (me.SEQ_PREFIX, me.CNT_PREFIX, me.SQ_PREFIX)
         if exclude:
-            exclude |= {pre + c for c in list(exclude)}
+            exclude |= {p + c for c in list(exclude) for p in prefixes}
         if activations:
             activations = {**activations,
-                           **{pre + c: v for c, v in activations.items()}}
+                           **{p + c: v for c, v in activations.items()
+                              for p in prefixes}}
         if renames:
             renames = {**renames,
-                       **{pre + cur: [(pre + old, v) for old, v in chain]
-                          for cur, chain in renames.items()}}
+                       **{p + cur: [(p + old, v) for old, v in chain]
+                          for cur, chain in renames.items()
+                          for p in prefixes}}
     return exclude, activations, renames
 
 
@@ -112,8 +114,10 @@ def merge_partition_files(
         if spec.merge_engine != "lww":
             # engine-internal state columns are merge-required: per-column
             # seqs for every projected value column + the delete barrier
-            need.update(me.SEQ_PREFIX + c for c in columns
-                        if not me.is_internal(c))
+            for c in columns:
+                if not me.is_internal(c):
+                    need.update((me.SEQ_PREFIX + c, me.CNT_PREFIX + c,
+                                 me.SQ_PREFIX + c))
             need.update((me.DEL_COL, me.LIVE_COL, me.AGG_STATE_COL))
         read_cols = list(dict.fromkeys(list(columns) + [c for c in need if c not in columns]))
     tables = []

@@ -65,14 +65,28 @@ DEL_COL = "__del_lsn"
 LIVE_COL = "__live_lsn"
 AGG_STATE_COL = "__agg_state"
 SEQ_PREFIX = "__seq__"
+#: composite-accumulator twins for the aggregate engine's mean/variance
+#: (the value column holds the running SUM; finalize derives the stat)
+CNT_PREFIX = "__cnt__"
+SQ_PREFIX = "__sq__"
 
 _I64MIN = np.iinfo(np.int64).min
 
-#: aggregation functions accepted by the aggregate engine
+#: aggregation functions accepted by the aggregate engine.
+#: mean/var_pop/var_samp keep (sum, count[, sum-of-squares]) twins and
+#: derive the statistic at read time — plain-sum accumulators merge
+#: associatively at any epoch split; the sumsq formulation trades the
+#: numerical robustness of Welford/Chan for mergeability (use
+#: functions/stats.py's exact distributed moments for analytical sweeps
+#: over adversarially-scaled data).
 AGG_FNS = (
     "sum", "count", "product", "min", "max",
     "bool_or", "bool_and", "last_non_null", "first_non_null",
+    "mean", "var_pop", "var_samp",
 )
+
+#: aggs that keep a __cnt__ twin (and, for variance, a __sq__ twin)
+COMPOSITE_FNS = ("mean", "var_pop", "var_samp")
 
 
 def is_internal(name: str) -> bool:
@@ -284,6 +298,12 @@ def to_agg_state(t: pa.Table, spec: TableSpec) -> pa.Table:
         val = t.column(c)
         if fn == "count":
             cols[c] = pc.cast(pc.is_valid(val), pa.int64())
+        elif fn in COMPOSITE_FNS:
+            v = pc.cast(val, pa.float64())
+            cols[c] = v  # running SUM lives in the value column
+            cols[CNT_PREFIX + c] = pc.cast(pc.is_valid(val), pa.int64())
+            if fn != "mean":
+                cols[SQ_PREFIX + c] = pc.multiply(v, v)
         else:
             cols[c] = val
         if fn in ("last_non_null", "first_non_null"):
@@ -399,6 +419,13 @@ def fold_aggregate(t: pa.Table, spec: TableSpec) -> pa.Table:
             vals, seq = _lexsort_winner(t, c, fn, codes, starts, n)
             out[c] = vals
             out[SEQ_PREFIX + c] = seq
+        elif fn in COMPOSITE_FNS:
+            out[c] = _reduceat_agg(t.column(c), "sum", starts, codes)
+            out[CNT_PREFIX + c] = _reduceat_agg(
+                t.column(CNT_PREFIX + c), "sum", starts, codes)
+            if fn != "mean":
+                out[SQ_PREFIX + c] = _reduceat_agg(
+                    t.column(SQ_PREFIX + c), "sum", starts, codes)
         else:
             out[c] = _reduceat_agg(t.column(c), fn, starts, codes)
     lsns = _i64(t.column(spec.order))
@@ -465,6 +492,12 @@ def state_schema(target: pa.Schema, spec: TableSpec) -> pa.Schema:
             fn = aggs.get(f.name)
             if fn == "count":
                 fields.append(pa.field(f.name, pa.int64()))
+            elif fn in COMPOSITE_FNS:
+                fields.append(pa.field(f.name, pa.float64()))
+                if CNT_PREFIX + f.name not in have:
+                    fields.append(pa.field(CNT_PREFIX + f.name, pa.int64()))
+                if fn != "mean" and SQ_PREFIX + f.name not in have:
+                    fields.append(pa.field(SQ_PREFIX + f.name, pa.float64()))
             elif fn in ("sum", "product") and pa.types.is_integer(f.type):
                 fields.append(pa.field(f.name, pa.int64()))
             else:
@@ -493,8 +526,41 @@ def state_schema(target: pa.Schema, spec: TableSpec) -> pa.Schema:
 
 
 def finalize_read(t: pa.Table, spec: TableSpec) -> pa.Table:
-    """User-facing read: drop engine-internal columns (state stays intact
-    in the lake files — compaction keeps it so future merges stay exact)."""
+    """User-facing read: derive composite statistics (mean/variance from
+    their sum/count/sumsq twins), then drop engine-internal columns (state
+    stays intact in the lake files — compaction keeps it so future merges
+    stay exact)."""
     if spec.merge_engine == ENGINE_LWW:
         return t
+    if spec.merge_engine == ENGINE_AGGREGATE:
+        for c, fn in spec.aggregations:
+            if fn not in COMPOSITE_FNS or c not in t.column_names:
+                continue
+            if CNT_PREFIX + c not in t.column_names:
+                continue
+            s = pc.cast(t.column(c), pa.float64())
+            cnt = pc.cast(t.column(CNT_PREFIX + c), pa.float64())
+            if fn == "mean":
+                ok = pc.greater(cnt, pa.scalar(0.0))
+                stat = pc.if_else(ok, pc.divide(
+                    pc.fill_null(s, 0.0), pc.if_else(ok, cnt, pa.scalar(1.0))),
+                    pa.nulls(t.num_rows, pa.float64()))
+            else:
+                sq = pc.cast(t.column(SQ_PREFIX + c), pa.float64())
+                need = 0.0 if fn == "var_pop" else 1.0
+                ok = pc.greater(cnt, pa.scalar(need))
+                denom = pc.if_else(
+                    ok, cnt if fn == "var_pop"
+                    else pc.subtract(cnt, pa.scalar(1.0)), pa.scalar(1.0))
+                safe_cnt = pc.if_else(ok, cnt, pa.scalar(1.0))
+                num = pc.subtract(
+                    pc.fill_null(sq, 0.0),
+                    pc.divide(pc.multiply(pc.fill_null(s, 0.0),
+                                          pc.fill_null(s, 0.0)), safe_cnt))
+                # clamp tiny negative cancellation residue to 0
+                num = pc.max_element_wise(num, pa.scalar(0.0))
+                stat = pc.if_else(ok, pc.divide(num, denom),
+                                  pa.nulls(t.num_rows, pa.float64()))
+            t = t.set_column(t.column_names.index(c),
+                             pa.field(c, pa.float64()), stat)
     return strip_internal(t)
