@@ -2730,6 +2730,63 @@ def q_aggregate_merge_totals(sf_dir):
         batch_format="pyarrow", zero_copy_batch=True)
 
 
+def q_aggregate_merge_stats(sf_dir):
+    """Composite accumulators in the aggregation merge engine: per-key
+    running mean and sample variance held as mergeable (sum, count,
+    sum-of-squares) twins across two epochs, derived at read time."""
+    import hashlib
+    import os as _os
+    import shutil as _shutil
+
+    import pyarrow.compute as _pc
+
+    from vlm_eden_dataset_etl_ray import apply as apply_mod
+    from vlm_eden_dataset_etl_ray import lake as lake_mod
+    from vlm_eden_dataset_etl_ray.pipelines.cdc import scratch_dir
+    from vlm_eden_dataset_etl_ray.sources.parquet import read_table
+    from vlm_eden_dataset_etl_ray.spec import TableSpec
+
+    spec = TableSpec(
+        name="stats", key="doc_id", order="lsn", envelope=(),
+        num_partitions=16, merge_engine="aggregate", on_delete="ignore",
+        aggregations=(("v_mean", "mean"), ("v_var", "var_samp")))
+    workdir = scratch_dir("agg_stats_")
+    lake_dir = _os.path.join(workdir, "lake")
+    _shutil.rmtree(lake_dir, ignore_errors=True)
+
+    def _derive(t):
+        uid = t.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "lsn": t.column("event_id").cast(pa.int64()),
+            "op": _pc.if_else(
+                _pc.equal(t.column("event_type"), pa.scalar("error")),
+                pa.scalar("delete"), pa.scalar("upsert")),
+            "doc_id": pa.array(np.char.add("u", uid.astype("U20"))),
+            "v_mean": t.column("value"),
+            "v_var": t.column("value"),
+        })
+
+    base = read_table(
+        sf_dir, "events",
+        columns=["event_id", "user_id", "event_type", "value"]
+    ).map_batches(_derive, batch_format="pyarrow", zero_copy_batch=True)
+    for part in (0, 1):
+        ds = base.map_batches(
+            lambda t, p=part: t.filter(_pc.equal(
+                _pc.bit_wise_and(t.column("lsn"), pa.scalar(1, pa.int64())),
+                pa.scalar(p, pa.int64()))),
+            batch_format="pyarrow", zero_copy_batch=True)
+        eid = hashlib.sha256(
+            f"agg_stats:{_os.path.abspath(sf_dir)}:{part}".encode()
+        ).hexdigest()[:16]
+        apply_mod.apply_epoch_dataset(lake_dir, ds, epoch_id=eid, spec=spec)
+    out = lake_mod.scan(lake_dir, spec=spec,
+                        columns=["doc_id", "v_mean", "v_var"])
+    return out.map_batches(
+        lambda t: _round_col(_round_col(t, "v_mean", 6), "v_var", 6),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+
 def q_debezium_envelope_replay(sf_dir):
     """Debezium-envelope ingest: events → Debezium v2 JSONL envelopes
     (before/after images, op c/u/d, source.lsn) → vectorized envelope
@@ -2745,6 +2802,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_replay_events": q_cdc_replay_events,
         "partial_update_profiles": q_partial_update_profiles,
         "aggregate_merge_totals": q_aggregate_merge_totals,
+        "aggregate_merge_stats": q_aggregate_merge_stats,
         "debezium_envelope_replay": q_debezium_envelope_replay,
         "cdc_drop_readd_evolution": q_cdc_drop_readd_evolution,
         "cdc_change_feed_events": q_cdc_change_feed_events,
@@ -2950,6 +3008,13 @@ def oracle_sql() -> dict[str, str]:
                    min(value) as min_value,
                    arg_max(event_type, event_id) as last_type,
                    arg_min(event_type, event_id) as first_type
+            from events where event_type <> 'error'
+            group by doc_id
+        """,
+        "aggregate_merge_stats": """
+            select 'u' || cast(user_id as varchar) as doc_id,
+                   round(avg(value), 6) as v_mean,
+                   round(var_samp(value), 6) as v_var
             from events where event_type <> 'error'
             group by doc_id
         """,
