@@ -103,3 +103,42 @@ def test_rename_validation_and_chain_resolution(tmp_path):
     # persistence round-trip
     st2 = SchemaRegistryState(str(tmp_path / "r"))
     assert st2.column_renames()["provenance"] == chain
+
+
+def test_rename_after_readd_keeps_mask(tmp_path):
+    """Composition found by fuzz seed 1111: re-add a dropped column, then
+    RENAME the re-added column — the activation mask must follow the new
+    name, or the pre-drop generation resurrects under it."""
+    spec = TableSpec(name="rr", key="doc_id", order="lsn", num_partitions=2)
+    v1 = pa.schema([("doc_id", pa.string()), ("n_tok", pa.int64()),
+                    ("src", pa.string())])
+    v_drop = pa.schema([("doc_id", pa.string()), ("n_tok", pa.int64())])
+    lake_dir = str(tmp_path / "lake")
+    reg = make_registry_actor(lake_dir, seed_versions={1: v1})
+    f1 = _shard(tmp_path / "p1.parquet",
+                [("A", 10, "upsert", 100, "old-gen-a")], col="src")
+    apply.apply_epoch(lake_dir, [f1], spec=spec, registry=reg)
+    ray.get(reg.migrate.remote(v_drop))           # drop src
+    ray.get(reg.migrate.remote(v1))               # re-add src (fresh gen)
+    v_ren = pa.schema([("doc_id", pa.string()), ("n_tok", pa.int64()),
+                       ("origin", pa.string())])
+    ray.get(reg.migrate.remote(v_ren, renames={"src": "origin"}))
+    got = lake.scan(lake_dir, spec=spec,
+                    columns=["doc_id", "origin"]).take_all()
+    assert got == [{"doc_id": "A", "origin": None}]  # NOT "old-gen-a"
+    # writes after the re-add+rename are visible
+    f2 = _shard(tmp_path / "p2.parquet",
+                [("A", 20, "upsert", 101, "new-gen-a")], col="origin")
+    apply.apply_epoch(lake_dir, [f2], spec=spec, registry=reg)
+    got = lake.scan(lake_dir, spec=spec,
+                    columns=["doc_id", "origin"]).take_all()
+    assert got == [{"doc_id": "A", "origin": "new-gen-a"}]
+
+
+def test_rename_onto_tombstoned_name_refused(tmp_path):
+    st = SchemaRegistryState(str(tmp_path / "r2"), seed_versions={1: pa.schema(
+        [("doc_id", pa.string()), ("a", pa.string()), ("b", pa.string())])})
+    st.migrate(pa.schema([("doc_id", pa.string()), ("a", pa.string())]))  # drop b
+    with pytest.raises(ValueError, match="tombstoned"):
+        st.migrate(pa.schema([("doc_id", pa.string()), ("b", pa.string())]),
+                   renames={"a": "b"})

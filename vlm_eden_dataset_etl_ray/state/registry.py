@@ -199,6 +199,16 @@ class SchemaRegistryState:
                     f"rename target {n!r} already exists in the latest "
                     "schema; drop it first (separate migrate) before "
                     "renaming onto the name")
+            if n in self._dropped:
+                # renaming ONTO a tombstoned name would fuse two opposite
+                # contracts on one column: the re-add mask must hide the
+                # name's old generation while the rename must preserve the
+                # source's history — per-file masking cannot tell the two
+                # apart once both are stored under the same name
+                raise ValueError(
+                    f"rename target {n!r} is a tombstoned (dropped) "
+                    "column; pick a fresh name (re-adding the name and "
+                    "renaming onto it cannot both hold)")
             ot, nt = old.field(oi).type, schema.field(ni).type
             if not ot.equals(nt) and not sch._is_safe_widen(ot, nt):
                 raise ValueError(
@@ -211,6 +221,11 @@ class SchemaRegistryState:
             chain = self._renames.pop(o, [])
             chain.append((o, v))
             self._renames[n] = chain
+            # a re-added column's activation follows its new name — the
+            # mask is keyed by CURRENT name at read time (a rename after a
+            # re-add otherwise resurrects the pre-drop generation)
+            if o in self._activations:
+                self._activations[n] = self._activations.pop(o)
         for name in drops:
             self._dropped[name] = v
         for f in schema:
