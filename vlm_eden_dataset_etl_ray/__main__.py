@@ -68,7 +68,23 @@ def cmd_tail(args) -> dict:
     from vlm_eden_dataset_etl_ray.pipelines.cdc import run_incremental
 
     _ray_session()
-    m = run_incremental(args.lake, args.changelog[0])
+    m = run_incremental(args.lake, args.changelog[0],
+                        max_epoch_bytes=args.max_epoch_bytes or None)
+    return {"epoch": m.epoch, "rows": m.total_rows(),
+            "applied_inputs": len(m.applied_inputs)}
+
+
+def cmd_tail_debezium(args) -> dict:
+    """Tail a directory of Debezium-envelope JSONL shards (push-based CDC
+    wire format) into the lake — exactly-once file-set lineage, backlog
+    byte cap; the WAL-tail twin of the parquet `tail`."""
+    from vlm_eden_dataset_etl_ray.pipelines.cdc import run_incremental_debezium
+
+    _ray_session()
+    m = run_incremental_debezium(args.lake, args.envelopes,
+                                 max_epoch_bytes=args.max_epoch_bytes or None)
+    if m is None:
+        return {"epoch": 0, "rows": 0, "applied_inputs": 0}
     return {"epoch": m.epoch, "rows": m.total_rows(),
             "applied_inputs": len(m.applied_inputs)}
 
@@ -284,7 +300,14 @@ def main(argv=None) -> int:
     add("apply", cmd_apply, **{"--lake": {"required": True},
                                "--changelog": {"required": True, "nargs": "+"}})
     add("tail", cmd_tail, **{"--lake": {"required": True},
-                             "--changelog": {"required": True, "nargs": 1}})
+                             "--changelog": {"required": True, "nargs": 1},
+                             "--max-epoch-bytes": {"type": int, "default": 0,
+                                                   "dest": "max_epoch_bytes"}})
+    add("tail-debezium", cmd_tail_debezium, **{
+        "--lake": {"required": True},
+        "--envelopes": {"required": True},
+        "--max-epoch-bytes": {"type": int, "default": 0,
+                              "dest": "max_epoch_bytes"}})
     add("rehash", cmd_rehash, **{
         "--lake": {"required": True},
         "--partitions": {"type": int, "required": True}})
