@@ -55,18 +55,18 @@ def _evolution_maps(reg, spec: TableSpec):
     activations = reg.column_activations() if reg else None
     renames = (reg.column_renames() or None) if reg else None
     if spec.merge_engine != "lww":
-        prefixes = (me.SEQ_PREFIX, me.CNT_PREFIX, me.SQ_PREFIX)
         if exclude:
-            exclude |= {p + c for c in list(exclude) for p in prefixes}
+            exclude |= {p + c for c in list(exclude)
+                        for p in me.twin_prefixes(spec, c)}
         if activations:
             activations = {**activations,
                            **{p + c: v for c, v in activations.items()
-                              for p in prefixes}}
+                              for p in me.twin_prefixes(spec, c)}}
         if renames:
             renames = {**renames,
                        **{p + cur: [(p + old, v) for old, v in chain]
                           for cur, chain in renames.items()
-                          for p in prefixes}}
+                          for p in me.twin_prefixes(spec, cur)}}
     return exclude, activations, renames
 
 
@@ -116,8 +116,7 @@ def merge_partition_files(
             # seqs for every projected value column + the delete barrier
             for c in columns:
                 if not me.is_internal(c):
-                    need.update((me.SEQ_PREFIX + c, me.CNT_PREFIX + c,
-                                 me.SQ_PREFIX + c))
+                    need.update(me.internal_twins(spec, c))
             need.update((me.DEL_COL, me.LIVE_COL, me.AGG_STATE_COL))
         read_cols = list(dict.fromkeys(list(columns) + [c for c in need if c not in columns]))
     tables = []

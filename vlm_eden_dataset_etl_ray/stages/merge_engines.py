@@ -93,6 +93,28 @@ def is_internal(name: str) -> bool:
     return name.startswith("__")
 
 
+def twin_prefixes(spec: TableSpec, col: str) -> tuple[str, ...]:
+    """Prefixes of the engine-internal twin columns that travel with
+    ``col`` through projected reads and evolution maps — exactly the
+    twins the engine stores: per-column seqs for partial_update; seq for
+    order-based aggs; cnt(+sq) for composite aggs. Empty otherwise."""
+    if spec.merge_engine == ENGINE_PARTIAL:
+        return (SEQ_PREFIX,)
+    if spec.merge_engine == ENGINE_AGGREGATE:
+        fn = dict(spec.aggregations).get(col)
+        if fn in ("last_non_null", "first_non_null"):
+            return (SEQ_PREFIX,)
+        if fn == "mean":
+            return (CNT_PREFIX,)
+        if fn in ("var_pop", "var_samp"):
+            return (CNT_PREFIX, SQ_PREFIX)
+    return ()
+
+
+def internal_twins(spec: TableSpec, col: str) -> tuple[str, ...]:
+    return tuple(p + col for p in twin_prefixes(spec, col))
+
+
 def strip_internal(t: pa.Table) -> pa.Table:
     keep = [c for c in t.column_names if not is_internal(c)]
     return t.select(keep) if len(keep) != t.num_columns else t
@@ -537,7 +559,13 @@ def finalize_read(t: pa.Table, spec: TableSpec) -> pa.Table:
             if fn not in COMPOSITE_FNS or c not in t.column_names:
                 continue
             if CNT_PREFIX + c not in t.column_names:
-                continue
+                # fail loudly: silently returning the raw running SUM
+                # under the user-facing mean/variance name would be a
+                # wrong answer, not a degraded one
+                raise KeyError(
+                    f"composite aggregate {c!r} ({fn}) projected without "
+                    f"its {CNT_PREFIX + c!r} twin — include the twin in "
+                    "the read (scan() does this automatically)")
             s = pc.cast(t.column(c), pa.float64())
             cnt = pc.cast(t.column(CNT_PREFIX + c), pa.float64())
             if fn == "mean":

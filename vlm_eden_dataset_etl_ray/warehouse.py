@@ -195,7 +195,21 @@ def change_feed(
           else latest(warehouse_dir))
     if m1 is None:
         raise FileNotFoundError(f"no warehouse manifest in {warehouse_dir!r}")
+    if from_epoch > m1.epoch:
+        raise ValueError(
+            f"from_epoch {from_epoch} > to_epoch {m1.epoch} (swapped "
+            "arguments would silently return all-empty feeds)")
     m0 = load(warehouse_dir, from_epoch) if from_epoch > 0 else None
+    if m0 is not None:
+        removed = sorted(set(m0.tables) - set(m1.tables))
+        if removed:
+            # a table removal is a catalog-level event a row feed cannot
+            # express — a mirror built from these feeds would silently
+            # keep the table forever
+            raise ValueError(
+                f"tables {removed} were removed between warehouse epochs "
+                f"{from_epoch} and {m1.epoch}; a change feed cannot "
+                "express table removal — handle it at the catalog level")
     out: dict[str, rd.Dataset] = {}
     for name, ent in sorted(m1.tables.items()):
         spec = specs.get(name)
