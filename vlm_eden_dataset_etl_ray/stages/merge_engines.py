@@ -19,23 +19,27 @@ Representation
 
 Each engine defines a *state row* per key that is (a) closed under its own
 merge (folding state rows yields a state row) and (b) derivable from raw
-change events (``ensure_state``). State rows keep the table's ``op`` and
-``order`` columns populated (so watermark accounting, tombstone counting
-and change feeds keep working unchanged) plus engine-internal columns, all
-``__``-prefixed so readers can strip them:
+change events (``to_partial_state`` / ``to_agg_state`` — both pass
+already-state tables through unchanged). State rows keep the table's
+``op`` and ``order`` columns populated (so watermark accounting, tombstone
+counting and change feeds keep working unchanged) plus engine-internal
+columns, all ``__``-prefixed so readers can strip them:
 
-- ``partial_update``: one ``__seq__<col>`` int64 per value column — the LSN
-  of that column's last writer (null = never written) — plus ``__del_lsn``,
-  the max delete LSN seen. A delete *resets* the row: it stamps every
-  column's seq with its LSN (value null), so only later writes survive.
-  The row is live iff some column seq exceeds ``__del_lsn``. Per-column
-  seqs are what keep the fold associative under out-of-order delivery
-  ACROSS epochs: a late-arriving old event can never clobber a newer
-  column, no matter how the events were batched.
+- ``partial_update``: one ``__seq__<col>`` int64 per value column — the
+  half-LSN *tick* of that column's last writer (upsert at LSN L writes at
+  2L, a delete at 2L+1, so same-LSN ties resolve to the delete
+  deterministically; null = never written) — plus ``__del_lsn`` (max
+  delete tick) and ``__live_lsn`` (max upsert tick). A delete *resets*
+  the row: it stamps every column's seq with its tick (value null), so
+  only later writes survive. The row is live iff ``__live_lsn >
+  __del_lsn``. Per-column seqs are what keep the fold associative under
+  out-of-order delivery ACROSS epochs: a late-arriving old event can
+  never clobber a newer column, no matter how the events were batched.
 - ``aggregate``: the value columns hold partial accumulators (``count``
-  normalizes to 0/1 so re-folding is a plain sum), ``last_non_null`` /
-  ``first_non_null`` columns carry a ``__seq__<col>``; ``__agg_state``
-  marks the row as folded.
+  normalizes to 0/1 so re-folding is a plain sum; ``mean``/``var_*`` hold
+  the running sum with ``__cnt__<col>``/``__sq__<col>`` twins),
+  ``last_non_null`` / ``first_non_null`` columns carry a
+  ``__seq__<col>``; ``__agg_state`` marks the row as folded.
 
 Null semantics (documented, matches lakehouse partial-update engines): a
 null column in an upsert means "not touched", so explicit set-to-NULL is
