@@ -131,6 +131,18 @@ def q_cdc_rename_evolution(sf_dir):
     return replay_events_rename(sf_dir)
 
 
+def q_cdc_wap_audit(sf_dir):
+    """Write-audit-publish gate: two lsn-half epochs applied with an
+    ``audit=[lsn <= mid]`` expectation list — epoch 1 passes and
+    publishes, epoch 2 stages its shuffle but FAILS the audit against the
+    pinned candidate manifest and publishes nothing (no manifest, no
+    ledger entry, orphans invisible to scans). Result = LWW replay of the
+    first half alone."""
+    from vlm_eden_dataset_etl_ray.pipelines.cdc import replay_events_wap
+
+    return replay_events_wap(sf_dir)
+
+
 def q_dml_delete_update(sf_dir):
     """Predicate DML (Delta-style DELETE/UPDATE without file rewrites):
     replay → DELETE WHERE n_tok < 2000 (tombstone epoch, payload never
@@ -2800,6 +2812,7 @@ def q_debezium_envelope_replay(sf_dir):
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "cdc_replay_events": q_cdc_replay_events,
+        "cdc_wap_audit": q_cdc_wap_audit,
         "partial_update_profiles": q_partial_update_profiles,
         "aggregate_merge_totals": q_aggregate_merge_totals,
         "aggregate_merge_stats": q_aggregate_merge_stats,
@@ -3043,6 +3056,22 @@ def oracle_sql() -> dict[str, str]:
                        cast(floor(value * 100) as bigint) as n_tok,
                        event_type as source
                 from events),
+            latest as (
+                select * from chg
+                qualify row_number() over (partition by doc_id order by lsn desc) = 1)
+            select doc_id, lsn, n_tok, source from latest where op <> 'delete'
+        """,
+        # write-audit-publish: epoch 2 (event_id > mid) fails its audit and
+        # never publishes, so the lake equals the first half's LWW replay
+        "cdc_wap_audit": """
+            with mx as (select max(event_id) as m from events),
+            chg as (
+                select event_id as lsn,
+                       case when event_type = 'error' then 'delete' else 'upsert' end as op,
+                       'doc' || cast(user_id as varchar) as doc_id,
+                       cast(floor(value * 100) as bigint) as n_tok,
+                       event_type as source
+                from events where event_id <= (select m // 2 from mx)),
             latest as (
                 select * from chg
                 qualify row_number() over (partition by doc_id order by lsn desc) = 1)

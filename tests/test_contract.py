@@ -67,6 +67,7 @@ SUBSET = [
     "snm_part_names",
     "join_view_orders",
     "cdc_rehash_replay",
+    "cdc_wap_audit",
 ]
 
 

@@ -463,10 +463,26 @@ def apply_epoch(
     prepare_concurrency=None,
     shuffle: str = "file",
     stripe_bytes: int = 512 * 1024 * 1024,
+    audit: list[tuple] | None = None,
 ) -> mf.Manifest:
     """Apply one epoch of changelog files to the lake. Exactly-once: an
     input set already recorded in a committed manifest is skipped; a crashed
     run (staging files but no manifest) is safely redone.
+
+    ``audit``: write-audit-publish gate (Iceberg WAP shape) — a
+    ``functions.quality`` rule list evaluated against the CANDIDATE
+    snapshot (the post-merge live view of every partition this epoch
+    touched, pinned to the unpublished manifest) AFTER the shuffle stages
+    the delta files but BEFORE the atomic manifest publish. Any violation
+    raises :class:`functions.quality.AuditError` (carrying the full
+    report) and nothing is published: the epoch id is never recorded, so
+    a corrected re-run re-applies, and the staged orphans are reclaimed
+    by ``lake.vacuum`` once a later epoch commits their number. Because
+    keys hash to partitions, a ``("unique", key)`` rule over the touched
+    partitions IS a global uniqueness check. Scope is deliberately the
+    table invariant (pre-existing rows of touched partitions are
+    re-checked), not just the new rows — use ``quality.enforce`` on the
+    changelog for rows-only gating without staging cost.
 
     ``shuffle``:
     - ``"file"`` (default): two-phase file shuffle — prepare tasks spill
@@ -524,7 +540,31 @@ def apply_epoch(
         staging_dir=staging_dir, shuffle_dir=shuffle_dir, shuffle=shuffle,
         stripe_bytes=stripe_bytes,
         write_schema=merge_engines.state_schema(target, spec),
+        audit=audit,
     )
+
+
+def _audit_candidate(lake_dir: str, m: mf.Manifest, spec: TableSpec,
+                     rules: list[tuple], pids: list[int]) -> None:
+    """Write-audit-publish: evaluate ``rules`` over the merge-on-read live
+    view of the touched partitions, pinned to the UNPUBLISHED candidate
+    manifest, and raise :class:`quality.AuditError` on any violation. The
+    scan streams (distributed merge tasks, one per partition/stripe); only
+    the tiny per-rule report reaches the driver."""
+    from vlm_eden_dataset_etl_ray import lake as lk
+    from vlm_eden_dataset_etl_ray.functions import quality
+
+    if not pids:  # nothing staged: empty candidate cannot add violations
+        return
+    ds = lk.scan(lake_dir, spec=spec, manifest=m, pids=pids)
+    rep = quality.expectation_report(ds, rules)
+    bad = rep.filter(pc.greater(rep.column("violations"), pa.scalar(0)))
+    if bad.num_rows:
+        parts = [f"{r['rule']}: {r['violations']}/{r['checked']}"
+                 for r in bad.to_pylist()]
+        raise quality.AuditError(
+            f"audit failed for epoch {m.epoch} of {lake_dir} — manifest NOT "
+            f"published; violations: " + "; ".join(parts), report=rep)
 
 
 def _stage_and_commit(
@@ -542,6 +582,7 @@ def _stage_and_commit(
     shuffle: str,
     stripe_bytes: int,
     write_schema: pa.Schema | None = None,
+    audit: list[tuple] | None = None,
 ) -> mf.Manifest:
     """Shared epoch tail: run the prepared dataset's shuffle (file or sort),
     build the manifest and publish it race-safely. ``ds`` must already be
@@ -658,7 +699,20 @@ def _stage_and_commit(
     # file paths are absolute, so the staging dir's epoch label not matching
     # the final epoch number is harmless.
     m = _build_manifest(prev, epoch)
+    changed_pids = sorted({int(r["pid"]) for r in meta_rows})
     while True:
+        if audit:
+            # WAP gate: check the exact candidate about to publish — on a
+            # publish-race rebase the post-merge state differs, so the
+            # audit re-runs against the rebased manifest.
+            try:
+                _audit_candidate(lake_dir, m, spec, audit, changed_pids)
+            except Exception:
+                # shuffle slices are worthless after staging (a re-run
+                # re-prepares from the inputs); the staged deltas stay as
+                # vacuum-reclaimable orphans since no manifest names them
+                fsio.delete_dir(shuffle_dir)
+                raise
         try:
             mf.commit(lake_dir, m)
             break
@@ -696,6 +750,7 @@ def apply_epoch_dataset(
     stripe_bytes: int = 512 * 1024 * 1024,
     target_schema: pa.Schema | None = None,
     input_files: list[str] | None = None,
+    audit: list[tuple] | None = None,
 ) -> mf.Manifest:
     """Apply a PREPARED-INPUT epoch directly from a Dataset — no scratch
     write→read round trip for derived changelogs (``replay_events`` /
@@ -762,4 +817,5 @@ def apply_epoch_dataset(
         staging_dir=staging_dir, shuffle_dir=shuffle_dir, shuffle="file",
         stripe_bytes=stripe_bytes,
         write_schema=merge_engines.state_schema(target, spec),
+        audit=audit,
     )

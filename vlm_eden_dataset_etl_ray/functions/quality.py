@@ -40,6 +40,17 @@ class ExpectationError(ValueError):
     """A batch violated an enforced expectation."""
 
 
+class AuditError(ExpectationError):
+    """A write-audit-publish gate failed: the candidate snapshot violated
+    an expectation, so the epoch's manifest was NOT published (Iceberg-WAP
+    shape; see ``apply.apply_epoch(audit=...)``). ``report`` carries the
+    full per-rule (rule, violations, checked) table."""
+
+    def __init__(self, msg: str, report: pa.Table):
+        super().__init__(msg)
+        self.report = report
+
+
 def rule_name(rule: tuple) -> str:
     kind, col = rule[0], rule[1]
     cols = ",".join(col) if isinstance(col, (tuple, list)) else col

@@ -526,6 +526,55 @@ def replay_events_zone_map_scan(
     )
 
 
+def replay_events_wap(
+    sf_dir: str,
+    workdir: str | None = None,
+) -> rd.Dataset:
+    """Write-audit-publish end-to-end: the events changelog arrives in two
+    lsn-half epochs, both applied through ``apply_epoch_dataset(audit=...)``
+    with the gate ``lsn <= mid``. Epoch 1 (lsn ≤ mid) passes and publishes;
+    epoch 2 (lsn > mid) stages its shuffle, FAILS the audit against the
+    pinned candidate manifest and publishes nothing — the lake must equal
+    an LWW replay of the first half alone (the staged orphans invisible).
+    DuckDB twin: the replay SQL restricted to event_id ≤ mid."""
+    import hashlib
+
+    from vlm_eden_dataset_etl_ray.functions.quality import AuditError
+
+    workdir = workdir or scratch_dir("events_wap_")
+    lake_dir = os.path.join(workdir, "lake")
+    shutil.rmtree(lake_dir, ignore_errors=True)
+    mx = _events_max_lsn(sf_dir)
+    mid = mx // 2
+    rules = [("not_null", "doc_id"), ("in_range", "lsn", 0, mid)]
+
+    def _phase(t: pa.Table, *, first: bool) -> pa.Table:
+        ev = t.column("event_id")
+        m = pc.less_equal(ev, mid) if first else pc.greater(ev, mid)
+        return _derive_batch(t.filter(m), with_tokens=False)
+
+    for first in (True, False):
+        ds = read_table(sf_dir, "events",
+                        columns=["event_id", "user_id", "event_type", "value"])
+        ds = ds.map_batches(_phase, fn_kwargs={"first": first},
+                            batch_format="pyarrow", zero_copy_batch=True)
+        epoch_id = hashlib.sha256(
+            f"events_wap:{os.path.abspath(sf_dir)}:{first}".encode()
+        ).hexdigest()[:16]
+        try:
+            apply_mod.apply_epoch_dataset(lake_dir, ds, epoch_id=epoch_id,
+                                          spec=EVENTS_REPLAY_SPEC, audit=rules)
+            if not first:
+                raise RuntimeError("WAP gate failed to reject the bad epoch")
+        except AuditError:
+            if first:  # the passing half must never trip the gate
+                raise
+    return lake_mod.scan(
+        lake_dir, spec=EVENTS_REPLAY_SPEC,
+        columns=["doc_id", "lsn", "n_tok", "source"],
+    )
+
+
 def replay_events_change_feed(
     sf_dir: str,
     workdir: str | None = None,
