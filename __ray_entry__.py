@@ -143,6 +143,16 @@ def q_cdc_wap_audit(sf_dir):
     return replay_events_wap(sf_dir)
 
 
+def q_cdc_dead_letter(sf_dir):
+    """Dead-letter routing: the changelog's doc_id is nulled where
+    event_id % 97 == 0; ``TableSpec(on_bad_rows="dead_letter")`` diverts
+    exactly those rows to <lake>/_dead_letter/ (verified in-pipeline) and
+    the clean rows converge. Result = LWW replay of the well-formed rows."""
+    from vlm_eden_dataset_etl_ray.pipelines.cdc import replay_events_dead_letter
+
+    return replay_events_dead_letter(sf_dir)
+
+
 def q_dml_delete_update(sf_dir):
     """Predicate DML (Delta-style DELETE/UPDATE without file rewrites):
     replay → DELETE WHERE n_tok < 2000 (tombstone epoch, payload never
@@ -2813,6 +2823,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "cdc_replay_events": q_cdc_replay_events,
         "cdc_wap_audit": q_cdc_wap_audit,
+        "cdc_dead_letter": q_cdc_dead_letter,
         "partial_update_profiles": q_partial_update_profiles,
         "aggregate_merge_totals": q_aggregate_merge_totals,
         "aggregate_merge_stats": q_aggregate_merge_stats,
@@ -3072,6 +3083,21 @@ def oracle_sql() -> dict[str, str]:
                        cast(floor(value * 100) as bigint) as n_tok,
                        event_type as source
                 from events where event_id <= (select m // 2 from mx)),
+            latest as (
+                select * from chg
+                qualify row_number() over (partition by doc_id order by lsn desc) = 1)
+            select doc_id, lsn, n_tok, source from latest where op <> 'delete'
+        """,
+        # dead-letter routing: rows whose key was corrupted (event_id % 97
+        # == 0) divert to the DLQ; the lake equals the clean rows' replay
+        "cdc_dead_letter": """
+            with chg as (
+                select event_id as lsn,
+                       case when event_type = 'error' then 'delete' else 'upsert' end as op,
+                       'doc' || cast(user_id as varchar) as doc_id,
+                       cast(floor(value * 100) as bigint) as n_tok,
+                       event_type as source
+                from events where event_id % 97 <> 0),
             latest as (
                 select * from chg
                 qualify row_number() over (partition by doc_id order by lsn desc) = 1)

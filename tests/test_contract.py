@@ -68,6 +68,7 @@ SUBSET = [
     "join_view_orders",
     "cdc_rehash_replay",
     "cdc_wap_audit",
+    "cdc_dead_letter",
 ]
 
 

@@ -70,6 +70,51 @@ def union_schemas(schemas: list[pa.Schema]) -> pa.Schema:
     return pa.schema([fields[n] for n in order])
 
 
+def screen_bad_rows(t: pa.Table, spec: TableSpec,
+                    dlq_dir: str | None) -> pa.Table:
+    """Apply ``spec.on_bad_rows`` to a unified batch: rows whose key or
+    order (LSN) is NULL cannot be partitioned or merged. Vectorized mask;
+    the clean fast path (no bad rows) costs two null-count reads."""
+    policy = spec.on_bad_rows
+    key_null = t.column(spec.key).null_count > 0
+    ord_null = t.column(spec.order).null_count > 0
+    if not (key_null or ord_null):
+        return t
+    bad = pc.or_kleene(pc.is_null(t.column(spec.key)),
+                       pc.is_null(t.column(spec.order)))
+    bad = pc.fill_null(bad, False)
+    n = pc.sum(bad.cast(pa.int8()).cast(pa.int64())).as_py() or 0
+    if n == 0:
+        return t
+    if policy == "fail":
+        ex = t.filter(bad).slice(0, 3)
+        pairs = list(zip(ex.column(spec.key).to_pylist(),
+                         ex.column(spec.order).to_pylist()))
+        raise ValueError(
+            f"{n} malformed row(s) in a batch of {t.num_rows} (null "
+            f"{spec.key}/{spec.order}); examples (key, order): {pairs}. "
+            "Set TableSpec.on_bad_rows='dead_letter' or 'drop' to divert.")
+    if policy == "dead_letter":
+        if not dlq_dir:
+            raise ValueError("on_bad_rows='dead_letter' needs a lake-backed "
+                             "apply (no DLQ dir on this path)")
+        rows = t.filter(bad)
+        reason = np.where(
+            pc.is_null(rows.column(spec.key)).to_numpy(zero_copy_only=False),
+            np.where(pc.is_null(rows.column(spec.order)).to_numpy(
+                zero_copy_only=False), "null_key,null_order", "null_key"),
+            "null_order")
+        epoch_id = dlq_dir.rstrip("/").rsplit("/", 1)[-1]
+        rows = rows.append_column("__dlq_reason", pa.array(reason, pa.string()))
+        rows = rows.append_column(
+            "__dlq_epoch_id", pa.array([epoch_id] * rows.num_rows, pa.string()))
+        fsio.write_parquet(
+            fsio.join(dlq_dir, f"bad-{uuid.uuid4().hex}.parquet"), rows)
+    elif policy != "drop":
+        raise ValueError(f"unknown on_bad_rows policy {policy!r}")
+    return t.filter(pc.invert(bad))
+
+
 class PrepareBatch:
     """Stateful actor-pool stage (reference analog: ``DatabaseBridge`` opened
     once per worker, ``sync/database_breach.py:8-30``): holds the target
@@ -77,10 +122,12 @@ class PrepareBatch:
     ``schema_ver``, unifies each Arrow batch up to the target, pre-reduces it
     (per-batch LWW) and assigns the hash partition id."""
 
-    def __init__(self, target_schema: pa.Schema, spec: TableSpec, registry=None):
+    def __init__(self, target_schema: pa.Schema, spec: TableSpec, registry=None,
+                 dlq_dir: str | None = None):
         self.target = target_schema
         self.spec = spec
         self.registry = registry
+        self.dlq_dir = dlq_dir
         self._known_ver = None
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -96,6 +143,8 @@ class PrepareBatch:
                         [fl for fl in self.target if fl.name not in drops])
                 self._known_ver = int(maxv)
         t = sch.unify_table(batch, self.target)
+        if spec.on_bad_rows is not None:
+            t = screen_bad_rows(t, spec, self.dlq_dir)
         # stage-1 (salted) reduce, engine-dispatched; append mode (K6) is
         # the identity (no key reduce, keep dups)
         t = merge_engines.pre_reduce(t, spec)
@@ -116,14 +165,21 @@ class PrepareAndSpill(PrepareBatch):
     lives on the shared lake store, exactly like the delta files.
     """
 
-    def __init__(self, target_schema, spec, registry, shuffle_dir: str):
+    def __init__(self, target_schema, spec, registry, shuffle_dir: str,
+                 dlq_dir: str | None = None):
         # explicit base calls (not zero-arg super()): lets tests/users ship
         # subclasses by value through cloudpickle without __class__-cell issues
-        PrepareBatch.__init__(self, target_schema, spec, registry)
+        PrepareBatch.__init__(self, target_schema, spec, registry,
+                              dlq_dir=dlq_dir)
         self.shuffle_dir = shuffle_dir
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         t = PrepareBatch.__call__(self, batch)  # unified, pre-reduced, pid-tagged
+        if t.num_rows == 0:  # e.g. an all-malformed batch after screening
+            return pa.Table.from_pylist([], schema=pa.schema(
+                [("pid", pa.int64()), ("path", pa.string()),
+                 ("rows", pa.int64()), ("bytes", pa.int64()),
+                 ("min_lsn", pa.int64()), ("max_lsn", pa.int64())]))
         t = t.sort_by("pid")
         pids = t.column("pid").to_numpy(zero_copy_only=False)
         bounds = np.flatnonzero(np.diff(pids)) + 1
@@ -521,16 +577,19 @@ def apply_epoch(
     shuffle_dir = fsio.join(staging_dir, "shuffle")
     fsio.makedirs(staging_dir)
 
+    dlq_dir = (fsio.join(lake_dir, "_dead_letter", epoch_id)
+               if spec.on_bad_rows == "dead_letter" else None)
     if shuffle == "file":
         ds, target = changelog_dataset(
             changelog_files, spec, registry,
             batch_size=batch_size, prepare_concurrency=prepare_concurrency,
-            stage_cls=PrepareAndSpill, stage_extra_args=(shuffle_dir,),
+            stage_cls=PrepareAndSpill, stage_extra_args=(shuffle_dir, dlq_dir),
         )
     else:
         ds, target = changelog_dataset(
             changelog_files, spec, registry,
             batch_size=batch_size, prepare_concurrency=prepare_concurrency,
+            stage_extra_args=(dlq_dir,),
         )
 
     schema_version = _resolve_schema_version(target, spec, registry, prev)
@@ -798,10 +857,12 @@ def apply_epoch_dataset(
                 "input dataset has no inferable schema (every block is "
                 "empty); pass target_schema= explicitly")
         target = pa.schema(list(zip(s.names, s.types)))
+    dlq_dir = (fsio.join(lake_dir, "_dead_letter", epoch_id)
+               if spec.on_bad_rows == "dead_letter" else None)
     prepared = ds.map_batches(
         _stateless_stage,
         fn_kwargs={"stage_cls": PrepareAndSpill, "target": target, "spec": spec,
-                   "extra": (shuffle_dir,)},
+                   "extra": (shuffle_dir, dlq_dir)},
         batch_format="pyarrow",
         batch_size=batch_size,
         zero_copy_batch=True,

@@ -498,6 +498,25 @@ def lookup(
     return t.sort_by(spec.key) if spec.key in t.column_names else t
 
 
+def read_dead_letters(lake_dir: str, *, epoch_id: str | None = None):
+    """Dataset of rows diverted by ``TableSpec(on_bad_rows="dead_letter")``
+    — the original row plus ``__dlq_reason`` and ``__dlq_epoch_id`` (the
+    input-set content id that produced it, so a fixed feed can be replayed
+    against exactly its quarantined rows). At-least-once: a retried
+    prepare task may have written a row twice; dedup on content if it
+    matters. Vacuum never touches the DLQ — draining it is an explicit
+    consumer decision (delete the epoch_id dir after reprocessing)."""
+    import ray.data as rd
+
+    root = fsio.join(lake_dir, "_dead_letter")
+    if epoch_id is not None:
+        root = fsio.join(root, epoch_id)
+    files = [p for p, _, _ in fsio.walk_files(root) if p.endswith(".parquet")]
+    if not files:
+        return rd.from_items([])
+    return rd.read_parquet(files)
+
+
 def snapshot(lake_dir: str, **kwargs) -> pa.Table:
     """Driver-side materialized snapshot (tests / small lakes only)."""
     ds = scan(lake_dir, **kwargs)

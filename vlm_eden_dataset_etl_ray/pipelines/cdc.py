@@ -575,6 +575,61 @@ def replay_events_wap(
     )
 
 
+def replay_events_dead_letter(
+    sf_dir: str,
+    workdir: str | None = None,
+) -> rd.Dataset:
+    """Dead-letter routing end-to-end: the derived changelog is corrupted
+    deterministically (doc_id nulled where event_id % 97 == 0 — a feed
+    whose extractor lost the key on some rows) and applied with
+    ``TableSpec(on_bad_rows="dead_letter")``. Malformed rows divert to
+    ``<lake>/_dead_letter/`` and the rest converge; the pipeline verifies
+    the DLQ holds exactly the corrupted rows before returning the live
+    snapshot. DuckDB twin: the replay SQL over event_id % 97 <> 0."""
+    import hashlib
+
+    workdir = workdir or scratch_dir("events_dlq_")
+    lake_dir = os.path.join(workdir, "lake")
+    shutil.rmtree(lake_dir, ignore_errors=True)
+    spec = TableSpec(name="events_replay_dlq", key="doc_id", order="lsn",
+                     num_partitions=16, envelope=(),
+                     on_bad_rows="dead_letter")
+
+    def _derive_corrupt(t: pa.Table) -> pa.Table:
+        d = _derive_batch(t, with_tokens=False)
+        ev = d.column("lsn").to_numpy(zero_copy_only=False)
+        bad = pa.array(ev % 97 == 0)
+        doc = pc.if_else(bad, pa.scalar(None, pa.string()),
+                         d.column("doc_id"))
+        return d.set_column(d.schema.get_field_index("doc_id"),
+                            "doc_id", doc)
+
+    ds = read_table(
+        sf_dir, "events", columns=["event_id", "user_id", "event_type", "value"]
+    ).map_batches(_derive_corrupt, batch_format="pyarrow",
+                  zero_copy_batch=True)
+    epoch_id = hashlib.sha256(
+        f"events_dlq:{os.path.abspath(sf_dir)}".encode()
+    ).hexdigest()[:16]
+    apply_mod.apply_epoch_dataset(lake_dir, ds, epoch_id=epoch_id, spec=spec)
+
+    def _bad_count(t: pa.Table) -> pa.Table:
+        ev = t.column("event_id").to_numpy(zero_copy_only=False)
+        n = int(np.count_nonzero(ev % 97 == 0))
+        return pa.table({"n": pa.array([n], pa.int64())})
+
+    expected_bad = int(read_table(sf_dir, "events", columns=["event_id"])
+                       .map_batches(_bad_count, batch_format="pyarrow",
+                                    zero_copy_batch=True).sum("n"))
+    dlq = lake_mod.read_dead_letters(lake_dir)
+    n_bad = dlq.count()
+    if n_bad != expected_bad:
+        raise RuntimeError(
+            f"DLQ holds {n_bad} rows, expected {expected_bad}")
+    return lake_mod.scan(
+        lake_dir, spec=spec, columns=["doc_id", "lsn", "n_tok", "source"])
+
+
 def replay_events_change_feed(
     sf_dir: str,
     workdir: str | None = None,

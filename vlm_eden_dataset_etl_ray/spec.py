@@ -71,6 +71,21 @@ class TableSpec:
     #: accepts "ignore"/"error" (aggregates are not invertible, so "reset"
     #: is refused at normalize time by way of on-delete checks).
     on_delete: str = "reset"
+    #: malformed-event policy, screened at the prepare stage AFTER schema
+    #: unification (so a shard missing the key/order column entirely is
+    #: caught as all-null, not as a crash deep in the shuffle). A row is
+    #: malformed when its key or its order (LSN) is NULL — no partition,
+    #: no total order, no merge semantics. Policies:
+    #: - None (default): no screening, zero per-batch cost;
+    #: - "fail": raise ValueError with examples (constraint-style refusal);
+    #: - "drop": silently discard malformed rows;
+    #: - "dead_letter": divert them to ``<lake>/_dead_letter/<epoch_id>/``
+    #:   parquet (with ``__dlq_reason``/``__dlq_epoch_id`` columns; read
+    #:   back via ``lake.read_dead_letters``) and apply the rest. Delivery
+    #:   to the DLQ is at-least-once: a retried prepare task re-writes its
+    #:   bad rows under a new file name (same contract as the engine's
+    #:   duplicate-tolerant shuffle slices — consumers dedup if they care).
+    on_bad_rows: str | None = None
     #: RESERVED. Hot-key skew is already absorbed by the per-batch LWW
     #: pre-reduce (each batch is an implicit salt bucket: a key occurring k
     #: times in a batch leaves it exactly once, so the exchange carries
