@@ -292,6 +292,25 @@ def _tombstone_count(t: pa.Table, spec: TableSpec) -> int:
     ).as_py() or 0
 
 
+#: parquet footer key carrying the file's key bloom (Hudi-style file-level
+#: point-lookup index; never in the manifest, so manifests stay slim)
+BLOOM_META_KEY = b"vlm_eden.key_bloom"
+
+
+def with_key_bloom(t: pa.Table, spec: TableSpec) -> pa.Table:
+    """Attach a key bloom to the table's schema metadata (lands in the
+    parquet footer). No-op for files too large for a useful filter at the
+    byte budget — those are the clustered-compaction / zone-map regime."""
+    from vlm_eden_dataset_etl_ray.functions.hashing import key_bloom_build
+
+    payload = key_bloom_build(t.column(spec.key))
+    if payload is None:
+        return t
+    md = dict(t.schema.metadata or {})
+    md[BLOOM_META_KEY] = payload
+    return t.replace_schema_metadata(md)
+
+
 def _write_partition_delta(group: pa.Table, spec: TableSpec, staging_dir: str) -> pa.Table:
     """Final (stage-2) LWW reduce for one partition + idempotent delta write.
     Tombstones are KEPT in the delta so merge-on-read can mask older base
@@ -301,7 +320,7 @@ def _write_partition_delta(group: pa.Table, spec: TableSpec, staging_dir: str) -
     path = fsio.join(staging_dir, f"part-{int(pid):05d}.parquet")
     # stable name, direct write → a retried task overwrites itself; nothing
     # reads the file until the manifest referencing it commits
-    nbytes = fsio.write_parquet(path, t)
+    nbytes = fsio.write_parquet(path, with_key_bloom(t, spec))
     lsns = t.column(spec.order)
     tomb = _tombstone_count(t, spec)
     return pa.table(
@@ -472,7 +491,8 @@ def _merge_slices_and_write(batch: pa.Table, spec: TableSpec, staging_dir: str) 
         t = merge_engines.merge_table(t, spec)
         suffix = f"-s{stripe:02d}" if n_stripes > 1 else ""
         path = fsio.join(staging_dir, f"part-{pid:05d}{suffix}.parquet")
-        nbytes = fsio.write_parquet(path, t)  # stable name, direct write
+        # stable name, direct write
+        nbytes = fsio.write_parquet(path, with_key_bloom(t, spec))
         lsns = t.column(spec.order)
         tomb = _tombstone_count(t, spec)
         out.append(

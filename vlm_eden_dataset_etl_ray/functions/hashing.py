@@ -228,6 +228,84 @@ def _fingerprint() -> str:
 HASH_FN = _fingerprint()
 
 
+def _bloom_k(m_bits: int, n: int) -> int:
+    return max(1, min(8, int(round(0.693 * m_bits / max(1, n)))))
+
+
+def key_bloom_build(keys, *, bits_per_key: int = 10,
+                    max_keys: int = 100_000) -> bytes | None:
+    """Compact bloom filter over a file's key column, for point-lookup
+    file skipping (Hudi-style: stored in the parquet FOOTER, never the
+    manifest, so manifests stay slim at any file count). Returns a JSON
+    payload (bits are base64) or None when the file is too large for a
+    useful filter at this byte budget — base files that big are served by
+    zone maps / clustered compaction instead. The payload records
+    :data:`HASH_FN`; a probe under a different hash implementation
+    ignores the bloom (graceful, never wrong)."""
+    import base64
+    import json
+
+    n = len(keys)
+    if n == 0 or n > max_keys:
+        return None
+    m_bits = _next_pow2_int(max(256, n * bits_per_key))
+    k = _bloom_k(m_bits, n)
+    h1 = hash_strings(keys, seed=0xB100)
+    h2 = hash_strings(keys, seed=0xB101) | np.uint64(1)
+    bits = np.zeros(m_bits, dtype=bool)
+    with np.errstate(over="ignore"):
+        for i in range(k):
+            bits[((h1 + np.uint64(i) * h2) % np.uint64(m_bits))
+                 .astype(np.int64)] = True
+    packed = np.packbits(bits)
+    return json.dumps({
+        "m": m_bits, "k": k, "hash_fn": HASH_FN,
+        "b64": base64.b64encode(packed.tobytes()).decode(),
+    }).encode()
+
+
+def key_bloom_probe_hashes(keys) -> tuple[np.ndarray, np.ndarray]:
+    """The (h1, h2) probe pair for :func:`key_bloom_may_contain_any` —
+    computed once per ask, reused across every file's bloom."""
+    return (hash_strings(keys, seed=0xB100),
+            hash_strings(keys, seed=0xB101) | np.uint64(1))
+
+
+def key_bloom_may_contain_any(payload: bytes, h1: np.ndarray,
+                              h2: np.ndarray) -> bool:
+    """True unless the bloom PROVES none of the asked keys is in the file
+    (false positives possible, false negatives never). Returns True — keep
+    the file — on any payload problem or hash-implementation mismatch."""
+    import base64
+    import json
+
+    try:
+        meta = json.loads(payload)
+        if meta.get("hash_fn") != HASH_FN:
+            return True
+        m = np.uint64(int(meta["m"]))
+        k = int(meta["k"])
+        packed = np.frombuffer(base64.b64decode(meta["b64"]), dtype=np.uint8)
+    except (ValueError, KeyError, TypeError):
+        return True
+    alive = np.ones(len(h1), dtype=bool)
+    with np.errstate(over="ignore"):
+        for i in range(k):
+            idx = (h1[alive] + np.uint64(i) * h2[alive]) % m
+            hit = (packed[(idx >> np.uint64(3)).astype(np.int64)]
+                   >> (np.uint64(7) - (idx & np.uint64(7))).astype(np.uint8)) & 1
+            nxt = np.zeros_like(alive)
+            nxt[np.flatnonzero(alive)[hit.astype(bool)]] = True
+            alive = nxt
+            if not alive.any():
+                return False
+    return True
+
+
+def _next_pow2_int(x: int) -> int:
+    return 1 << max(0, (x - 1).bit_length())
+
+
 def morton_interleave(cols: list[np.ndarray], bits: int = 21) -> np.ndarray:
     """Z-order (Morton) key: interleave the low ``bits`` bits of 2-4
     non-negative integer arrays so that sorting by the result clusters

@@ -83,6 +83,7 @@ def merge_partition_files(
     exclude: frozenset[str] | set[str] | None = None,
     renames: dict[str, list] | None = None,
     finalize: bool = False,
+    key_filter=None,
 ) -> pa.Table:
     """Read one partition's (or stripe's) files — any mix of schema
     versions — unify to the widest schema, LWW-reduce, and (optionally)
@@ -153,6 +154,14 @@ def merge_partition_files(
                     t = t.set_column(
                         i, t.schema.field(i),
                         pa.nulls(t.num_rows, t.schema.field(i).type))
+        if key_filter is not None and spec.key in t.column_names:
+            # point-read restriction BEFORE the merge: merge semantics are
+            # per-key (LWW / partial / aggregate folds never mix keys), so
+            # dropping other keys' rows cannot change the asked keys'
+            # resolution — and the sort/fold then costs O(asked), not
+            # O(file). Tombstones for asked keys pass the filter and mask
+            # as usual.
+            t = t.filter(pc.is_in(t.column(spec.key), value_set=key_filter))
         tables.append(stripe_filter(t, spec, stripe, n_stripes))
     target = union_schemas([t.schema for t in tables])
     tables = [sch.unify_table(t, target) for t in tables]
@@ -175,21 +184,43 @@ def merge_partition_files(
 
 def _merge_read(batch: pa.Table, spec: TableSpec, columns, live_only: bool,
                 schema: pa.Schema, predicate=None, activations=None,
-                exclude=None, renames=None, finalize: bool = False):
+                exclude=None, renames=None, finalize: bool = False,
+                key_filter=None):
     """One stateless task per partition STRIPE: manifest-driven read of the
     stripe's base file(s) plus the partition's deltas (filtered to the
-    stripe's keys)."""
+    stripe's keys). ``key_filter`` (point reads): files whose footer key
+    bloom PROVES no asked key is present are skipped without reading a row
+    group — safe at any delta depth because merge resolution is per-key, so
+    a file holding none of the asked keys contributes nothing to them."""
+    if key_filter is not None:
+        from vlm_eden_dataset_etl_ray.apply import BLOOM_META_KEY
+        from vlm_eden_dataset_etl_ray.functions.hashing import (
+            key_bloom_may_contain_any, key_bloom_probe_hashes)
+
+        h1, h2 = key_bloom_probe_hashes(key_filter)
+
+        def _may_hold(f: str) -> bool:
+            md = fsio.read_parquet_schema(f).metadata or {}
+            payload = md.get(BLOOM_META_KEY)
+            return payload is None or key_bloom_may_contain_any(payload, h1, h2)
+
     for row in batch.to_pylist():
         files = list(row["files"])
+        vers = row.get("vers") or []
+        if key_filter is not None and files:
+            pairs = [(f, v) for f, v in
+                     (zip(files, vers) if vers else ((f, 0) for f in files))
+                     if _may_hold(f)]
+            files = [f for f, _ in pairs]
+            vers = [v for _, v in pairs] if vers else []
         if not files:
             continue
-        vers = row.get("vers") or []
         t = merge_partition_files(
             files, spec, columns=columns, live_only=live_only,
             stripe=int(row.get("stripe", 0)), n_stripes=int(row.get("n_stripes", 1)),
             file_versions=dict(zip(files, vers)) if vers else None,
             activations=activations, exclude=exclude, renames=renames,
-            finalize=finalize,
+            finalize=finalize, key_filter=key_filter,
         )
         t = sch.unify_table(t, schema)
         if predicate is not None:
@@ -362,6 +393,7 @@ def scan(
     asof_epoch: int | None = None,
     pids=None,
     stats_filter: tuple | None = None,
+    key_filter=None,
 ) -> rd.Dataset:
     """Streaming merge-on-read scan of the latest committed snapshot.
 
@@ -388,7 +420,19 @@ def scan(
     delta resurrect an older version of a key whose newest record was
     pruned). Files with no recorded stats are always read. The realistic
     win is time-ordered columns (watermark / recent-window reads touch
-    only recent epochs' files)."""
+    only recent epochs' files).
+
+    ``key_filter`` (an Arrow array / list of key values) is the POINT-READ
+    path: files whose footer key bloom (written with every delta and
+    compacted file up to a size budget; see ``apply.with_key_bloom``)
+    proves no asked key is present are skipped without reading a row
+    group, and surviving files are restricted to the asked keys BEFORE
+    the merge — both safe at any delta depth because merge resolution is
+    per-key. Result equals a post-scan ``is_in`` filter."""
+    if key_filter is not None and not isinstance(key_filter, pa.Array):
+        key_filter = (key_filter.combine_chunks()
+                      if isinstance(key_filter, pa.ChunkedArray)
+                      else pa.array(list(key_filter)))
     if manifest is None and asof_epoch is not None:
         manifest = mf.load(lake_dir, asof_epoch)
     m = manifest or mf.latest(lake_dir)
@@ -450,6 +494,7 @@ def scan(
             "exclude": exclude or None,
             "renames": renames,
             "finalize": finalize,
+            "key_filter": key_filter,
         },
         batch_size=1,
         batch_format="pyarrow",
@@ -484,7 +529,7 @@ def lookup(
     num_p = m.num_partitions if m is not None else spec.num_partitions
     pids = sorted(set(partition_ids(karr, num_p).tolist()))
     ds = scan(lake_dir, spec=spec, columns=columns, live_only=live_only,
-              manifest=m, pids=pids)
+              manifest=m, pids=pids, key_filter=karr)
 
     def _keep(t: pa.Table) -> pa.Table:
         return t.filter(pc.is_in(t.column(spec.key), value_set=karr))
@@ -1190,7 +1235,10 @@ def compact(
                 cpart = f"-c{j:03d}" if len(slices) > 1 else ""
                 path = fsio.join(
                     base_dir, f"part-{pid:05d}{suffix}{cpart}.parquet")
-                nbytes = fsio.write_parquet(path, sl)  # stable name
+                from vlm_eden_dataset_etl_ray.apply import with_key_bloom
+
+                # stable name
+                nbytes = fsio.write_parquet(path, with_key_bloom(sl, spec))
                 wm = (pc.max(sl.column(spec.order)).as_py()
                       if sl.num_rows else -1)
                 rows.append(
