@@ -562,6 +562,52 @@ def read_dead_letters(lake_dir: str, *, epoch_id: str | None = None):
     return rd.read_parquet(files)
 
 
+def replay_dead_letters(lake_dir: str, fix_fn, *,
+                        spec: TableSpec = TOKENS_SPEC,
+                        epoch_id: str | None = None) -> "mf.Manifest | None":
+    """Drain the DLQ back into the lake: read the quarantined rows (one
+    epoch_id's, or all), run ``fix_fn(pa.Table) -> pa.Table`` per batch to
+    repair them (fill the key, recover the LSN, drop the hopeless — the
+    DLQ columns are stripped first), apply the result as ONE new epoch
+    whose id derives from the drained file set (exactly-once: a crashed
+    drain re-runs safely, a completed one is skipped), and delete the
+    drained files only after the epoch commits. Rows still malformed
+    after ``fix_fn`` follow ``spec.on_bad_rows`` — with "dead_letter"
+    they land back in the DLQ under the NEW epoch's id, so repeated
+    drains converge on the truly hopeless rows instead of looping."""
+    import hashlib
+
+    from vlm_eden_dataset_etl_ray import apply as apply_mod
+
+    root = fsio.join(lake_dir, "_dead_letter")
+    if epoch_id is not None:
+        root = fsio.join(root, epoch_id)
+    files = sorted(p for p, _, _ in fsio.walk_files(root)
+                   if p.endswith(".parquet"))
+    if not files:
+        return None
+    drain_id = "dlq-" + hashlib.sha256(
+        "\n".join(files).encode()).hexdigest()[:16]
+
+    def _fix(t: pa.Table) -> pa.Table:
+        t = t.drop_columns([c for c in ("__dlq_reason", "__dlq_epoch_id")
+                            if c in t.column_names])
+        return fix_fn(t)
+
+    import ray.data as rd
+
+    ds = rd.read_parquet(files).map_batches(_fix, batch_format="pyarrow",
+                                            zero_copy_batch=True)
+    m = apply_mod.apply_epoch_dataset(lake_dir, ds, epoch_id=drain_id,
+                                      spec=spec, input_files=files)
+    for f in files:
+        try:
+            fsio.delete_file(f)
+        except (FileNotFoundError, OSError):
+            pass
+    return m
+
+
 def snapshot(lake_dir: str, **kwargs) -> pa.Table:
     """Driver-side materialized snapshot (tests / small lakes only)."""
     ds = scan(lake_dir, **kwargs)
