@@ -128,6 +128,8 @@ BENCH_QUERIES = [
     # covers its correctness at sf0.01.
     "cdc_merge_into",
     "cdc_rehash_replay",
+    "cdc_wap_audit",
+    "cdc_dead_letter",
     "snm_part_names",
     "join_view_orders",
     # round-4: pluggable merge engines + Debezium-envelope ingest
