@@ -82,3 +82,28 @@ def test_cli_dml(tmp_path):
     t = pq.read_table(out)
     toks = t.column("n_tok").to_pylist()
     assert all(v is None or v >= 5 for v in toks)
+
+
+def test_cli_dlq(tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from vlm_eden_dataset_etl_ray import apply
+    from vlm_eden_dataset_etl_ray.spec import TableSpec
+
+    lake = str(tmp_path / "lake")
+    f = str(tmp_path / "s.parquet")
+    pq.write_table(pa.table({
+        "k": pa.array(["a", None], pa.string()),
+        "lsn": pa.array([1, 2], pa.int64()),
+        "v": pa.array([1, 2], pa.int64()),
+    }), f)
+    spec = TableSpec(name="cli_dlq", key="k", order="lsn", num_partitions=2,
+                     envelope=(), on_bad_rows="dead_letter")
+    apply.apply_epoch(lake, [f], spec=spec)
+
+    rep = _run("dlq", "--lake", lake)
+    assert rep["rows"] == 1 and rep["by_reason"] == {"null_key": 1}
+    purged = _run("dlq", "--lake", lake, "--purge")
+    assert purged["purged_files"] == 1
+    assert _run("dlq", "--lake", lake)["rows"] == 0

@@ -94,3 +94,19 @@ def test_dead_letter_on_dataset_apply(tmp_path):
     assert lake.snapshot(lake_dir, spec=spec).column("v").to_pylist() == [7]
     dl = lake.read_dead_letters(lake_dir).take_all()
     assert len(dl) == 1 and dl[0]["__dlq_epoch_id"] == "eD"
+
+
+def test_dead_letter_on_partial_update_engine(tmp_path):
+    # the screen runs before engine normalization, so merge engines see
+    # only well-formed rows
+    lake_dir = str(tmp_path / "lake")
+    spec = TableSpec(name="t_dlq_pu", key="k", order="lsn", num_partitions=2,
+                     envelope=(), merge_engine="partial_update",
+                     on_bad_rows="dead_letter")
+    f = _shard(tmp_path / "s.parquet", ["a", None, "a"], [1, 2, None],
+               [10, 20, 30])
+    apply.apply_epoch(lake_dir, [f], spec=spec)
+    snap = lake.snapshot(lake_dir, spec=spec)
+    assert snap.column("k").to_pylist() == ["a"]
+    assert snap.column("v").to_pylist() == [10]
+    assert lake.read_dead_letters(lake_dir).count() == 2

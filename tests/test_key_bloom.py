@@ -120,3 +120,21 @@ def test_oversize_files_skip_bloom_but_lookup_still_exact(tmp_path):
     assert apply.BLOOM_META_KEY not in md
     t = lake.lookup(lake_dir, ["big54321"], spec=SPEC)
     assert t.num_rows == 1 and t.column("v")[0].as_py() == 7
+
+
+def test_lookup_after_clustered_compaction(tmp_path):
+    # compaction rewrites files (with blooms when under budget); point
+    # lookups stay exact across the rewrite
+    lake_dir = str(tmp_path / "lake")
+    for i in range(4):
+        ks = [f"c{i}_{j}" for j in range(30)]
+        f = _epoch(tmp_path, i, ks, list(range(i * 30, i * 30 + 30)),
+                   [i] * 30)
+        apply.apply_epoch(lake_dir, [f], spec=SPEC)
+    lake.compact(lake_dir, spec=SPEC)
+    t = lake.lookup(lake_dir, ["c2_5", "c0_29"], spec=SPEC)
+    assert sorted(t.column("v").to_pylist()) == [0, 2]
+    from vlm_eden_dataset_etl_ray import fsio
+    m = mf.latest(lake_dir)
+    assert any(apply.BLOOM_META_KEY in (fsio.read_parquet_schema(f).metadata
+                                        or {}) for f in m.files(0))

@@ -192,6 +192,39 @@ def cmd_lookup(args) -> dict:
     return {"rows": t.to_pylist()}
 
 
+def cmd_dlq(args) -> dict:
+    """Inspect (default) or purge the dead-letter queue. Inspection
+    reports per-epoch-id row counts and reason histogram; ``--purge``
+    deletes the listed files AFTER printing the report (rows handled out
+    of band — programmatic repair goes through
+    ``lake.replay_dead_letters``)."""
+    from collections import Counter
+
+    from vlm_eden_dataset_etl_ray import fsio, lake
+
+    _ray_session()
+    dl = lake.read_dead_letters(args.lake, epoch_id=args.epoch_id)
+    rows = dl.take_all()
+    by_epoch: Counter = Counter()
+    by_reason: Counter = Counter()
+    for r in rows:
+        by_epoch[r.get("__dlq_epoch_id", "?")] += 1
+        by_reason[r.get("__dlq_reason", "?")] += 1
+    out = {"rows": len(rows), "by_epoch_id": dict(by_epoch),
+           "by_reason": dict(by_reason)}
+    if args.purge:
+        root = fsio.join(args.lake, "_dead_letter")
+        if args.epoch_id:
+            root = fsio.join(root, args.epoch_id)
+        purged = 0
+        for p, _, _ in list(fsio.walk_files(root)):
+            if p.endswith(".parquet"):
+                fsio.delete_file(p)
+                purged += 1
+        out["purged_files"] = purged
+    return out
+
+
 def cmd_gen(args) -> dict:
     from vlm_eden_dataset_etl_ray import changelog as cl
 
@@ -335,6 +368,9 @@ def main(argv=None) -> int:
     add("lookup", cmd_lookup, **{"--lake": {"required": True},
                                  "--keys": {"required": True},
                                  "--columns": {"default": None}})
+    add("dlq", cmd_dlq, **{"--lake": {"required": True},
+                           "--epoch-id": {"default": None, "dest": "epoch_id"},
+                           "--purge": {"action": "store_true"}})
     add("delete", cmd_delete, **{"--lake": {"required": True},
                                  "--where": {"required": True, "action": "append"},
                                  "--op-id": {"default": None, "dest": "op_id"}})
