@@ -122,3 +122,54 @@ def test_audited_dataset_apply(tmp_path):
     m = apply.apply_epoch_dataset(lake_dir, rd.from_arrow(ok), epoch_id="e1",
                                   spec=SPEC, audit=[("in_range", "v", 0, 9)])
     assert m.epoch == 1
+
+
+def test_warehouse_stays_consistent_when_one_table_fails_audit(tmp_path):
+    """Warehouse-level WAP by construction: the fact's failed audit aborts
+    its lake epoch, so the atomic warehouse marker never publishes and
+    readers through the warehouse keep the previous CONSISTENT (dim+fact)
+    pair — including the dim's already-committed new epoch staying
+    invisible; the corrected re-run skips the dim (exactly-once) and
+    publishes both."""
+    from vlm_eden_dataset_etl_ray import warehouse as wh
+
+    wdir = str(tmp_path / "wh")
+    dim_dir, fact_dir = str(tmp_path / "dim"), str(tmp_path / "fact")
+    rules = [("in_range", "v", 0, 100)]
+
+    def sync(tag, dim_rows, fact_rows, fact_audit=rules):
+        f1 = _shard(tmp_path / f"d_{tag}.parquet", *dim_rows)
+        f2 = _shard(tmp_path / f"f_{tag}.parquet", *fact_rows)
+        md = apply.apply_epoch(dim_dir, [f1], spec=SPEC, audit=rules)
+        mf_ = apply.apply_epoch(fact_dir, [f2], spec=SPEC, audit=fact_audit)
+        return wh.commit_epoch(
+            wdir, {"dim": (dim_dir, md.epoch), "fact": (fact_dir, mf_.epoch)},
+            epoch_id=f"sync-{tag}")
+
+    m1 = sync("a", (["d1"], [1], [10]), (["f1"], [1], [20]))
+    assert m1.epoch == 1
+
+    # second sync: dim applies, fact FAILS its audit → no warehouse epoch
+    f1 = _shard(tmp_path / "d_b.parquet", ["d2"], [2], [30])
+    apply.apply_epoch(dim_dir, [f1], spec=SPEC, audit=rules)
+    f2 = _shard(tmp_path / "f_b.parquet", ["f2"], [2], [-40])
+    with pytest.raises(AuditError):
+        apply.apply_epoch(fact_dir, [f2], spec=SPEC, audit=rules)
+    assert wh.latest(wdir).epoch == 1
+    # warehouse readers still see sync-a's pair: the dim's epoch-2 row is
+    # invisible through the warehouse even though its lake committed
+    dim_t = wh.scan(wdir, "dim", spec=SPEC).take_all()
+    assert sorted(r["k"] for r in dim_t) == ["d1"]
+
+    # corrected fact: dim epoch is skipped (exactly-once), both publish
+    f2ok = _shard(tmp_path / "f_b2.parquet", ["f2"], [2], [40])
+    mfac = apply.apply_epoch(fact_dir, [f2ok], spec=SPEC, audit=rules)
+    mdim = mf.latest(dim_dir)
+    m2 = wh.commit_epoch(wdir, {"dim": (dim_dir, mdim.epoch),
+                                "fact": (fact_dir, mfac.epoch)},
+                         epoch_id="sync-b")
+    assert m2.epoch == 2
+    dim_t = wh.scan(wdir, "dim", spec=SPEC).take_all()
+    fact_t = wh.scan(wdir, "fact", spec=SPEC).take_all()
+    assert sorted(r["k"] for r in dim_t) == ["d1", "d2"]
+    assert sorted(r["v"] for r in fact_t) == [20, 40]
