@@ -111,10 +111,12 @@ def _write_shard(path, rows, payload_cols):
     return str(path)
 
 
-def _run_case(tmp_path, seed):
+def _run_case(tmp_path, seed, bad_frac: float = 0.0):
     rng = np.random.default_rng(seed)
-    spec = TableSpec(name="fz", key="doc_id", order="lsn", num_partitions=2)
+    spec = TableSpec(name="fz", key="doc_id", order="lsn", num_partitions=2,
+                     on_bad_rows="dead_letter" if bad_frac else None)
     lake_dir = str(tmp_path / f"lake{seed}")
+    n_bad = 0
     payload = ["src"]
     reg = make_registry_actor(lake_dir, seed_versions={1: _schema(payload)})
     ora = Oracle(["n_tok"] + payload)
@@ -124,7 +126,7 @@ def _run_case(tmp_path, seed):
     dropped_pool = []  # names available for re-add
 
     def do_apply():
-        nonlocal lsn, shard_i
+        nonlocal lsn, shard_i, n_bad
         n = int(rng.integers(2, 6))
         rows = []
         for _ in range(n):
@@ -135,13 +137,25 @@ def _run_case(tmp_path, seed):
                     **{c: (f"{c}={doc}@{lsn}" if rng.random() < 0.8
                            else None) for c in payload}}
             rows.append((doc, lsn, op, vals))
+        oracle_rows = list(rows)
+        if bad_frac:
+            # malformed extras the screen must divert: null key, null lsn,
+            # or both — the oracle never sees them
+            for _ in range(int(rng.integers(0, 3))):
+                if rng.random() >= bad_frac:
+                    continue
+                shape = rng.integers(0, 3)
+                lsn_ = None if shape != 0 else (lsn + 1000)
+                doc_ = None if shape != 1 else "dX"
+                rows.append((doc_, lsn_, "upsert", {"n_tok": 1}))
+                n_bad += 1
         f = _write_shard(tmp_path / f"s{seed}_{shard_i}.parquet",
                          rows, payload)
         shard_i += 1
         apply.apply_epoch(lake_dir, [f], spec=spec, registry=reg)
         ora.apply_rows([(d, L, o,
                          {k: v for k, v in vals.items() if o == "upsert"})
-                        for d, L, o, vals in rows])
+                        for d, L, o, vals in oracle_rows])
 
     # ops are only meaningful against a non-empty lake: always start with
     # an apply, and re-apply between migrations with 70% probability
@@ -199,8 +213,25 @@ def _run_case(tmp_path, seed):
     assert got == exp, (
         f"seed {seed}: lake != oracle\nlake:   {sorted(got.items())}\n"
         f"oracle: {sorted(exp.items())}")
+    if bad_frac:
+        assert lake.read_dead_letters(lake_dir).count() == n_bad, seed
 
 
 @pytest.mark.parametrize("seed", range(SEED_START, SEED_START + N_CASES))
 def test_evolution_composition_matches_serial_oracle(tmp_path, seed):
     _run_case(tmp_path, seed)
+
+
+# dead-letter screening composed with the full evolution matrix: malformed
+# extras (null key / null lsn / both) are injected into random epochs; the
+# oracle never sees them, the DLQ must hold exactly them, and the visible
+# state must still equal the serial oracle through drops/renames/rehash/
+# compaction. Smaller default count — each case already runs the full op
+# sequence (FUZZ_DLQ_CASES to widen).
+N_DLQ_CASES = int(os.environ.get("FUZZ_DLQ_CASES", "15"))
+
+
+@pytest.mark.parametrize("seed",
+                         range(SEED_START + 500, SEED_START + 500 + N_DLQ_CASES))
+def test_evolution_composition_with_dead_letter_screen(tmp_path, seed):
+    _run_case(tmp_path, seed, bad_frac=0.6)
