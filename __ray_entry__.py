@@ -143,6 +143,16 @@ def q_cdc_wap_audit(sf_dir):
     return replay_events_wap(sf_dir)
 
 
+def q_cdc_point_lookup(sf_dir):
+    """Point reads through the bloom path: replay, then lake.lookup of
+    doc1..doc10 — partition pruning + footer-bloom file skipping +
+    pre-merge key restriction; result = the asked ids' live rows."""
+    from vlm_eden_dataset_etl_ray.pipelines.cdc import (
+        replay_events_point_lookup)
+
+    return replay_events_point_lookup(sf_dir)
+
+
 def q_cdc_dead_letter(sf_dir):
     """Dead-letter routing: the changelog's doc_id is nulled where
     event_id % 97 == 0; ``TableSpec(on_bad_rows="dead_letter")`` diverts
@@ -2824,6 +2834,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_replay_events": q_cdc_replay_events,
         "cdc_wap_audit": q_cdc_wap_audit,
         "cdc_dead_letter": q_cdc_dead_letter,
+        "cdc_point_lookup": q_cdc_point_lookup,
         "partial_update_profiles": q_partial_update_profiles,
         "aggregate_merge_totals": q_aggregate_merge_totals,
         "aggregate_merge_stats": q_aggregate_merge_stats,
@@ -3087,6 +3098,23 @@ def oracle_sql() -> dict[str, str]:
                 select * from chg
                 qualify row_number() over (partition by doc_id order by lsn desc) = 1)
             select doc_id, lsn, n_tok, source from latest where op <> 'delete'
+        """,
+        # point lookup: the replay LWW state restricted to ten asked ids
+        "cdc_point_lookup": """
+            with chg as (
+                select event_id as lsn,
+                       case when event_type = 'error' then 'delete' else 'upsert' end as op,
+                       'doc' || cast(user_id as varchar) as doc_id,
+                       cast(floor(value * 100) as bigint) as n_tok,
+                       event_type as source
+                from events),
+            latest as (
+                select * from chg
+                qualify row_number() over (partition by doc_id order by lsn desc) = 1)
+            select doc_id, lsn, n_tok, source from latest
+            where op <> 'delete'
+              and doc_id in ('doc1','doc2','doc3','doc4','doc5',
+                             'doc6','doc7','doc8','doc9','doc10')
         """,
         # dead-letter routing: rows whose key was corrupted (event_id % 97
         # == 0) divert to the DLQ; the lake equals the clean rows' replay

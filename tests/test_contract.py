@@ -69,6 +69,7 @@ SUBSET = [
     "cdc_rehash_replay",
     "cdc_wap_audit",
     "cdc_dead_letter",
+    "cdc_point_lookup",
 ]
 
 

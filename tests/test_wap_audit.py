@@ -173,3 +173,26 @@ def test_warehouse_stays_consistent_when_one_table_fails_audit(tmp_path):
     fact_t = wh.scan(wdir, "fact", spec=SPEC).take_all()
     assert sorted(r["k"] for r in dim_t) == ["d1", "d2"]
     assert sorted(r["v"] for r in fact_t) == [20, 40]
+
+
+def test_audit_sees_finalized_values_on_aggregate_engine(tmp_path):
+    """Non-LWW lakes audit the FINALIZED user-facing view (the candidate
+    scan runs live_only, so engine-internal state columns are folded):
+    an in_range rule on a running total gates the accumulated value, not
+    the per-epoch contribution."""
+    lake_dir = str(tmp_path / "lake")
+    spec = TableSpec(name="t_wap_agg", key="k", order="lsn",
+                     num_partitions=2, envelope=(), merge_engine="aggregate",
+                     aggregations=(("v", "sum"),), on_delete="error")
+    rules = [("in_range", "v", 0, 100)]
+    f1 = _shard(tmp_path / "s1.parquet", ["a", "a"], [1, 2], [40, 30])
+    m1 = apply.apply_epoch(lake_dir, [f1], spec=spec, audit=rules)  # 70 ok
+    assert m1.epoch == 1
+    # +40 pushes the accumulated total to 110 > 100 — refused even though
+    # the epoch's own contribution (40) passes the rule
+    f2 = _shard(tmp_path / "s2.parquet", ["a"], [3], [40])
+    with pytest.raises(AuditError):
+        apply.apply_epoch(lake_dir, [f2], spec=spec, audit=rules)
+    assert mf.latest(lake_dir).epoch == 1
+    snap = lake.snapshot(lake_dir, spec=spec)
+    assert snap.column("v").to_pylist() == [70]

@@ -575,6 +575,37 @@ def replay_events_wap(
     )
 
 
+def replay_events_point_lookup(
+    sf_dir: str,
+    workdir: str | None = None,
+    doc_ids: tuple[str, ...] = tuple(f"doc{i}" for i in range(1, 11)),
+) -> pa.Table:
+    """Point reads through the bloom path: replay the events changelog,
+    then ``lake.lookup`` a fixed id list — partition pruning (keys hash to
+    pids), footer-bloom file skipping, and the pre-merge key restriction
+    all engage. Returns the live rows for the asked ids (deleted/missing
+    ids absent). DuckDB twin: the replay SQL with ``doc_id IN (...)``."""
+    import hashlib
+
+    workdir = workdir or scratch_dir("events_lookup_")
+    lake_dir = os.path.join(workdir, "lake")
+    shutil.rmtree(lake_dir, ignore_errors=True)
+    ds = read_table(
+        sf_dir, "events", columns=["event_id", "user_id", "event_type", "value"]
+    ).map_batches(
+        _derive_batch, fn_kwargs={"with_tokens": False},
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    epoch_id = hashlib.sha256(
+        f"events_lookup:{os.path.abspath(sf_dir)}".encode()
+    ).hexdigest()[:16]
+    apply_mod.apply_epoch_dataset(lake_dir, ds, epoch_id=epoch_id,
+                                  spec=EVENTS_REPLAY_SPEC)
+    return lake_mod.lookup(
+        lake_dir, list(doc_ids), spec=EVENTS_REPLAY_SPEC,
+        columns=["doc_id", "lsn", "n_tok", "source"])
+
+
 def replay_events_dead_letter(
     sf_dir: str,
     workdir: str | None = None,
