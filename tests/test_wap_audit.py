@@ -196,3 +196,37 @@ def test_audit_sees_finalized_values_on_aggregate_engine(tmp_path):
     assert mf.latest(lake_dir).epoch == 1
     snap = lake.snapshot(lake_dir, spec=spec)
     assert snap.column("v").to_pylist() == [70]
+
+
+def test_incremental_tail_parks_on_audited_bad_chunk(tmp_path):
+    """run_incremental(audit=...) with a byte-capped backlog: chunks before
+    the violating shard commit, the bad chunk is refused with nothing
+    recorded, and the re-tick after fixing the shard resumes exactly there
+    (file-set lineage: fixed shard = new file = pending)."""
+    import os
+
+    from vlm_eden_dataset_etl_ray.pipelines.cdc import run_incremental
+
+    chg = tmp_path / "chg"
+    chg.mkdir()
+    lake_dir = str(tmp_path / "lake")
+    rules = [("in_range", "v", 0, 100)]
+    _shard(chg / "a.parquet", ["a"], [1], [10])
+    _shard(chg / "b.parquet", ["b"], [2], [-20])  # violates
+    _shard(chg / "c.parquet", ["c"], [3], [30])
+    with pytest.raises(AuditError):
+        run_incremental(lake_dir, str(chg), spec=SPEC, audit=rules,
+                        max_epoch_bytes=1)  # one shard per epoch
+    m = mf.latest(lake_dir)
+    assert m.epoch == 1  # chunk "a" committed, tail parked on "b"
+    assert lake.snapshot(lake_dir, spec=SPEC).column("v").to_pylist() == [10]
+
+    os.remove(chg / "b.parquet")
+    _shard(chg / "b2.parquet", ["b"], [2], [20])
+    m = run_incremental(lake_dir, str(chg), spec=SPEC, audit=rules,
+                        max_epoch_bytes=1)
+    assert m.epoch == 3  # b2 and c applied in order
+    snap = lake.snapshot(lake_dir, spec=SPEC)
+    assert dict(zip(snap.column("k").to_pylist(),
+                    snap.column("v").to_pylist())) == {"a": 10, "b": 20,
+                                                       "c": 30}

@@ -64,12 +64,43 @@ def cmd_apply(args) -> dict:
     return {"epoch": m.epoch, "rows": m.total_rows(), "schema_version": m.schema_version}
 
 
+def _parse_audit(flags: list[str] | None) -> list[tuple] | None:
+    """CLI rule grammar (one rule per --audit flag):
+    not_null:col | unique:col[,col2] | in_range:col:lo:hi |
+    accepted_values:col:v1|v2|... | matches_regex:col:pattern"""
+    if not flags:
+        return None
+    rules: list[tuple] = []
+    for f in flags:
+        kind, _, rest = f.partition(":")
+        if kind == "not_null":
+            rules.append(("not_null", rest))
+        elif kind == "unique":
+            cols = rest.split(",")
+            rules.append(("unique", cols[0] if len(cols) == 1
+                          else tuple(cols)))
+        elif kind == "in_range":
+            col, lo, hi = rest.split(":")
+            rules.append(("in_range", col, float(lo) if "." in lo
+                          else int(lo), float(hi) if "." in hi else int(hi)))
+        elif kind == "accepted_values":
+            col, _, vals = rest.partition(":")
+            rules.append(("accepted_values", col, tuple(vals.split("|"))))
+        elif kind == "matches_regex":
+            col, _, pat = rest.partition(":")
+            rules.append(("matches_regex", col, pat))
+        else:
+            raise SystemExit(f"unknown audit rule kind {kind!r}")
+    return rules
+
+
 def cmd_tail(args) -> dict:
     from vlm_eden_dataset_etl_ray.pipelines.cdc import run_incremental
 
     _ray_session()
     m = run_incremental(args.lake, args.changelog[0],
-                        max_epoch_bytes=args.max_epoch_bytes or None)
+                        max_epoch_bytes=args.max_epoch_bytes or None,
+                        audit=_parse_audit(args.audit))
     return {"epoch": m.epoch, "rows": m.total_rows(),
             "applied_inputs": len(m.applied_inputs)}
 
@@ -82,7 +113,8 @@ def cmd_tail_debezium(args) -> dict:
 
     _ray_session()
     m = run_incremental_debezium(args.lake, args.envelopes,
-                                 max_epoch_bytes=args.max_epoch_bytes or None)
+                                 max_epoch_bytes=args.max_epoch_bytes or None,
+                                 audit=_parse_audit(args.audit))
     if m is None:
         return {"epoch": 0, "rows": 0, "applied_inputs": 0}
     return {"epoch": m.epoch, "rows": m.total_rows(),
@@ -335,12 +367,14 @@ def main(argv=None) -> int:
     add("tail", cmd_tail, **{"--lake": {"required": True},
                              "--changelog": {"required": True, "nargs": 1},
                              "--max-epoch-bytes": {"type": int, "default": 0,
-                                                   "dest": "max_epoch_bytes"}})
+                                                   "dest": "max_epoch_bytes"},
+                             "--audit": {"action": "append", "default": None}})
     add("tail-debezium", cmd_tail_debezium, **{
         "--lake": {"required": True},
         "--envelopes": {"required": True},
         "--max-epoch-bytes": {"type": int, "default": 0,
-                              "dest": "max_epoch_bytes"}})
+                              "dest": "max_epoch_bytes"},
+        "--audit": {"action": "append", "default": None}})
     add("rehash", cmd_rehash, **{
         "--lake": {"required": True},
         "--partitions": {"type": int, "required": True}})

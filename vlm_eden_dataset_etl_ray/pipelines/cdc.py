@@ -104,9 +104,17 @@ def run_incremental(
     registry=None,
     batch_size: int = 65536,
     max_epoch_bytes: int | None = None,
+    audit: list[tuple] | None = None,
 ):
     """Tail the changelog directory: apply every shard file not yet recorded
     in a committed manifest.
+
+    ``audit`` gates every tick's epoch(s) write-audit-publish style (see
+    :func:`..apply.apply_epoch`): a violating epoch raises
+    ``quality.AuditError`` with nothing published and nothing recorded, so
+    the tail stays parked on the bad shard until the feed (or the rules)
+    are fixed — with ``max_epoch_bytes`` chunking, chunks before the bad
+    one stay committed and the re-run resumes at the refused chunk.
 
     This is the reference's 10-minute polling loop
     (/root/reference/celery_config.py:24 + sync/sync_base.py:47-59) with the
@@ -148,12 +156,12 @@ def run_incremental(
     if max_epoch_bytes is None:
         return apply_mod.apply_epoch(
             lake_dir, pending, spec=spec, registry=registry,
-            batch_size=batch_size)
+            batch_size=batch_size, audit=audit)
     m = None
     for chunk in _chunk_by_bytes(pending, max_epoch_bytes):
         m = apply_mod.apply_epoch(
             lake_dir, chunk, spec=spec, registry=registry,
-            batch_size=batch_size)
+            batch_size=batch_size, audit=audit)
     return m
 
 
@@ -181,6 +189,7 @@ def run_incremental_debezium(
     batch_size: int = 65536,
     max_epoch_bytes: int | None = None,
     columns: list[str] | None = None,
+    audit: list[tuple] | None = None,
 ):
     """Tail a directory of Debezium-envelope JSONL shards (the push-based
     WAL-tail twin of :func:`run_incremental`'s parquet poll): every shard
@@ -215,7 +224,7 @@ def run_incremental_debezium(
             ("dbz:" + "|".join(chunk)).encode()).hexdigest()[:16]
         m = apply_mod.apply_epoch_dataset(
             lake_dir, ds, epoch_id=epoch_id, spec=spec, registry=registry,
-            batch_size=batch_size, input_files=list(chunk))
+            batch_size=batch_size, input_files=list(chunk), audit=audit)
     return m
 
 
