@@ -55,3 +55,34 @@ def test_drain_repairs_and_is_exactly_once(tmp_path):
 
     lake.replay_dead_letters(lake_dir, drop_all, spec=SPEC)
     assert lake.replay_dead_letters(lake_dir, drop_all, spec=SPEC) is None
+
+
+def test_dlq_reads_across_schema_evolution(tmp_path):
+    """DLQ files quarantined before and after a widening migration carry
+    different physical schemas; reads unify to the union (missing columns
+    as nulls) and the drain still applies."""
+    lake_dir = str(tmp_path / "lake")
+    f1 = str(tmp_path / "s1.parquet")
+    pq.write_table(pa.table({
+        "k": pa.array([None], pa.string()), "lsn": pa.array([1], pa.int64()),
+        "v": pa.array([10], pa.int64())}), f1)
+    f2 = str(tmp_path / "s2.parquet")
+    pq.write_table(pa.table({
+        "k": pa.array([None], pa.string()), "lsn": pa.array([2], pa.int64()),
+        "v": pa.array([20], pa.int64()),
+        "extra": pa.array(["x"], pa.string())}), f2)
+    apply.apply_epoch(lake_dir, [f1], spec=SPEC)
+    apply.apply_epoch(lake_dir, [f2], spec=SPEC)
+    rows = lake.read_dead_letters(lake_dir).take_all()
+    assert len(rows) == 2
+    by_lsn = {r["lsn"]: r for r in rows}
+    assert by_lsn[1].get("extra") is None and by_lsn[2]["extra"] == "x"
+
+    def fix(t: pa.Table) -> pa.Table:
+        k = pa.array([f"fixed{v}" for v in t.column("lsn").to_pylist()])
+        return t.set_column(t.schema.get_field_index("k"), "k", k)
+
+    lake.replay_dead_letters(lake_dir, fix, spec=SPEC)
+    snap = lake.snapshot(lake_dir, spec=SPEC)
+    assert sorted(snap.column("k").to_pylist()) == ["fixed1", "fixed2"]
+    assert lake.read_dead_letters(lake_dir).count() == 0

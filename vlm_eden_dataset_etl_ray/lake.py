@@ -551,15 +551,41 @@ def read_dead_letters(lake_dir: str, *, epoch_id: str | None = None):
     prepare task may have written a row twice; dedup on content if it
     matters. Vacuum never touches the DLQ — draining it is an explicit
     consumer decision (delete the epoch_id dir after reprocessing)."""
-    import ray.data as rd
-
     root = fsio.join(lake_dir, "_dead_letter")
     if epoch_id is not None:
         root = fsio.join(root, epoch_id)
     files = [p for p, _, _ in fsio.walk_files(root) if p.endswith(".parquet")]
+    return _read_mixed_schema_files(files)
+
+
+def _read_mixed_schema_files(files: list[str]):
+    """Dataset over parquet files that may carry DIFFERENT physical schemas
+    (DLQ rows quarantined across schema-evolution epochs): group by footer
+    schema, read each group, unify every batch to the union schema, union
+    the groups — the changelog_dataset recipe for heterogeneous shards."""
+    import ray.data as rd
+
     if not files:
         return rd.from_items([])
-    return rd.read_parquet(files)
+    groups: dict[tuple, list[str]] = {}
+    schemas: dict[tuple, pa.Schema] = {}
+    for f in files:
+        s = fsio.read_parquet_schema(f)
+        key = tuple(sorted((fl.name, str(fl.type)) for fl in s))
+        groups.setdefault(key, []).append(f)
+        schemas[key] = s
+    target = union_schemas(list(schemas.values()))
+
+    def _unify(t: pa.Table) -> pa.Table:
+        return sch.unify_table(t, target)
+
+    pieces = [rd.read_parquet(fs).map_batches(_unify, batch_format="pyarrow",
+                                              zero_copy_batch=True)
+              for fs in groups.values()]
+    out = pieces[0]
+    for p in pieces[1:]:
+        out = out.union(p)
+    return out
 
 
 def replay_dead_letters(lake_dir: str, fix_fn, *,
@@ -594,10 +620,8 @@ def replay_dead_letters(lake_dir: str, fix_fn, *,
                             if c in t.column_names])
         return fix_fn(t)
 
-    import ray.data as rd
-
-    ds = rd.read_parquet(files).map_batches(_fix, batch_format="pyarrow",
-                                            zero_copy_batch=True)
+    ds = _read_mixed_schema_files(files).map_batches(
+        _fix, batch_format="pyarrow", zero_copy_batch=True)
     m = apply_mod.apply_epoch_dataset(lake_dir, ds, epoch_id=drain_id,
                                       spec=spec, input_files=files)
     for f in files:
