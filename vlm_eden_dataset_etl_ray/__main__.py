@@ -224,6 +224,21 @@ def cmd_lookup(args) -> dict:
     return {"rows": t.to_pylist()}
 
 
+def cmd_constraints(args) -> dict:
+    """Show (default), set (--set, repeated, replaces all) or clear
+    (--clear) the lake's persistent table constraints. Rules use the
+    --audit grammar; every subsequent registry-backed apply audits them."""
+    from vlm_eden_dataset_etl_ray.functions.quality import rule_name
+    from vlm_eden_dataset_etl_ray.state.registry import SchemaRegistryState
+
+    st = SchemaRegistryState(args.lake)
+    if args.clear:
+        st.set_constraints([])
+    elif args.set:
+        st.set_constraints(_parse_audit(args.set))
+    return {"constraints": [rule_name(r) for r in st.constraints()]}
+
+
 def cmd_dlq(args) -> dict:
     """Inspect (default) or purge the dead-letter queue. Inspection
     reports per-epoch-id row counts and reason histogram; ``--purge``
@@ -402,6 +417,10 @@ def main(argv=None) -> int:
     add("lookup", cmd_lookup, **{"--lake": {"required": True},
                                  "--keys": {"required": True},
                                  "--columns": {"default": None}})
+    add("constraints", cmd_constraints, **{
+        "--lake": {"required": True},
+        "--set": {"action": "append", "default": None},
+        "--clear": {"action": "store_true"}})
     add("dlq", cmd_dlq, **{"--lake": {"required": True},
                            "--epoch-id": {"default": None, "dest": "epoch_id"},
                            "--purge": {"action": "store_true"}})

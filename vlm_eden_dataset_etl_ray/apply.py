@@ -588,6 +588,7 @@ def apply_epoch(
     prev = mf.latest(lake_dir)
     check_hash_fn(prev)
     spec = _layout_spec(spec, prev)
+    audit = _with_registry_constraints(audit, registry)
     if epoch is None:
         epoch = (prev.epoch + 1) if prev else 1
     if mf.is_committed(lake_dir, epoch):
@@ -621,6 +622,24 @@ def apply_epoch(
         write_schema=merge_engines.state_schema(target, spec),
         audit=audit,
     )
+
+
+def _with_registry_constraints(audit: list[tuple] | None,
+                               registry) -> list[tuple] | None:
+    """Merge the registry's persistent table constraints (Delta CHECK
+    shape, ``SchemaRegistryState.set_constraints``) into the caller's
+    audit list — registered once, enforced by every registry-backed
+    writer thereafter."""
+    if registry is None:
+        return audit
+    rules = ray.get(registry.constraints.remote())
+    if not rules:
+        return audit
+    merged = [tuple(r) for r in rules]
+    for r in audit or []:
+        if tuple(r) not in merged:
+            merged.append(tuple(r))
+    return merged
 
 
 def _audit_candidate(lake_dir: str, m: mf.Manifest, spec: TableSpec,
@@ -859,6 +878,7 @@ def apply_epoch_dataset(
     prev = mf.latest(lake_dir)
     check_hash_fn(prev)
     spec = _layout_spec(spec, prev)
+    audit = _with_registry_constraints(audit, registry)
     if epoch is None:
         epoch = (prev.epoch + 1) if prev else 1
     if mf.is_committed(lake_dir, epoch):

@@ -79,6 +79,17 @@ class SchemaRegistryState:
         #: current one by walking the chain against the file's version —
         #: rename PRESERVES data (unlike drop+re-add).
         self._renames: dict[str, list[tuple[str, int]]] = {}
+        #: persistent table constraints (Delta CHECK-constraint shape):
+        #: quality rule tuples every registry-backed epoch apply audits
+        #: write-audit-publish style — registered once (like a locked
+        #: migration), enforced by EVERY writer thereafter. Persisted in
+        #: their own monotonic ``constraints-N-*.json`` snapshots (the
+        #: versions-snapshot name orders by schema version only, so a
+        #: constraints-only change cannot ride it).
+        self._constraints: list[tuple] = []
+        self._constraints_gen = 0
+        if lake_dir:
+            self._load_constraints(lake_dir)
         if lake_dir:
             self._load_persisted(lake_dir)
         if not self._versions:
@@ -129,6 +140,50 @@ class SchemaRegistryState:
                         for k, chain in self._renames.items()},
         })
         fsio.write_bytes(fsio.join(d, name), data.encode())
+
+    def _load_constraints(self, lake_dir: str) -> None:
+        d = fsio.join(lake_dir, _REGISTRY_DIR)
+        snaps = sorted((n for n in fsio.list_names(d)
+                        if n.startswith("constraints-") and n.endswith(".json")),
+                       reverse=True)
+        for name in snaps:
+            try:
+                payload = json.loads(fsio.read_bytes(fsio.join(d, name)).decode())
+            except (json.JSONDecodeError, OSError):
+                continue  # torn write of the newest snapshot — fall back
+            self._constraints = [
+                tuple(tuple(x) if isinstance(x, list) else x for x in r)
+                for r in payload.get("rules", [])]
+            self._constraints_gen = int(payload.get("gen", 0))
+            return
+
+    def set_constraints(self, rules: list[tuple]) -> int:
+        """Replace the table's persistent constraints (empty list clears).
+        Serialized through the registry actor like a migration; every
+        subsequent registry-backed ``apply_epoch`` audits them
+        write-audit-publish style. Returns the constraints generation."""
+        from vlm_eden_dataset_etl_ray.functions.quality import rule_name
+
+        for r in rules:
+            rule_name(tuple(r))  # fail fast on malformed rules
+        self._constraints = [
+            tuple(tuple(x) if isinstance(x, list) else x for x in r)
+            for r in rules]
+        self._constraints_gen += 1
+        if self._lake_dir:
+            d = fsio.join(self._lake_dir, _REGISTRY_DIR)
+            fsio.makedirs(d)
+            name = (f"constraints-{self._constraints_gen:06d}-"
+                    f"{uuid.uuid4().hex[:8]}.json")
+            data = json.dumps({
+                "gen": self._constraints_gen,
+                "rules": [[list(x) if isinstance(x, tuple) else x
+                           for x in r] for r in self._constraints]})
+            fsio.write_bytes(fsio.join(d, name), data.encode())
+        return self._constraints_gen
+
+    def constraints(self) -> list[tuple]:
+        return list(self._constraints)
 
     def latest_version(self) -> int:
         return max(self._versions)
