@@ -130,6 +130,7 @@ BENCH_QUERIES = [
     "cdc_rehash_replay",
     "cdc_wap_audit",
     "cdc_dead_letter",
+    "cdc_point_lookup",
     "snm_part_names",
     "join_view_orders",
     # round-4: pluggable merge engines + Debezium-envelope ingest
