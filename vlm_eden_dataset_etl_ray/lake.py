@@ -1183,10 +1183,20 @@ def maybe_compact(
     if not compaction_due(m, delta_ratio=delta_ratio,
                           min_delta_files=min_delta_files):
         return None
-    return compact(lake_dir, spec=spec, stripe_target_bytes=stripe_target_bytes,
-                   tombstone_watermark=tombstone_watermark,
-                   cluster_by=cluster_by, cluster_fn=cluster_fn,
-                   cluster_file_bytes=cluster_file_bytes)
+    try:
+        return compact(lake_dir, spec=spec,
+                       stripe_target_bytes=stripe_target_bytes,
+                       tombstone_watermark=tombstone_watermark,
+                       cluster_by=cluster_by, cluster_fn=cluster_fn,
+                       cluster_file_bytes=cluster_file_bytes)
+    except FileExistsError:
+        # lost the epoch-slot publish race to a concurrent apply — a
+        # rebase would drop the racer's deltas, so compact fails loudly
+        # (tests/test_compact_race.py); for the CADENCE caller the right
+        # move is simply to skip: the next tick re-evaluates the fresher
+        # snapshot and compacts it whole. The failed attempt's rewritten
+        # files are unreferenced orphans vacuum reclaims.
+        return None
 
 
 def compact(
