@@ -138,3 +138,17 @@ def test_lookup_after_clustered_compaction(tmp_path):
     m = mf.latest(lake_dir)
     assert any(apply.BLOOM_META_KEY in (fsio.read_parquet_schema(f).metadata
                                         or {}) for f in m.files(0))
+
+
+def test_scan_key_filter_derives_partition_pruning(tmp_path):
+    # scan(key_filter=...) without pids auto-prunes to the asked keys'
+    # hash partitions and equals a post-scan is_in filter
+    spec = TableSpec(name="t_bloom_kf", key="k", order="lsn",
+                     num_partitions=8, envelope=())
+    lake_dir = str(tmp_path / "lake")
+    ks = [f"p{j}" for j in range(64)]
+    f = _epoch(tmp_path, 0, ks, list(range(64)), list(range(64)))
+    apply.apply_epoch(lake_dir, [f], spec=spec)
+    got = lake.scan(lake_dir, spec=spec,
+                    key_filter=["p3", "p17", "zzz"]).take_all()
+    assert sorted(r["k"] for r in got) == ["p17", "p3"]

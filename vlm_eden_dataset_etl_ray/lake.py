@@ -428,7 +428,9 @@ def scan(
     proves no asked key is present are skipped without reading a row
     group, and surviving files are restricted to the asked keys BEFORE
     the merge — both safe at any delta depth because merge resolution is
-    per-key. Result equals a post-scan ``is_in`` filter."""
+    per-key. With ``pids`` unset, the asked keys' hash partitions are
+    derived automatically (partitions outside the key set cannot hold a
+    matching row). Result equals a post-scan ``is_in`` filter."""
     if key_filter is not None and not isinstance(key_filter, pa.Array):
         key_filter = (key_filter.combine_chunks()
                       if isinstance(key_filter, pa.ChunkedArray)
@@ -438,6 +440,11 @@ def scan(
     m = manifest or mf.latest(lake_dir)
     if m is None:
         return rd.from_items([])
+    if key_filter is not None and pids is None:
+        from vlm_eden_dataset_etl_ray.functions.hashing import partition_ids
+
+        pids = sorted(set(
+            partition_ids(key_filter, m.num_partitions).tolist()))
     if any(st.stripe_count > 1 for st in m.partitions.values()):
         # striped reads re-derive stripe membership by hashing keys — refuse
         # to read under a different hash implementation than wrote the layout
