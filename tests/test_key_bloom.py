@@ -152,3 +152,29 @@ def test_scan_key_filter_derives_partition_pruning(tmp_path):
     got = lake.scan(lake_dir, spec=spec,
                     key_filter=["p3", "p17", "zzz"]).take_all()
     assert sorted(r["k"] for r in got) == ["p17", "p3"]
+
+
+def test_lookup_on_partial_update_lake_through_bloom_path(tmp_path):
+    # state rows are keyed like LWW rows: the pre-merge key restriction
+    # and bloom skipping compose with the partial-update fold, and lookup
+    # returns the finalized (user-facing) merged row
+    spec = TableSpec(name="t_bloom_pu", key="k", order="lsn",
+                     num_partitions=2, envelope=(),
+                     merge_engine="partial_update")
+    lake_dir = str(tmp_path / "lake")
+    f1 = str(tmp_path / "s1.parquet")
+    pq.write_table(pa.table({
+        "k": ["a", "b"], "lsn": pa.array([1, 2], pa.int64()),
+        "x": pa.array([10, 20], pa.int64()),
+        "y": pa.array([None, None], pa.int64())}), f1)
+    f2 = str(tmp_path / "s2.parquet")
+    pq.write_table(pa.table({
+        "k": ["a"], "lsn": pa.array([3], pa.int64()),
+        "x": pa.array([None], pa.int64()),
+        "y": pa.array([99], pa.int64())}), f2)
+    apply.apply_epoch(lake_dir, [f1], spec=spec)
+    apply.apply_epoch(lake_dir, [f2], spec=spec)
+    t = lake.lookup(lake_dir, ["a"], spec=spec)
+    row = t.to_pylist()[0]
+    assert row["x"] == 10 and row["y"] == 99  # column-level merge survived
+    assert not any(c.startswith("__") for c in t.column_names)
