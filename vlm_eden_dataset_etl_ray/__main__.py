@@ -224,6 +224,23 @@ def cmd_lookup(args) -> dict:
     return {"rows": t.to_pylist()}
 
 
+def cmd_fsck(args) -> dict:
+    """Lake consistency check: metadata invariants (missing/empty files,
+    lineage monotonicity, parseability) by default; --deep adds the
+    duplicate-live-key and bloom self-consistency scans (pass --key/--order
+    when the lake's spec differs from the default)."""
+    from vlm_eden_dataset_etl_ray import lake
+    from vlm_eden_dataset_etl_ray.spec import TOKENS_SPEC, TableSpec
+
+    spec = TOKENS_SPEC
+    if args.key or args.order:
+        spec = TableSpec(name="fsck", key=args.key or TOKENS_SPEC.key,
+                         order=args.order or TOKENS_SPEC.order, envelope=())
+    if args.deep:
+        _ray_session()
+    return lake.fsck(args.lake, spec=spec, deep=args.deep)
+
+
 def cmd_constraints(args) -> dict:
     """Show (default), set (--set, repeated, replaces all) or clear
     (--clear) the lake's persistent table constraints. Rules use the
@@ -417,6 +434,10 @@ def main(argv=None) -> int:
     add("lookup", cmd_lookup, **{"--lake": {"required": True},
                                  "--keys": {"required": True},
                                  "--columns": {"default": None}})
+    add("fsck", cmd_fsck, **{"--lake": {"required": True},
+                             "--deep": {"action": "store_true"},
+                             "--key": {"default": None},
+                             "--order": {"default": None}})
     add("constraints", cmd_constraints, **{
         "--lake": {"required": True},
         "--set": {"action": "append", "default": None},

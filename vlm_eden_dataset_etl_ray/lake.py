@@ -1115,6 +1115,133 @@ def vacuum(lake_dir: str, keep_epochs: int = 2,
             "manifests_removed": removed_manifests}
 
 
+def fsck(lake_dir: str, *, spec: TableSpec = TOKENS_SPEC,
+         deep: bool = False) -> dict:
+    """Lake consistency check (the lakehouse ``fsck``): validates metadata
+    invariants WITHOUT reading data by default, returns
+    ``{"ok": bool, "findings": [str, ...], "checked": {...}}`` — never
+    raises on a finding, so an ops loop can alert on ``ok=False``.
+
+    Metadata checks: every retained manifest parses; every referenced data
+    file exists and is non-empty; per-file schema-version lists parallel
+    their file lists; stripe metadata is internally consistent; exactly-once
+    lineage is MONOTONE across retained epochs (an older manifest's applied
+    ids/inputs ⊆ the newer's — cumulative-lineage contract); the recorded
+    cumulative write schema decodes; the registry (when present) loads and
+    its constraints parse; the latest manifest's hash fingerprint matches
+    this process's :data:`~..functions.hashing.HASH_FN`; DLQ files parse.
+
+    ``deep=True`` additionally scans the latest snapshot and verifies the
+    UPSERT invariant (no duplicate live keys) plus footer key blooms
+    containing their own file's keys — O(lake), for scheduled audits."""
+    findings: list[str] = []
+    checked = {"manifests": 0, "files": 0, "dlq_files": 0}
+    epochs = mf.list_epochs(lake_dir)
+    if not epochs:
+        return {"ok": True, "findings": ["no manifests (empty lake)"],
+                "checked": checked}
+    manifests: dict[int, mf.Manifest] = {}
+    for e in epochs:
+        try:
+            manifests[e] = mf.load(lake_dir, e)
+            checked["manifests"] += 1
+        except Exception as ex:  # torn/corrupt manifest is THE finding
+            findings.append(f"manifest epoch={e} unreadable: {ex}")
+    latest = manifests.get(max(manifests)) if manifests else None
+    for e, m in manifests.items():
+        for pid, st in m.partitions.items():
+            for f in m.files(pid):
+                checked["files"] += 1
+                if fsio.file_size(f) <= 0:
+                    kind = ("empty" if fsio.exists(f) else "missing")
+                    findings.append(f"epoch={e} pid={pid}: {kind} file {f}")
+            if st.base_vers and len(st.base_vers) != len(st.base):
+                findings.append(f"epoch={e} pid={pid}: base_vers length "
+                                f"{len(st.base_vers)} != base {len(st.base)}")
+            if st.delta_vers and len(st.delta_vers) != len(st.deltas):
+                findings.append(f"epoch={e} pid={pid}: delta_vers length "
+                                f"{len(st.delta_vers)} != deltas "
+                                f"{len(st.deltas)}")
+            if st.stripe_count > 1 and st.base_stripes and \
+                    len(st.base_stripes) != len(st.base):
+                findings.append(f"epoch={e} pid={pid}: base_stripes length "
+                                "does not match base files")
+        if m.schema_b64:
+            try:
+                mf.decode_schema(m.schema_b64)
+            except Exception as ex:
+                findings.append(f"epoch={e}: schema_b64 undecodable: {ex}")
+    ordered = sorted(manifests)
+    for a, b in zip(ordered, ordered[1:]):
+        ma, mb = manifests[a], manifests[b]
+        if not set(ma.applied_epoch_ids) <= set(mb.applied_epoch_ids):
+            findings.append(
+                f"lineage not cumulative: epoch {a} applied ids ⊄ epoch {b}")
+        if not set(ma.applied_inputs) <= set(mb.applied_inputs):
+            findings.append(
+                f"lineage not cumulative: epoch {a} inputs ⊄ epoch {b}")
+    if latest is not None:
+        from vlm_eden_dataset_etl_ray.apply import check_hash_fn
+
+        try:
+            check_hash_fn(latest)
+        except Exception as ex:
+            findings.append(f"hash fingerprint mismatch: {ex}")
+    from vlm_eden_dataset_etl_ray.state.registry import SchemaRegistryState
+
+    try:
+        reg = SchemaRegistryState.load_readonly(lake_dir)
+        if reg is not None:
+            reg.schema()
+            reg.constraints()
+    except Exception as ex:
+        findings.append(f"registry unreadable: {ex}")
+    for p, size, _ in fsio.walk_files(fsio.join(lake_dir, "_dead_letter")):
+        if p.endswith(".parquet"):
+            checked["dlq_files"] += 1
+            try:
+                fsio.read_parquet_schema(p)
+            except Exception as ex:
+                findings.append(f"DLQ file unreadable: {p}: {ex}")
+    if deep and latest is not None and spec.mode == "upsert":
+        try:
+            _fsck_deep(lake_dir, spec, latest, findings)
+        except Exception as ex:  # fsck reports, never raises — a wrong
+            findings.append(f"deep check failed: {ex}")  # spec lands here
+    return {"ok": not findings, "findings": findings, "checked": checked}
+
+
+def _fsck_deep(lake_dir: str, spec: TableSpec, latest: mf.Manifest,
+               findings: list[str]) -> None:
+    from vlm_eden_dataset_etl_ray.apply import BLOOM_META_KEY
+    from vlm_eden_dataset_etl_ray.functions.hashing import (
+        key_bloom_may_contain_any, key_bloom_probe_hashes)
+
+    def _check_part(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as _pc
+
+        k = t.column(spec.key)
+        n_dup = t.num_rows - len(_pc.unique(k))
+        return pa.table({"dups": pa.array([n_dup], pa.int64())})
+
+    dups = sum(r["dups"] for r in scan(
+        lake_dir, spec=spec, columns=[spec.key]
+    ).map_batches(_check_part, batch_format="pyarrow").take_all())
+    if dups:
+        findings.append(f"deep: {dups} duplicate live key(s) in the "
+                        "latest snapshot (upsert invariant broken)")
+    for pid in latest.partitions:
+        for f in latest.files(pid):
+            md = fsio.read_parquet_schema(f).metadata or {}
+            payload = md.get(BLOOM_META_KEY)
+            if payload is None:
+                continue
+            keys = fsio.read_parquet(f, columns=[spec.key]).column(spec.key)
+            if len(keys) and not key_bloom_may_contain_any(
+                    payload, *key_bloom_probe_hashes(keys)):
+                findings.append(f"deep: bloom of {f} refutes its own keys")
+
+
 def _next_pow2(x: int) -> int:
     return 1 << max(0, (x - 1).bit_length())
 
