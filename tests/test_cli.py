@@ -107,3 +107,25 @@ def test_cli_dlq(tmp_path):
     purged = _run("dlq", "--lake", lake, "--purge")
     assert purged["purged_files"] == 1
     assert _run("dlq", "--lake", lake)["rows"] == 0
+
+
+def test_cli_fsck(tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from vlm_eden_dataset_etl_ray import apply
+    from vlm_eden_dataset_etl_ray.spec import TableSpec
+
+    lake = str(tmp_path / "lake")
+    f = str(tmp_path / "s.parquet")
+    pq.write_table(pa.table({
+        "k": ["a"], "lsn": pa.array([1], pa.int64()),
+        "v": pa.array([1], pa.int64()),
+    }), f)
+    spec = TableSpec(name="cli_fsck", key="k", order="lsn",
+                     num_partitions=2, envelope=())
+    apply.apply_epoch(lake, [f], spec=spec)
+    rep = _run("fsck", "--lake", lake)
+    assert rep["ok"] and rep["checked"]["manifests"] == 1
+    deep = _run("fsck", "--lake", lake, "--deep", "--key", "k")
+    assert deep["ok"], deep
