@@ -442,6 +442,216 @@ def kmeans_lite(sample: np.ndarray, n_clusters: int, iters: int = 8, seed: int =
     return _normalize(cent)
 
 
+class IvfIndex:
+    """A PHYSICAL inverted-file index: at build time every vector is
+    assigned to a coarse cell and the corpus is shuffled ONCE into one
+    parquet directory per cell (``{path}/__ivf_cell={c}/``). A search
+    enumerates only the files under the cells its queries probe — the scan
+    never opens the other ``(n_clusters − n_probe)/n_clusters`` of the
+    corpus — and scores each cell's rows against only the queries probing
+    that cell, so the FLOPs are also ~``n_probe/n_clusters`` of brute
+    force. Same shuffle-by-cell shape as
+    ``dedup.embedding_near_dup_bucketed`` (functions/dedup.py), applied to
+    top-k search instead of pair generation."""
+
+    META = "_ivf_meta.json"
+    CENTROIDS = "_ivf_centroids.npy"
+
+    def __init__(self, path: str, centroids: np.ndarray, id_col: str,
+                 vec_col: str):
+        self.path = path
+        self.centroids = np.asarray(centroids, dtype=np.float64)
+        self.id_col, self.vec_col = id_col, vec_col
+
+    @property
+    def n_clusters(self) -> int:
+        return len(self.centroids)
+
+    def cell_dir(self, cell: int) -> str:
+        import os
+        return os.path.join(self.path, f"__ivf_cell={int(cell)}")
+
+    def cell_files(self, cells) -> list[str]:
+        """Parquet files under the given cells' directories (missing dirs —
+        empty cells — are skipped). This list IS the search's I/O scope."""
+        import glob
+        import os
+        out: list[str] = []
+        for c in sorted(int(c) for c in set(cells)):
+            d = self.cell_dir(c)
+            if os.path.isdir(d):
+                out.extend(sorted(glob.glob(os.path.join(d, "*.parquet"))))
+        return out
+
+    def cell_rows(self, cells=None) -> int:
+        """Row count from parquet footers only (no data read) — used by the
+        pruning spy tests and capacity planning."""
+        import pyarrow.parquet as pq
+        if cells is None:
+            cells = range(self.n_clusters)
+        return sum(pq.ParquetFile(f).metadata.num_rows
+                   for f in self.cell_files(cells))
+
+    def save(self) -> None:
+        import json
+        import os
+        np.save(os.path.join(self.path, self.CENTROIDS), self.centroids)
+        with open(os.path.join(self.path, self.META), "w") as fh:
+            json.dump({"id_col": self.id_col, "vec_col": self.vec_col,
+                       "n_clusters": self.n_clusters,
+                       "dim": int(self.centroids.shape[1])}, fh)
+
+    @classmethod
+    def load(cls, path: str) -> "IvfIndex":
+        import json
+        import os
+        with open(os.path.join(path, cls.META)) as fh:
+            meta = json.load(fh)
+        cent = np.load(os.path.join(path, cls.CENTROIDS))
+        return cls(path, cent, meta["id_col"], meta["vec_col"])
+
+
+def ivf_build(
+    ds: rd.Dataset,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_clusters: int = 16,
+    sample_frac: float = 0.25,
+    seed: int = 5,
+) -> IvfIndex:
+    """Build an :class:`IvfIndex`: coarse k-means on a driver-side sample
+    (order-canonicalized so the fit ignores block-arrival order), then ONE
+    partitioned write that co-locates each cell's vectors. The cell id is
+    kept both as the hive partition key (directory pruning) and as a data
+    column ``ivf_cell`` (per-batch query routing at search time)."""
+    sample = _as_matrix(
+        pa.concat_tables(
+            ds.random_sample(sample_frac, seed=seed)
+            .select_columns([vec_col])
+            .iter_batches(batch_format="pyarrow", batch_size=None)
+        ).column(vec_col)
+    )
+    if len(sample) == 0:
+        raise ValueError("ivf_build: empty sample — raise sample_frac")
+    sample = sample[np.lexsort(sample.T[::-1])]
+    cent = kmeans_lite(sample, min(n_clusters, len(sample)), seed=seed)
+    cref = ray.put(cent)
+
+    # A rebuild into an existing index path must not APPEND onto the old
+    # cells (Ray's write mode is append) — clear any stale cell dirs first.
+    import glob
+    import os
+    import shutil
+    for stale in glob.glob(os.path.join(path, "__ivf_cell=*")):
+        shutil.rmtree(stale, ignore_errors=True)
+
+    def _assign(t: pa.Table) -> pa.Table:
+        c = ray.get(cref)
+        m = _normalize(_as_matrix(t.column(vec_col)))
+        cells = (np.argmax(m @ c.T, axis=1).astype(np.int64)
+                 if len(m) else np.empty(0, np.int64))
+        t = t.append_column("ivf_cell", pa.array(cells, pa.int64()))
+        return t.append_column("__ivf_cell", pa.array(cells, pa.int64()))
+
+    (ds.select_columns([id_col, vec_col])
+       .map_batches(_assign, batch_format="pyarrow", zero_copy_batch=True)
+       .write_parquet(path, partition_cols=["__ivf_cell"]))
+    idx = IvfIndex(path, cent, id_col, vec_col)
+    idx.save()
+    return idx
+
+
+def ivf_search(
+    index: IvfIndex,
+    queries: pa.Table,
+    k: int = 5,
+    n_probe: int = 4,
+    exclude_self: bool = True,
+    concurrency=(1, 4),
+    spy=None,
+) -> rd.Dataset:
+    """ANN top-k over an :class:`IvfIndex`. Reads ONLY the union of the
+    queries' probed cell directories; within a batch, each cell's rows are
+    scored against only the queries that probe that cell. ``spy`` (a Ray
+    actor with ``add(rows, pairs)``) receives per-batch scan/FLOP counts —
+    the pruning proof used in tests. Approximate: recall < 1.0 when a true
+    neighbor lives in an unprobed cell."""
+    id_col, vec_col = index.id_col, index.vec_col
+    empty = pa.table({"query_id": pa.array([], pa.int64()),
+                      "neighbor_id": pa.array([], pa.int64()),
+                      "cosine": pa.array([], pa.float64())})
+    if queries.num_rows == 0:
+        return rd.from_arrow(empty)
+    qids = queries.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+    qmat = _normalize(_as_matrix(queries.column(vec_col)))
+    n_probe = min(n_probe, index.n_clusters)
+    probes = np.argsort(-(qmat @ index.centroids.T), axis=1)[:, :n_probe]
+    # cell → indices of the queries probing it (driver-side; O(q·n_probe))
+    cell_queries: dict[int, np.ndarray] = {}
+    for qi in range(len(qids)):
+        for c in probes[qi]:
+            cell_queries.setdefault(int(c), []).append(qi)
+    cell_queries = {c: np.asarray(v, np.int64) for c, v in cell_queries.items()}
+    files = index.cell_files(cell_queries.keys())
+    if not files:
+        return rd.from_arrow(empty)
+    qref = ray.put((qids, qmat, cell_queries))
+
+    def _probe_topk(batch: pa.Table) -> pa.Table:
+        # task pool, not actors: per-task setup is one plasma-local ray.get
+        # of the broadcast query pack — no model/index to warm, so actor
+        # start latency buys nothing here
+        all_qids, all_qmat, cellq = ray.get(qref)
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        cells = batch.column("ivf_cell").to_numpy(zero_copy_only=False)
+        m = _normalize(_as_matrix(batch.column(vec_col)))
+        q_out, n_out, c_out = [], [], []
+        pairs = 0
+        for c in np.unique(cells):
+            qsel = cellq.get(int(c))
+            if qsel is None:
+                continue
+            mask = cells == c
+            sub_ids, sub = ids[mask], m[mask]
+            sims = all_qmat[qsel] @ sub.T  # (probing queries, cell rows)
+            pairs += sims.size
+            for row, qi in zip(sims, qsel):
+                qid = int(all_qids[qi])
+                keep = sub_ids != qid if exclude_self else slice(None)
+                cand, cand_ids = row[keep], sub_ids[keep]
+                if cand.size == 0:
+                    continue
+                kk = min(k, cand.size)
+                top = np.argpartition(-cand, kk - 1)[:kk]
+                q_out.extend([qid] * kk)
+                n_out.extend(cand_ids[top].astype(np.int64))
+                c_out.extend(cand[top])
+        if spy is not None:
+            spy.add.remote(len(ids), pairs)
+        return pa.table({
+            "query_id": pa.array(q_out, pa.int64()),
+            "neighbor_id": pa.array(n_out, pa.int64()),
+            "cosine": pa.array(c_out, pa.float64()),
+        })
+
+    partial = rd.read_parquet(
+        files, columns=[id_col, vec_col, "ivf_cell"]
+    ).map_batches(_probe_topk, batch_format="pyarrow", zero_copy_batch=True)
+
+    # partials are O(probing-queries · k) per block — tree-reduce in one
+    # task (same shape as knn_brute_force) instead of an all-to-all groupby
+    def _combine(t: pa.Table) -> pa.Table:
+        pieces = []
+        for qid in np.unique(t.column("query_id").to_numpy(zero_copy_only=False)):
+            g = t.filter(pc.equal(t.column("query_id"), int(qid)))
+            pieces.append(_final_topk(g, k))
+        return pa.concat_tables(pieces) if pieces else t
+
+    return partial.repartition(1).map_batches(
+        _combine, batch_format="pyarrow", batch_size=None)
+
+
 def knn_ivf(
     ds: rd.Dataset,
     queries: pa.Table,
@@ -452,60 +662,25 @@ def knn_ivf(
     n_probe: int = 4,
     sample_frac: float = 0.25,
     concurrency=(1, 4),
+    index_path: str | None = None,
 ) -> rd.Dataset:
-    """ANN top-k: assign vectors to coarse clusters, scan only the
-    ``n_probe`` clusters nearest each query. Approximate — recall < 1.0 by
-    construction; the scale path for 10^9-vector corpora."""
-    sample = _as_matrix(
-        pa.concat_tables(
-            ds.random_sample(sample_frac, seed=5)
-            .select_columns([vec_col])
-            .iter_batches(batch_format="pyarrow", batch_size=None)
-        ).column(vec_col)
-    )
-    cent = kmeans_lite(sample, n_clusters)
-    qids = queries.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
-    qmat = _normalize(_as_matrix(queries.column(vec_col)))
-    # clusters each query probes
-    probes = np.argsort(-(qmat @ cent.T), axis=1)[:, :n_probe]
-    ref = ray.put((qids, qmat, cent, probes))
-
-    class _IVFTopK:
-        def __init__(self):
-            self.qids, self.qmat, self.cent, self.probes = ray.get(ref)
-            self.k = k
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            ids = batch.column(id_col).to_numpy(zero_copy_only=False)
-            m = _normalize(_as_matrix(batch.column(vec_col)))
-            assign = np.argmax(m @ self.cent.T, axis=1)
-            sims = self.qmat @ m.T
-            q_out, n_out, c_out = [], [], []
-            for qi, qid in enumerate(self.qids):
-                in_probe = np.isin(assign, self.probes[qi]) & (ids != qid)
-                cand = sims[qi][in_probe]
-                cand_ids = ids[in_probe]
-                if cand.size == 0:
-                    continue
-                kk = min(self.k, cand.size)
-                top = np.argpartition(-cand, kk - 1)[:kk]
-                q_out.extend([int(qid)] * kk)
-                n_out.extend(cand_ids[top].astype(np.int64))
-                c_out.extend(cand[top])
-            return pa.table(
-                {
-                    "query_id": pa.array(q_out, pa.int64()),
-                    "neighbor_id": pa.array(n_out, pa.int64()),
-                    "cosine": pa.array(c_out, pa.float64()),
-                }
-            )
-
-    partial = ds.map_batches(
-        _IVFTopK, batch_format="pyarrow", zero_copy_batch=True, concurrency=concurrency
-    )
-    return partial.groupby("query_id").map_groups(
-        _final_topk, fn_kwargs={"k": k}, batch_format="pyarrow"
-    )
+    """One-call IVF ANN: :func:`ivf_build` into ``index_path`` (a scratch
+    dir under /tmp when unset) + :func:`ivf_search`, result materialized
+    (O(queries·k) rows) so the scratch index can be reclaimed. Reuse an
+    explicit ``index_path`` + :func:`ivf_search` directly when many query
+    sets hit one corpus — the build's shuffle amortizes."""
+    import shutil
+    import tempfile
+    scratch = index_path is None
+    path = tempfile.mkdtemp(prefix="ivf_", dir="/tmp") if scratch else index_path
+    try:
+        idx = ivf_build(ds, path, id_col=id_col, vec_col=vec_col,
+                        n_clusters=n_clusters, sample_frac=sample_frac)
+        return ivf_search(idx, queries, k=k, n_probe=n_probe,
+                          concurrency=concurrency).materialize()
+    finally:
+        if scratch:
+            shutil.rmtree(path, ignore_errors=True)
 
 
 def knn_lsh(
