@@ -102,3 +102,24 @@ def test_bpe_encoder_handles_null_and_empty():
     out = enc(t)
     assert out.column("bpe_tokens").to_pylist() == [
         None, [], ["lo", _EOW]]
+
+
+def test_bpe_encoder_cache_bounded_output_unchanged():
+    """A high-entropy vocabulary (every word distinct — the web-text worst
+    case) must not grow the per-actor cache past max_cache_words, and
+    eviction must not change the encoding."""
+    corpus = ["low lower lowest newer newest wide widely"] * 4
+    merges = bpe_train(
+        rd.from_arrow(pa.table({"text": corpus})), n_merges=20)
+    # 500 distinct pseudo-random words: no two alike, so an unbounded
+    # cache would hold all 500
+    words = [f"w{i:03d}x{i * 7 % 97}" for i in range(500)]
+    t = pa.table({"text": [" ".join(words[i:i + 10])
+                           for i in range(0, 500, 10)]})
+    unbounded = BpeEncoder(merges)
+    bounded = BpeEncoder(merges, max_cache_words=32)
+    out_u = unbounded(t).column("bpe_tokens").to_pylist()
+    out_b = bounded(t).column("bpe_tokens").to_pylist()
+    assert out_u == out_b
+    assert len(unbounded.cache) == 500
+    assert len(bounded.cache) <= 32

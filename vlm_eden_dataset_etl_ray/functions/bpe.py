@@ -126,14 +126,20 @@ class BpeEncoder:
     """Actor-pool encoding stage: merge ranks built once per actor in
     ``__init__``; each batch encodes only its DISTINCT words (cached
     across batches — natural-language word frequency makes the cache hit
-    rate extreme)."""
+    rate extreme). The cache is BOUNDED: web-scale text has an unbounded
+    long tail of distinct "words" (typos, unicode junk, hashes), so an
+    uncapped dict grows without limit per actor. At ``max_cache_words``
+    the whole cache is dropped — hot words repopulate within one batch,
+    and the flush is O(1) amortized vs LRU's per-hit bookkeeping."""
 
     def __init__(self, merges: list[tuple[str, str]], text_col: str = "text",
-                 sep: str = " ", alias: str = "bpe_tokens"):
+                 sep: str = " ", alias: str = "bpe_tokens",
+                 max_cache_words: int = 1_000_000):
         self.ranks = {tuple(m): i for i, m in enumerate(merges)}
         self.text_col = text_col
         self.sep = sep
         self.alias = alias
+        self.max_cache_words = max(1, int(max_cache_words))
         self.cache: dict[str, list[str]] = {}
 
     def __call__(self, t: pa.Table) -> pa.Table:
@@ -150,6 +156,8 @@ class BpeEncoder:
                 enc = self.cache.get(w)
                 if enc is None:
                     enc = _encode_word(w, self.ranks)
+                    if len(self.cache) >= self.max_cache_words:
+                        self.cache.clear()
                     self.cache[w] = enc
                 pieces.extend(enc)
             out.append(pieces)
@@ -164,10 +172,11 @@ def bpe_encode(
     sep: str = " ",
     alias: str = "bpe_tokens",
     concurrency=(1, 8),
+    max_cache_words: int = 1_000_000,
 ) -> rd.Dataset:
     return ds.map_batches(
         BpeEncoder, fn_constructor_kwargs={
             "merges": merges, "text_col": text_col, "sep": sep,
-            "alias": alias},
+            "alias": alias, "max_cache_words": max_cache_words},
         batch_format="pyarrow", zero_copy_batch=True,
         concurrency=concurrency)
