@@ -126,3 +126,74 @@ def test_minhash_incremental_replay_reproduces(tmp_path):
     got = _mh_run(state, e2, "e2")
     assert got == _mh_run(state, e2, "e2")  # replay identical
     assert 3 not in got  # near-dup of epoch-1 doc 1
+
+
+# ---- verify_cross_epoch: signature-verified cross-epoch collisions ----
+
+# 20-word base; FALSE_FRIEND shares 6/20 words (true Jaccard ≈ 0.18) but
+# with rows_per_band=1 (bands == num_perm) a single-component collision is
+# near-certain, so the UNverified path drops it.
+_VBASE = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+          "lam mu nu xi omicron pi rho sigma tau upsilon")
+_FALSE_FRIEND = ("alpha beta gamma delta epsilon zeta cliff dune ember "
+                 "frost grove haze isle juniper knoll ledge mesa nook "
+                 "oasis prairie")
+_TRUE_NEAR = _VBASE.replace("kappa", "kappa2")  # Jaccard ≈ 0.90
+
+
+def _vrun(state, ds, eid, **kw):
+    from vlm_eden_dataset_etl_ray.pipelines.incremental_dedup import (
+        incremental_minhash_dedup,
+    )
+
+    out = incremental_minhash_dedup(
+        state, ds, epoch_id=eid, threshold=0.8, num_perm=64, bands=64,
+        join_buckets=2, **kw)
+    tables = list(out.iter_batches(batch_format="pyarrow", batch_size=None))
+    if not tables:
+        return []
+    return sorted(pa.concat_tables(tables).column("doc_id").to_pylist())
+
+
+def test_verify_cross_epoch_saves_false_collision(tmp_path):
+    # precondition: WITHOUT the flag the false friend is dropped (the
+    # band collision exists)
+    s0 = str(tmp_path / "plain")
+    assert _vrun(s0, _mh_docs([1], [_VBASE]), "e1") == [1]
+    assert _vrun(s0, _mh_docs([2], [_FALSE_FRIEND]), "e2") == []
+
+    # with verify_cross_epoch=True the pair's signature estimate (~0.18)
+    # is far below threshold 0.8 → the false collision SURVIVES
+    s1 = str(tmp_path / "verified")
+    assert _vrun(s1, _mh_docs([1], [_VBASE]), "e1",
+                 verify_cross_epoch=True) == [1]
+    assert _vrun(s1, _mh_docs([2], [_FALSE_FRIEND]), "e2",
+                 verify_cross_epoch=True) == [2]
+    # ... while a TRUE near-dup of the epoch-1 keeper is still dropped
+    assert _vrun(s1, _mh_docs([3, 4], [_TRUE_NEAR, "zzz " * 12]), "e3",
+                 verify_cross_epoch=True) == [4]
+
+
+def test_verify_cross_epoch_replay_reproduces(tmp_path):
+    state = str(tmp_path / "vr")
+    e1 = _mh_docs([1, 2], [_VBASE, _FAR])
+    e2 = _mh_docs([3, 4], [_FALSE_FRIEND, _TRUE_NEAR])
+    assert _vrun(state, e1, "e1", verify_cross_epoch=True) == [1, 2]
+    got = _vrun(state, e2, "e2", verify_cross_epoch=True)
+    assert got == [3]  # false friend kept, true near-dup dropped
+    # replay: identical survivors, state untouched
+    assert _vrun(state, e2, "e2", verify_cross_epoch=True) == [3]
+    assert _vrun(state, e1, "e1", verify_cross_epoch=True) == [1, 2]
+    # the kept false friend became a keeper: ITS near-dup now drops
+    assert _vrun(state, _mh_docs(
+        [5], [_FALSE_FRIEND.replace("mesa", "mesa2")]), "e3",
+        verify_cross_epoch=True) == []
+
+
+def test_verify_cross_epoch_without_sig_lake_falls_back(tmp_path):
+    # state built WITHOUT the flag: keepers have no stored signatures, so
+    # turning the flag on later keeps the unverified (conservative) drop
+    state = str(tmp_path / "legacy")
+    assert _vrun(state, _mh_docs([1], [_VBASE]), "e1") == [1]
+    assert _vrun(state, _mh_docs([2], [_FALSE_FRIEND]), "e2",
+                 verify_cross_epoch=True) == []

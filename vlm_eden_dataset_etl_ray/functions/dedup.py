@@ -452,6 +452,62 @@ def _signatures_stateless(batch, *, id_col, text_col, num_perm, bands):
     return MinHashSignatures(id_col, text_col, num_perm, bands)(batch)
 
 
+def full_signatures(
+    ds: rd.Dataset, id_col: str, text_col: str, num_perm: int = 128,
+    sig_col: str = "minhash_sig",
+) -> rd.Dataset:
+    """Per-doc FULL MinHash signature as ``fixed_size_list<int64, num_perm>``
+    — same hashing path and (seeded, deterministic) permutation
+    coefficients as :class:`MinHashSignatures`, so signatures computed in
+    different epochs/processes are comparable component-wise. The
+    component-equality fraction is an unbiased Jaccard estimate — the
+    verification currency when the original term sets are gone (e.g.
+    cross-epoch state that never retains payload). Empty-term docs emit no
+    row (they also emit no LSH band, so they are never candidates)."""
+    a_, b_ = _perm_coeffs(num_perm)
+
+    def _f(batch: pa.Table) -> pa.Table:
+        s = pl.from_arrow(batch.column(text_col).combine_chunks())
+        hashed = s.str.split(" ").list.eval(pl.element().hash(seed=3)).list.unique()
+        offsets = np.asarray(hashed.list.len().cum_sum().to_numpy(), dtype=np.int64)
+        flat = hashed.explode().to_numpy().astype(np.uint64)
+        starts = np.concatenate([[0], offsets[:-1]])
+        ids = batch.column(id_col)
+        keep_idx, sigs = [], []
+        for i, (lo, hi) in enumerate(zip(starts, offsets)):
+            terms = flat[lo:hi]
+            if terms.size == 0:
+                continue
+            sig = ((terms[None, :] * a_[:, None] + b_[:, None])
+                   % np.uint64(_MERSENNE)).min(axis=1)
+            keep_idx.append(i)
+            sigs.append(sig.astype(np.int64))
+        flat_sig = (np.concatenate(sigs) if sigs
+                    else np.empty(0, np.int64))
+        return pa.table({
+            id_col: ids.take(pa.array(keep_idx, pa.int64())),
+            sig_col: pa.FixedSizeListArray.from_arrays(
+                pa.array(flat_sig, pa.int64()), num_perm),
+        })
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        _f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def signature_jaccard_estimate(col_a, col_b, num_perm: int) -> np.ndarray:
+    """Row-wise MinHash Jaccard estimate: fraction of equal signature
+    components. Accepts list / fixed-size-list columns (polars join
+    round-trips may relax the fixed-size type)."""
+    def _mat(col):
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        return (col.flatten().to_numpy(zero_copy_only=False)
+                .reshape(-1, num_perm))
+    if len(col_a) == 0:
+        return np.empty(0, np.float64)
+    return (_mat(col_a) == _mat(col_b)).mean(axis=1)
+
+
 def _signature_ds(ds, id_col, text_col, num_perm, bands):
     # coefficient construction is trivial → stateless tasks (elastic
     # parallelism, no actor-pool ramp)

@@ -179,6 +179,109 @@ def _bucket_key_rows(docs, id_col, text_col, num_perm, bands):
     return sig.map_batches(_mix, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def _verified_cross_epoch_dups(
+    sig_dir: str,
+    epoch_sigs: rd.Dataset,
+    keys: rd.Dataset,
+    seen: rd.Dataset,
+    *,
+    id_col: str,
+    epoch_id: str,
+    threshold: float,
+    num_perm: int,
+    min_bands: int,
+    join_buckets: int | None,
+    done,
+) -> rd.Dataset:
+    """Candidate ids whose cross-epoch LSH collision SURVIVES signature
+    verification: join each (candidate, keeper) pair with >= ``min_bands``
+    shared band buckets to the keeper's stored full signature and keep the
+    pair only when the component-equality Jaccard estimate clears
+    ``threshold``. A keeper with no stored signature (state predates the
+    flag) cannot be verified — its collisions keep the unverified-drop
+    behavior (left join; null signature ⇒ dup)."""
+    from vlm_eden_dataset_etl_ray.functions.dedup import (
+        signature_jaccard_estimate)
+    from vlm_eden_dataset_etl_ray.functions.relational import hash_join
+
+    ks = keys.schema()  # materialized → metadata-only
+    kid_type = dict(zip(ks.names, ks.types))[id_col]
+    no_dups = rd.from_arrow(pa.table({id_col: pa.array([], kid_type)}))
+    if id_col not in seen.schema().names:  # empty state sentinel
+        return no_dups
+
+    keeper = seen.map_batches(
+        lambda t: t.rename_columns(
+            ["__keeper" if c == id_col else c for c in t.column_names]),
+        batch_format="pyarrow")
+    pairs = hash_join(keys, keeper, "bucket_key", "bucket_key",
+                      how="inner", num_buckets=join_buckets)
+    pair_cand = (pairs.groupby([id_col, "__keeper"]).count()
+                 .map_batches(
+                     lambda t: t.filter(
+                         pc.greater_equal(t.column("count()"),
+                                          pa.scalar(min_bands))
+                     ).select([id_col, "__keeper"]),
+                     batch_format="pyarrow"))
+
+    if mf.latest(sig_dir) is None:
+        # no signature lake at all (state built without the flag): every
+        # pair candidate falls back to the unverified drop
+        return pair_cand.map_batches(lambda t: t.select([id_col]),
+                                     batch_format="pyarrow")
+
+    sig_spec = TableSpec(name="minhash_sigs", key=id_col, order="lsn")
+    asof = None
+    if done is not None:
+        try:
+            asof = _epoch_first_applied(sig_dir, epoch_id) - 1
+        except ValueError:
+            asof = None  # epoch predates the flag — best-effort replay
+    if asof == 0:
+        # replaying the sig lake's FIRST epoch: no keeper had a stored
+        # signature then, so every pair falls back to the unverified drop
+        keeper_sigs = rd.from_arrow(pa.table({
+            id_col: pa.array([], kid_type),
+            "minhash_sig": pa.array([], pa.list_(pa.int64(), num_perm))}))
+    else:
+        keeper_sigs = lake.scan(
+            sig_dir, spec=sig_spec, columns=[id_col, "minhash_sig"],
+            asof_epoch=asof)
+    keeper_sigs = keeper_sigs.map_batches(
+        lambda t: t.rename_columns(
+            ["__keeper" if c == id_col else "__sig_b" if c == "minhash_sig"
+             else c for c in t.column_names]),
+        batch_format="pyarrow")
+
+    cand_sigs = epoch_sigs.map_batches(
+        lambda t: t.rename_columns(
+            ["__sig_a" if c == "minhash_sig" else c for c in t.column_names]),
+        batch_format="pyarrow")
+    j = hash_join(pair_cand, cand_sigs, id_col, id_col,
+                  how="inner", num_buckets=join_buckets)
+    j = hash_join(j, keeper_sigs, "__keeper", "__keeper",
+                  how="left", num_buckets=join_buckets)
+
+    def _verdict(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({id_col: pa.array([], kid_type)})
+        sig_b = t.column("__sig_b")
+        has_b = pc.is_valid(sig_b).combine_chunks()
+        verified = t.filter(has_b)
+        dup = [t.filter(pc.invert(has_b)).column(id_col)]  # unverifiable
+        if verified.num_rows:
+            est = signature_jaccard_estimate(
+                verified.column("__sig_a"), verified.column("__sig_b"),
+                num_perm)
+            dup.append(verified.filter(
+                pa.array(est >= threshold)).column(id_col))
+        out = pa.concat_arrays([c.combine_chunks().cast(kid_type)
+                                for c in dup])
+        return pa.table({id_col: out})
+
+    return j.map_batches(_verdict, batch_format="pyarrow")
+
+
 def incremental_minhash_dedup(
     state_dir: str,
     docs: rd.Dataset,
@@ -192,6 +295,8 @@ def incremental_minhash_dedup(
     min_bands: int = 1,
     spec: TableSpec = MINHASH_STATE_SPEC,
     join_buckets: int | None = None,
+    verify_cross_epoch: bool = False,
+    sig_dir: str | None = None,
 ) -> rd.Dataset:
     """Cross-epoch NEAR-dup dedup: drop a document when its MinHash
     signature collides with an EARLIER epoch's kept document on at least
@@ -201,16 +306,28 @@ def incremental_minhash_dedup(
     lake under ``epoch_id`` (exactly-once; replays time-travel like
     :func:`incremental_exact_dedup`).
 
-    Precision note: the cross-epoch test is the LSH candidate test — the
-    standard incremental trade (verifying against old docs' term sets
-    would re-read the very history incremental processing exists to
-    avoid); tune ``bands``/``min_bands`` for precision, and rely on the
-    in-epoch pass for exact-verified clustering. State size: bands rows
-    of 16 bytes per kept doc — O(kept), never O(corpus payload).
+    Precision: by default the cross-epoch test is the bare LSH candidate
+    test — the standard incremental trade (the old docs' term sets are
+    gone); a false band collision silently drops a novel doc. With
+    ``verify_cross_epoch=True`` every colliding (candidate, keeper) pair
+    is re-checked against the keeper's FULL stored MinHash signature
+    (component-equality fraction ≈ Jaccard) and the candidate is dropped
+    only when the estimate clears ``threshold``. Cost: keepers' signatures
+    persist in a sibling signature lake (``sig_dir``, default
+    ``{state_dir}_sigs`` — ``num_perm``·8 B per kept doc) and the epoch
+    pays one extra signature pass; turn it on from the lake's FIRST epoch
+    so every keeper has a stored signature (a keeper without one cannot be
+    verified and its collisions fall back to the unverified drop).
+    State size: bands rows of 16 bytes per kept doc — O(kept), never
+    O(corpus payload).
     """
     from vlm_eden_dataset_etl_ray.apply import _already_applied, apply_epoch_dataset
-    from vlm_eden_dataset_etl_ray.functions.dedup import minhash_dedup
-    from vlm_eden_dataset_etl_ray.functions.relational import hash_semi_join
+    from vlm_eden_dataset_etl_ray.functions.dedup import (
+        full_signatures, minhash_dedup, signature_jaccard_estimate)
+    from vlm_eden_dataset_etl_ray.functions.relational import (
+        hash_join, hash_semi_join)
+
+    sig_dir = sig_dir or state_dir.rstrip("/") + "_sigs"
 
     # the epoch's band keys are computed ONCE (signatures are the epoch's
     # most expensive stage) and materialized — probed against the state
@@ -219,26 +336,38 @@ def incremental_minhash_dedup(
                             bands).materialize()
 
     done = _already_applied(state_dir, epoch_id)
+    state_cols = (["bucket_key", id_col] if verify_cross_epoch
+                  else ["bucket_key"])
     if done is not None:
         first = _epoch_first_applied(state_dir, epoch_id)
-        seen = (lake.scan(state_dir, spec=spec, columns=["bucket_key"],
+        seen = (lake.scan(state_dir, spec=spec, columns=state_cols,
                           asof_epoch=first - 1)
                 if first > 1 else rd.from_arrow(_EMPTY_BUCKETS))
     elif mf.latest(state_dir) is None:
         seen = rd.from_arrow(_EMPTY_BUCKETS)
     else:
-        seen = lake.scan(state_dir, spec=spec, columns=["bucket_key"])
+        seen = lake.scan(state_dir, spec=spec, columns=state_cols)
 
-    # docs colliding with the state on >= min_bands bands are old near-dups
-    hits = hash_semi_join(keys, seen, "bucket_key", "bucket_key",
-                          num_buckets=join_buckets)
-    dup_ids = (hits.groupby(id_col).count()
-               .map_batches(
-                   lambda t: t.filter(
-                       pc.greater_equal(t.column("count()"),
-                                        pa.scalar(min_bands))
-                   ).select([id_col]),
-                   batch_format="pyarrow"))
+    if not verify_cross_epoch:
+        # docs colliding with the state on >= min_bands bands are old dups
+        hits = hash_semi_join(keys, seen, "bucket_key", "bucket_key",
+                              num_buckets=join_buckets)
+        dup_ids = (hits.groupby(id_col).count()
+                   .map_batches(
+                       lambda t: t.filter(
+                           pc.greater_equal(t.column("count()"),
+                                            pa.scalar(min_bands))
+                       ).select([id_col]),
+                       batch_format="pyarrow"))
+    else:
+        # epoch signatures: computed once, reused for the verify joins AND
+        # the survivors' signature commit below
+        epoch_sigs = full_signatures(docs, id_col, text_col,
+                                     num_perm).materialize()
+        dup_ids = _verified_cross_epoch_dups(
+            sig_dir, epoch_sigs, keys, seen, id_col=id_col,
+            epoch_id=epoch_id, threshold=threshold, num_perm=num_perm,
+            min_bands=min_bands, join_buckets=join_buckets, done=done)
     fresh = hash_semi_join(docs, dup_ids, id_col, id_col, anti=True,
                            num_buckets=join_buckets)
 
@@ -253,6 +382,36 @@ def incremental_minhash_dedup(
                                num_buckets=join_buckets).materialize()
 
     if done is None:
+        if verify_cross_epoch and _already_applied(sig_dir, epoch_id) is None:
+            # keepers' signatures commit FIRST: a crash between the two
+            # commits leaves sigs-without-keys, which is harmless (keys
+            # drive collisions) and converges on re-run (both commits are
+            # idempotent on epoch_id)
+            sig_spec = TableSpec(name="minhash_sigs", key=id_col,
+                                 order="lsn", num_partitions=spec.num_partitions)
+            surv_sigs = hash_semi_join(epoch_sigs, kept_ids, id_col, id_col,
+                                       num_buckets=join_buckets)
+
+            def _sig_rows(t: pa.Table) -> pa.Table:
+                n = t.num_rows
+                return pa.table({
+                    id_col: t.column(id_col),
+                    "minhash_sig": t.column("minhash_sig"),
+                    "lsn": pa.array(np.zeros(n, np.int64)),
+                    "op": pa.array(["insert"] * n, pa.string()),
+                })
+
+            es = epoch_sigs.schema()  # materialized → metadata-only
+            sid_type = dict(zip(es.names, es.types))[id_col]
+            sig_schema = pa.schema([
+                (id_col, sid_type),
+                ("minhash_sig", pa.list_(pa.int64(), num_perm)),
+                ("lsn", pa.int64()), ("op", pa.string())])
+            apply_epoch_dataset(
+                sig_dir, surv_sigs.map_batches(_sig_rows,
+                                               batch_format="pyarrow"),
+                epoch_id=epoch_id, spec=sig_spec, target_schema=sig_schema)
+
         # survivors' band keys = the already-materialized epoch keys
         # filtered to surviving ids — no third signature pass
         surv_keys = hash_semi_join(keys, kept_ids, id_col, id_col,
