@@ -92,6 +92,29 @@ def test_grouped_mad_many_blocks():
         ora.column("n_outliers").to_pylist()
 
 
+def test_branch_edge_merge_distributed_fallback_matches_driver(monkeypatch):
+    """Past driver_cap_bytes the merge falls back to the distributed
+    two-branch plan (filter branches + edge groupby + union); force it
+    with cap=0 and pin it row-for-row to the driver-side fast path."""
+    import vlm_eden_dataset_etl_ray.functions.runfold as rf
+
+    t = _events()
+    fast = _sorted_tbl(S.grouped_mad(_ds(t), ["u"], "v", z=3.0), ["u"])
+
+    orig = rf.branch_edge_merge
+    monkeypatch.setattr(
+        rf, "branch_edge_merge",
+        lambda *a, **k: orig(*a, **{**k, "driver_cap_bytes": 0}))
+    slow = _sorted_tbl(S.grouped_mad(_ds(t), ["u"], "v", z=3.0), ["u"])
+
+    assert fast.column("u").to_pylist() == slow.column("u").to_pylist()
+    for c in ("med", "mad"):
+        np.testing.assert_allclose(fast.column(c).to_numpy(),
+                                   slow.column(c).to_numpy(), atol=0)
+    assert fast.column("n_outliers").to_pylist() == \
+        slow.column("n_outliers").to_pylist()
+
+
 def test_grouped_trend_many_blocks():
     t = _events()
     out = _sorted_tbl(

@@ -107,7 +107,8 @@ def edge_mask(n_runs: int) -> np.ndarray:
 
 
 def branch_edge_merge(parts: rd.Dataset, keys: list[str],
-                      out_cols: list[str], edge_fold) -> rd.Dataset:
+                      out_cols: list[str], edge_fold, *,
+                      driver_cap_bytes: int = 64 << 20) -> rd.Dataset:
     """Split a unified per-run partial stream into finalized interior rows
     plus groupby-merged edge rows.
 
@@ -117,9 +118,39 @@ def branch_edge_merge(parts: rd.Dataset, keys: list[str],
     run (~one per key), slim relative to the input — so the two branches
     below don't re-execute the upstream sort+fold. ``edge_fold`` receives
     one edge-run group (≤ 2 rows per block that touched the key, so O(blocks)
-    groups total) and must return exactly ``keys + out_cols``."""
+    groups total) and must return exactly ``keys + out_cols``.
+
+    When the materialized ``parts`` fits under ``driver_cap_bytes`` the
+    whole merge happens driver-side in one Arrow pass (the result is
+    O(runs) — already the driver-sized answer), skipping a second
+    distributed pipeline whose fixed cost (branch filters + an all-to-all
+    groupby of the edge rows + union) dominates at small inputs. Past the
+    cap — 10⁶⁺ runs or skewed edge payloads — the distributed two-branch
+    plan below runs unchanged."""
+    import ray
+
     parts = parts.materialize()
     sel = keys + out_cols
+
+    if parts.size_bytes() <= driver_cap_bytes:
+        blocks = [b for b in ray.get(parts.to_arrow_refs()) if b.num_rows]
+        if not blocks:
+            # empty input: the fold's empty-block schema already carries sel
+            return parts.map_batches(
+                lambda t: t.select(sel), batch_format="pyarrow",
+                zero_copy_batch=True)
+        t = pa.concat_tables(blocks).combine_chunks()
+        is_edge = t.column("__edge")
+        out = [t.filter(pc.invert(is_edge)).select(sel)]
+        et = t.filter(is_edge)
+        if et.num_rows:
+            et = et.take(pc.sort_indices(
+                et, sort_keys=[(k, "ascending") for k in keys]))
+            starts, lengths = run_bounds(et, keys)
+            out.extend(
+                edge_fold(et.slice(s, ln)).select(sel)
+                for s, ln in zip(starts, lengths))
+        return rd.from_arrow(pa.concat_tables(out))
 
     def _interior(t: pa.Table) -> pa.Table:
         return t.filter(pc.invert(t.column("__edge"))).select(sel)
