@@ -2,7 +2,11 @@
 ``__ray_entry__.queries()`` entry and its DuckDB oracle side-by-side and
 compare row count, column names/types, and order-insensitive values.
 
-Usage: python tools/check_contract.py [sf_dir] [query ...]
+Usage: python tools/check_contract.py [sf_dir] [query ...] [--json PATH]
+
+``--json PATH`` additionally writes a per-query artifact in the driver's
+CORRECTNESS format (rows/schema/hash match booleans + row counts + err),
+so a full sweep can be committed per round and audited.
 """
 
 from __future__ import annotations
@@ -81,9 +85,15 @@ def compare(name: str, ray_t: pa.Table, ora_t: pa.Table) -> list[str]:
 
 
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    argv = sys.argv[1:]
+    json_path = None
+    if "--json" in argv:
+        i = argv.index("--json")
+        json_path = argv[i + 1]
+        argv = argv[:i] + argv[i + 2:]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
     # accept space- and/or comma-separated names; tolerate an "--only" flag
-    only = {n for a in sys.argv[2:] for n in a.split(",") if n and n != "--only"}
+    only = {n for a in argv[1:] for n in a.split(",") if n and n != "--only"}
 
     import ray
 
@@ -110,6 +120,7 @@ def main():
         print(f"ERROR: unknown query name(s): {sorted(unknown)}")
         sys.exit(2)
     n_fail = 0
+    results: dict[str, dict] = {}
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -119,18 +130,39 @@ def main():
         except Exception as e:
             print(f"FAIL {name}: query raised {type(e).__name__}: {e}")
             n_fail += 1
+            results[name] = {"rows_match": False, "schema_match": False,
+                             "hash_match": False, "ray_rows": None,
+                             "oracle_rows": None, "sec": None,
+                             "err": f"query raised {type(e).__name__}: {e}"}
             continue
         dt = time.time() - t0
         if name not in oracles:
             print(f"ok   {name}: rows={ray_t.num_rows} ({dt:.1f}s) [rows-only, no oracle]")
+            results[name] = {"rows_match": True, "schema_match": None,
+                             "hash_match": None, "ray_rows": ray_t.num_rows,
+                             "oracle_rows": None, "sec": round(dt, 2),
+                             "err": None, "no_oracle": True}
             continue
         try:
             ora_t = con.sql(oracles[name]).arrow()
         except Exception as e:
             print(f"FAIL {name}: oracle raised {type(e).__name__}: {e}")
             n_fail += 1
+            results[name] = {"rows_match": False, "schema_match": False,
+                             "hash_match": False, "ray_rows": ray_t.num_rows,
+                             "oracle_rows": None, "sec": round(dt, 2),
+                             "err": f"oracle raised {type(e).__name__}: {e}"}
             continue
         problems = compare(name, ray_t, ora_t)
+        results[name] = {
+            "rows_match": ray_t.num_rows == ora_t.num_rows,
+            "schema_match": not any(p.startswith(("columns", "dtype"))
+                                    for p in problems),
+            "hash_match": not problems,
+            "ray_rows": ray_t.num_rows, "oracle_rows": ora_t.num_rows,
+            "sec": round(dt, 2),
+            "err": "; ".join(problems) if problems else None,
+        }
         if problems:
             n_fail += 1
             print(f"FAIL {name} ({dt:.1f}s):")
@@ -139,6 +171,13 @@ def main():
         else:
             print(f"PASS {name}: rows={ray_t.num_rows} ({dt:.1f}s)")
     print(f"\n{'ALL OK' if n_fail == 0 else f'{n_fail} FAILURES'}")
+    if json_path:
+        import json
+
+        with open(json_path, "w") as f:
+            json.dump({"sf_dir": sf_dir, "n_queries": len(results),
+                       "n_fail": n_fail, "queries": results}, f, indent=1)
+        print(f"wrote {json_path}")
     ray.shutdown()
     sys.exit(1 if n_fail else 0)
 
