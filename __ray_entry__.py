@@ -2829,7 +2829,85 @@ def q_debezium_envelope_replay(sf_dir):
     return replay_debezium(sf_dir)
 
 
+# ---------------------------------------------------------------------------
+# Declarative SQL front-end (vlm_eden_dataset_etl_ray/sql.py): the engine
+# parses and executes the SAME SQL string DuckDB runs as the oracle — the
+# strongest parity check the harness allows (identical text, two engines).
+# Each exercises a different compiler path: pushdown scans, broadcast joins,
+# partial aggregation, count(DISTINCT), derived tables, UNION ALL, CASE /
+# LIKE / IN expression kernels, HAVING, ORDER BY expressions.
+# ---------------------------------------------------------------------------
+
+SQL_FRONTEND_QUERIES = {
+    "sqlfe_pricing_rollup": (
+        "SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty, "
+        "round(sum(l_extendedprice), 2) AS sum_base, "
+        "round(avg(l_discount), 6) AS avg_disc, count(*) AS count_order "
+        "FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02' "
+        "GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus"),
+    "sqlfe_nation_balances": (
+        "SELECT n_name, count(*) AS n_cust, round(sum(c_acctbal), 2) AS total_bal "
+        "FROM customer JOIN nation ON c_nationkey = n_nationkey "
+        "GROUP BY n_name ORDER BY n_cust DESC, n_name LIMIT 5"),
+    "sqlfe_part_buckets": (
+        "SELECT p_partkey, CASE WHEN p_size < 10 THEN 'small' "
+        "WHEN p_size < 30 THEN 'mid' ELSE 'big' END AS bucket "
+        "FROM part WHERE p_name LIKE '%a%' "
+        "AND p_brand IN ('Brand#11', 'Brand#12', 'Brand#13')"),
+    "sqlfe_doc_source_card": (
+        "SELECT lang, count(DISTINCT source) AS n_src, count(*) AS n "
+        "FROM documents GROUP BY lang ORDER BY lang"),
+    "sqlfe_order_tiers": (
+        "SELECT bucket, count(*) AS n, round(avg(o_totalprice), 6) AS avg_price "
+        "FROM (SELECT o_orderkey, o_totalprice, "
+        "CASE WHEN o_totalprice > 5000 THEN 'hi' ELSE 'lo' END AS bucket "
+        "FROM orders) x GROUP BY bucket ORDER BY bucket"),
+    "sqlfe_top_balances_union": (
+        "SELECT c_name AS name, c_acctbal AS bal FROM customer "
+        "WHERE c_acctbal > 9000 UNION ALL "
+        "SELECT s_name AS name, s_acctbal AS bal FROM supplier "
+        "WHERE s_acctbal > 5500 ORDER BY bal DESC, name"),
+    "sqlfe_busy_users": (
+        "SELECT user_id, count(*) AS n, round(sum(value), 6) AS total_value "
+        "FROM events WHERE event_type != 'error' GROUP BY user_id "
+        "HAVING count(*) > 5 ORDER BY n DESC, user_id LIMIT 20"),
+    "sqlfe_regional_suppliers": (
+        "SELECT r_name, n_name, count(*) AS n_supp, "
+        "round(max(s_acctbal), 2) AS top_bal FROM supplier "
+        "JOIN nation ON s_nationkey = n_nationkey "
+        "JOIN region ON n_regionkey = r_regionkey "
+        "GROUP BY r_name, n_name ORDER BY r_name, n_name"),
+    "sqlfe_yearly_priorities": (
+        "SELECT year(o_orderdate) AS y, o_orderpriority, count(*) AS n, "
+        "max(o_totalprice) AS mx FROM orders "
+        "GROUP BY year(o_orderdate), o_orderpriority ORDER BY y, o_orderpriority"),
+    "sqlfe_event_exprs": (
+        "SELECT event_id, upper(event_type) AS et, "
+        "coalesce(nullif(event_type, 'click'), 'CLICKED') AS nn, "
+        "year(ts) AS y, cast(value AS BIGINT) AS vi, event_id % 7 AS m7, "
+        "substr(event_type, 2, 3) AS s3, event_type || '!' AS bang, "
+        "abs(value - 50) AS dist FROM events "
+        "WHERE value BETWEEN 10 AND 90 AND NOT event_type = 'view' "
+        "ORDER BY event_id LIMIT 200"),
+}
+
+
+def _sqlfe(qtext: str) -> Callable[[str], Any]:
+    def _run(sf_dir: str):
+        from vlm_eden_dataset_etl_ray.sql import sql_table
+
+        return sql_table(qtext, sf_dir)
+
+    return _run
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
+    out = {name: _sqlfe(q) for name, q in SQL_FRONTEND_QUERIES.items()}
+    out.update(_BASE_QUERIES())
+    return out
+
+
+def _BASE_QUERIES() -> dict[str, Callable[[str], Any]]:
     return {
         "cdc_replay_events": q_cdc_replay_events,
         "cdc_wap_audit": q_cdc_wap_audit,
@@ -3002,6 +3080,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 def oracle_sql() -> dict[str, str]:
+    out = dict(SQL_FRONTEND_QUERIES)  # oracle = the very string the engine runs
+    out.update(_BASE_ORACLES())
+    return out
+
+
+def _BASE_ORACLES() -> dict[str, str]:
     return {
         # partial-update merge engine: per column, last NON-NULL writer by
         # lsn wins among events after the key's last delete; a row is live
