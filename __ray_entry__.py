@@ -2881,6 +2881,14 @@ SQL_FRONTEND_QUERIES = {
         "SELECT year(o_orderdate) AS y, o_orderpriority, count(*) AS n, "
         "max(o_totalprice) AS mx FROM orders "
         "GROUP BY year(o_orderdate), o_orderpriority ORDER BY y, o_orderpriority"),
+    "sqlfe_orders_semi_subquery": (
+        "SELECT o_orderkey, o_totalprice FROM orders WHERE o_custkey IN "
+        "(SELECT c_custkey FROM customer WHERE c_acctbal > 9000) "
+        "ORDER BY o_orderkey"),
+    "sqlfe_above_avg_orders": (
+        "SELECT o_orderpriority, count(*) AS n FROM orders "
+        "WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders) "
+        "GROUP BY o_orderpriority ORDER BY o_orderpriority"),
     "sqlfe_event_exprs": (
         "SELECT event_id, upper(event_type) AS et, "
         "coalesce(nullif(event_type, 'click'), 'CLICKED') AS nn, "

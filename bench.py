@@ -137,6 +137,10 @@ BENCH_QUERIES = [
     "partial_update_profiles",
     "aggregate_merge_totals",
     "debezium_envelope_replay",
+    # round-5: declarative SQL front-end (parse → compile → execute)
+    "sqlfe_pricing_rollup",
+    "sqlfe_busy_users",
+    "sqlfe_nation_balances",
 ]
 
 

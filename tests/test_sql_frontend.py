@@ -238,3 +238,73 @@ def test_division_promotes_to_double():
 def test_order_by_expression(ddb):
     _assert_matches(ddb, "SELECT n_name FROM nation "
                          "ORDER BY length(n_name) DESC, n_name LIMIT 5")
+
+
+# -- subqueries ---------------------------------------------------------------
+
+SUBQ = {
+    "in_subq": "SELECT o_orderkey, o_totalprice FROM orders WHERE o_custkey IN "
+               "(SELECT c_custkey FROM customer WHERE c_acctbal > 9000) "
+               "ORDER BY o_orderkey",
+    "not_in_subq": "SELECT count(*) AS n FROM orders WHERE o_custkey NOT IN "
+                   "(SELECT c_custkey FROM customer WHERE c_acctbal > 9000)",
+    "scalar_sub_where": "SELECT count(*) AS n FROM orders WHERE o_totalprice > "
+                        "(SELECT avg(o_totalprice) FROM orders)",
+    "scalar_sub_select": "SELECT max(o_totalprice) - "
+                         "(SELECT min(o_totalprice) FROM orders) "
+                         "AS price_range FROM orders",
+    "in_subq_expr_probe": "SELECT count(*) AS n FROM events WHERE user_id + 0 "
+                          "IN (SELECT user_id FROM events "
+                          "WHERE event_type = 'purchase')",
+    "in_subq_before_join": "SELECT n_name, count(*) AS n FROM customer "
+                           "JOIN nation ON c_nationkey = n_nationkey "
+                           "WHERE c_custkey IN (SELECT o_custkey FROM orders "
+                           "WHERE o_totalprice > 8000) "
+                           "GROUP BY n_name ORDER BY n_name",
+}
+
+
+@pytest.mark.parametrize("name", sorted(SUBQ))
+def test_subqueries_match_duckdb(ddb, name):
+    _assert_matches(ddb, SUBQ[name])
+
+
+def test_in_subquery_shuffle_path(ddb, monkeypatch):
+    """Force the key set over the broadcast budget so the partitioned
+    hash_semi_join path runs — results identical to the broadcast path."""
+    import vlm_eden_dataset_etl_ray.sql as sqlmod
+    monkeypatch.setattr(sqlmod, "IN_SUBQUERY_BROADCAST_BYTES", 1)
+    _assert_matches(ddb, SUBQ["in_subq"])
+    _assert_matches(ddb, SUBQ["not_in_subq"])
+
+
+def test_not_in_null_semantics():
+    """SQL: x NOT IN (set containing NULL) is never TRUE; a null probe
+    matches neither IN nor NOT IN."""
+    t = rd.from_arrow(pa.table({"k": [1, 2, 3, None]}))
+    s_null = rd.from_arrow(pa.table({"v": [1, None]}))
+    s_clean = rd.from_arrow(pa.table({"v": [1]}))
+    r = sql_table("SELECT k FROM t WHERE k NOT IN (SELECT v FROM s)",
+                  tables={"t": t, "s": s_null})
+    assert r.num_rows == 0
+    r2 = sql_table("SELECT k FROM t WHERE k IN (SELECT v FROM s)",
+                   tables={"t": t, "s": s_null})
+    assert r2.column("k").to_pylist() == [1]
+    r3 = sql_table("SELECT k FROM t WHERE k NOT IN (SELECT v FROM s)",
+                   tables={"t": t, "s": s_clean})
+    assert sorted(r3.column("k").to_pylist()) == [2, 3]  # null probe dropped
+
+
+def test_scalar_subquery_errors():
+    with pytest.raises(SqlError, match="exactly one column"):
+        sql("SELECT 1 AS x FROM orders WHERE o_totalprice > "
+            "(SELECT o_orderkey, o_custkey FROM orders)", SF_DIR)
+    with pytest.raises(SqlError, match="returned"):
+        sql("SELECT 1 AS x FROM orders WHERE o_totalprice > "
+            "(SELECT o_totalprice FROM orders LIMIT 2)", SF_DIR)
+
+
+def test_in_subquery_only_in_where():
+    with pytest.raises(SqlError, match="WHERE conjunct"):
+        sql_table("SELECT CASE WHEN o_custkey IN (SELECT c_custkey FROM "
+                  "customer) THEN 1 ELSE 0 END AS f FROM orders", SF_DIR)

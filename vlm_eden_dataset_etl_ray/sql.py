@@ -180,6 +180,18 @@ class InList:
 
 
 @dataclass(frozen=True)
+class InSubquery:
+    arg: object
+    query: "Query"
+    negated: bool
+
+
+@dataclass(frozen=True)
+class ScalarSub:
+    query: "Query"
+
+
+@dataclass(frozen=True)
 class IsNull:
     arg: object
     negated: bool
@@ -384,6 +396,10 @@ class _Parser:
         if t.val == "in":
             self.next()
             self.expect("op", "(")
+            if self.peek().val == "select":
+                q = self.query()
+                self.expect("op", ")")
+                return InSubquery(left, q, negated)
             vals = []
             while True:
                 v = self.primary()
@@ -505,6 +521,10 @@ class _Parser:
                 return Col(col, name)
             return Col(name)
         if self.accept("op", "("):
+            if self.peek().val == "select":
+                q = self.query()
+                self.expect("op", ")")
+                return ScalarSub(q)
             e = self.expr()
             self.expect("op", ")")
             return e
@@ -533,7 +553,9 @@ def _walk(node):
             yield from _walk(node.default)
     elif isinstance(node, Cast):
         yield from _walk(node.arg)
-    elif isinstance(node, (InList, IsNull, LikeOp)):
+    elif isinstance(node, (InList, IsNull, LikeOp, InSubquery)):
+        # InSubquery: only the probe arg lives in the OUTER scope; the
+        # subquery has its own scope and compiles recursively.
         yield from _walk(node.arg)
 
 
@@ -579,6 +601,11 @@ def _render(node) -> str:
         return f"({_render(node.arg)} is {'not ' if node.negated else ''}null)"
     if isinstance(node, LikeOp):
         return f"({_render(node.arg)} {'not ' if node.negated else ''}like {node.pattern!r})"
+    if isinstance(node, InSubquery):
+        return (f"({_render(node.arg)} {'not ' if node.negated else ''}"
+                f"in subquery#{id(node.query)})")
+    if isinstance(node, ScalarSub):
+        return f"scalar_subquery#{id(node.query)}"
     raise SqlError(f"cannot render {node!r}")
 
 
@@ -603,6 +630,8 @@ _CMP = {"=": pc.equal, "!=": pc.not_equal, "<": pc.less, "<=": pc.less_equal,
 
 
 def _lit_scalar(l: Lit):
+    if l.type == "pa":
+        return l.value  # already a typed pa.Scalar (resolved scalar subquery)
     if l.type == "date":
         import datetime as _dt
         return pa.scalar(_dt.date.fromisoformat(l.value), pa.date32())
@@ -724,6 +753,9 @@ def _eval(node, t: pa.Table, resolve):
             raise SqlError(f"aggregate {node.name}() outside GROUP BY context")
         args = [_eval(a, t, resolve) for a in node.args]
         return _scalar_fn(node.name, args)
+    if isinstance(node, InSubquery):
+        raise SqlError("IN (SELECT ...) is only supported as a top-level "
+                       "WHERE conjunct")
     raise SqlError(f"cannot evaluate {node!r}")
 
 
@@ -1248,9 +1280,163 @@ def _cross_one_row(left: _Rel, right: _Rel) -> _Rel:
                 zero)
 
 
+# -- subqueries ---------------------------------------------------------------
+
+def _rewrite_expr(e, fn):
+    """Bottom-up structural rewrite; `fn` maps a node to its replacement
+    (or returns it unchanged). Does NOT descend into nested Query scopes."""
+    if isinstance(e, Bin):
+        e = Bin(e.op, _rewrite_expr(e.left, fn), _rewrite_expr(e.right, fn))
+    elif isinstance(e, Not):
+        e = Not(_rewrite_expr(e.arg, fn))
+    elif isinstance(e, Cast):
+        e = Cast(_rewrite_expr(e.arg, fn), e.to)
+    elif isinstance(e, Case):
+        e = Case(tuple((_rewrite_expr(c, fn), _rewrite_expr(r, fn))
+                       for c, r in e.whens),
+                 _rewrite_expr(e.default, fn) if e.default is not None else None)
+    elif isinstance(e, InList):
+        e = InList(_rewrite_expr(e.arg, fn), e.values, e.negated)
+    elif isinstance(e, InSubquery):
+        e = InSubquery(_rewrite_expr(e.arg, fn), e.query, e.negated)
+    elif isinstance(e, IsNull):
+        e = IsNull(_rewrite_expr(e.arg, fn), e.negated)
+    elif isinstance(e, LikeOp):
+        e = LikeOp(_rewrite_expr(e.arg, fn), e.pattern, e.negated)
+    elif isinstance(e, Func):
+        e = Func(e.name, tuple(_rewrite_expr(a, fn) for a in e.args),
+                 e.distinct, e.star)
+    return fn(e)
+
+
+def _resolve_scalar_subs(core: Core, sf_dir, tables, cardinality) -> None:
+    """Execute each uncorrelated scalar subquery ONCE at compile time and
+    splice its (1×1) result in as a typed literal — the reference's
+    watermark-read idiom (`WHERE ts > (SELECT max(ts) …)`,
+    /root/reference/queries/fact_studies.py:3-35) without re-running the
+    subquery per batch. Correlated subqueries are not supported."""
+
+    def fn(e):
+        if not isinstance(e, ScalarSub):
+            return e
+        rel, cols = _compile_query(e.query, sf_dir, tables, cardinality)
+        if len(cols) != 1:
+            raise SqlError("scalar subquery must select exactly one column")
+        batches = list(rel.ds.iter_batches(batch_format="pyarrow",
+                                           batch_size=None))
+        t = pa.concat_tables(batches) if batches else rel.zero
+        if t.num_rows == 0:
+            return Lit(None)
+        if t.num_rows > 1:
+            raise SqlError(f"scalar subquery returned {t.num_rows} rows")
+        return Lit(t.column(0)[0], type="pa")
+
+    core.items = [(e if e == "*" else _rewrite_expr(e, fn), a)
+                  for e, a in core.items]
+    if core.where is not None:
+        core.where = _rewrite_expr(core.where, fn)
+    core.group_by = [_rewrite_expr(e, fn) for e in core.group_by]
+    if core.having is not None:
+        core.having = _rewrite_expr(core.having, fn)
+
+
+# broadcast budget for IN-subquery key sets; above it the partitioned
+# hash_semi_join runs (module-level so tests can force the shuffle path)
+IN_SUBQUERY_BROADCAST_BYTES = 64 * 1024 * 1024
+
+
+def _apply_in_subquery(rel: _Rel, node: InSubquery, scope: _Scope, sf_dir,
+                       tables, cardinality,
+                       broadcast_threshold_bytes: int | None = None) -> _Rel:
+    """`x [NOT] IN (SELECT k …)` as a semi/anti join. The subquery's
+    DISTINCT keys are reduced distributed first; if the key set fits the
+    broadcast budget it ships once via ``ray.put`` and filters per batch
+    (:func:`broadcast_membership_filter`), else the partitioned
+    :func:`hash_semi_join` runs (left rows + distinct right keys through
+    one exchange — right payload never moves). SQL null semantics: a null
+    probe never matches (dropped by IN *and* NOT IN); a null in the
+    subquery result makes NOT IN match nothing at all."""
+    from vlm_eden_dataset_etl_ray.functions.relational import (
+        broadcast_membership_filter, hash_semi_join)
+
+    if broadcast_threshold_bytes is None:
+        broadcast_threshold_bytes = IN_SUBQUERY_BROADCAST_BYTES
+    sub_rel, sub_cols = _compile_query(node.query, sf_dir, tables, cardinality)
+    if len(sub_cols) != 1:
+        raise SqlError("IN subquery must select exactly one column")
+
+    # probe side: a plain column probes in place; an expression gets a
+    # temporary key column (dropped after the filter)
+    tmp = None
+    if isinstance(node.arg, Col):
+        colname = scope.resolve(node.arg)
+        work = rel
+    else:
+        tmp = "__subq_probe"
+        arg = node.arg
+
+        def _addkey(t: pa.Table) -> pa.Table:
+            v = _as_array(_eval(arg, t, scope.resolve), t.num_rows)
+            if isinstance(v, pa.ChunkedArray):
+                v = v.combine_chunks()
+            return t.append_column(tmp, v)
+
+        work = rel.map(_addkey)
+        colname = tmp
+
+    dd = _distinct_ds(sub_rel, [sub_cols[0]], cardinality)
+    mat = dd.ds.materialize()
+    size = mat.size_bytes() or 0
+
+    if size <= broadcast_threshold_bytes:
+        batches = list(mat.iter_batches(batch_format="pyarrow",
+                                        batch_size=None))
+        keys_tbl = pa.concat_tables(batches) if batches else dd.zero
+        keys = keys_tbl.column(0).combine_chunks()
+        has_null = keys.null_count > 0
+        keys = keys.drop_null()
+        if node.negated and has_null:
+            # SQL: x NOT IN (set containing NULL) is never TRUE
+            out = work.map(lambda t: t.slice(0, 0))
+        else:
+            out = _Rel(broadcast_membership_filter(
+                work.ds, colname, keys, negate=node.negated), work.zero)
+    else:
+        # count right-side nulls with an O(blocks) metadata pass
+        nulls = sum(
+            b.column(0).null_count
+            for b in mat.iter_batches(batch_format="pyarrow",
+                                      batch_size=None))
+        if node.negated and nulls:
+            out = work.map(lambda t: t.slice(0, 0))
+        else:
+            right_key = sub_cols[0]
+            right = mat
+            if right_key == colname:
+                right_key = "__subq_key"
+                right = right.map_batches(
+                    lambda t, rk=right_key: t.rename_columns([rk]),
+                    batch_format="pyarrow")
+            joined = hash_semi_join(work.ds, right, colname, right_key,
+                                    anti=node.negated,
+                                    bytes_hint=size * 4)
+            if node.negated:
+                # hash_semi_join's anti is NOT EXISTS (keeps null probes);
+                # NOT IN drops them
+                joined = joined.map_batches(
+                    lambda t, c=colname: t.filter(pc.is_valid(t.column(c))),
+                    batch_format="pyarrow", zero_copy_batch=True)
+            out = _Rel(joined, work.zero)
+
+    if tmp is not None:
+        out = out.map(lambda t, c=tmp: t.drop_columns([c]))
+    return out
+
+
 # -- core / query compilation ------------------------------------------------
 
 def _compile_core(core: Core, sf_dir: str, tables, cardinality: str) -> tuple[_Rel, list[str]]:
+    _resolve_scalar_subs(core, sf_dir, tables, cardinality)
     scope = _Scope()
     all_sources = [core.source] + [j.source for j in core.joins]
 
@@ -1299,11 +1485,16 @@ def _compile_core(core: Core, sf_dir: str, tables, cardinality: str) -> tuple[_R
     left_protected = {j.source.alias for j in core.joins if j.how == "left"}
     conj = _conjuncts(core.where) if core.where is not None else []
     per_source: dict[str, list] = {s.alias: [] for s in all_sources}
+    per_source_subq: dict[str, list] = {s.alias: [] for s in all_sources}
     post_join: list = []
+    post_join_subq: list = []
     for c in conj:
         owners = {scope.source_of(col) for col in _cols(c)}
+        is_subq = isinstance(c, InSubquery)
         if len(owners) == 1 and not (owners & left_protected):
-            per_source[next(iter(owners))].append(c)
+            (per_source_subq if is_subq else per_source)[next(iter(owners))].append(c)
+        elif is_subq:
+            post_join_subq.append(c)
         else:
             post_join.append(c)
 
@@ -1353,6 +1544,9 @@ def _compile_core(core: Core, sf_dir: str, tables, cardinality: str) -> tuple[_R
                     rel = rel.map(lambda t, c=tuple(cols): t.select(list(c)))
         for c in residual:
             rel = _filter_ds(rel, c, scope.resolve)
+        for c in per_source_subq[src.alias]:
+            # semi/anti filter BEFORE any join moves these rows
+            rel = _apply_in_subquery(rel, c, scope, sf_dir, tables, cardinality)
         return rel
 
     rel = _build(core.source)
@@ -1369,6 +1563,8 @@ def _compile_core(core: Core, sf_dir: str, tables, cardinality: str) -> tuple[_R
 
     for c in post_join:
         rel = _filter_ds(rel, c, scope.resolve)
+    for c in post_join_subq:
+        rel = _apply_in_subquery(rel, c, scope, sf_dir, tables, cardinality)
 
     # aggregate vs plain projection
     has_agg = core.group_by or any(
