@@ -2889,6 +2889,27 @@ SQL_FRONTEND_QUERIES = {
         "SELECT o_orderpriority, count(*) AS n FROM orders "
         "WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders) "
         "GROUP BY o_orderpriority ORDER BY o_orderpriority"),
+    "sqlfe_rank_per_customer": (
+        "SELECT o_orderkey, row_number() OVER (PARTITION BY o_custkey "
+        "ORDER BY o_totalprice DESC, o_orderkey) AS rn, "
+        "rank() OVER (PARTITION BY o_custkey ORDER BY o_orderpriority) AS r, "
+        "dense_rank() OVER (PARTITION BY o_custkey "
+        "ORDER BY o_orderstatus) AS dr "
+        "FROM orders ORDER BY o_orderkey"),
+    "sqlfe_global_quartiles": (
+        "SELECT c_custkey, ntile(4) OVER (ORDER BY c_acctbal, c_custkey) "
+        "AS quartile, row_number() OVER (ORDER BY c_acctbal DESC, "
+        "c_custkey) AS rn FROM customer ORDER BY c_custkey"),
+    "sqlfe_value_distribution": (
+        "SELECT event_id, round(cume_dist() OVER (ORDER BY value), 6) AS cd, "
+        "round(percent_rank() OVER (ORDER BY value), 6) AS pr "
+        "FROM events WHERE event_type = 'purchase' ORDER BY event_id"),
+    "sqlfe_running_customer_spend": (
+        "SELECT o_orderkey, round(sum(o_totalprice) OVER (PARTITION BY "
+        "o_custkey ORDER BY o_orderdate, o_orderkey), 6) AS run_spend, "
+        "lag(o_totalprice) OVER (PARTITION BY o_custkey "
+        "ORDER BY o_orderdate, o_orderkey) AS prev_price "
+        "FROM orders ORDER BY o_orderkey"),
     "sqlfe_event_exprs": (
         "SELECT event_id, upper(event_type) AS et, "
         "coalesce(nullif(event_type, 'click'), 'CLICKED') AS nn, "

@@ -308,3 +308,75 @@ def test_in_subquery_only_in_where():
     with pytest.raises(SqlError, match="WHERE conjunct"):
         sql_table("SELECT CASE WHEN o_custkey IN (SELECT c_custkey FROM "
                   "customer) THEN 1 ELSE 0 END AS f FROM orders", SF_DIR)
+
+
+def test_group_by_ordinal_and_alias(ddb):
+    _assert_matches(ddb, "SELECT o_orderpriority, o_orderstatus, count(*) AS n "
+                         "FROM orders GROUP BY 1, 2 ORDER BY 1, 2")
+    _assert_matches(ddb, "SELECT year(o_orderdate) AS y, count(*) AS n "
+                         "FROM orders GROUP BY y ORDER BY y")
+    _assert_matches(ddb, "SELECT CASE WHEN o_totalprice > 5000 THEN 'hi' "
+                         "ELSE 'lo' END AS tier, count(*) AS n "
+                         "FROM orders GROUP BY tier HAVING n > 10 ORDER BY tier")
+
+
+# ---------------------------------------------------------------------------
+# window functions (OVER ...) — each form vs DuckDB on the same parquet
+# ---------------------------------------------------------------------------
+
+
+def test_window_partitioned_ranks(ddb):
+    _assert_matches(ddb, "SELECT o_orderkey, row_number() OVER "
+                         "(PARTITION BY o_custkey ORDER BY o_totalprice, "
+                         "o_orderkey) AS rn FROM orders ORDER BY o_orderkey")
+    _assert_matches(ddb, "SELECT o_orderkey, rank() OVER "
+                         "(PARTITION BY o_orderpriority ORDER BY "
+                         "o_orderstatus) AS r FROM orders "
+                         "ORDER BY o_orderkey")
+    _assert_matches(ddb, "SELECT o_orderkey, dense_rank() OVER "
+                         "(PARTITION BY o_orderstatus ORDER BY "
+                         "o_orderpriority DESC) AS dr FROM orders "
+                         "ORDER BY o_orderkey")
+
+
+def test_window_global_forms(ddb):
+    _assert_matches(ddb, "SELECT c_custkey, row_number() OVER "
+                         "(ORDER BY c_acctbal DESC, c_custkey) AS rn "
+                         "FROM customer ORDER BY c_custkey")
+    _assert_matches(ddb, "SELECT c_custkey, ntile(4) OVER "
+                         "(ORDER BY c_acctbal, c_custkey) AS q "
+                         "FROM customer ORDER BY c_custkey")
+    _assert_matches(ddb, "SELECT c_custkey, cume_dist() OVER "
+                         "(ORDER BY c_acctbal) AS cd, percent_rank() OVER "
+                         "(ORDER BY c_acctbal) AS pr "
+                         "FROM customer ORDER BY c_custkey")
+
+
+def test_window_running_sum_and_lag(ddb):
+    _assert_matches(ddb, "SELECT o_orderkey, sum(o_totalprice) OVER "
+                         "(PARTITION BY o_custkey ORDER BY o_orderdate, "
+                         "o_orderkey) AS run FROM orders ORDER BY o_orderkey")
+    _assert_matches(ddb, "SELECT o_orderkey, lag(o_totalprice) OVER "
+                         "(PARTITION BY o_custkey ORDER BY o_orderdate, "
+                         "o_orderkey) AS prev FROM orders "
+                         "ORDER BY o_orderkey")
+
+
+def test_window_filter_under_window(ddb):
+    # WHERE applies before the window (SQL semantics) — verify numbering
+    # is computed over the filtered relation
+    _assert_matches(ddb, "SELECT o_orderkey, row_number() OVER "
+                         "(PARTITION BY o_custkey ORDER BY o_totalprice "
+                         "DESC, o_orderkey) AS rn FROM orders "
+                         "WHERE o_orderstatus = 'F' ORDER BY o_orderkey")
+
+
+def test_window_errors():
+    with pytest.raises(SqlError, match="GROUP BY"):
+        sql_table("SELECT o_custkey, row_number() OVER (ORDER BY "
+                  "count(*)) AS rn FROM orders GROUP BY o_custkey", SF_DIR)
+    with pytest.raises(SqlError, match="requires ORDER BY"):
+        sql_table("SELECT row_number() OVER () AS rn FROM orders", SF_DIR)
+    with pytest.raises(SqlError, match="unsupported window function"):
+        sql_table("SELECT first_value(o_orderkey) OVER (ORDER BY "
+                  "o_orderkey) AS f FROM orders", SF_DIR)

@@ -312,3 +312,84 @@ def test_quantile_bucket_matches_ntile_on_distinct_values():
         rd.from_arrow(t2), "v", 2, tiebreak="id",
     ).iter_batches(batch_format="pyarrow", batch_size=None)).sort_by("id")
     assert out2.column("bucket").to_pylist() == [1, 1, 1, 1, 1, 1, 2, 2]
+
+
+# ---------------------------------------------------------------------------
+# keyed_rank_ids: partitioned row_number / rank / dense_rank vs DuckDB
+# ---------------------------------------------------------------------------
+
+
+def _keyed_out(ds, keys, order_by, kind, **kw):
+    out = W.keyed_rank_ids(ds, keys, order_by, kind=kind, out_col="r", **kw)
+    return _sorted_tbl(out, ["k"])
+
+
+@pytest.mark.parametrize("kind", ["row_number", "rank", "dense_rank"])
+def test_keyed_rank_matches_duckdb(kind):
+    t = _orders(4000)
+    ds = rd.from_arrow(t).repartition(13)
+    out = _keyed_out(ds, ["cust"], ["price", "k"], kind)
+    exp = _con(t).execute(
+        f"select k, {kind}() over (partition by cust order by price, k) r "
+        "from t order by k").fetch_arrow_table()
+    assert out.column("r").to_pylist() == exp.column("r").to_pylist()
+
+
+@pytest.mark.parametrize("kind", ["rank", "dense_rank"])
+def test_keyed_rank_heavy_ties_across_blocks(kind):
+    # few keys, few distinct order values → ties straddle every block edge
+    rng = np.random.default_rng(11)
+    n = 3000
+    t = pa.table({
+        "k": pa.array(np.arange(n, dtype=np.int64)),
+        "g": pa.array(rng.integers(0, 3, n)),
+        "v": pa.array(rng.integers(0, 4, n)),
+    })
+    ds = rd.from_arrow(t).repartition(17)
+    out = W.keyed_rank_ids(ds, ["g"], ["v"], kind=kind, out_col="r")
+    got = _sorted_tbl(out, ["k"])
+    exp = _con(t).execute(
+        f"select k, {kind}() over (partition by g order by v) r "
+        "from t order by k").fetch_arrow_table()
+    assert got.column("r").to_pylist() == exp.column("r").to_pylist()
+
+
+def test_keyed_rank_descending_and_string_keys():
+    t = _orders(1500)
+    ds = rd.from_arrow(t).repartition(9)
+    out = W.keyed_rank_ids(ds, ["status"], ["price", "k"],
+                           kind="row_number", out_col="r",
+                           descending=[True, False])
+    got = _sorted_tbl(out, ["k"])
+    exp = _con(t).execute(
+        "select k, row_number() over "
+        "(partition by status order by price desc, k asc) r "
+        "from t order by k").fetch_arrow_table()
+    assert got.column("r").to_pylist() == exp.column("r").to_pylist()
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2, 3])
+def test_keyed_rank_fuzz_block_splits(seed):
+    # random key cardinality / tie density / block count; all three kinds
+    rng = np.random.default_rng(seed)
+    n = int(rng.integers(50, 1200))
+    nk = int(rng.integers(1, 8))
+    nv = int(rng.integers(1, 6))
+    t = pa.table({
+        "k": pa.array(np.arange(n, dtype=np.int64)),
+        "g": pa.array(rng.integers(0, nk, n)),
+        "v": pa.array(rng.integers(0, nv, n)),
+    })
+    blocks = int(rng.integers(1, 20))
+    ds = rd.from_arrow(t).repartition(blocks)
+    con = _con(t)
+    for kind in ("row_number", "rank", "dense_rank"):
+        # row_number tie order is arbitrary → add unique tiebreak for it
+        ob = ["v", "k"] if kind == "row_number" else ["v"]
+        got = _sorted_tbl(
+            W.keyed_rank_ids(ds, ["g"], ob, kind=kind, out_col="r"), ["k"])
+        exp = con.execute(
+            f"select k, {kind}() over (partition by g order by "
+            f"{', '.join(ob)}) r from t order by k").fetch_arrow_table()
+        assert got.column("r").to_pylist() == exp.column("r").to_pylist(), \
+            (kind, seed, n, nk, nv, blocks)

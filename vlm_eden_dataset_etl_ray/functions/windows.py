@@ -906,3 +906,163 @@ def quantile_bucket(
 
     return ds.map_batches(label, batch_format="pyarrow",
                           zero_copy_batch=True)
+
+
+# ---------------------------------------------------------------------------
+# Partitioned ranking windows: row_number() / rank() / dense_rank()
+# OVER (PARTITION BY keys ORDER BY order_by) — the per-partition members of
+# the global-ordering family above, with the same distributed shape as
+# relational.session_ids: ONE sort by (keys..., order...), O(blocks) driver
+# metadata chained into per-block carries, vectorized in-block assignment.
+# No per-key Python work anywhere — 10^6+ partitions cost the same per row
+# as 10^2. (The reference's analogs are Postgres window calls, e.g. the
+# top-1-per-key DISTINCT ON of queries/fact_studies.py:36-60.)
+# ---------------------------------------------------------------------------
+
+
+def keyed_rank_ids(
+    ds: rd.Dataset,
+    keys: list[str],
+    order_by: list[str],
+    kind: str = "row_number",
+    out_col: str | None = None,
+    descending: bool | list[bool] = False,
+) -> rd.Dataset:
+    """``kind`` ∈ {"row_number", "rank", "dense_rank"} within each ``keys``
+    partition, ordered by ``order_by`` (``descending`` applies to the order
+    columns only; partitions are unordered sets). 1-based, SQL semantics:
+    rank repeats with gaps on ties, dense_rank repeats without gaps,
+    row_number is unique (arbitrary among exact ties — same as any SQL
+    engine without a full tiebreak).
+
+    Carry chain (same technique as session_ids): per sorted block the
+    driver sees (first sort tuple, first/last key tuple, first/last order
+    tuple, rows / distinct order values / trailing-run geometry of the
+    trailing key run) and chains them into, per block, the rows already
+    emitted for the continuing key, the dense count so far, and the rank
+    of the order-run in progress at the boundary. If duplicate FULL sort
+    tuples span 3+ blocks the carry map collapses them (first writer
+    wins) — include a tiebreak id in ``order_by`` when exact boundary
+    behavior under full duplicates matters."""
+    if kind not in ("row_number", "rank", "dense_rank"):
+        raise ValueError(f"unknown kind {kind!r}")
+    out_col = out_col or kind
+    from vlm_eden_dataset_etl_ray.functions import runfold as rf
+
+    order_by = [c for c in order_by if c not in keys]
+    sort_cols = list(keys) + list(order_by)
+    desc = [descending] * len(order_by) if isinstance(descending, bool) \
+        else list(descending)
+    sort_desc = [False] * len(keys) + desc
+    sorted_ds = ds.sort(sort_cols, descending=sort_desc).materialize()
+
+    def _tup(t: pa.Table, cols: list[str], i: int) -> bytes:
+        return pickle.dumps(tuple(t.column(c)[i].as_py() for c in cols))
+
+    def _flags(t: pa.Table):
+        """(key-change flags, order-change flags) length n; index j says
+        row j differs from row j-1 (index 0 always True)."""
+        n = t.num_rows
+        kchg = np.zeros(n, dtype=bool)
+        ochg = np.zeros(n, dtype=bool)
+        kchg[0] = ochg[0] = True
+        for c in keys:
+            kchg[1:] |= rf.key_change_array(t.column(c))
+        ochg |= kchg
+        for c in order_by:
+            ochg[1:] |= rf.key_change_array(t.column(c))
+        return kchg, ochg
+
+    def _summ(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"__first": pa.array([], pa.binary())})
+        kchg, ochg = _flags(t)
+        n = t.num_rows
+        krs = np.flatnonzero(kchg)          # key-run starts
+        ors = np.flatnonzero(ochg)          # order-run starts
+        tail_key_start = int(krs[-1])
+        tail_order_start = int(ors[-1])
+        tail_dense = int(ochg[tail_key_start:].sum())
+        return pa.table({
+            "__first": pa.array([_tup(t, sort_cols, 0)], pa.binary()),
+            "__fk": pa.array([_tup(t, keys, 0)], pa.binary()),
+            "__lk": pa.array([_tup(t, keys, -1)], pa.binary()),
+            "__fo": pa.array([_tup(t, order_by, 0)], pa.binary()),
+            "__lo": pa.array([_tup(t, order_by, -1)], pa.binary()),
+            "__n": pa.array([n], pa.int64()),
+            "__single_key": pa.array([len(krs) == 1], pa.bool_()),
+            "__single_order": pa.array([len(ors) == 1], pa.bool_()),
+            "__tail_n": pa.array([n - tail_key_start], pa.int64()),
+            "__tail_dense": pa.array([tail_dense], pa.int64()),
+            "__tail_rank_start": pa.array(
+                [tail_order_start - tail_key_start], pa.int64()),
+        })
+
+    rows = [r for r in sorted_ds.map_batches(
+        _summ, batch_format="pyarrow", batch_size=None).take_all()
+        if "__fk" in r]
+
+    def _chain_key(r):
+        # match the distributed sort: nulls last, descending order columns
+        # inverted (_Rev) so the driver chains blocks in true output order
+        tup = pickle.loads(r["__first"])
+        out = []
+        for v, d in zip(tup, sort_desc):
+            val = 0 if v is None else v
+            out.append((v is None, _Rev(val) if d else val))
+        return tuple(out)
+
+    summ = sorted(rows, key=_chain_key)
+
+    # chain: R rows emitted for the continuing key, D distinct order
+    # values so far, RS rank of the order-run in progress, LO its tuple
+    carries: dict[bytes, tuple[int, int, int, bool]] = {}
+    pend_key, R, D, RS, LO = object(), 0, 0, 0, object()
+    for s in summ:
+        if s["__fk"] == pend_key:
+            same = s["__fo"] == LO
+            carries.setdefault(s["__first"], (R, D - int(same), RS, same))
+            cr, cd = R, D - int(same)
+        else:
+            same = False
+            carries.setdefault(s["__first"], (0, 0, 0, False))
+            cr, cd = 0, 0
+        single = s["__single_key"]
+        base_r = cr if single else 0
+        base_d = cd if single else 0
+        if single and s["__single_order"] and same:
+            RS_new = RS                      # order run continues across
+        else:
+            RS_new = base_r + s["__tail_rank_start"] + 1
+        R = base_r + s["__tail_n"]
+        D = base_d + s["__tail_dense"]
+        RS = RS_new
+        pend_key, LO = s["__lk"], s["__lo"]
+    carries_ref = ray.put(carries)
+
+    def _assign(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t.append_column(out_col, pa.array([], pa.int64()))
+        cr, cd, rs, same = ray.get(carries_ref)[_tup(t, sort_cols, 0)]
+        kchg, ochg = _flags(t)
+        n = t.num_rows
+        idx = np.arange(n, dtype=np.int64)
+        key_start = np.maximum.accumulate(np.where(kchg, idx, 0))
+        first_run = key_start == 0
+        if kind == "row_number":
+            v = idx - key_start + 1
+            v[first_run] += cr
+        elif kind == "dense_rank":
+            d = np.cumsum(ochg.astype(np.int64))
+            v = d - (d[key_start] - ochg[key_start].astype(np.int64))
+            v[first_run] += cd
+        else:  # rank
+            order_start = np.maximum.accumulate(np.where(ochg, idx, 0))
+            v = order_start - key_start + 1
+            v[first_run] += cr
+            if same:
+                v[first_run & (order_start == 0)] = rs
+        return t.append_column(out_col, pa.array(v, pa.int64()))
+
+    return sorted_ds.map_batches(_assign, batch_format="pyarrow",
+                                 batch_size=None)

@@ -93,7 +93,7 @@ _KEYWORDS = {
     "limit", "as", "and", "or", "not", "in", "between", "like", "is", "null",
     "case", "when", "then", "else", "end", "cast", "join", "inner", "left",
     "outer", "on", "union", "all", "asc", "desc", "true", "false", "date",
-    "timestamp",
+    "timestamp", "over", "partition",
 }
 
 
@@ -192,6 +192,14 @@ class ScalarSub:
 
 
 @dataclass(frozen=True)
+class WindowFunc:
+    name: str
+    args: tuple
+    partition_by: tuple  # (Col, ...)
+    order_by: tuple      # ((expr, asc), ...)
+
+
+@dataclass(frozen=True)
 class IsNull:
     arg: object
     negated: bool
@@ -242,6 +250,8 @@ _SCALAR_FUNCS = {
     "lower", "upper", "length", "abs", "round", "floor", "ceil",
     "coalesce", "nullif", "substr", "substring", "year", "month", "day",
 }
+_WINDOW_FUNCS = {"row_number", "rank", "dense_rank", "ntile", "cume_dist",
+                 "percent_rank", "sum", "lag"}
 
 
 class _Parser:
@@ -511,6 +521,8 @@ class _Parser:
                         if not self.accept("op", ","):
                             break
                 self.expect("op", ")")
+                if self.peek().val == "over":
+                    return self.window(fname, args)
                 if fname not in _AGG_FUNCS and fname not in _SCALAR_FUNCS:
                     raise SqlError(f"unsupported function: {fname}")
                 if star and fname != "count":
@@ -529,6 +541,34 @@ class _Parser:
             self.expect("op", ")")
             return e
         raise SqlError(f"unexpected token {t.val!r} at char {t.pos}")
+
+    def window(self, fname: str, args: list) -> WindowFunc:
+        if fname not in _WINDOW_FUNCS:
+            raise SqlError(f"unsupported window function: {fname}")
+        self.expect("kw", "over")
+        self.expect("op", "(")
+        pb: list = []
+        ob: list = []
+        if self.accept("kw", "partition"):
+            self.expect("kw", "by")
+            while True:
+                pb.append(self.expr())
+                if not self.accept("op", ","):
+                    break
+        if self.accept("kw", "order"):
+            self.expect("kw", "by")
+            while True:
+                e = self.expr()
+                asc = True
+                if self.accept("kw", "desc"):
+                    asc = False
+                else:
+                    self.accept("kw", "asc")
+                ob.append((e, asc))
+                if not self.accept("op", ","):
+                    break
+        self.expect("op", ")")
+        return WindowFunc(fname, tuple(args), tuple(pb), tuple(ob))
 
 
 # ---------------------------------------------------------------------------
@@ -557,6 +597,13 @@ def _walk(node):
         # InSubquery: only the probe arg lives in the OUTER scope; the
         # subquery has its own scope and compiles recursively.
         yield from _walk(node.arg)
+    elif isinstance(node, WindowFunc):
+        for a in node.args:
+            yield from _walk(a)
+        for p in node.partition_by:
+            yield from _walk(p)
+        for e, _ in node.order_by:
+            yield from _walk(e)
 
 
 def _cols(node) -> set[Col]:
@@ -606,6 +653,12 @@ def _render(node) -> str:
                 f"in subquery#{id(node.query)})")
     if isinstance(node, ScalarSub):
         return f"scalar_subquery#{id(node.query)}"
+    if isinstance(node, WindowFunc):
+        a = ", ".join(_render(x) for x in node.args)
+        p = ", ".join(_render(x) for x in node.partition_by)
+        o = ", ".join(f"{_render(e)} {'asc' if asc else 'desc'}"
+                      for e, asc in node.order_by)
+        return f"{node.name}({a}) over (partition by {p} order by {o})"
     raise SqlError(f"cannot render {node!r}")
 
 
@@ -756,6 +809,9 @@ def _eval(node, t: pa.Table, resolve):
     if isinstance(node, InSubquery):
         raise SqlError("IN (SELECT ...) is only supported as a top-level "
                        "WHERE conjunct")
+    if isinstance(node, WindowFunc):
+        raise SqlError("window functions are only supported as top-level "
+                       "select items")
     raise SqlError(f"cannot evaluate {node!r}")
 
 
@@ -1002,7 +1058,33 @@ def _compile_aggregate(rel: _Rel, core: Core, scope: _Scope, cardinality: str) -
     → tree-reduce or shuffle combine → outer-expression projection."""
     from vlm_eden_dataset_etl_ray.functions.relational import _single_block
 
-    group_exprs = list(core.group_by)
+    # GROUP BY / HAVING ordinals and select-list aliases (DuckDB behavior:
+    # a real column wins over a same-named alias)
+    alias_map = {alias: e for e, alias in core.items
+                 if alias is not None and e != "*"}
+
+    def _subst(e):
+        if isinstance(e, Col) and e.table is None and e.name in alias_map:
+            try:
+                scope.resolve(e)
+                return e
+            except SqlError:
+                return alias_map[e.name]
+        return e
+
+    def _ordinal(e):
+        if isinstance(e, Lit) and e.type == "auto" and isinstance(e.value, int):
+            if not (1 <= e.value <= len(core.items)):
+                raise SqlError(f"GROUP BY ordinal {e.value} out of range")
+            item = core.items[e.value - 1][0]
+            if item == "*":
+                raise SqlError("GROUP BY ordinal cannot reference *")
+            return item
+        return e
+
+    group_exprs = [_rewrite_expr(_ordinal(e), _subst) for e in core.group_by]
+    having = _rewrite_expr(core.having, _subst) \
+        if core.having is not None else None
     key_render = {_render(e): f"__k{i}" for i, e in enumerate(group_exprs)}
 
     # collect unique aggregates across select/having (order-by handled later
@@ -1010,8 +1092,8 @@ def _compile_aggregate(rel: _Rel, core: Core, scope: _Scope, cardinality: str) -
     agg_nodes: list[Func] = []
     seen: dict[str, int] = {}
     roots = [e for e, _ in core.items if e != "*"]
-    if core.having is not None:
-        roots.append(core.having)
+    if having is not None:
+        roots.append(having)
     for r in roots:
         for a in _aggs(r):
             key = _render(a)
@@ -1225,8 +1307,8 @@ def _compile_aggregate(rel: _Rel, core: Core, scope: _Scope, cardinality: str) -
 
     flat_resolve = lambda c: c.name  # noqa: E731
 
-    if core.having is not None:
-        main = _filter_ds(main, _rewrite(core.having), flat_resolve)
+    if having is not None:
+        main = _filter_ds(main, _rewrite(having), flat_resolve)
 
     out_items = []
     for j, (e, alias) in enumerate(core.items):
@@ -1433,6 +1515,100 @@ def _apply_in_subquery(rel: _Rel, node: InSubquery, scope: _Scope, sf_dir,
     return out
 
 
+# -- window functions ----------------------------------------------------------
+
+def _apply_window(rel: _Rel, wf: WindowFunc, out: str, scope: _Scope) -> _Rel:
+    """One window select item → the matching distributed window operator.
+    Global (no PARTITION BY) forms ride the one-sort O(blocks)-driver
+    family in :mod:`functions.windows`; partitioned ranking rides
+    :func:`windows.keyed_rank_ids` (same shape, per-key carries);
+    running sum / lag ride the groupby-shuffle operators in
+    :mod:`functions.relational`."""
+    from vlm_eden_dataset_etl_ray.functions import windows as W
+    from vlm_eden_dataset_etl_ray.functions.relational import (
+        running_sum, with_previous)
+
+    def _colnames(exprs, what):
+        names = []
+        for e in exprs:
+            if not isinstance(e, Col):
+                raise SqlError(f"window {what} must be plain columns "
+                               f"(got {_render(e)})")
+            names.append(scope.resolve(e))
+        return names
+
+    pks = _colnames(wf.partition_by, "PARTITION BY")
+    order_cols = _colnames([e for e, _ in wf.order_by], "ORDER BY")
+    desc = [not asc for _, asc in wf.order_by]
+
+    name = wf.name
+    if name in ("row_number", "rank", "dense_rank"):
+        if wf.args:
+            raise SqlError(f"{name}() takes no arguments")
+        if pks:
+            ds = W.keyed_rank_ids(rel.ds, pks, order_cols, kind=name,
+                                  out_col=out, descending=desc or False)
+        else:
+            if not order_cols:
+                raise SqlError(f"{name}() OVER () requires ORDER BY")
+            fn = {"row_number": W.global_row_number, "rank": W.global_rank,
+                  "dense_rank": W.global_dense_rank}[name]
+            ds = fn(rel.ds, order_cols, out_col=out, descending=desc)
+        return _Rel(ds, rel.zero.append_column(out, pa.array([], pa.int64())))
+
+    if name in ("ntile", "cume_dist", "percent_rank"):
+        if pks:
+            raise SqlError(f"{name}() with PARTITION BY is not supported")
+        if not order_cols:
+            raise SqlError(f"{name}() requires ORDER BY")
+        if name == "ntile":
+            if len(wf.args) != 1 or not isinstance(wf.args[0], Lit):
+                raise SqlError("ntile(n) requires a literal tile count")
+            if any(desc):
+                raise SqlError("ntile() DESC ordering is not supported")
+            ds = W.ntile(rel.ds, int(wf.args[0].value), order_cols,
+                         out_col=out)
+            t = pa.int64()
+        elif name == "cume_dist":
+            ds = W.global_cume_dist(rel.ds, order_cols, out_col=out,
+                                    descending=desc)
+            t = pa.float64()
+        else:
+            ds = W.global_rank(rel.ds, order_cols, out_col=out,
+                               descending=desc, percent=True)
+            t = pa.float64()
+        return _Rel(ds, rel.zero.append_column(out, pa.array([], t)))
+
+    if name in ("sum", "lag"):
+        if len(pks) != 1:
+            raise SqlError(f"{name}() OVER requires exactly one PARTITION "
+                           "BY column")
+        if not order_cols:
+            raise SqlError(f"{name}() OVER requires ORDER BY")
+        if any(desc):
+            raise SqlError(f"{name}() OVER DESC ordering is not supported")
+        if len(wf.args) != 1 or not isinstance(wf.args[0], Col):
+            raise SqlError(f"{name}() OVER takes one plain column argument")
+        val = scope.resolve(wf.args[0])
+        src_t = rel.zero.schema.field(val).type
+        if name == "sum":
+            out_t = pa.float64() if pa.types.is_floating(src_t) else pa.int64()
+            ds = running_sum(rel.ds, pks[0], order_cols, val, alias=out)
+            ds = ds.map_batches(
+                lambda t, o=out, ot=out_t: t.set_column(
+                    t.column_names.index(o), o, pc.cast(t.column(o), ot)),
+                batch_format="pyarrow")
+            return _Rel(ds, rel.zero.append_column(out, pa.array([], out_t)))
+        ds = with_previous(rel.ds, pks[0], order_cols, [val], prefix="__lag_")
+        ds = ds.map_batches(
+            lambda t, v=val, o=out: t.append_column(
+                o, t.column("__lag_" + v)).drop_columns(["__lag_" + v]),
+            batch_format="pyarrow")
+        return _Rel(ds, rel.zero.append_column(out, pa.array([], src_t)))
+
+    raise SqlError(f"unsupported window function: {name}")
+
+
 # -- core / query compilation ------------------------------------------------
 
 def _compile_core(core: Core, sf_dir: str, tables, cardinality: str) -> tuple[_Rel, list[str]]:
@@ -1504,7 +1680,11 @@ def _compile_core(core: Core, sf_dir: str, tables, cardinality: str) -> tuple[_R
             return None
         need = set()
         for col in refs:
-            if scope.source_of(col) == alias:
+            try:
+                owner = scope.source_of(col)
+            except SqlError:
+                continue  # select-list alias in GROUP BY/HAVING/ORDER BY
+            if owner == alias:
                 need.add(scope.resolve(col))
         for c in per_source[alias]:
             for col in _cols(c):
@@ -1565,6 +1745,37 @@ def _compile_core(core: Core, sf_dir: str, tables, cardinality: str) -> tuple[_R
         rel = _filter_ds(rel, c, scope.resolve)
     for c in post_join_subq:
         rel = _apply_in_subquery(rel, c, scope, sf_dir, tables, cardinality)
+
+    # window functions: hoisted out of the select items (top-level OR nested
+    # inside scalar expressions, e.g. round(cume_dist() OVER …, 6)), computed
+    # over the filtered/joined relation, then referenced like ordinary columns
+    win_specs: list[tuple[WindowFunc, str]] = []
+
+    def _hoist(e):
+        if isinstance(e, WindowFunc):
+            for wf, out in win_specs:
+                if wf == e:
+                    return Col(out)
+            out = f"__win{len(win_specs)}"
+            win_specs.append((e, out))
+            return Col(out)
+        return e
+
+    for i, (e, alias) in enumerate(core.items):
+        if e == "*":
+            continue
+        ne = _rewrite_expr(e, _hoist)
+        if win_specs:
+            # a bare `w() OVER … AS alias` projects straight through
+            core.items[i] = (ne, alias or (_render(ne)
+                             if not isinstance(ne, Col) else ne.name))
+    if win_specs:
+        if core.group_by:
+            raise SqlError("window functions cannot be combined with "
+                           "GROUP BY in one SELECT (use a derived table)")
+        for wf, out in win_specs:
+            rel = _apply_window(rel, wf, out, scope)
+        scope.add("__window", [out for _, out in win_specs])
 
     # aggregate vs plain projection
     has_agg = core.group_by or any(
