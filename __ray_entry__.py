@@ -2910,6 +2910,20 @@ SQL_FRONTEND_QUERIES = {
         "lag(o_totalprice) OVER (PARTITION BY o_custkey "
         "ORDER BY o_orderdate, o_orderkey) AS prev_price "
         "FROM orders ORDER BY o_orderkey"),
+    "sqlfe_order_price_trajectory": (
+        "SELECT o_orderkey, min(o_totalprice) OVER (PARTITION BY o_custkey "
+        "ORDER BY o_orderdate, o_orderkey) AS lo, "
+        "max(o_totalprice) OVER (PARTITION BY o_custkey "
+        "ORDER BY o_orderdate, o_orderkey) AS hi, "
+        "count(*) OVER (PARTITION BY o_custkey "
+        "ORDER BY o_orderdate, o_orderkey) AS nth, "
+        "round(avg(o_totalprice) OVER (PARTITION BY o_custkey "
+        "ORDER BY o_orderdate, o_orderkey), 4) AS run_avg, "
+        "lead(o_totalprice) OVER (PARTITION BY o_custkey "
+        "ORDER BY o_orderdate, o_orderkey) AS nxt, "
+        "first_value(o_totalprice) OVER (PARTITION BY o_custkey "
+        "ORDER BY o_orderdate, o_orderkey) AS fst "
+        "FROM orders ORDER BY o_orderkey"),
     "sqlfe_event_exprs": (
         "SELECT event_id, upper(event_type) AS et, "
         "coalesce(nullif(event_type, 'click'), 'CLICKED') AS nn, "

@@ -378,5 +378,30 @@ def test_window_errors():
     with pytest.raises(SqlError, match="requires ORDER BY"):
         sql_table("SELECT row_number() OVER () AS rn FROM orders", SF_DIR)
     with pytest.raises(SqlError, match="unsupported window function"):
+        sql_table("SELECT nth_value(o_orderkey, 2) OVER (ORDER BY "
+                  "o_orderkey) AS f FROM orders", SF_DIR)
+    with pytest.raises(SqlError, match="PARTITION BY"):
         sql_table("SELECT first_value(o_orderkey) OVER (ORDER BY "
                   "o_orderkey) AS f FROM orders", SF_DIR)
+
+
+def test_window_running_aggregates(ddb):
+    _assert_matches(ddb, "SELECT o_orderkey, min(o_totalprice) OVER "
+                         "(PARTITION BY o_custkey ORDER BY o_orderdate, "
+                         "o_orderkey) AS lo, max(o_totalprice) OVER "
+                         "(PARTITION BY o_custkey ORDER BY o_orderdate, "
+                         "o_orderkey) AS hi FROM orders ORDER BY o_orderkey")
+    _assert_matches(ddb, "SELECT o_orderkey, count(*) OVER (PARTITION BY "
+                         "o_custkey ORDER BY o_orderdate, o_orderkey) AS "
+                         "nth, round(avg(o_totalprice) OVER (PARTITION BY "
+                         "o_custkey ORDER BY o_orderdate, o_orderkey), 4) "
+                         "AS run_avg FROM orders ORDER BY o_orderkey")
+
+
+def test_window_lead_and_first_value(ddb):
+    _assert_matches(ddb, "SELECT o_orderkey, lead(o_totalprice) OVER "
+                         "(PARTITION BY o_custkey ORDER BY o_orderdate, "
+                         "o_orderkey) AS nxt, first_value(o_totalprice) "
+                         "OVER (PARTITION BY o_custkey ORDER BY "
+                         "o_orderdate, o_orderkey) AS fst "
+                         "FROM orders ORDER BY o_orderkey")

@@ -393,3 +393,71 @@ def test_keyed_rank_fuzz_block_splits(seed):
             f"{', '.join(ob)}) r from t order by k").fetch_arrow_table()
         assert got.column("r").to_pylist() == exp.column("r").to_pylist(), \
             (kind, seed, n, nk, nv, blocks)
+
+
+# ---------------------------------------------------------------------------
+# running_agg / with_next / keyed_first_value vs DuckDB (ROWS-frame family)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("agg", ["sum", "min", "max", "count", "avg"])
+def test_running_agg_matches_duckdb(agg):
+    from vlm_eden_dataset_etl_ray.functions.relational import running_agg
+
+    t = _orders(2000)
+    ds = rd.from_arrow(t).repartition(8)
+    out = _sorted_tbl(
+        running_agg(ds, "cust", ["d", "k"], "price", agg=agg, alias="r"),
+        ["k"])
+    exp = _con(t).execute(
+        f"select k, {agg}(price) over (partition by cust "
+        "order by d, k rows unbounded preceding) r "
+        "from t order by k").fetch_arrow_table()
+    got = out.column("r").to_pylist()
+    want = exp.column("r").to_pylist()
+    if agg in ("sum", "avg"):
+        assert got == pytest.approx(want, rel=1e-9)
+    else:
+        assert got == want
+
+
+def test_running_agg_null_semantics():
+    from vlm_eden_dataset_etl_ray.functions.relational import running_agg
+
+    t = pa.table({
+        "k": pa.array([0, 1, 2, 3, 4, 5], pa.int64()),
+        "g": pa.array(["a"] * 6),
+        "v": pa.array([None, 3, None, 1, None, 7], pa.int64()),
+    })
+    con = _con(t)
+    for agg in ("sum", "min", "max", "count", "avg"):
+        out = _sorted_tbl(running_agg(
+            rd.from_arrow(t).repartition(3), "g", ["k"], "v",
+            agg=agg, alias="r"), ["k"])
+        exp = con.execute(
+            f"select k, {agg}(v) over (partition by g order by k "
+            "rows unbounded preceding) r from t order by k"
+        ).fetch_arrow_table()
+        assert out.column("r").to_pylist() == \
+            pytest.approx(exp.column("r").to_pylist()), agg
+
+
+def test_with_next_and_first_value_match_duckdb():
+    from vlm_eden_dataset_etl_ray.functions.relational import (
+        keyed_first_value, with_next)
+
+    t = _orders(1200)
+    ds = rd.from_arrow(t).repartition(6)
+    out = _sorted_tbl(with_next(ds, "cust", ["d", "k"], ["price"]), ["k"])
+    exp = _con(t).execute(
+        "select k, lead(price) over (partition by cust order by d, k) nx "
+        "from t order by k").fetch_arrow_table()
+    assert out.column("next_price").to_pylist() == exp.column("nx").to_pylist()
+
+    out2 = _sorted_tbl(
+        keyed_first_value(ds, "cust", ["d", "k"], "price", alias="fv"),
+        ["k"])
+    exp2 = _con(t).execute(
+        "select k, first_value(price) over (partition by cust "
+        "order by d, k) fv from t order by k").fetch_arrow_table()
+    assert out2.column("fv").to_pylist() == exp2.column("fv").to_pylist()

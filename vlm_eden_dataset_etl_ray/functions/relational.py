@@ -1664,6 +1664,118 @@ def running_sum(
     return ds.groupby(key).map_groups(_per_group, batch_format="pyarrow")
 
 
+def with_next(
+    ds: rd.Dataset,
+    key: str,
+    order_cols: list[str],
+    cols: list[str],
+    prefix: str = "next_",
+) -> rd.Dataset:
+    """lead()-family windowed operator: for each row, attach the NEXT row's
+    ``cols`` values within its key partition in ``order_cols`` order (null
+    for each partition's last row). Mirror of :func:`with_previous` — same
+    one-shuffle shape, vectorized shift."""
+
+    def _per_group(g: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(g, sort_keys=[(c, "ascending") for c in order_cols])
+        g = g.take(idx)
+        n = g.num_rows
+        nxt_idx = pa.array(
+            np.arange(1, n + 1), type=pa.int64(),
+            mask=np.arange(n) == n - 1)
+        for c in cols:
+            g = g.append_column(prefix + c, g.column(c).take(nxt_idx))
+        return g
+
+    return ds.groupby(key).map_groups(_per_group, batch_format="pyarrow")
+
+
+def running_agg(
+    ds: rd.Dataset,
+    key: str,
+    order_cols: list[str],
+    value_col: str | None,
+    agg: str = "sum",
+    alias: str = "running",
+) -> rd.Dataset:
+    """Cumulative windowed aggregate over a key partition: the
+    ``agg(value) OVER (PARTITION BY key ORDER BY order_cols ROWS UNBOUNDED
+    PRECEDING)`` family for ``agg`` ∈ {sum, min, max, count, avg}.
+    ``value_col=None`` with ``agg="count"`` is ``count(*)``. SQL null
+    semantics: nulls are skipped (don't advance sum/min/max/avg, don't
+    count), and the running value is null until the first non-null.
+    One groupby shuffle; in-group sort + ``np.*.accumulate`` — no Python
+    per-row work. Give ``order_cols`` a unique ordering (tiebreak id) so
+    the ROWS frame is deterministic and equals the SQL RANGE default."""
+    if agg not in ("sum", "min", "max", "count", "avg"):
+        raise ValueError(f"unsupported running agg {agg!r}")
+    if value_col is None and agg != "count":
+        raise ValueError("value_col is required except for count(*)")
+
+    def _per_group(g: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(g, sort_keys=[(c, "ascending") for c in order_cols])
+        g = g.take(idx)
+        n = g.num_rows
+        if agg == "count" and value_col is None:
+            return g.append_column(
+                alias, pa.array(np.arange(1, n + 1, dtype=np.int64)))
+        col = g.column(value_col)
+        valid = pc.is_valid(col).to_numpy(zero_copy_only=False)
+        cnt = np.cumsum(valid.astype(np.int64))
+        if agg == "count":
+            return g.append_column(alias, pa.array(cnt))
+        vals = col.to_numpy(zero_copy_only=False)
+        if vals.dtype.kind not in "iuf":       # nullable ints arrive object
+            vals = np.asarray(
+                [0 if v is None else v for v in vals], dtype=np.float64)
+        exact_int = bool(valid.all()) and vals.dtype.kind in "iu"
+        f = vals.astype(np.float64, copy=False)
+        never = cnt == 0                       # before the first non-null
+        if agg == "sum":
+            out = np.cumsum(np.where(valid, f, 0.0))
+        elif agg == "avg":
+            out = np.cumsum(np.where(valid, f, 0.0)) / np.maximum(cnt, 1)
+            exact_int = False
+        elif agg == "min":
+            out = np.minimum.accumulate(np.where(valid, f, np.inf))
+        else:
+            out = np.maximum.accumulate(np.where(valid, f, -np.inf))
+        if exact_int and agg in ("sum", "min", "max"):
+            arr = pa.array(out.astype(np.int64))
+            if agg in ("min", "max"):
+                arr = arr.cast(col.type)
+        else:
+            arr = pa.array(np.where(never, np.nan, out),
+                           mask=never if never.any() else None)
+            if agg in ("min", "max") and pa.types.is_floating(col.type):
+                arr = arr.cast(col.type)
+        return g.append_column(alias, arr)
+
+    return ds.groupby(key).map_groups(_per_group, batch_format="pyarrow")
+
+
+def keyed_first_value(
+    ds: rd.Dataset,
+    key: str,
+    order_cols: list[str],
+    value_col: str,
+    alias: str = "first_value",
+) -> rd.Dataset:
+    """``first_value(value) OVER (PARTITION BY key ORDER BY order_cols)``:
+    every row of a partition carries the partition's first value in order
+    (the SQL default frame starts at UNBOUNDED PRECEDING, so the frame end
+    never matters for first_value). Same one-shuffle per-key shape."""
+
+    def _per_group(g: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(g, sort_keys=[(c, "ascending") for c in order_cols])
+        g = g.take(idx)
+        first = pa.array(
+            np.zeros(g.num_rows, dtype=np.int64))
+        return g.append_column(alias, g.column(value_col).take(first))
+
+    return ds.groupby(key).map_groups(_per_group, batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------------------
 # Ordered string aggregation: string_agg(value, sep ORDER BY order_cols).
 # ---------------------------------------------------------------------------

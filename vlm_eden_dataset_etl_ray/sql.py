@@ -251,7 +251,8 @@ _SCALAR_FUNCS = {
     "coalesce", "nullif", "substr", "substring", "year", "month", "day",
 }
 _WINDOW_FUNCS = {"row_number", "rank", "dense_rank", "ntile", "cume_dist",
-                 "percent_rank", "sum", "lag"}
+                 "percent_rank", "sum", "min", "max", "count", "avg",
+                 "lag", "lead", "first_value"}
 
 
 class _Parser:
@@ -1526,7 +1527,7 @@ def _apply_window(rel: _Rel, wf: WindowFunc, out: str, scope: _Scope) -> _Rel:
     :mod:`functions.relational`."""
     from vlm_eden_dataset_etl_ray.functions import windows as W
     from vlm_eden_dataset_etl_ray.functions.relational import (
-        running_sum, with_previous)
+        keyed_first_value, running_agg, with_next, with_previous)
 
     def _colnames(exprs, what):
         names = []
@@ -1579,7 +1580,8 @@ def _apply_window(rel: _Rel, wf: WindowFunc, out: str, scope: _Scope) -> _Rel:
             t = pa.float64()
         return _Rel(ds, rel.zero.append_column(out, pa.array([], t)))
 
-    if name in ("sum", "lag"):
+    if name in ("sum", "min", "max", "count", "avg", "lag", "lead",
+                "first_value"):
         if len(pks) != 1:
             raise SqlError(f"{name}() OVER requires exactly one PARTITION "
                            "BY column")
@@ -1587,24 +1589,47 @@ def _apply_window(rel: _Rel, wf: WindowFunc, out: str, scope: _Scope) -> _Rel:
             raise SqlError(f"{name}() OVER requires ORDER BY")
         if any(desc):
             raise SqlError(f"{name}() OVER DESC ordering is not supported")
-        if len(wf.args) != 1 or not isinstance(wf.args[0], Col):
-            raise SqlError(f"{name}() OVER takes one plain column argument")
-        val = scope.resolve(wf.args[0])
-        src_t = rel.zero.schema.field(val).type
-        if name == "sum":
-            out_t = pa.float64() if pa.types.is_floating(src_t) else pa.int64()
-            ds = running_sum(rel.ds, pks[0], order_cols, val, alias=out)
+        if name == "count" and not wf.args:
+            val = None                             # count(*)
+        else:
+            if len(wf.args) != 1 or not isinstance(wf.args[0], Col):
+                raise SqlError(f"{name}() OVER takes one plain column "
+                               "argument")
+            val = scope.resolve(wf.args[0])
+        src_t = rel.zero.schema.field(val).type if val else pa.int64()
+
+        if name in ("lag", "lead"):
+            shift = with_previous if name == "lag" else with_next
+            pre = f"__{name}_"
+            ds = shift(rel.ds, pks[0], order_cols, [val], prefix=pre)
             ds = ds.map_batches(
-                lambda t, o=out, ot=out_t: t.set_column(
-                    t.column_names.index(o), o, pc.cast(t.column(o), ot)),
+                lambda t, v=val, o=out, p=pre: t.append_column(
+                    o, t.column(p + v)).drop_columns([p + v]),
                 batch_format="pyarrow")
-            return _Rel(ds, rel.zero.append_column(out, pa.array([], out_t)))
-        ds = with_previous(rel.ds, pks[0], order_cols, [val], prefix="__lag_")
+            return _Rel(ds, rel.zero.append_column(out, pa.array([], src_t)))
+
+        if name == "first_value":
+            ds = keyed_first_value(rel.ds, pks[0], order_cols, val,
+                                   alias=out)
+            return _Rel(ds, rel.zero.append_column(out, pa.array([], src_t)))
+
+        # running aggregates; output types follow SQL: count→int64,
+        # avg→float64, sum→int64/float64 by input, min/max→input type
+        if name == "count":
+            out_t = pa.int64()
+        elif name == "avg":
+            out_t = pa.float64()
+        elif name == "sum":
+            out_t = pa.float64() if pa.types.is_floating(src_t) else pa.int64()
+        else:
+            out_t = src_t
+        ds = running_agg(rel.ds, pks[0], order_cols, val, agg=name,
+                         alias=out)
         ds = ds.map_batches(
-            lambda t, v=val, o=out: t.append_column(
-                o, t.column("__lag_" + v)).drop_columns(["__lag_" + v]),
+            lambda t, o=out, ot=out_t: t.set_column(
+                t.column_names.index(o), o, pc.cast(t.column(o), ot)),
             batch_format="pyarrow")
-        return _Rel(ds, rel.zero.append_column(out, pa.array([], src_t)))
+        return _Rel(ds, rel.zero.append_column(out, pa.array([], out_t)))
 
     raise SqlError(f"unsupported window function: {name}")
 
