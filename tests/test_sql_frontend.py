@@ -405,3 +405,25 @@ def test_window_lead_and_first_value(ddb):
                          "OVER (PARTITION BY o_custkey ORDER BY "
                          "o_orderdate, o_orderkey) AS fst "
                          "FROM orders ORDER BY o_orderkey")
+
+
+def test_window_fusion_single_exchange(monkeypatch, ddb):
+    # windows sharing (PARTITION BY, ORDER BY) must compile to ONE fused
+    # keyed_window_agg call (one groupby exchange), not one per window
+    import vlm_eden_dataset_etl_ray.functions.relational as R
+
+    calls = []
+    orig = R.keyed_window_agg
+
+    def spy(ds, key, order_cols, specs):
+        calls.append(sorted(s[0] for s in specs))
+        return orig(ds, key, order_cols, specs)
+
+    monkeypatch.setattr(R, "keyed_window_agg", spy)
+    q = ("SELECT o_orderkey, sum(o_totalprice) OVER (PARTITION BY o_custkey "
+         "ORDER BY o_orderdate, o_orderkey) AS s, lag(o_totalprice) OVER "
+         "(PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS p, "
+         "count(*) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, "
+         "o_orderkey) AS n FROM orders ORDER BY o_orderkey")
+    _assert_matches(ddb, q)
+    assert calls == [["count", "lag", "sum"]]

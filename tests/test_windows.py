@@ -461,3 +461,25 @@ def test_with_next_and_first_value_match_duckdb():
         "select k, first_value(price) over (partition by cust "
         "order by d, k) fv from t order by k").fetch_arrow_table()
     assert out2.column("fv").to_pylist() == exp2.column("fv").to_pylist()
+
+
+def test_running_agg_stable_schema_across_groups():
+    # output type must not depend on which groups contain nulls: int input
+    # → int64 sum in EVERY group (one nullable group used to flip to float)
+    from vlm_eden_dataset_etl_ray.functions.relational import running_agg
+
+    t = pa.table({"g": ["a", "a", "b"], "o": [1, 2, 1],
+                  "v": pa.array([5, None, 2], pa.int64())})
+    out = pa.concat_tables(running_agg(
+        rd.from_arrow(t), "g", ["o"], "v", agg="sum", alias="r"
+    ).iter_batches(batch_format="pyarrow", batch_size=None))
+    assert out.schema.field("r").type == pa.int64()
+    got = dict(zip(zip(out.column("g").to_pylist(),
+                       out.column("o").to_pylist()),
+                   out.column("r").to_pylist()))
+    assert got == {("a", 1): 5, ("a", 2): 5, ("b", 1): 2}
+
+    out2 = pa.concat_tables(running_agg(
+        rd.from_arrow(t), "g", ["o"], "v", agg="min", alias="r"
+    ).iter_batches(batch_format="pyarrow", batch_size=None))
+    assert out2.schema.field("r").type == pa.int64()

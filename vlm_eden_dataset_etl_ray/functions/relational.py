@@ -1711,45 +1711,98 @@ def running_agg(
         raise ValueError(f"unsupported running agg {agg!r}")
     if value_col is None and agg != "count":
         raise ValueError("value_col is required except for count(*)")
+    return keyed_window_agg(ds, key, order_cols, [(agg, value_col, alias)])
+
+
+def _running_array(col: pa.ChunkedArray | pa.Array, agg: str) -> pa.Array:
+    """Vectorized cumulative ``agg`` of one sorted column with SQL null
+    semantics (shared by :func:`running_agg` / :func:`keyed_window_agg`).
+    The output type depends ONLY on (agg, column type) — never on this
+    group's data — so every group of a map_groups emits the same schema:
+    count→int64, avg→float64, sum→int64 for integer inputs else float64,
+    min/max→the input type."""
+    valid = pc.is_valid(col).to_numpy(zero_copy_only=False)
+    cnt = np.cumsum(valid.astype(np.int64))
+    if agg == "count":
+        return pa.array(cnt)
+    never = cnt == 0                           # before the first non-null
+    mask = never if never.any() else None
+    col_t = col.type
+    if pa.types.is_integer(col_t) and agg in ("sum", "min", "max"):
+        # exact integer path (nulls filled with the identity element in
+        # int64 domain; positions before the first non-null are masked)
+        ident = {"sum": 0, "min": np.iinfo(np.int64).max,
+                 "max": np.iinfo(np.int64).min}[agg]
+        iv = pc.fill_null(pc.cast(col, pa.int64()), int(ident)) \
+            .to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+        if agg == "sum":
+            out = np.cumsum(iv)
+        elif agg == "min":
+            out = np.minimum.accumulate(iv)
+        else:
+            out = np.maximum.accumulate(iv)
+        if mask is not None:
+            out = out.copy()
+            out[never] = 0                     # keep masked slots castable
+        arr = pa.array(out, mask=mask)
+        return arr if agg == "sum" else arr.cast(col_t)
+    vals = col.to_numpy(zero_copy_only=False)
+    if vals.dtype.kind not in "iuf":
+        vals = np.asarray(
+            [0 if v is None else v for v in vals], dtype=np.float64)
+    f = vals.astype(np.float64, copy=False)
+    if agg == "sum":
+        out = np.cumsum(np.where(valid, f, 0.0))
+    elif agg == "avg":
+        out = np.cumsum(np.where(valid, f, 0.0)) / np.maximum(cnt, 1)
+    elif agg == "min":
+        out = np.minimum.accumulate(np.where(valid, f, np.inf))
+    elif agg == "max":
+        out = np.maximum.accumulate(np.where(valid, f, -np.inf))
+    else:
+        raise ValueError(f"unsupported running agg {agg!r}")
+    arr = pa.array(np.where(never, np.nan, out), mask=mask)
+    if agg in ("min", "max") and pa.types.is_floating(col_t):
+        arr = arr.cast(col_t)
+    return arr
+
+
+def keyed_window_agg(
+    ds: rd.Dataset,
+    key: str,
+    order_cols: list[str],
+    specs: list[tuple[str, str | None, str]],
+) -> rd.Dataset:
+    """Fused per-key windowed family: compute EVERY ``(agg, value_col,
+    alias)`` in ``specs`` — agg ∈ {sum, min, max, count, avg, lag, lead,
+    first_value} — in ONE groupby shuffle + one in-group sort, instead of
+    one exchange per window call. ``value_col=None`` + "count" is
+    ``count(*)``. At 100 TB this is the difference between k all-to-all
+    exchanges and one for a SELECT with k windows over the same
+    PARTITION BY / ORDER BY."""
 
     def _per_group(g: pa.Table) -> pa.Table:
         idx = pc.sort_indices(g, sort_keys=[(c, "ascending") for c in order_cols])
         g = g.take(idx)
         n = g.num_rows
-        if agg == "count" and value_col is None:
-            return g.append_column(
-                alias, pa.array(np.arange(1, n + 1, dtype=np.int64)))
-        col = g.column(value_col)
-        valid = pc.is_valid(col).to_numpy(zero_copy_only=False)
-        cnt = np.cumsum(valid.astype(np.int64))
-        if agg == "count":
-            return g.append_column(alias, pa.array(cnt))
-        vals = col.to_numpy(zero_copy_only=False)
-        if vals.dtype.kind not in "iuf":       # nullable ints arrive object
-            vals = np.asarray(
-                [0 if v is None else v for v in vals], dtype=np.float64)
-        exact_int = bool(valid.all()) and vals.dtype.kind in "iu"
-        f = vals.astype(np.float64, copy=False)
-        never = cnt == 0                       # before the first non-null
-        if agg == "sum":
-            out = np.cumsum(np.where(valid, f, 0.0))
-        elif agg == "avg":
-            out = np.cumsum(np.where(valid, f, 0.0)) / np.maximum(cnt, 1)
-            exact_int = False
-        elif agg == "min":
-            out = np.minimum.accumulate(np.where(valid, f, np.inf))
-        else:
-            out = np.maximum.accumulate(np.where(valid, f, -np.inf))
-        if exact_int and agg in ("sum", "min", "max"):
-            arr = pa.array(out.astype(np.int64))
-            if agg in ("min", "max"):
-                arr = arr.cast(col.type)
-        else:
-            arr = pa.array(np.where(never, np.nan, out),
-                           mask=never if never.any() else None)
-            if agg in ("min", "max") and pa.types.is_floating(col.type):
-                arr = arr.cast(col.type)
-        return g.append_column(alias, arr)
+        ar = np.arange(n)
+        for agg, vcol, alias in specs:
+            if agg == "lag":
+                tk = pa.array(ar - 1, type=pa.int64(), mask=ar == 0)
+                g = g.append_column(alias, g.column(vcol).take(tk))
+            elif agg == "lead":
+                tk = pa.array(ar + 1, type=pa.int64(), mask=ar == n - 1)
+                g = g.append_column(alias, g.column(vcol).take(tk))
+            elif agg == "first_value":
+                g = g.append_column(
+                    alias,
+                    g.column(vcol).take(pa.array(np.zeros(n, np.int64))))
+            elif agg == "count" and vcol is None:
+                g = g.append_column(
+                    alias, pa.array(np.arange(1, n + 1, dtype=np.int64)))
+            else:
+                g = g.append_column(alias, _running_array(g.column(vcol), agg))
+        return g
 
     return ds.groupby(key).map_groups(_per_group, batch_format="pyarrow")
 

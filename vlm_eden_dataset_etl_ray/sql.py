@@ -1523,11 +1523,10 @@ def _apply_window(rel: _Rel, wf: WindowFunc, out: str, scope: _Scope) -> _Rel:
     Global (no PARTITION BY) forms ride the one-sort O(blocks)-driver
     family in :mod:`functions.windows`; partitioned ranking rides
     :func:`windows.keyed_rank_ids` (same shape, per-key carries);
-    running sum / lag ride the groupby-shuffle operators in
-    :mod:`functions.relational`."""
+    the per-key running/shift family (sum/min/max/count/avg/lag/lead/
+    first_value) rides ONE fused groupby exchange via
+    :func:`_apply_keyed_windows`."""
     from vlm_eden_dataset_etl_ray.functions import windows as W
-    from vlm_eden_dataset_etl_ray.functions.relational import (
-        keyed_first_value, running_agg, with_next, with_previous)
 
     def _colnames(exprs, what):
         names = []
@@ -1580,8 +1579,7 @@ def _apply_window(rel: _Rel, wf: WindowFunc, out: str, scope: _Scope) -> _Rel:
             t = pa.float64()
         return _Rel(ds, rel.zero.append_column(out, pa.array([], t)))
 
-    if name in ("sum", "min", "max", "count", "avg", "lag", "lead",
-                "first_value"):
+    if name in _KEYED_WINDOWS:
         if len(pks) != 1:
             raise SqlError(f"{name}() OVER requires exactly one PARTITION "
                            "BY column")
@@ -1589,6 +1587,29 @@ def _apply_window(rel: _Rel, wf: WindowFunc, out: str, scope: _Scope) -> _Rel:
             raise SqlError(f"{name}() OVER requires ORDER BY")
         if any(desc):
             raise SqlError(f"{name}() OVER DESC ordering is not supported")
+        return _apply_keyed_windows(rel, [(wf, out)], scope)
+
+    raise SqlError(f"unsupported window function: {name}")
+
+
+_KEYED_WINDOWS = ("sum", "min", "max", "count", "avg", "lag", "lead",
+                  "first_value")
+
+
+def _apply_keyed_windows(rel: _Rel, items: list, scope: _Scope) -> _Rel:
+    """All per-key windows in ``items`` share one PARTITION BY / ORDER BY →
+    ONE groupby exchange computes every column (relational.keyed_window_agg)
+    instead of one shuffle per window call."""
+    from vlm_eden_dataset_etl_ray.functions.relational import keyed_window_agg
+
+    wf0 = items[0][0]
+    pk = scope.resolve(wf0.partition_by[0])
+    order_cols = [scope.resolve(e) for e, _ in wf0.order_by]
+    specs: list[tuple[str, str | None, str]] = []
+    casts: list[tuple[str, pa.DataType]] = []
+    zero = rel.zero
+    for wf, out in items:
+        name = wf.name
         if name == "count" and not wf.args:
             val = None                             # count(*)
         else:
@@ -1596,25 +1617,9 @@ def _apply_window(rel: _Rel, wf: WindowFunc, out: str, scope: _Scope) -> _Rel:
                 raise SqlError(f"{name}() OVER takes one plain column "
                                "argument")
             val = scope.resolve(wf.args[0])
-        src_t = rel.zero.schema.field(val).type if val else pa.int64()
-
-        if name in ("lag", "lead"):
-            shift = with_previous if name == "lag" else with_next
-            pre = f"__{name}_"
-            ds = shift(rel.ds, pks[0], order_cols, [val], prefix=pre)
-            ds = ds.map_batches(
-                lambda t, v=val, o=out, p=pre: t.append_column(
-                    o, t.column(p + v)).drop_columns([p + v]),
-                batch_format="pyarrow")
-            return _Rel(ds, rel.zero.append_column(out, pa.array([], src_t)))
-
-        if name == "first_value":
-            ds = keyed_first_value(rel.ds, pks[0], order_cols, val,
-                                   alias=out)
-            return _Rel(ds, rel.zero.append_column(out, pa.array([], src_t)))
-
-        # running aggregates; output types follow SQL: count→int64,
-        # avg→float64, sum→int64/float64 by input, min/max→input type
+        src_t = zero.schema.field(val).type if val else pa.int64()
+        # output types follow SQL: count→int64, avg→float64,
+        # sum→int64/float64 by input, min/max/lag/lead/first_value→input
         if name == "count":
             out_t = pa.int64()
         elif name == "avg":
@@ -1623,15 +1628,20 @@ def _apply_window(rel: _Rel, wf: WindowFunc, out: str, scope: _Scope) -> _Rel:
             out_t = pa.float64() if pa.types.is_floating(src_t) else pa.int64()
         else:
             out_t = src_t
-        ds = running_agg(rel.ds, pks[0], order_cols, val, agg=name,
-                         alias=out)
-        ds = ds.map_batches(
-            lambda t, o=out, ot=out_t: t.set_column(
-                t.column_names.index(o), o, pc.cast(t.column(o), ot)),
-            batch_format="pyarrow")
-        return _Rel(ds, rel.zero.append_column(out, pa.array([], out_t)))
+        specs.append((name, val, out))
+        if name not in ("lag", "lead", "first_value"):
+            casts.append((out, out_t))
+        zero = zero.append_column(out, pa.array([], out_t))
 
-    raise SqlError(f"unsupported window function: {name}")
+    ds = keyed_window_agg(rel.ds, pk, order_cols, specs)
+    if casts:
+        def _cast(t: pa.Table, cs=tuple(casts)) -> pa.Table:
+            for o, ot in cs:
+                t = t.set_column(t.column_names.index(o), o,
+                                 pc.cast(t.column(o), ot))
+            return t
+        ds = ds.map_batches(_cast, batch_format="pyarrow")
+    return _Rel(ds, zero)
 
 
 # -- core / query compilation ------------------------------------------------
@@ -1798,8 +1808,26 @@ def _compile_core(core: Core, sf_dir: str, tables, cardinality: str) -> tuple[_R
         if core.group_by:
             raise SqlError("window functions cannot be combined with "
                            "GROUP BY in one SELECT (use a derived table)")
+        # fuse per-key windows sharing (PARTITION BY, ORDER BY) into one
+        # groupby exchange; everything else applies one at a time
+        fuse_groups: dict[tuple, list] = {}
+        plan: list[tuple[str, object]] = []
         for wf, out in win_specs:
-            rel = _apply_window(rel, wf, out, scope)
+            if wf.name in _KEYED_WINDOWS and len(wf.partition_by) == 1 \
+                    and wf.order_by and all(asc for _, asc in wf.order_by):
+                k = (wf.partition_by, wf.order_by)
+                if k not in fuse_groups:
+                    fuse_groups[k] = []
+                    plan.append(("fused", k))
+                fuse_groups[k].append((wf, out))
+            else:
+                plan.append(("single", (wf, out)))
+        for kind, item in plan:
+            if kind == "fused":
+                rel = _apply_keyed_windows(rel, fuse_groups[item], scope)
+            else:
+                wf, out = item
+                rel = _apply_window(rel, wf, out, scope)
         scope.add("__window", [out for _, out in win_specs])
 
     # aggregate vs plain projection
