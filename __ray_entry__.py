@@ -2924,6 +2924,10 @@ SQL_FRONTEND_QUERIES = {
         "first_value(o_totalprice) OVER (PARTITION BY o_custkey "
         "ORDER BY o_orderdate, o_orderkey) AS fst "
         "FROM orders ORDER BY o_orderkey"),
+    "sqlfe_top3_orders_per_customer": (
+        "SELECT o_orderkey, o_custkey, o_totalprice FROM orders "
+        "QUALIFY row_number() OVER (PARTITION BY o_custkey "
+        "ORDER BY o_totalprice DESC, o_orderkey) <= 3 ORDER BY o_orderkey"),
     "sqlfe_event_exprs": (
         "SELECT event_id, upper(event_type) AS et, "
         "coalesce(nullif(event_type, 'click'), 'CLICKED') AS nn, "

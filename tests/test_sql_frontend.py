@@ -427,3 +427,28 @@ def test_window_fusion_single_exchange(monkeypatch, ddb):
          "o_orderkey) AS n FROM orders ORDER BY o_orderkey")
     _assert_matches(ddb, q)
     assert calls == [["count", "lag", "sum"]]
+
+
+def test_qualify_top_n_per_group(ddb):
+    # the declarative top-N-per-group idiom
+    _assert_matches(ddb, "SELECT o_orderkey, o_custkey, o_totalprice "
+                         "FROM orders QUALIFY row_number() OVER "
+                         "(PARTITION BY o_custkey ORDER BY o_totalprice "
+                         "DESC, o_orderkey) <= 3 ORDER BY o_orderkey")
+    # alias reference: the select-list window column filters itself
+    _assert_matches(ddb, "SELECT o_orderkey, row_number() OVER "
+                         "(PARTITION BY o_custkey ORDER BY o_orderdate, "
+                         "o_orderkey) AS rn FROM orders "
+                         "QUALIFY rn = 1 ORDER BY o_orderkey")
+    # identical OVER spec in select + QUALIFY computes once (hoist dedup)
+    _assert_matches(ddb, "SELECT o_orderkey, rank() OVER (PARTITION BY "
+                         "o_orderstatus ORDER BY o_orderpriority) AS r "
+                         "FROM orders QUALIFY rank() OVER (PARTITION BY "
+                         "o_orderstatus ORDER BY o_orderpriority) <= 2 "
+                         "ORDER BY o_orderkey")
+
+
+def test_qualify_requires_window():
+    with pytest.raises(SqlError, match="QUALIFY requires a window"):
+        sql_table("SELECT o_orderkey FROM orders QUALIFY o_orderkey > 5",
+                  SF_DIR)

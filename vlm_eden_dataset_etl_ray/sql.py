@@ -93,7 +93,7 @@ _KEYWORDS = {
     "limit", "as", "and", "or", "not", "in", "between", "like", "is", "null",
     "case", "when", "then", "else", "end", "cast", "join", "inner", "left",
     "outer", "on", "union", "all", "asc", "desc", "true", "false", "date",
-    "timestamp", "over", "partition",
+    "timestamp", "over", "partition", "qualify",
 }
 
 
@@ -236,6 +236,7 @@ class Core:
     where: object | None
     group_by: list
     having: object | None
+    qualify: object | None = None
 
 
 @dataclass
@@ -357,7 +358,9 @@ class _Parser:
                 if not self.accept("op", ","):
                     break
         having = self.expr() if self.accept("kw", "having") else None
-        return Core(items, distinct, source, joins, where, group_by, having)
+        qualify = self.expr() if self.accept("kw", "qualify") else None
+        return Core(items, distinct, source, joins, where, group_by, having,
+                    qualify)
 
     def source(self) -> Source:
         if self.accept("op", "("):
@@ -1804,6 +1807,29 @@ def _compile_core(core: Core, sf_dir: str, tables, cardinality: str) -> tuple[_R
             # a bare `w() OVER … AS alias` projects straight through
             core.items[i] = (ne, alias or (_render(ne)
                              if not isinstance(ne, Col) else ne.name))
+
+    # QUALIFY filters on window results (the declarative top-N-per-group
+    # idiom: `QUALIFY row_number() OVER (…) <= k`). Select-list aliases
+    # substitute in first, then its windows join the same hoist — an alias
+    # of an identical OVER spec reuses the already-computed column
+    qualify = core.qualify
+    if qualify is not None:
+        alias_map = {alias: e for e, alias in core.items
+                     if alias is not None and e != "*"}
+
+        def _subst_alias(e):
+            if isinstance(e, Col) and e.table is None and e.name in alias_map:
+                try:
+                    scope.resolve(e)
+                    return e
+                except SqlError:
+                    return alias_map[e.name]
+            return e
+
+        qualify = _rewrite_expr(_rewrite_expr(qualify, _subst_alias), _hoist)
+        if not win_specs:
+            raise SqlError("QUALIFY requires a window function in the "
+                           "select list or the QUALIFY clause")
     if win_specs:
         if core.group_by:
             raise SqlError("window functions cannot be combined with "
@@ -1829,6 +1855,8 @@ def _compile_core(core: Core, sf_dir: str, tables, cardinality: str) -> tuple[_R
                 wf, out = item
                 rel = _apply_window(rel, wf, out, scope)
         scope.add("__window", [out for _, out in win_specs])
+        if qualify is not None:
+            rel = _filter_ds(rel, qualify, scope.resolve)
 
     # aggregate vs plain projection
     has_agg = core.group_by or any(
