@@ -452,3 +452,41 @@ def test_qualify_requires_window():
     with pytest.raises(SqlError, match="QUALIFY requires a window"):
         sql_table("SELECT o_orderkey FROM orders QUALIFY o_orderkey > 5",
                   SF_DIR)
+
+
+def test_qualify_topn_physical_rewrite(monkeypatch, ddb):
+    # `QUALIFY row_number() OVER (…) <= n` with the rank referenced nowhere
+    # else must compile to the skew-proof topk_per_key pre-reduce — no
+    # global rank assignment
+    import vlm_eden_dataset_etl_ray.functions.relational as R
+    import vlm_eden_dataset_etl_ray.functions.windows as W
+
+    topk_calls, rank_calls = [], []
+    orig = R.topk_per_key
+    monkeypatch.setattr(R, "topk_per_key",
+                        lambda *a, **k: (topk_calls.append(a[2:]),
+                                         orig(*a, **k))[1])
+    monkeypatch.setattr(W, "keyed_rank_ids",
+                        lambda *a, **k: rank_calls.append(1))
+    _assert_matches(ddb, "SELECT o_orderkey, o_custkey FROM orders "
+                         "QUALIFY row_number() OVER (PARTITION BY o_custkey "
+                         "ORDER BY o_totalprice DESC, o_orderkey) <= 2 "
+                         "ORDER BY o_orderkey")
+    assert len(topk_calls) == 1 and topk_calls[0][1] == 2
+    assert not rank_calls
+    # literal-first, strict <, and = 1 forms also rewrite
+    _assert_matches(ddb, "SELECT o_orderkey FROM orders QUALIFY 3 > "
+                         "row_number() OVER (PARTITION BY o_orderstatus "
+                         "ORDER BY o_totalprice, o_orderkey) "
+                         "ORDER BY o_orderkey")
+    _assert_matches(ddb, "SELECT o_orderkey FROM orders QUALIFY "
+                         "row_number() OVER (PARTITION BY o_custkey "
+                         "ORDER BY o_orderdate, o_orderkey) = 1 "
+                         "ORDER BY o_orderkey")
+    assert len(topk_calls) == 3 and not rank_calls
+    # but when the select list needs the rank column, no rewrite applies
+    monkeypatch.undo()
+    _assert_matches(ddb, "SELECT o_orderkey, row_number() OVER (PARTITION "
+                         "BY o_custkey ORDER BY o_totalprice DESC, "
+                         "o_orderkey) AS rn FROM orders QUALIFY rn <= 2 "
+                         "ORDER BY o_orderkey")

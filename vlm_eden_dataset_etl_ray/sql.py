@@ -1599,6 +1599,39 @@ _KEYED_WINDOWS = ("sum", "min", "max", "count", "avg", "lag", "lead",
                   "first_value")
 
 
+def _match_topn(e) -> tuple[WindowFunc, int] | None:
+    """``row_number() OVER (PARTITION BY col ORDER BY cols…) <= n`` (also
+    ``< n+1`` / ``= 1``, either operand order) → (window, n). The physical
+    rewrite target is relational.topk_per_key: per-batch partial top-k
+    (≤k rows per key leave each batch — skew-proof) + run-boundary fold,
+    instead of materializing a full global rank assignment and filtering."""
+    if not isinstance(e, Bin):
+        return None
+    wf, lit, op = None, None, e.op
+    if isinstance(e.left, WindowFunc) and isinstance(e.right, Lit):
+        wf, lit = e.left, e.right
+    elif isinstance(e.right, WindowFunc) and isinstance(e.left, Lit):
+        wf, lit = e.right, e.left
+        op = {"<": ">", "<=": ">=", ">": "<", ">=": "<=", "=": "="}.get(op, op)
+    if wf is None or wf.name != "row_number" or wf.args:
+        return None
+    if len(wf.partition_by) != 1 or not wf.order_by:
+        return None
+    if not all(isinstance(c, Col) for c in wf.partition_by) or \
+            not all(isinstance(c, Col) for c, _ in wf.order_by):
+        return None
+    if not isinstance(lit.value, int) or isinstance(lit.value, bool):
+        return None
+    n = int(lit.value)
+    if op == "<":
+        n -= 1
+    elif op == "=" and n != 1:
+        return None
+    elif op not in ("<", "<=", "="):
+        return None
+    return (wf, n) if n >= 1 else None
+
+
 def _apply_keyed_windows(rel: _Rel, items: list, scope: _Scope) -> _Rel:
     """All per-key windows in ``items`` share one PARTITION BY / ORDER BY →
     ONE groupby exchange computes every column (relational.keyed_window_agg)
@@ -1668,6 +1701,8 @@ def _compile_core(core: Core, sf_dir: str, tables, cardinality: str) -> tuple[_R
         refs.extend(_cols(e))
     if core.having is not None:
         refs.extend(_cols(core.having))
+    if core.qualify is not None:
+        refs.extend(_cols(core.qualify))
 
     # bind each source: derived tables compile recursively; base tables get
     # schema from the parquet footer
@@ -1826,10 +1861,25 @@ def _compile_core(core: Core, sf_dir: str, tables, cardinality: str) -> tuple[_R
                     return alias_map[e.name]
             return e
 
-        qualify = _rewrite_expr(_rewrite_expr(qualify, _subst_alias), _hoist)
-        if not win_specs:
-            raise SqlError("QUALIFY requires a window function in the "
-                           "select list or the QUALIFY clause")
+        qualify = _rewrite_expr(qualify, _subst_alias)
+        fast = _match_topn(qualify)
+        if fast is not None and all(fast[0] != w for w, _ in win_specs):
+            # the rank column is referenced nowhere else → skip computing
+            # it entirely and take top-n per key with the pre-reduce
+            from vlm_eden_dataset_etl_ray.functions.relational import \
+                topk_per_key
+            wf_t, n = fast
+            pk = scope.resolve(wf_t.partition_by[0])
+            ob = [(scope.resolve(c), "ascending" if asc else "descending")
+                  for c, asc in wf_t.order_by]
+            rel = _Rel(topk_per_key(rel.ds, pk, ob, n,
+                                    cardinality=cardinality), rel.zero)
+            qualify = None
+        else:
+            qualify = _rewrite_expr(qualify, _hoist)
+            if not win_specs:
+                raise SqlError("QUALIFY requires a window function in the "
+                               "select list or the QUALIFY clause")
     if win_specs:
         if core.group_by:
             raise SqlError("window functions cannot be combined with "
