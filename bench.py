@@ -141,6 +141,10 @@ BENCH_QUERIES = [
     "sqlfe_pricing_rollup",
     "sqlfe_busy_users",
     "sqlfe_nation_balances",
+    # round-5 continuation: window functions + QUALIFY top-N rewrite
+    "sqlfe_rank_per_customer",
+    "sqlfe_order_price_trajectory",
+    "sqlfe_top3_orders_per_customer",
 ]
 
 
