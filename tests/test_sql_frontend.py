@@ -490,3 +490,14 @@ def test_qualify_topn_physical_rewrite(monkeypatch, ddb):
                          "BY o_custkey ORDER BY o_totalprice DESC, "
                          "o_orderkey) AS rn FROM orders QUALIFY rn <= 2 "
                          "ORDER BY o_orderkey")
+
+
+def test_window_lag_lead_offsets(ddb):
+    _assert_matches(ddb, "SELECT o_orderkey, lag(o_totalprice, 2) OVER "
+                         "(PARTITION BY o_custkey ORDER BY o_orderdate, "
+                         "o_orderkey) AS p2, lead(o_totalprice, 3) OVER "
+                         "(PARTITION BY o_custkey ORDER BY o_orderdate, "
+                         "o_orderkey) AS n3 FROM orders ORDER BY o_orderkey")
+    with pytest.raises(SqlError, match="literal integer offset"):
+        sql_table("SELECT lag(o_totalprice, o_orderkey) OVER (PARTITION BY "
+                  "o_custkey ORDER BY o_orderkey) AS x FROM orders", SF_DIR)

@@ -1771,27 +1771,31 @@ def keyed_window_agg(
     ds: rd.Dataset,
     key: str,
     order_cols: list[str],
-    specs: list[tuple[str, str | None, str]],
+    specs: list[tuple],
 ) -> rd.Dataset:
     """Fused per-key windowed family: compute EVERY ``(agg, value_col,
     alias)`` in ``specs`` — agg ∈ {sum, min, max, count, avg, lag, lead,
     first_value} — in ONE groupby shuffle + one in-group sort, instead of
     one exchange per window call. ``value_col=None`` + "count" is
-    ``count(*)``. At 100 TB this is the difference between k all-to-all
-    exchanges and one for a SELECT with k windows over the same
-    PARTITION BY / ORDER BY."""
+    ``count(*)``; lag/lead accept an optional 4th element, the shift
+    offset (default 1). At 100 TB this is the difference between k
+    all-to-all exchanges and one for a SELECT with k windows over the
+    same PARTITION BY / ORDER BY."""
 
     def _per_group(g: pa.Table) -> pa.Table:
         idx = pc.sort_indices(g, sort_keys=[(c, "ascending") for c in order_cols])
         g = g.take(idx)
         n = g.num_rows
         ar = np.arange(n)
-        for agg, vcol, alias in specs:
-            if agg == "lag":
-                tk = pa.array(ar - 1, type=pa.int64(), mask=ar == 0)
-                g = g.append_column(alias, g.column(vcol).take(tk))
-            elif agg == "lead":
-                tk = pa.array(ar + 1, type=pa.int64(), mask=ar == n - 1)
+        for spec in specs:
+            agg, vcol, alias = spec[0], spec[1], spec[2]
+            if agg in ("lag", "lead"):
+                off = int(spec[3]) if len(spec) > 3 else 1
+                if agg == "lag":
+                    tk = pa.array(ar - off, type=pa.int64(), mask=ar < off)
+                else:
+                    tk = pa.array(ar + off, type=pa.int64(),
+                                  mask=ar >= n - off)
                 g = g.append_column(alias, g.column(vcol).take(tk))
             elif agg == "first_value":
                 g = g.append_column(

@@ -1646,8 +1646,17 @@ def _apply_keyed_windows(rel: _Rel, items: list, scope: _Scope) -> _Rel:
     zero = rel.zero
     for wf, out in items:
         name = wf.name
+        offset = 1
         if name == "count" and not wf.args:
             val = None                             # count(*)
+        elif name in ("lag", "lead") and len(wf.args) == 2:
+            if not isinstance(wf.args[0], Col) \
+                    or not isinstance(wf.args[1], Lit) \
+                    or not isinstance(wf.args[1].value, int):
+                raise SqlError(f"{name}(col, n) requires a plain column "
+                               "and a literal integer offset")
+            val = scope.resolve(wf.args[0])
+            offset = int(wf.args[1].value)
         else:
             if len(wf.args) != 1 or not isinstance(wf.args[0], Col):
                 raise SqlError(f"{name}() OVER takes one plain column "
@@ -1664,7 +1673,8 @@ def _apply_keyed_windows(rel: _Rel, items: list, scope: _Scope) -> _Rel:
             out_t = pa.float64() if pa.types.is_floating(src_t) else pa.int64()
         else:
             out_t = src_t
-        specs.append((name, val, out))
+        specs.append((name, val, out, offset) if name in ("lag", "lead")
+                     else (name, val, out))
         if name not in ("lag", "lead", "first_value"):
             casts.append((out, out_t))
         zero = zero.append_column(out, pa.array([], out_t))
