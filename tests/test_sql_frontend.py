@@ -415,9 +415,9 @@ def test_window_fusion_single_exchange(monkeypatch, ddb):
     calls = []
     orig = R.keyed_window_agg
 
-    def spy(ds, key, order_cols, specs):
+    def spy(ds, key, order_cols, specs, **kw):
         calls.append(sorted(s[0] for s in specs))
-        return orig(ds, key, order_cols, specs)
+        return orig(ds, key, order_cols, specs, **kw)
 
     monkeypatch.setattr(R, "keyed_window_agg", spy)
     q = ("SELECT o_orderkey, sum(o_totalprice) OVER (PARTITION BY o_custkey "
@@ -501,3 +501,17 @@ def test_window_lag_lead_offsets(ddb):
     with pytest.raises(SqlError, match="literal integer offset"):
         sql_table("SELECT lag(o_totalprice, o_orderkey) OVER (PARTITION BY "
                   "o_custkey ORDER BY o_orderkey) AS x FROM orders", SF_DIR)
+
+
+def test_window_keyed_desc_ordering(ddb):
+    # DESC in the keyed family: reverse-cumulative sum, lag in desc order
+    _assert_matches(ddb, "SELECT o_orderkey, sum(o_totalprice) OVER "
+                         "(PARTITION BY o_custkey ORDER BY o_orderdate "
+                         "DESC, o_orderkey DESC) AS rev_run, "
+                         "lag(o_totalprice) OVER (PARTITION BY o_custkey "
+                         "ORDER BY o_orderdate DESC, o_orderkey DESC) AS "
+                         "nxt_price FROM orders ORDER BY o_orderkey")
+    _assert_matches(ddb, "SELECT o_orderkey, first_value(o_totalprice) "
+                         "OVER (PARTITION BY o_custkey ORDER BY "
+                         "o_totalprice DESC, o_orderkey) AS max_price "
+                         "FROM orders ORDER BY o_orderkey")

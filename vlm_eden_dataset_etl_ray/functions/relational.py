@@ -1772,18 +1772,24 @@ def keyed_window_agg(
     key: str,
     order_cols: list[str],
     specs: list[tuple],
+    descending: bool | list[bool] = False,
 ) -> rd.Dataset:
     """Fused per-key windowed family: compute EVERY ``(agg, value_col,
     alias)`` in ``specs`` — agg ∈ {sum, min, max, count, avg, lag, lead,
     first_value} — in ONE groupby shuffle + one in-group sort, instead of
     one exchange per window call. ``value_col=None`` + "count" is
     ``count(*)``; lag/lead accept an optional 4th element, the shift
-    offset (default 1). At 100 TB this is the difference between k
+    offset (default 1); ``descending`` flips the in-group order (per
+    column when a list). At 100 TB this is the difference between k
     all-to-all exchanges and one for a SELECT with k windows over the
     same PARTITION BY / ORDER BY."""
+    desc = [descending] * len(order_cols) if isinstance(descending, bool) \
+        else list(descending)
+    sort_keys = [(c, "descending" if d else "ascending")
+                 for c, d in zip(order_cols, desc)]
 
     def _per_group(g: pa.Table) -> pa.Table:
-        idx = pc.sort_indices(g, sort_keys=[(c, "ascending") for c in order_cols])
+        idx = pc.sort_indices(g, sort_keys=sort_keys)
         g = g.take(idx)
         n = g.num_rows
         ar = np.arange(n)

@@ -1588,8 +1588,6 @@ def _apply_window(rel: _Rel, wf: WindowFunc, out: str, scope: _Scope) -> _Rel:
                            "BY column")
         if not order_cols:
             raise SqlError(f"{name}() OVER requires ORDER BY")
-        if any(desc):
-            raise SqlError(f"{name}() OVER DESC ordering is not supported")
         return _apply_keyed_windows(rel, [(wf, out)], scope)
 
     raise SqlError(f"unsupported window function: {name}")
@@ -1641,6 +1639,7 @@ def _apply_keyed_windows(rel: _Rel, items: list, scope: _Scope) -> _Rel:
     wf0 = items[0][0]
     pk = scope.resolve(wf0.partition_by[0])
     order_cols = [scope.resolve(e) for e, _ in wf0.order_by]
+    desc = [not asc for _, asc in wf0.order_by]
     specs: list[tuple[str, str | None, str]] = []
     casts: list[tuple[str, pa.DataType]] = []
     zero = rel.zero
@@ -1679,7 +1678,8 @@ def _apply_keyed_windows(rel: _Rel, items: list, scope: _Scope) -> _Rel:
             casts.append((out, out_t))
         zero = zero.append_column(out, pa.array([], out_t))
 
-    ds = keyed_window_agg(rel.ds, pk, order_cols, specs)
+    ds = keyed_window_agg(rel.ds, pk, order_cols, specs,
+                          descending=desc)
     if casts:
         def _cast(t: pa.Table, cs=tuple(casts)) -> pa.Table:
             for o, ot in cs:
@@ -1900,7 +1900,7 @@ def _compile_core(core: Core, sf_dir: str, tables, cardinality: str) -> tuple[_R
         plan: list[tuple[str, object]] = []
         for wf, out in win_specs:
             if wf.name in _KEYED_WINDOWS and len(wf.partition_by) == 1 \
-                    and wf.order_by and all(asc for _, asc in wf.order_by):
+                    and wf.order_by:
                 k = (wf.partition_by, wf.order_by)
                 if k not in fuse_groups:
                     fuse_groups[k] = []
